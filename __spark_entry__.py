@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship SSSP fixpoint at sf0.001;
+``queries()`` maps every implemented operator (SURVEY.md §2 + §7) to a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` holds the DuckDB
+ANSI-SQL twin for each hash-checked query. Queries whose semantics are
+not SQL-expressible on DuckDB 1.0 (the converged SSSP over a cyclic
+graph) omit the oracle and are covered by pytest cross-checks instead
+(tests/test_sssp.py: pure-Python Dijkstra).
 """
 
 from __future__ import annotations
@@ -13,26 +15,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduce_sssp_spark import queries_registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: converged single-source shortest paths over the
+    FIXTURES.md B1 graph derived from sf0.001 lineitem."""
+    return queries_registry.QUERIES["sssp"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(queries_registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(queries_registry.ORACLE)

@@ -1,0 +1,166 @@
+"""Single-source shortest path as a DataFrame fixpoint loop.
+
+Re-expresses the reference's chain of MapReduce jobs
+(SingleSourceSP.java:398-519: format job -> iterated relax jobs -> final
+job) as one driver-side loop over DataFrames:
+
+* the tagged A/O/U shuffle union (SingleSourceSP.java:157-192) becomes a
+  full-outer equi-join between the node-state DataFrame and the per-round
+  min-aggregated message DataFrame;
+* the frontier gate (``dist != 65535 && adj nonempty && flag == 'Y'``,
+  SingleSourceSP.java:179) becomes a filter on the ``updated`` column —
+  this delta/frontier optimization is the one algorithmic idea the
+  reference hand-codes that Catalyst cannot supply, so it is kept;
+* the Hadoop counter convergence test (SingleSourceSP.java:273-281,
+  473-481) becomes a deterministic ``count()`` action per round;
+* per-round HDFS materialization (SingleSourceSP.java:513-517) becomes
+  in-memory persistence with periodic reliable checkpoints to truncate
+  lineage (without which the plan grows exponentially with rounds).
+
+Scale notes (100 TB / 1000 executors):
+
+* ``edges`` is hash-partitioned by ``src`` once and persisted; every
+  round's relax join then reuses that layout, so only the (small)
+  frontier side shuffles each round.
+* Parallel edges are pre-reduced to min weight per (src, dst) — identical
+  semantics under min-relaxation, strictly fewer shuffle bytes.
+* State is persisted per round and the previous round unpersisted; a
+  reliable checkpoint every ``checkpoint_every`` rounds bounds both
+  lineage depth and DAG-scheduler overhead.
+* Skewed high-out-degree vertices are handled by AQE skew-join; the
+  message aggregation is a partial-aggregating ``groupBy`` (map-side
+  combine), so hot destination nodes do not funnel through one task.
+
+Semantics preserved from the reference (SURVEY.md §2.8):
+
+* unreachable nodes that have out-edges appear with the sentinel
+  (65535.0 compat / NULL native); unreachable pure-sink nodes do not
+  appear at all (they never receive a message and the format job never
+  created a record for them);
+* nodes first discovered mid-iteration count as "updated" that round,
+  guaranteeing one extra round after any frontier expansion;
+* non-negative weights are assumed (the reference silently mis-converges
+  on negative cycles; we validate optionally rather than "fix" silently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+SENTINEL = 65535.0  # SingleSourceSP.java:54
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    *,
+    native_nulls: bool = False,
+    checkpoint_every: int = 5,
+    max_rounds: int = 500,
+    validate_weights: bool = False,
+) -> DataFrame:
+    """Converged shortest-path distances from ``source``.
+
+    Parameters
+    ----------
+    edges: DataFrame with columns (src, dst, weight). Duplicate edges and
+        self-loops are tolerated (min-relaxation).
+    source: source node id (SingleSourceSP's ``queryNode``).
+    native_nulls: if True, unreachable nodes carry NULL instead of the
+        reference's 65535.0 sentinel.
+    checkpoint_every: reliable-checkpoint cadence in rounds.
+
+    Returns (source BIGINT, node BIGINT, dist DOUBLE) — one row per node
+    with out-edges plus every reachable node (FIXTURES.md B3).
+    """
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    if validate_weights:
+        neg = e.filter(F.col("weight") < 0).limit(1).count()
+        if neg:
+            raise ValueError("sssp requires non-negative edge weights")
+
+    # Min-combine parallel edges, then fix the partitioning on src so the
+    # per-round relax join never re-shuffles the edge side.
+    e = (
+        e.groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # Format job (SingleSourceSP.java:56-129): a state record per node
+    # with out-edges; source seeded to 0.0, everything else "infinity"
+    # (represented natively as NULL, not a sentinel string).
+    state = (
+        e.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            F.when(F.col("src") == source, F.lit(0.0)).alias("dist"),
+            (F.col("src") == source).alias("updated"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    for rnd in range(1, max_rounds + 1):
+        # Frontier: only nodes whose distance changed last round emit
+        # relaxations (SingleSourceSP.java:179).
+        frontier = state.filter(F.col("updated") & F.col("dist").isNotNull()).select(
+            F.col("node").alias("f_node"), F.col("dist").alias("f_dist")
+        )
+        msgs = frontier.join(e, frontier["f_node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("f_dist") + F.col("weight")).alias("cand"),
+        )
+        # Min relaxation with map-side partial aggregation
+        # (SingleSourceSP.java:214-250).
+        cand = msgs.groupBy("node").agg(F.min("cand").alias("cand"))
+
+        # Tagged-union reduce-side join (SingleSourceSP.java:205-293):
+        # full-outer because messages can reach nodes with no state record
+        # yet, and state nodes may receive no messages.
+        new_state = (
+            state.join(cand, "node", "full_outer")
+            .select(
+                F.col("node"),
+                F.least("dist", "cand").alias("new_dist"),
+                F.col("dist").alias("old_dist"),
+            )
+            .select(
+                "node",
+                F.col("new_dist").alias("dist"),
+                # NULL-safe inequality: newly-discovered nodes (old NULL)
+                # count as updated, per SingleSourceSP.java:273-281.
+                (~F.col("new_dist").eqNullSafe(F.col("old_dist"))).alias("updated"),
+            )
+        )
+        new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        if rnd % checkpoint_every == 0:
+            new_state = new_state.checkpoint()  # truncate lineage
+
+        changed = new_state.filter("updated").count()
+        state.unpersist()
+        state = new_state
+        if changed == 0:
+            break
+
+    # Final job (SingleSourceSP.java:285-288,484-508): project
+    # (source, node, dist); sentinel for unreachable in compat mode.
+    dist_col = (
+        F.col("dist") if native_nulls else F.coalesce("dist", F.lit(SENTINEL))
+    )
+    out = state.select(
+        F.lit(int(source)).cast("long").alias("source"),
+        "node",
+        dist_col.alias("dist"),
+    )
+    return out

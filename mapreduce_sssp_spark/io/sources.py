@@ -1,0 +1,150 @@
+"""Sources: driver-generated parquet tables + the reference's two text
+edge-list input contracts.
+
+Reference input contracts re-expressed Spark-first:
+
+* weighted edge list ``edgeId fromNode toNode distance`` space-separated
+  (SingleSourceSP.java:60-66 — edgeId parsed then discarded),
+* unweighted tab-separated edge list with ``#``-comment tolerance
+  (ReverseGraph.java:110-128 — lines not starting with a digit skipped).
+
+Both become typed DataFrames at the scan; Catalyst then pushes filters and
+prunes columns into the file scan for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("edge_id", T.LongType()),
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+        T.StructField("weight", T.DoubleType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view (for the SQL API)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXTURES.md B1: deterministic weighted digraph from lineitem.
+
+    ``src=l_suppkey, dst=l_partkey, weight=l_quantity``. Node ids 0-99
+    (suppliers) overlap the partkey space, so the graph is multi-hop with
+    cycles in the 0-99 core. Weights strictly positive. Duplicate (src,dst)
+    pairs are present and must be tolerated (min-relaxation makes them
+    benign — SingleSourceSP.java:224-250).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_suppkey").alias("src"),
+        F.col("l_partkey").alias("dst"),
+        F.col("l_quantity").alias("weight"),
+    )
+
+
+def edges_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A layered DAG derived from lineitem, for oracle-checkable SSSP.
+
+    Lineitems are first deduplicated per (orderkey, linenumber) — the data
+    contains duplicate linenumbers, which would otherwise create same-level
+    edges and therefore cycles — taking min(partkey)/min(quantity) so the
+    derivation is deterministic in both engines. Node = (partkey,
+    linenumber) encoded as ``pk * 8 + l_linenumber``; within each order,
+    consecutive (now unique) linenumbers define an edge. Linenumber
+    strictly increases along every edge, so the graph is acyclic with
+    depth <= 6 — a bounded recursive CTE (DuckDB) terminates, making the
+    full SSSP fixpoint hash-checkable against an ANSI-SQL oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    step = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.min("l_partkey").alias("pk"), F.min("l_quantity").alias("qty")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    chain = step.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("pk") * 8 + F.col("l_linenumber")).alias("node"),
+        "qty",
+    ).withColumn("next_node", F.lead("node").over(w))
+    return chain.filter(F.col("next_node").isNotNull()).select(
+        F.col("node").alias("src"),
+        F.col("next_node").alias("dst"),
+        F.col("qty").alias("weight"),
+    )
+
+
+# SQL twin of edges_from_lineitem, reused inside oracle queries.
+EDGES_SQL = (
+    "SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight FROM lineitem"
+)
+
+# SQL twin of edges_order_chain.
+EDGES_DAG_SQL = """
+SELECT node AS src, next_node AS dst, qty AS weight
+FROM (
+  SELECT pk * 8 + l_linenumber AS node,
+         lead(pk * 8 + l_linenumber)
+           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_node,
+         qty
+  FROM (
+    SELECT l_orderkey, l_linenumber,
+           min(l_partkey) AS pk, min(l_quantity) AS qty
+    FROM lineitem GROUP BY l_orderkey, l_linenumber
+  )
+)
+WHERE next_node IS NOT NULL
+"""
+
+
+def read_edge_list_text(spark: SparkSession, path: str) -> DataFrame:
+    """Reference weighted-edge-list text scan (SingleSourceSP.java:60-66).
+
+    Four space-separated columns ``edgeId fromNode toNode distance``; the
+    edge id is projected away immediately (column pruning reaches the scan).
+    """
+    raw = spark.read.csv(path, sep=" ", schema=EDGE_SCHEMA)
+    return raw.select("src", "dst", "weight")
+
+
+def read_tsv_edge_list(spark: SparkSession, path: str) -> DataFrame:
+    """Reference unweighted TSV edge-list scan (ReverseGraph.java:110-128).
+
+    Skips SNAP-style comment lines (anything not starting with a digit) —
+    expressed as a filter on the raw line so Catalyst can push it down.
+    """
+    lines = spark.read.text(path)
+    parsed = lines.filter(F.col("value").rlike(r"^[0-9]")).select(
+        F.split("value", "\t").alias("f")
+    )
+    return parsed.select(
+        F.col("f")[0].cast("long").alias("src"),
+        F.col("f")[1].cast("long").alias("dst"),
+    )

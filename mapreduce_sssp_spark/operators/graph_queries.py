@@ -1,0 +1,112 @@
+"""queries()/oracle_sql() entries for the reference's graph surface.
+
+Oracle notes:
+* ``sssp`` runs on the FIXTURES.md B1 graph, which has cycles in its
+  0-99 core; DuckDB 1.0's recursive CTEs (plain UNION, no keyed
+  recursion) cannot express converging min-relaxation over a cyclic
+  graph without enumerating unboundedly many path sums — so ``sssp``
+  ships without an oracle (driver rows-only check) and is instead
+  cross-checked against pure-Python Dijkstra in tests/test_sssp.py,
+  including at sf0.01.
+* ``sssp_dag`` runs the same fixpoint engine on a layered DAG derived
+  from lineitem (depth <= 7), where a bounded recursive CTE terminates —
+  giving the iterative operator a full hash-checked oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph.reverse import adjacency_list, reverse_graph
+from ..graph.sssp import sssp
+from ..io.sources import (
+    EDGES_DAG_SQL,
+    EDGES_SQL,
+    edges_from_lineitem,
+    edges_order_chain,
+)
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = edges_from_lineitem(spark, sf_dir)
+    source = edges.agg(F.min("src")).collect()[0][0]
+    return sssp(edges, int(source))
+
+
+def q_sssp_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = edges_order_chain(spark, sf_dir)
+    source = edges.agg(F.min("src")).collect()[0][0]
+    return sssp(edges, int(source))
+
+
+def q_reverse_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = reverse_graph(edges_from_lineitem(spark, sf_dir))
+    return rev.select(
+        "node",
+        F.array_join(F.transform("neighbors", lambda x: x.cast("string")), ",").alias(
+            "neighbors_csv"
+        ),
+        F.size("neighbors").alias("indegree"),
+    )
+
+
+def q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adj = adjacency_list(edges_from_lineitem(spark, sf_dir))
+    return adj.select(
+        "node",
+        F.array_join(
+            F.transform(
+                "adj", lambda x: F.concat_ws(":", x["dst"], x["weight"].cast("string"))
+            ),
+            ",",
+        ).alias("adj_csv"),
+        F.size("adj").alias("outdegree"),
+    )
+
+
+QUERIES = {
+    "sssp": q_sssp,
+    "sssp_dag": q_sssp_dag,
+    "reverse_graph": q_reverse_graph,
+    "adjacency": q_adjacency,
+}
+
+ORACLE = {
+    # sssp: intentionally absent (see module docstring).
+    "sssp_dag": f"""
+WITH RECURSIVE edges AS ({EDGES_DAG_SQL}),
+src AS (SELECT min(src) AS s FROM edges),
+walk(node, dist) AS (
+    -- Level-synchronized Bellman-Ford: one min per destination per step.
+    -- Terminates because the graph is a DAG of depth <= 6 (see
+    -- edges_order_chain); per-step minima compose to true shortest paths.
+    SELECT s, CAST(0.0 AS DOUBLE) FROM src
+    UNION
+    SELECT e.dst, min(w.dist + e.weight)
+    FROM walk w JOIN edges e ON e.src = w.node
+    GROUP BY e.dst
+),
+best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+outn AS (SELECT DISTINCT src AS node FROM edges)
+SELECT (SELECT s FROM src) AS source,
+       coalesce(o.node, b.node) AS node,
+       coalesce(b.dist, 65535.0) AS dist
+FROM outn o FULL OUTER JOIN best b ON o.node = b.node
+""",
+    "reverse_graph": f"""
+WITH edges AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL}))
+SELECT dst AS node,
+       string_agg(CAST(src AS VARCHAR), ',' ORDER BY src) AS neighbors_csv,
+       count(*) AS indegree
+FROM edges GROUP BY dst
+""",
+    "adjacency": f"""
+WITH edges AS ({EDGES_SQL})
+SELECT src AS node,
+       string_agg(CAST(dst AS VARCHAR) || ':' || CAST(weight AS VARCHAR),
+                  ',' ORDER BY dst, weight) AS adj_csv,
+       count(*) AS outdegree
+FROM edges GROUP BY src
+""",
+}

@@ -1,0 +1,21 @@
+"""Central registry merging every operator module's queries()/oracle_sql()
+entries. Import side-effect free; each module contributes QUERIES (name ->
+(spark, sf_dir) -> DataFrame) and ORACLE (name -> DuckDB SQL twin).
+"""
+
+from __future__ import annotations
+
+from .operators import graph_queries
+
+_MODULES = [graph_queries]
+
+QUERIES = {}
+ORACLE = {}
+for _m in _MODULES:
+    for _k in _m.QUERIES:
+        assert _k not in QUERIES, f"duplicate query name: {_k}"
+    QUERIES.update(_m.QUERIES)
+    ORACLE.update(_m.ORACLE)
+
+# Every oracle must have a query.
+assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)

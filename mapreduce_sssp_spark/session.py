@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the driver's local[N] harness while
+keeping every knob cluster-appropriate (AQE, shuffle partitions, Arrow).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mapreduce-sssp-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Local mode is a test harness only; the configs below are the ones that
+    also matter on a real cluster: AQE for runtime re-planning (skew joins,
+    partition coalescing), Arrow for any Pandas-UDF path, UTC session TZ
+    for deterministic timestamp semantics.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # Reliable checkpoints truncate lineage in the SSSP fixpoint loop
+    # (SURVEY.md §4: the one genuinely manual physical concern).
+    if not spark.sparkContext.getCheckpointDir():
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+        )
+    return spark

@@ -1,0 +1,119 @@
+"""Local mimic of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() twin on DuckDB at the same sf, compare
+row-count + column names + order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from mapreduce_sssp_spark.io.sources import TABLES  # noqa: E402
+from mapreduce_sssp_spark.session import get_spark  # noqa: E402
+
+
+def canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(canon_cell(x) for x in v)
+    return v
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return sorted(cols), out
+
+
+def approx_equal(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b:
+            return True, 0.0
+        d = abs(a - b) / max(abs(a), abs(b), 1e-12)
+        return d < 1e-9, d
+    return a == b, None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = list(sdf.columns)
+        srows = [tuple(r) for r in sdf.collect()]
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:28s} rows={len(srows):7d}  (rows-only, no oracle) "
+                  f"[spark {spark_t:.1f}s]")
+            if len(srows) == 0:
+                failures.append((name, "zero rows"))
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = [tuple(r) for r in res.fetchall()]
+        duck_t = time.time() - t0
+        status, detail = compare(name, scols, srows, dcols, drows)
+        print(f"  {name:28s} rows={len(srows):7d}  {status:18s} "
+              f"[spark {spark_t:.1f}s duck {duck_t:.1f}s] {detail}")
+        if status != "OK":
+            failures.append((name, detail))
+    print()
+    if failures:
+        print("FAILURES:")
+        for n, d in failures:
+            print(f"  {n}: {d}")
+        sys.exit(1)
+    print("all checks passed")
+
+
+def compare(name, scols, srows, dcols, drows):
+    if sorted(scols) != sorted(dcols):
+        return "SCHEMA-MISMATCH", f"spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return "ROWCOUNT-MISMATCH", f"spark={len(srows)} duck={len(drows)}"
+    _, sc = canon_rows(scols, srows)
+    _, dc = canon_rows(dcols, drows)
+    max_float_dev = 0.0
+    for i, (a, b) in enumerate(zip(sc, dc)):
+        for x, y in zip(a, b):
+            eq, dev = approx_equal(x, y)
+            if dev:
+                max_float_dev = max(max_float_dev, dev)
+            if not eq:
+                return "VALUE-MISMATCH", f"row {i}: {a} != {b}"
+    if max_float_dev > 0:
+        return "OK", f"(float dev {max_float_dev:.2e} — NOT bit-exact, driver hash may fail)"
+    return "OK", ""
+
+
+if __name__ == "__main__":
+    main()
