@@ -45,11 +45,32 @@ Semantics preserved from the reference (SURVEY.md §2.8):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import tempfile
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 SENTINEL = 65535.0  # SingleSourceSP.java:54
+
+
+def _ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Make reliable checkpoints work on ANY session, not just ours.
+
+    The driver harness calls queries() with its own SparkSession, which has
+    no checkpoint dir configured. On a cluster, point SPARK_GRAFT_CKPT_DIR
+    at shared storage (HDFS/S3) — executors must be able to write it; the
+    tempdir fallback is correct only in local mode, where driver and
+    executors share a filesystem.
+    """
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        ckpt = os.environ.get("SPARK_GRAFT_CKPT_DIR") or tempfile.mkdtemp(
+            prefix="spark-graft-ckpt-"
+        )
+        sc.setCheckpointDir(ckpt)
 
 
 def sssp(
@@ -76,6 +97,7 @@ def sssp(
     with out-edges plus every reachable node (FIXTURES.md B3).
     """
     spark = edges.sparkSession
+    _ensure_checkpoint_dir(spark)
     n_part = spark.sparkContext.defaultParallelism
 
     e = edges.select(
@@ -143,15 +165,30 @@ def sssp(
                 (~F.col("new_dist").eqNullSafe(F.col("old_dist"))).alias("updated"),
             )
         )
-        new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
         if rnd % checkpoint_every == 0:
-            new_state = new_state.checkpoint()  # truncate lineage
+            # checkpoint() materializes from the cache, then the cached
+            # pre-checkpoint copy is dropped so it cannot leak across rounds.
+            new_state = cached.checkpoint()  # truncate lineage
+            cached.unpersist()
+        else:
+            new_state = cached
 
         changed = new_state.filter("updated").count()
         state.unpersist()
         state = new_state
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"sssp: max_rounds={max_rounds} exhausted with {changed} nodes "
+            "still updating; returned distances may not be converged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # The per-round count() actions materialized the final state in cache
+    # (or checkpoint); the edge cache is no longer needed.
+    e.unpersist()
 
     # Final job (SingleSourceSP.java:285-288,484-508): project
     # (source, node, dist); sentinel for unreachable in compat mode.

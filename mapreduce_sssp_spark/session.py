@@ -37,7 +37,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # NOTE: spark.driver.memory must be set at JVM launch
+        # (spark-submit --driver-memory / SPARK_SUBMIT_OPTS); setting it via
+        # .config() after the JVM exists is a no-op, so we don't.
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -47,9 +49,14 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     # Reliable checkpoints truncate lineage in the SSSP fixpoint loop
-    # (SURVEY.md §4: the one genuinely manual physical concern).
+    # (SURVEY.md §4: the one genuinely manual physical concern). On a real
+    # cluster SPARK_GRAFT_CKPT_DIR must point at shared storage (HDFS/S3);
+    # the local tempdir fallback is valid only in local mode. Queries also
+    # self-provision via graph.sssp._ensure_checkpoint_dir, so the engine
+    # works on sessions it did not create.
     if not spark.sparkContext.getCheckpointDir():
         spark.sparkContext.setCheckpointDir(
-            tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+            os.environ.get("SPARK_GRAFT_CKPT_DIR")
+            or tempfile.mkdtemp(prefix="spark-graft-ckpt-")
         )
     return spark
