@@ -42,7 +42,28 @@ EDGE_SCHEMA = T.StructType(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default. Read nanos as long and floor-divide to micros
+    (integer DIV — a double division would lose ULPs at 1.7e18 and shift
+    events across window boundaries), matching DuckDB's ns->us cast.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # TIMESTAMP_NTZ arithmetic keeps the value wall-clock (no session-TZ
+    # dependence), matching DuckDB's timezone-naive TIMESTAMP.
+    return ev.withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, ts DIV 1000,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
+    )
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,479 @@
+"""Relational operator suite (SURVEY.md §7 P2) — the target surface the
+reference lacks (SURVEY.md §2.3-2.7 "not present in reference" rows),
+expressed as declarative DataFrame plans so Catalyst supplies pushdown,
+pruning, join selection and AQE for free.
+
+Cross-engine bit-exactness rules (every oracle is hash-compared):
+
+* Money/quantity sums go through DECIMAL(18,2) (exact arithmetic in both
+  engines) and only the final value is cast to DOUBLE — double-sum order
+  would otherwise differ between Spark partial aggregation and DuckDB.
+* Averages are written explicitly as decimal-sum / count so both engines
+  divide identical doubles.
+* Window moving sums use the same decimal trick inside the frame.
+* Ordering ties are always broken by a unique key (row_number over
+  (value, key)) so top-k cuts are deterministic.
+* Day-of-week uses Spark ``weekday()+1`` == DuckDB ``isodow`` (Monday=1);
+  the engines' native ``dayofweek`` disagree on week start.
+
+Scale notes (100 TB / 1000 executors): every join below is an equi-join
+Catalyst can plan as broadcast (nation/region/supplier-sized dims, forced
+with ``F.broadcast``) or shuffle-hash/sort-merge with AQE skew splitting;
+aggregations are partial (map-side combine) by construction; top-k is
+``orderBy().limit()`` which Spark executes as per-partition TakeOrdered +
+driver merge of k rows, never a global sort of the full input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# Joins (inner / left / semi / anti, broadcast dim side)
+# --------------------------------------------------------------------------
+
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation: orders ⋈ customer ⋈ broadcast(nation).
+
+    nation (25 rows) is explicitly broadcast; customer⋈orders is a shuffle
+    equi-join AQE may itself turn into broadcast at small sf.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order stats via left outer join (null-preserving)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one order above 400k (left-semi join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = orders.filter(F.col("o_totalprice") > 400000.0)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no 'P'-status order (left-anti join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    p = orders.filter(F.col("o_orderstatus") == "P")
+    return (
+        customer.join(p, customer.c_custkey == p.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation (multi-measure, distinct, rollup, cube)
+# --------------------------------------------------------------------------
+
+
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (multi-measure hash aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (supplier, part) pairs shipped — dropDuplicates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_suppkey", "l_partkey").dropDuplicates()
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals: rollup(returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations: cube(status, priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (rank / lag / moving frame)
+# --------------------------------------------------------------------------
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: rank + row_number, tie-broken by key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-over-order price delta via lag/lead."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 3-order sum/avg per customer (ROWS 2 PRECEDING frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    moving_sum = F.sum(_dec("o_totalprice")).over(w).cast("double")
+    n_in_frame = F.count("*").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        moving_sum.alias("moving_sum"),
+        (moving_sum / n_in_frame).alias("moving_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / top-k / set operations
+# --------------------------------------------------------------------------
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 lineitems by price — TakeOrdered, not a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(10)
+    )
+
+
+def _setop_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_totalprice") > 450000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a, b
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    return a.exceptAll(b.distinct()).distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (string / math / date) and JSON
+# --------------------------------------------------------------------------
+
+
+def q_scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String+math scalar battery over part (all JVM-side, codegen'd)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("name_pre"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.round("p_retailprice", 1).alias("price_round"),
+        F.sqrt(F.col("p_retailprice")).alias("price_sqrt"),
+        F.greatest("p_size", F.lit(10)).alias("size_min10"),
+    )
+
+
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar battery over orders (timestamp_ntz column)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.weekday("o_orderdate") + 1).alias("isodow"),
+        # cast to date: DuckDB's date_trunc returns DATE at month granularity
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_1999"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction over events.props + grouped aggregate.
+
+    get_json_object runs JVM-side (Jayway JsonPath) — no UDF. The value
+    sum goes through DECIMAL for cross-engine bit-exactness.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "value",
+        )
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+QUERIES = {
+    "join_inner": q_join_inner,
+    "join_left": q_join_left,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "agg_multi": q_agg_multi,
+    "distinct_pairs": q_distinct,
+    "rollup_agg": q_rollup,
+    "cube_agg": q_cube,
+    "window_rank": q_window_rank,
+    "window_lag": q_window_lag,
+    "window_moving": q_window_moving,
+    "topk_orders": q_topk,
+    "set_union": q_set_union,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "scalar_string_math": q_scalar_string_math,
+    "scalar_date": q_scalar_date,
+    "json_extract": q_json_extract,
+}
+
+_SETOP_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0"
+
+ORACLE = {
+    "join_inner": """
+SELECT n_name,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "join_left": """
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+         AS total_price
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
+    "join_semi": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+""",
+    "join_anti": """
+SELECT c_custkey, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+    "agg_multi": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "distinct_pairs": "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem",
+    "rollup_agg": """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "cube_agg": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "window_rank": """
+SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         rank() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rn <= 3
+""",
+    "window_lag": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       o_totalprice - lag(o_totalprice) OVER w AS price_delta,
+       lead(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "window_moving": """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS moving_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / count(*) OVER w AS moving_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    "topk_orders": """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+""",
+    "set_union": f"{_SETOP_A} UNION {_SETOP_B}",
+    "set_intersect": f"{_SETOP_A} INTERSECT {_SETOP_B}",
+    "set_except": f"{_SETOP_A} EXCEPT {_SETOP_B}",
+    "scalar_string_math": """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 4) AS name_pre,
+       length(p_name) AS name_len,
+       p_brand || '/' || p_type AS brand_type,
+       replace(p_name, ' ', '_') AS name_snake,
+       abs(p_size - 25) AS size_dev,
+       p_partkey % 7 AS key_mod,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       round(p_retailprice, 1) AS price_round,
+       sqrt(p_retailprice) AS price_sqrt,
+       greatest(p_size, 10) AS size_min10
+FROM part
+""",
+    "scalar_date": """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+       CAST(isodow(o_orderdate) AS INT) AS isodow,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT)
+         AS days_to_1999,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+""",
+    "json_extract": """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+}
