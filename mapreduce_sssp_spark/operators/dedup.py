@@ -1,0 +1,241 @@
+"""Deduplication operators over ``documents`` — the LLM-training-data
+pipeline surface (SURVEY.md §7 P3).
+
+Four methods, each a first-class oracle-checked query:
+
+* ``dedup_exact``      — hash-groupBy on sha2(text). At 100 TB the group
+  key is the 32-byte digest, never the document body, so shuffle bytes
+  are O(rows), not O(corpus).
+* ``ngram_jaccard_pairs`` — *exact* near-dup pairs via the inverted
+  shingle index: explode (doc, shingle), self-join on shingle, count
+  intersections, filter Jaccard >= t. One shuffle keyed by shingle; AQE
+  skew-split absorbs hot shingles. This is the exact-but-quadratic-in-
+  collisions method; at 100 TB prefer ``dedup_minhash``.
+* ``dedup_minhash``    — MinHash signatures + LSH banding: 64 hashes,
+  16 bands x 4 rows. Candidate pairs come from band-bucket joins (only
+  docs sharing a band hash ever meet — no all-pairs anywhere), then are
+  exact-verified so output equals the exact oracle modulo the
+  1-(1-s^4)^16 miss probability (< 3e-4 at s = 0.8, < 1e-11 for the
+  planted near-dups at s >= 0.95).
+* ``dedup_simhash``    — 32-bit SimHash per document, computed in ONE
+  pass over the token array with aggregate/zip_with (no 32x row blowup;
+  the oracle uses the blowup formulation, the engine does not).
+
+All hashing is expression-level (md5/xxhash64) — JVM codegen, no UDFs.
+Reference has no dedup surface; this extends it per the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .text_common import (
+    DUCK_SHINGLES_REL,
+    DUCK_TOKENS,
+    TOKENS_EXPR,
+    with_shingles,
+)
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_K = 64
+LSH_BANDS = 16
+LSH_ROWS = 4
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: keep min(doc_id) per identical text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2("text", 256).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs)
+    return sh.select("doc_id", F.explode("sh").alias("s"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard >= 0.8 pairs via inverted index."""
+    post = _shingle_postings(spark, sf_dir)
+    sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = post.alias("a")
+    b = post.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig: array<bigint> of k min-hashes over shingles).
+
+    sig[i] = min over shingles s of xxhash64(i, s); one expression per
+    document row — signatures never leave the JVM.
+    """
+    sh = with_shingles(docs)
+    return sh.filter(F.size("sh") > 0).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {k - 1}),"
+            " i -> array_min(transform(sh, s -> xxhash64(i, s))))"
+        ).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band hash.
+
+    Docs are grouped by (band_id, band_hash); only same-bucket docs join.
+    At 100 TB the bucket join is the only shuffle and is keyed by a
+    64-bit hash — uniform by construction, no skew.
+    """
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" j -> xxhash64(j, {', '.join(f'sig[{rows}*j+{r}]' for r in range(rows))}))"
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified to Jaccard >= 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over distinct tokens, one JVM pass.
+
+    Token hash = first 8 md5 hex chars as uint32 (md5 exists in both
+    engines, so the oracle can reproduce the exact bits). Bit j of the
+    output is the sign of sum over tokens of ±1 per token-hash bit j.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"array_distinct({TOKENS_EXPR})").alias("toks"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "aggregate("
+            " toks,"
+            " array_repeat(0L, 32),"
+            " (acc, tok) -> ("
+            "   zip_with(acc,"
+            "     transform(sequence(0, 31),"
+            "       j -> if((shiftright(cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint), j) & 1) = 1, 1L, -1L)),"
+            "     (x, y) -> x + y)),"
+            " acc -> aggregate("
+            "   zip_with(acc, sequence(0, 31), (c, j) -> if(c > 0, shiftleft(1L, j), 0L)),"
+            "   0L, (x, y) -> x + y))"
+        ).alias("simhash"),
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+_EXACT_JACCARD_SQL = f"""
+WITH sh AS ({DUCK_SHINGLES_REL}),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) / (sa.n + sb.n - count(*)) AS jaccard
+FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+JOIN sz sa ON sa.doc_id = a.doc_id
+JOIN sz sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+HAVING count(*) / (sa.n + sb.n - count(*)) >= {JACCARD_THRESHOLD}
+"""
+
+ORACLE = {
+    "dedup_exact": """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+    "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
+    # The LSH path is exact-verified, so it must match the exact oracle
+    # (up to the negligible banding miss probability documented above).
+    "dedup_minhash": _EXACT_JACCARD_SQL,
+    "dedup_simhash": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({DUCK_TOKENS})) AS tok FROM documents
+),
+th AS (
+  SELECT doc_id, tok,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, CAST(j AS INT) AS j,
+         SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM th, range(0, 32) r(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+""",
+}
