@@ -1,0 +1,153 @@
+"""Similarity search over ``embeddings`` (array<float> column) —
+SURVEY.md §7 P3.
+
+* ``similarity_topk`` — exact brute-force cosine top-k for a query
+  subset: the baseline every ANN variant is measured against. The query
+  side is tiny and explicitly broadcast; the candidate side streams.
+  Dot products are sequential left-to-right double accumulation
+  (aggregate/zip_with — JVM expression eval, no Python), mirrored
+  exactly by the DuckDB oracle's list_dot_product, so cosines are
+  bit-identical across engines.
+* ``similarity_ann_lsh`` — the 100 TB scale path: multi-table random-
+  hyperplane LSH (4 tables x 8 bits; hyperplane signs derived from
+  xxhash64(table, j, dim), so the "random" planes are deterministic and
+  identical on every executor with zero driver state); vectors meet only
+  inside a same-(table, signature) bucket, then bucket-local exact
+  cosine + per-query top-1 across tables. Approximate by construction ->
+  no SQL oracle (driver rows-only check); recall on planted clusters is
+  asserted in pytest.
+
+At 100 TB: brute force is O(Q x N) — fine when Q is a broadcastable
+query batch; for all-vectors kNN use the LSH variant (or IVF with
+learned centroids, same bucket-join shape, centroids broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+
+TOPK = 5
+QUERY_MOD = 100  # query set = vec_id % QUERY_MOD == 0
+SIG_BITS = 8
+LSH_TABLES = 4
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _dot(a: str, b: str):
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for each query vector."""
+    vec = _vectors(spark, sf_dir)
+    norms = vec.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    q = norms.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        norms.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            (_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.select(
+        "q_id", "cand_id", "cosine", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= TOPK)
+
+
+def lsh_buckets(
+    df: DataFrame, bits: int = SIG_BITS, tables: int = LSH_TABLES
+) -> DataFrame:
+    """Explode each vector into `tables` rows of (table_id, bucket).
+
+    Bucket = sign pattern of `bits` pseudo-random hyperplane projections,
+    packed into a long. Hyperplane (t, j)'s weight for dimension d is ±1
+    from bit 0 of xxhash64(t, j, d) — deterministic, stateless, identical
+    on every executor. Multiple tables trade compute for recall exactly
+    like classic multi-table LSH.
+    """
+    proj = (
+        f"transform(sequence(0, {bits - 1}),"
+        " j -> aggregate(zip_with(v, sequence(0, size(v) - 1),"
+        "   (x, d) -> if((xxhash64(t, j, d) & 1) = 1, x, -x)),"
+        " cast(0.0 as double), (acc, x) -> acc + x))"
+    )
+    packed = (
+        f"aggregate(zip_with({proj}, sequence(0, {bits - 1}),"
+        " (p, j) -> if(p > cast(0.0 as double), shiftleft(1L, j), 0L)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    return df.select(
+        "*", F.explode(F.expr(f"sequence(0, {tables - 1})")).alias("t")
+    ).select("*", F.expr(packed).alias("bucket"))
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbor (top-1) via hyperplane-LSH buckets."""
+    vec = _vectors(spark, sf_dir).withColumn("nrm", F.sqrt(_dot("v", "v")))
+    banded = lsh_buckets(vec)
+    a = banded.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "t",
+        "bucket",
+    )
+    cand = (
+        a.join(banded, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "qv", "qn", F.col("vec_id").alias("nn_id"), "v", "nrm")
+        .dropDuplicates(["q_id", "nn_id"])  # same pair can meet in many tables
+    )
+    scored = cand.select(
+        "q_id",
+        "nn_id",
+        (_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return scored.select(
+        "q_id", "nn_id", "cosine", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1).drop("rn")
+
+
+QUERIES = {
+    "similarity_topk": q_similarity_topk,
+    "similarity_ann_lsh": q_similarity_ann_lsh,  # rows-only (approximate)
+}
+
+ORACLE = {
+    "similarity_topk": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+           AS cosine
+  FROM e q, e c
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
+)
+SELECT q_id, cand_id, cosine, rn FROM (
+  SELECT q_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
+  FROM scored
+) WHERE rn <= {TOPK}
+""",
+}
