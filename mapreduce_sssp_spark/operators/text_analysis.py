@@ -1,0 +1,249 @@
+"""Text analysis operators over ``documents`` (SURVEY.md §7 P3):
+token counting, quality scoring, language ID, document fingerprinting.
+
+Everything is expression-level (split/regexp/aggregate/transform —
+whole-stage-codegen'd JVM evaluation, no Python in the hot path), and
+every query has a DuckDB oracle twin built from the same tokenization
+fragments (text_common).
+
+Bit-exactness: all ratios are int/int double divisions of identical
+operands; the fingerprint is an integer min; no float accumulation
+anywhere.
+
+At 100 TB these are embarrassingly parallel map-side transforms — no
+shuffle except the final aggregation of ``token_freq_top100`` (partial
+map-side combine on the token key; the heavy-hitter skew of natural
+language is absorbed by the partial aggregate, not a repartition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .text_common import DUCK_SHINGLES_REL, DUCK_TOKENS, SHINGLES_EXPR, TOKENS_EXPR
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "de": ["der", "die", "und", "das", "ein", "mit"],
+    "zh": ["de", "le", "shi", "bu", "zai", "you"],
+}
+
+
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text", F.expr(TOKENS_EXPR).alias("toks"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, type-token ratio, lengths."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _with_tokens(docs)
+    return t.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
+        F.expr(
+            "aggregate(toks, 0L, (acc, x) -> acc + length(x))"
+        ).alias("sum_tok_len"),
+        (
+            F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+            / F.size("toks")
+        ).alias("avg_tok_len"),
+        F.expr("aggregate(toks, 0, (acc, x) -> greatest(acc, length(x)))").alias(
+            "max_tok_len"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length band + stopword ratio + TTR.
+
+    The score formula is arbitrary but fixed; what matters is that every
+    component is a deterministic JVM-side expression a 100 TB filter
+    could run map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = _with_tokens(docs)
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    comp = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.expr(f"size(filter(toks, x -> x IN ({en})))") / F.size("toks")).alias(
+            "stopword_ratio"
+        ),
+        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
+        F.when((F.size("toks") >= 20) & (F.size("toks") <= 100), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("len_ok"),
+    )
+    return comp.select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "ttr",
+        "len_ok",
+        (
+            F.col("len_ok") * 0.4
+            + F.col("ttr") * 0.4
+            + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.2
+        ).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID with deterministic tie-break.
+
+    Argmax over per-language stopword hit counts via a left-to-right
+    strictly-greater fold over alphabetically-ordered languages — ties
+    resolve to the alphabetically-first language.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = _with_tokens(docs)
+    scores = [
+        F.struct(
+            F.expr(
+                "size(filter(toks, x -> x IN ({})))".format(
+                    ", ".join(f"'{w}'" for w in ws)
+                )
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    # max over (hits, neg-ordered lang): to make ties pick the first
+    # language alphabetically, compare on (hits, reverse_alpha) — encode
+    # by flipping each char is overkill; instead reduce left-to-right
+    # keeping strictly-greater, which preserves the first-seen on ties.
+    arr = F.array(*scores)
+    best = F.expr(
+        "aggregate(langscores, langscores[0],"
+        " (acc, x) -> if(x.hits > acc.hits, x, acc))"
+    )
+    return (
+        t.withColumn("langscores", arr)
+        .select(
+            "doc_id",
+            best.getField("lang").alias("pred_lang"),
+            best.getField("hits").alias("hits"),
+        )
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min 64-bit md5 over 3-gram shingles.
+
+    Identical shingle sets => identical fingerprint; one changed word
+    changes at most 3 shingles so the min survives with high
+    probability — the standard cheap near-dup prefilter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
+    ).select("doc_id", F.expr(SHINGLES_EXPR).alias("sh"))
+    return sh.filter(F.size("sh") > 0).select(
+        "doc_id",
+        F.expr(
+            "array_min(transform(sh,"
+            " s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"
+        ).alias("fingerprint"),
+    )
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-100 token frequencies (explode + partial agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _with_tokens(docs)
+    return (
+        t.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_freq_top100": q_token_freq,
+}
+
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+ORACLE = {
+    "text_stats": f"""
+WITH t AS (SELECT doc_id, text, {DUCK_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq,
+       len(list_distinct(toks)) / len(toks) AS ttr,
+       list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS sum_tok_len,
+       list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) / len(toks)
+         AS avg_tok_len,
+       CAST(list_max(list_transform(toks, x -> length(x))) AS INT) AS max_tok_len,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens
+FROM t
+""",
+    "text_quality": f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+comp AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({_EN}))) / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) / len(toks) AS ttr,
+         CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0 ELSE 0.0 END AS len_ok
+  FROM t
+)
+SELECT doc_id, n_tokens, stopword_ratio, ttr, len_ok,
+       len_ok * 0.4 + ttr * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.2 AS quality
+FROM comp
+""",
+    "lang_id": None,  # filled below (needs fold emulation)
+    "doc_fingerprint": f"""
+WITH sh AS ({DUCK_SHINGLES_REL})
+SELECT doc_id,
+       min(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS fingerprint
+FROM sh GROUP BY doc_id
+""",
+    "token_freq_top100": f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents)
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(toks) AS token FROM t)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 100
+""",
+}
+
+# lang_id oracle: the engine's left-to-right strictly-greater fold over
+# alphabetically-ordered languages == "alphabetically-first language with
+# the maximum hit count".
+_LANG_UNION = " UNION ALL ".join(
+    "SELECT doc_id, '{lang}' AS lang,"
+    " len(list_filter(toks, x -> x IN ({ws}))) AS hits FROM t".format(
+        lang=lang, ws=", ".join(f"'{w}'" for w in ws)
+    )
+    for lang, ws in sorted(STOPWORDS.items())
+)
+ORACLE["lang_id"] = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+s AS ({_LANG_UNION}),
+m AS (SELECT doc_id, max(hits) AS mh FROM s GROUP BY doc_id)
+SELECT s.doc_id, min(s.lang) AS pred_lang, m.mh AS hits
+FROM s JOIN m ON s.doc_id = m.doc_id AND s.hits = m.mh
+GROUP BY s.doc_id, m.mh
+"""

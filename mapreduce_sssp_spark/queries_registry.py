@@ -5,9 +5,9 @@ entries. Import side-effect free; each module contributes QUERIES (name ->
 
 from __future__ import annotations
 
-from .operators import dedup, graph_queries, relational, similarity
+from .operators import dedup, graph_queries, relational, similarity, text_analysis
 
-_MODULES = [graph_queries, relational, dedup, similarity]
+_MODULES = [graph_queries, relational, dedup, similarity, text_analysis]
 
 QUERIES = {}
 ORACLE = {}
