@@ -1,0 +1,210 @@
+"""Event-time windowing over ``events`` (SURVEY.md §2.9 / §7 P3):
+tumbling, sliding and session windows, plus a Structured Streaming
+variant of the tumbling aggregate.
+
+The ``ts`` column is TIMESTAMP_NTZ (see io.sources.load_events — parquet
+TIMESTAMP(NANOS) floor-divided to micros), so window arithmetic is pure
+wall-clock and session-TZ independent in both engines.
+
+Oracle mapping:
+
+* tumbling  -> DuckDB ``time_bucket(INTERVAL 1 hour, ts)``
+* sliding   -> every event belongs to the windows starting at
+  ``floor30(ts)`` and ``floor30(ts) - 30min`` — a 2-way UNION ALL
+* session   -> classic gaps-and-islands (lag + running new-session sum);
+  Spark defines session end = last event + gap, mirrored exactly.
+
+Scale notes: tumbling/sliding aggregate map-side on (window, key) —
+time never concentrates on one task unless the business key does (then
+AQE skew split). session_window shuffles on user_id only; per-user
+event counts are bounded. The streaming variant is the same logical
+plan under incremental execution with watermark-bounded state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+
+DEC = "decimal(18,2)"
+GAP = "30 minutes"
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_stream_seq = threading.Lock()
+_stream_n = [0]
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate as a Structured Streaming query.
+
+    Same logical plan as ``window_tumbling`` executed incrementally:
+    file source (the events parquet), 1-hour event-time watermark,
+    complete-mode memory sink, availableNow trigger (process everything
+    then stop). The memory sink is a test harness stand-in — a
+    production job writes to Kafka/Delta with the identical plan — but
+    the watermark/window/state machinery exercised is the real one.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source requires a *directory*; events.parquet is a
+    # single file, so stream from a temp dir holding a symlink to it
+    # (a real deployment streams from an arriving-files directory anyway).
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-stream-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
+    # Watermarks require TIMESTAMP (not NTZ); convert back to NTZ on
+    # output so the result schema matches the batch/oracle shape.
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    with _stream_seq:
+        _stream_n[0] += 1
+        sink = f"streaming_tumbling_sink_{_stream_n[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES = {
+    "window_tumbling": q_window_tumbling,
+    "window_sliding": q_window_sliding,
+    "window_session": q_window_session,
+    "streaming_tumbling": q_streaming_tumbling,
+}
+
+ORACLE = {
+    "window_tumbling": _TUMBLING_SQL,
+    "streaming_tumbling": _TUMBLING_SQL,
+    "window_sliding": """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+           - INTERVAL '30 minutes' AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY 1, 2
+""",
+    "window_session": """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+""",
+}

@@ -5,9 +5,16 @@ entries. Import side-effect free; each module contributes QUERIES (name ->
 
 from __future__ import annotations
 
-from .operators import dedup, graph_queries, relational, similarity, text_analysis
+from .operators import (
+    dedup,
+    event_windows,
+    graph_queries,
+    relational,
+    similarity,
+    text_analysis,
+)
 
-_MODULES = [graph_queries, relational, dedup, similarity, text_analysis]
+_MODULES = [graph_queries, relational, dedup, similarity, text_analysis, event_windows]
 
 QUERIES = {}
 ORACLE = {}
