@@ -9,12 +9,21 @@ from .operators import (
     dedup,
     event_windows,
     graph_queries,
+    multimodal,
     relational,
     similarity,
     text_analysis,
 )
 
-_MODULES = [graph_queries, relational, dedup, similarity, text_analysis, event_windows]
+_MODULES = [
+    graph_queries,
+    relational,
+    dedup,
+    similarity,
+    text_analysis,
+    event_windows,
+    multimodal,
+]
 
 QUERIES = {}
 ORACLE = {}
