@@ -27,6 +27,18 @@ def reverse_graph(edges: DataFrame, *, distinct: bool = True) -> DataFrame:
     Returns (node BIGINT, neighbors ARRAY<BIGINT> ascending), globally
     ordered by node (ReverseGraph.java:225's single-reducer order, here a
     scalable range-partitioned sort).
+
+    Fidelity note: the reference KEEPS duplicate edges in the reversed
+    CSV (ReverseGraph.java:145-204 appends every value); ``distinct=True``
+    (the default here) dedups, which is what the engine's oracle checks.
+    Pass ``distinct=False`` for byte-level reference parity.
+
+    Scale note: ``collect_list`` materializes one array per node in one
+    task — fine until a power-law hub's in-degree approaches task memory
+    (~10^8 at 100 TB). For such graphs use ``reverse_graph_exploded``,
+    which keeps the transposed graph in exploded (node, neighbor) form
+    and never builds per-node arrays; salting cannot help here because
+    the *output contract* of this function is the per-node array itself.
     """
     e = edges.select(
         F.col("src").cast("long").alias("src"),
@@ -39,6 +51,21 @@ def reverse_graph(edges: DataFrame, *, distinct: bool = True) -> DataFrame:
         .agg(F.sort_array(F.collect_list("src")).alias("neighbors"))
         .orderBy("node")
     )
+
+
+def reverse_graph_exploded(edges: DataFrame, *, distinct: bool = True) -> DataFrame:
+    """Transposed graph in exploded (node, neighbor) form — the 100 TB-
+    safe variant of :func:`reverse_graph`: no per-node array ever
+    materializes, so a power-law hub costs many *rows* (spread across
+    tasks by the range partitioner), never one giant task.
+    """
+    e = edges.select(
+        F.col("dst").cast("long").alias("node"),
+        F.col("src").cast("long").alias("neighbor"),
+    )
+    if distinct:
+        e = e.distinct()
+    return e.orderBy("node", "neighbor")
 
 
 def adjacency_list(edges: DataFrame) -> DataFrame:

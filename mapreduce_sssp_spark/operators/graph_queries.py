@@ -15,16 +15,20 @@ Oracle notes:
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..graph.reverse import adjacency_list, reverse_graph
+from ..graph.reverse import adjacency_list, reverse_graph, reverse_graph_exploded
 from ..graph.sssp import sssp
 from ..io.sources import (
     EDGES_DAG_SQL,
     EDGES_SQL,
     edges_from_lineitem,
     edges_order_chain,
+    read_edge_list_text,
+    read_tsv_edge_list,
 )
 
 
@@ -65,11 +69,52 @@ def q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reverse_graph_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reverse_graph_exploded(edges_from_lineitem(spark, sf_dir))
+
+
+def q_text_edges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SingleSourceSP input contract end-to-end: write the derived
+    edge list as ``edgeId src dst weight`` space-separated text
+    (SingleSourceSP.java:60-66), re-read it through the engine's text
+    scan (edge id discarded at the scan), return the parsed edges.
+    """
+    e = edges_from_lineitem(spark, sf_dir).withColumn(
+        "edge_id", F.monotonically_increasing_id()
+    )
+    path = tempfile.mkdtemp(prefix="spark-graft-textedges-") + "/edges"
+    e.select(
+        F.concat_ws(
+            " ", "edge_id", "src", "dst", F.col("weight").cast("string")
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    return read_edge_list_text(spark, path)
+
+
+def q_tsv_edges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ReverseGraph input contract end-to-end: distinct edges as
+    ``src<TAB>dst`` lines plus SNAP-style comment lines that the scan
+    must skip (ReverseGraph.java:110-128), re-read and parsed.
+    """
+    pairs = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    lines = pairs.select(F.concat_ws("\t", "src", "dst").alias("value"))
+    comments = spark.createDataFrame(
+        [("# SNAP-style header comment",), ("c non-digit lead is skipped too",)],
+        "value string",
+    )
+    path = tempfile.mkdtemp(prefix="spark-graft-tsvedges-") + "/edges"
+    lines.unionByName(comments).write.mode("overwrite").text(path)
+    return read_tsv_edge_list(spark, path)
+
+
 QUERIES = {
     "sssp": q_sssp,
     "sssp_dag": q_sssp_dag,
     "reverse_graph": q_reverse_graph,
+    "reverse_graph_exploded": q_reverse_graph_exploded,
     "adjacency": q_adjacency,
+    "text_edges_roundtrip": q_text_edges_roundtrip,
+    "tsv_edges_roundtrip": q_tsv_edges_roundtrip,
 }
 
 ORACLE = {
@@ -108,5 +153,12 @@ SELECT src AS node,
                   ',' ORDER BY dst, weight) AS adj_csv,
        count(*) AS outdegree
 FROM edges GROUP BY src
+""",
+    "reverse_graph_exploded": f"""
+SELECT DISTINCT dst AS node, src AS neighbor FROM ({EDGES_SQL})
+""",
+    "text_edges_roundtrip": EDGES_SQL,
+    "tsv_edges_roundtrip": f"""
+SELECT DISTINCT src, dst FROM ({EDGES_SQL})
 """,
 }

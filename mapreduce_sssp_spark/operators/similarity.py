@@ -100,9 +100,9 @@ def lsh_buckets(
     ).select("*", F.expr(packed).alias("bucket"))
 
 
-def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbor (top-1) via hyperplane-LSH buckets."""
-    vec = _vectors(spark, sf_dir).withColumn("nrm", F.sqrt(_dot("v", "v")))
+def ann_top1(vec: DataFrame) -> DataFrame:
+    """Approximate top-1 neighbor per vector over (vec_id, v) input."""
+    vec = vec.withColumn("nrm", F.sqrt(_dot("v", "v")))
     banded = lsh_buckets(vec)
     a = banded.select(
         F.col("vec_id").alias("q_id"),
@@ -126,6 +126,33 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "q_id", "nn_id", "cosine", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") == 1).drop("rn")
+
+
+def exact_top1(vec: DataFrame) -> DataFrame:
+    """Exact top-1 neighbor per vector (brute force) — the recall
+    reference for :func:`ann_top1` in tests."""
+    vec = vec.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    a = vec.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        a.crossJoin(vec)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nn_id"),
+            (_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return scored.select(
+        "q_id", "nn_id", "cosine", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1).drop("rn")
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbor (top-1) via hyperplane-LSH buckets."""
+    return ann_top1(_vectors(spark, sf_dir))
 
 
 QUERIES = {

@@ -1,0 +1,75 @@
+"""Property tests for the dedup operators on planted literal documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_sssp_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from mapreduce_sssp_spark.operators.text_common import with_shingles
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree "
+    "near the quiet river bank under a bright morning sky"
+)
+NEAR = BASE.replace("morning", "evening")  # one-word change -> jaccard ~0.94
+UNRELATED = (
+    "spark executes declarative query plans by compiling logical operators "
+    "into whole stage generated java code that runs over columnar batches "
+    "with adaptive shuffle partition coalescing at runtime"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, UNRELATED), (3, BASE)],
+        "doc_id long, text string",
+    )
+
+
+def test_shingles_are_distinct_3grams(docs):
+    sh = {r.doc_id: r.sh for r in with_shingles(docs).collect()}
+    toks = BASE.split()
+    assert sh[0][0] == " ".join(toks[:3])
+    assert len(sh[0]) == len(set(sh[0]))  # distinct
+    assert len(sh[0]) <= len(toks) - 2
+
+
+def test_minhash_signature_shape_and_identity(docs):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
+    assert all(len(s) == 64 for s in sigs.values())
+    assert sigs[0] == sigs[3]  # identical docs -> identical signatures
+    # near-dup agrees on most minhash slots, unrelated on almost none
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert agree_near > 40
+    assert agree_far < 10
+
+
+def test_lsh_finds_planted_pair_and_skips_unrelated(docs):
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert (0, 1) in cand  # near-dup pair bucketed together
+    assert (0, 3) in cand  # exact dup pair
+    assert (0, 2) not in cand and (1, 2) not in cand  # unrelated never meets
+
+
+def test_exact_dedup_groups(spark):
+    docs = spark.createDataFrame(
+        [(10, "aaa"), (11, "bbb"), (12, "aaa"), (13, "aaa")],
+        "doc_id long, text string",
+    )
+    groups = (
+        docs.groupBy(F.sha2("text", 256).alias("d"))
+        .agg(F.min("doc_id").alias("keep"), F.count("*").alias("n"))
+        .collect()
+    )
+    got = {(r.keep, r.n) for r in groups}
+    assert got == {(10, 3), (11, 1)}

@@ -1,0 +1,59 @@
+"""ANN-LSH recall on planted clusters + exact top-k sanity."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_sssp_spark.operators.similarity import ann_top1, exact_top1
+
+DIM = 16
+N_CLUSTERS = 4
+PER_CLUSTER = 8
+
+
+def _planted_vectors():
+    """Deterministic clustered vectors: cluster c's members are the c-th
+    axis direction plus a small unique perturbation on a second axis."""
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        for k in range(PER_CLUSTER):
+            v = [0.0] * DIM
+            v[c] = 1.0
+            v[(c + 4 + k) % DIM] += 0.05 + 0.01 * k  # unique, small
+            rows.append((vid, v))
+            vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def vec(spark):
+    return spark.createDataFrame(_planted_vectors(), "vec_id long, v array<double>")
+
+
+def test_exact_top1_stays_in_cluster(vec):
+    nn = {r.q_id: r.nn_id for r in exact_top1(vec).collect()}
+    assert len(nn) == N_CLUSTERS * PER_CLUSTER
+    for q, n in nn.items():
+        assert q // PER_CLUSTER == n // PER_CLUSTER, (q, n)
+
+
+def test_ann_recall_on_clusters(vec):
+    exact = {r.q_id: r.nn_id for r in exact_top1(vec).collect()}
+    approx = {r.q_id: r.nn_id for r in ann_top1(vec).collect()}
+    # every vector must at least get *some* neighbor from its own cluster
+    same_cluster = sum(
+        1
+        for q, n in approx.items()
+        if q // PER_CLUSTER == n // PER_CLUSTER
+    )
+    assert len(approx) >= 0.9 * len(exact)
+    assert same_cluster >= 0.8 * len(approx)
+    # and a solid fraction must match the exact top-1
+    hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
+    assert hits >= 0.6 * len(approx)
+
+
+def test_cosine_bounds(vec):
+    for r in ann_top1(vec).collect():
+        assert -1.0 - 1e-12 <= r.cosine <= 1.0 + 1e-12

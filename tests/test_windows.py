@@ -1,0 +1,55 @@
+"""Event-time window semantics on literal events (session boundaries,
+tumbling assignment, sliding double-assignment)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, h, m, s), u) for i, (h, m, s, u) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+
+
+def test_session_window_gap_splits(spark):
+    # user 1: events at 10:00, 10:20, 11:30 with 30-min gap
+    # -> sessions {10:00,10:20} (end 10:50) and {11:30} (end 12:00)
+    ev = _events(
+        spark, [(10, 0, 0, 1), (10, 20, 0, 1), (11, 30, 0, 1), (10, 5, 0, 2)]
+    )
+    out = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+        .collect()
+    )
+    sessions = {(r.user_id, r.s.time().isoformat(), r.e.time().isoformat(), r.n) for r in out}
+    assert sessions == {
+        (1, "10:00:00", "10:50:00", 2),
+        (1, "11:30:00", "12:00:00", 1),
+        (2, "10:05:00", "10:35:00", 1),
+    }
+
+
+def test_tumbling_and_sliding_assignment(spark):
+    ev = _events(spark, [(10, 15, 0, 1), (10, 45, 0, 1)])
+    tumb = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(tumb) == 1 and tumb[0].n == 2
+
+    slide = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("s"), "n")
+        .collect()
+    )
+    # 10:15 -> windows starting 09:30, 10:00; 10:45 -> 10:00, 10:30
+    got = {(r.s.time().isoformat(), r.n) for r in slide}
+    assert got == {("09:30:00", 1), ("10:00:00", 2), ("10:30:00", 1)}

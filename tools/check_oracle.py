@@ -34,10 +34,19 @@ def canon_cell(v):
     return v
 
 
+def _sort_cell(x):
+    # Floats are rounded to 9 significant digits in the SORT KEY ONLY, so
+    # a sub-tolerance deviation between engines cannot reorder the two row
+    # lists differently and produce a spurious mismatch on unrelated rows.
+    if isinstance(x, float):
+        return f"{x:.9e}"
+    return str(x)
+
+
 def canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort(key=lambda t: tuple((x is None, _sort_cell(x)) for x in t))
     return sorted(cols), out
 
 
