@@ -47,6 +47,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_parallel(
+    spark: SparkSession, sf_dir: str, name: str, by: str | None = None
+) -> DataFrame:
+    """Load a table and spread it across the cluster's cores.
+
+    The small single-file test tables arrive as ONE input partition
+    (file size < spark.sql.files.maxPartitionBytes), which would run
+    every downstream expression pipeline on a single core. One cheap
+    round-robin (or hash, when ``by`` is given) repartition buys full
+    parallelism for compute-heavy per-row work (shingling, hashing,
+    vector math). At 100 TB inputs are many-splits anyway and the
+    repartition collapses to a no-op-sized cost relative to the work.
+    """
+    df = load_table(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, by) if by else df.repartition(n)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
     rejects by default. Read nanos as long and floor-divide to micros

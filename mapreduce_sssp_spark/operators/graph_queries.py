@@ -20,6 +20,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..graph.compat import (
+    format_final_line,
+    format_reverse_line,
+    format_state_line,
+)
 from ..graph.reverse import adjacency_list, reverse_graph, reverse_graph_exploded
 from ..graph.sssp import sssp
 from ..io.sources import (
@@ -107,9 +112,42 @@ def q_tsv_edges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_tsv_edge_list(spark, path)
 
 
+def q_compat_state_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-compat node-state records for the format job's initial state
+    (grammar ``nodeId<SP>dist|dst:w,...|Y-or-N``, SingleSourceSP.java:114-121,
+    140-145): source seeded 0.0/Y, everything else sentinel/N."""
+    edges = edges_from_lineitem(spark, sf_dir)
+    source = int(edges.agg(F.min("src")).collect()[0][0])
+    adj = adjacency_list(edges)
+    state = adj.select(
+        "node",
+        F.when(F.col("node") == source, F.lit(0.0)).alias("dist"),
+        "adj",
+        (F.col("node") == source).alias("updated"),
+    )
+    return format_state_line(state)
+
+
+def q_compat_final_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-compat ``source node dist`` final lines
+    (SingleSourceSP.java:285-288) over the oracle-checkable DAG SSSP."""
+    edges = edges_order_chain(spark, sf_dir)
+    source = int(edges.agg(F.min("src")).collect()[0][0])
+    return format_final_line(sssp(edges, source))
+
+
+def q_compat_reverse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-compat ``node<TAB>csv`` reversed-adjacency lines
+    (ReverseGraph.java:200)."""
+    return format_reverse_line(reverse_graph(edges_from_lineitem(spark, sf_dir)))
+
+
 QUERIES = {
     "sssp": q_sssp,
     "sssp_dag": q_sssp_dag,
+    "compat_state_lines": q_compat_state_lines,
+    "compat_final_lines": q_compat_final_lines,
+    "compat_reverse_lines": q_compat_reverse_lines,
     "reverse_graph": q_reverse_graph,
     "reverse_graph_exploded": q_reverse_graph_exploded,
     "adjacency": q_adjacency,
@@ -160,5 +198,43 @@ SELECT DISTINCT dst AS node, src AS neighbor FROM ({EDGES_SQL})
     "text_edges_roundtrip": EDGES_SQL,
     "tsv_edges_roundtrip": f"""
 SELECT DISTINCT src, dst FROM ({EDGES_SQL})
+""",
+    "compat_state_lines": f"""
+WITH edges AS ({EDGES_SQL}),
+src AS (SELECT min(src) AS s FROM edges),
+adj AS (
+  SELECT src AS node,
+         string_agg(CAST(dst AS VARCHAR) || ':' || CAST(weight AS VARCHAR),
+                    ',' ORDER BY dst, weight) AS csv
+  FROM edges GROUP BY src
+)
+SELECT CAST(node AS VARCHAR) || ' '
+       || (CASE WHEN node = (SELECT s FROM src) THEN '0.0' ELSE '65535.0' END)
+       || '|' || csv || '|'
+       || (CASE WHEN node = (SELECT s FROM src) THEN 'Y' ELSE 'N' END) AS value
+FROM adj
+""",
+    "compat_final_lines": f"""
+WITH RECURSIVE edges AS ({EDGES_DAG_SQL}),
+src AS (SELECT min(src) AS s FROM edges),
+walk(node, dist) AS (
+    SELECT s, CAST(0.0 AS DOUBLE) FROM src
+    UNION
+    SELECT e.dst, min(w.dist + e.weight)
+    FROM walk w JOIN edges e ON e.src = w.node
+    GROUP BY e.dst
+),
+best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+outn AS (SELECT DISTINCT src AS node FROM edges)
+SELECT CAST((SELECT s FROM src) AS VARCHAR) || ' '
+       || CAST(coalesce(o.node, b.node) AS VARCHAR) || ' '
+       || CAST(coalesce(b.dist, 65535.0) AS VARCHAR) AS value
+FROM outn o FULL OUTER JOIN best b ON o.node = b.node
+""",
+    "compat_reverse_lines": f"""
+WITH edges AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL}))
+SELECT CAST(dst AS VARCHAR) || chr(9)
+       || string_agg(CAST(src AS VARCHAR), ',' ORDER BY src) AS value
+FROM edges GROUP BY dst
 """,
 }

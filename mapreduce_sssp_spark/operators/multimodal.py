@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io.sources import load_table
+from ..io.sources import load_parallel
 
 CHUNK = 4096
 
@@ -65,7 +65,7 @@ def _fake_decode(content: bytes) -> dict:
 
 def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, content binary, meta struct<mime,n_bytes>)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("content"),

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io.sources import load_table
+from ..io.sources import load_parallel
 
 TOPK = 5
 QUERY_MOD = 100  # query set = vec_id % QUERY_MOD == 0
@@ -36,7 +36,7 @@ LSH_TABLES = 4
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    return load_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 

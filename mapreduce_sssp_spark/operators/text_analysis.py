@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table
-from .text_common import DUCK_SHINGLES_REL, DUCK_TOKENS, SHINGLES_EXPR, TOKENS_EXPR
+from .text_common import (
+    DUCK_SHINGLES_REL,
+    DUCK_TOKENS,
+    TOKENS_EXPR,
+    shingle_postings,
+)
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space.
 BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -148,15 +153,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability — the standard cheap near-dup prefilter.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
-    ).select("doc_id", F.expr(SHINGLES_EXPR).alias("sh"))
-    return sh.filter(F.size("sh") > 0).select(
-        "doc_id",
-        F.expr(
-            "array_min(transform(sh,"
-            " s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"
-        ).alias("fingerprint"),
+    post = shingle_postings(docs)
+    return post.groupBy("doc_id").agg(
+        F.min(
+            F.expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)")
+        ).alias("fingerprint")
     )
 
 

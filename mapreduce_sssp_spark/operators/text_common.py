@@ -41,8 +41,37 @@ WHERE CAST(i AS INT) + 2 <= len(t)
 
 
 def with_shingles(docs: DataFrame) -> DataFrame:
-    """documents -> (doc_id, sh: array<string> distinct 3-gram shingles)."""
-    return docs.select(
-        "doc_id",
-        F.expr(TOKENS_EXPR).alias("toks"),
-    ).select("doc_id", F.expr(SHINGLES_EXPR).alias("sh"))
+    """documents -> (doc_id, sh: array<string> distinct 3-gram shingles).
+
+    The repartition between the token projection and the shingle
+    projection is load-bearing twice over: (1) it spreads the per-doc
+    shingling across all cores even when the source is one small parquet
+    split, and (2) it is an optimizer barrier — without it
+    CollapseProject inlines the tokenize expression into every
+    ``toks[i]`` reference inside the shingle transform (3x per shingle
+    element) and filter-pushdown can drag the whole pipeline below the
+    exchange into the single scan task. Measured 10-20x on sf0.1.
+    """
+    spark = docs.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    toks = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks")).repartition(n)
+    return toks.select("doc_id", F.expr(SHINGLES_EXPR).alias("sh"))
+
+
+def shingle_postings(docs: DataFrame) -> DataFrame:
+    """documents -> exploded (doc_id, s) postings, one row per distinct
+    shingle.
+
+    Uses explode_OUTER + an explicit null-filter instead of plain explode:
+    for a non-outer Generate, Catalyst's InferFiltersFromGenerate adds a
+    ``size(sh) > 0 AND isnotnull(sh)`` filter which filter-pushdown then
+    drags below the repartition barrier with the whole shingle pipeline
+    inlined (tokenize re-evaluated 3x per element, single scan task) —
+    a measured 30x slowdown. The outer generate admits no inferred
+    filter, and the null-filter on the *generated* column cannot be
+    pushed below the Generate.
+    """
+    sh = with_shingles(docs)
+    return sh.select("doc_id", F.explode_outer("sh").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
