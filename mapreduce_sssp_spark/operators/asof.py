@@ -1,0 +1,123 @@
+"""As-of (nearest-preceding-event) join — a custom operator Spark's
+DataFrame API lacks as a primitive, composed from existing operators
+(SURVEY.md §2.3's "as-of join" row).
+
+Semantics: for each left row (key, t), attach the right row with the
+same key and the greatest t' <= t. Implemented the scale-correct way:
+tag both sides, union, then ONE shuffle+sort per key with a
+last-non-null carry-forward window — never a per-row range probe, never
+a broadcast of the full right side. This is the standard
+"sorted-merge carry" formulation: O(n log n) per key partition,
+single exchange, whole-stage codegen.
+
+The demo query matches each 'error' event to the same user's most
+recent preceding 'click' (events table, microsecond timestamps), and
+the oracle is DuckDB's native ASOF JOIN — an independent implementation
+of the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Attach to each left row the latest right row with right_time <=
+    left_time within the same ``on`` key. Right columns come back
+    prefixed ``asof_``; rows with no preceding right row keep NULLs.
+    """
+    left_other = [c for c in left.columns if c != on]
+    lu = left.select(
+        on,
+        F.col(left_time).alias("_t"),
+        F.lit(True).alias("_is_left"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+        *left_other,
+    )
+    ru = right.select(
+        on,
+        F.col(right_time).alias("_t"),
+        F.lit(False).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_other
+        ],
+    )
+    u = lu.unionByName(ru)
+    # Right rows sort before left rows at equal timestamps so an exact-tie
+    # right row is visible to the left row (ASOF's <= semantics).
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t"), F.col("_is_left").cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_is_left")).drop(
+        "_t", "_is_left", *[f"_r_{c}" for c in right_cols]
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each 'error' event joined as-of to the user's latest preceding
+    'click' event; gap reported in microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        errors, clicks, on="user_id", left_time="ts", right_time="click_ts",
+        right_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_click_id").alias("click_id"),
+        F.col("asof_click_ts").alias("click_ts"),
+        F.expr("timestampdiff(MICROSECOND, asof_click_ts, ts)").alias("gap_us"),
+    )
+
+
+QUERIES = {"asof_join": q_asof_join}
+
+ORACLE = {
+    "asof_join": """
+WITH errors AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, e.ts, c.click_id, c.click_ts,
+       date_diff('microsecond', c.click_ts, e.ts) AS gap_us
+FROM errors e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.click_ts
+""",
+}

@@ -155,9 +155,69 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_top1(_vectors(spark, sf_dir))
 
 
+IVF_CENTROID_MOD = 50  # centroid set = vec_id % MOD == 0 (a stand-in for k-means)
+IVF_NPROBE = 2
+
+
+def ivf_top1(
+    vec: DataFrame, centroid_mod: int = IVF_CENTROID_MOD, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (inverted list), probe each query against its `nprobe` nearest
+    centroids' lists only.
+
+    Centroids here are a deterministic sample (vec_id % centroid_mod == 0)
+    standing in for k-means output — the *plan shape* is the real thing:
+    centroids broadcast, one N x C assignment pass, then a bucket-keyed
+    equi-join. At 100 TB the inverted lists are the only shuffle and list
+    sizes are N/C on average; skewed lists split by AQE.
+    """
+    vec = vec.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    cents = vec.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = vec.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "c_id",
+        (_dot("v", "cv") / (F.col("nrm") * F.col("cn"))).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
+    ranked = scored.select("*", F.row_number().over(w).alias("c_rn"))
+    members = ranked.filter(F.col("c_rn") == 1).select(
+        F.col("c_id").alias("bucket"), F.col("vec_id").alias("nn_id"),
+        F.col("v").alias("nv"), F.col("nrm").alias("nn_nrm"),
+    )
+    probes = ranked.filter(F.col("c_rn") <= nprobe).select(
+        F.col("c_id").alias("bucket"), F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+    )
+    cand = (
+        probes.join(members, "bucket")
+        .filter(F.col("nn_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "nn_id"])
+        .select(
+            "q_id",
+            "nn_id",
+            (_dot("qv", "nv") / (F.col("qn") * F.col("nn_nrm"))).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return cand.select(
+        "q_id", "nn_id", "cosine", F.row_number().over(w2).alias("rn")
+    ).filter(F.col("rn") == 1).drop("rn")
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbor (top-1) via IVF inverted lists."""
+    return ivf_top1(_vectors(spark, sf_dir))
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_ann_lsh": q_similarity_ann_lsh,  # rows-only (approximate)
+    "similarity_ivf": q_similarity_ivf,  # rows-only (approximate)
 }
 
 ORACLE = {

@@ -6,6 +6,7 @@ entries. Import side-effect free; each module contributes QUERIES (name ->
 from __future__ import annotations
 
 from .operators import (
+    asof,
     dedup,
     event_windows,
     graph_queries,
@@ -23,6 +24,7 @@ _MODULES = [
     text_analysis,
     event_windows,
     multimodal,
+    asof,
 ]
 
 QUERIES = {}

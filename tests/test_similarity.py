@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from mapreduce_sssp_spark.operators.similarity import ann_top1, exact_top1
+from mapreduce_sssp_spark.operators.similarity import ann_top1, exact_top1, ivf_top1
 
 DIM = 16
 N_CLUSTERS = 4
@@ -57,3 +57,13 @@ def test_ann_recall_on_clusters(vec):
 def test_cosine_bounds(vec):
     for r in ann_top1(vec).collect():
         assert -1.0 - 1e-12 <= r.cosine <= 1.0 + 1e-12
+
+
+def test_ivf_recall_on_clusters(vec):
+    # centroid_mod=8 -> centroids 0, 8, 16, 24: one per planted cluster,
+    # so with nprobe=2 every vector's own cluster is always probed.
+    exact = {r.q_id: r.nn_id for r in exact_top1(vec).collect()}
+    approx = {r.q_id: r.nn_id for r in ivf_top1(vec, centroid_mod=8, nprobe=2).collect()}
+    assert len(approx) == len(exact)
+    hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
+    assert hits >= 0.9 * len(approx)
