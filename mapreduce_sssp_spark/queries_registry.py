@@ -15,6 +15,7 @@ from .operators import (
     similarity,
     text_analysis,
 )
+from .streaming import stateful
 
 _MODULES = [
     graph_queries,
@@ -25,6 +26,7 @@ _MODULES = [
     event_windows,
     multimodal,
     asof,
+    stateful,
 ]
 
 QUERIES = {}

@@ -1,0 +1,173 @@
+"""Custom stateful streaming operator: per-user sessionization with
+``applyInPandasWithState`` (SURVEY.md §2.9's "custom stateful operator"
+target — the reference has no streaming surface at all; this is the
+Structured-Streaming-native equivalent of its per-round stateful reduce).
+
+The handler reproduces ``session_window(ts, 30 min)`` semantics exactly
+(new session when gap > 30 min; session end = last event + gap), so the
+whole custom-state path is verifiable against the same gaps-and-islands
+SQL oracle as the built-in session window — a hash-checked custom
+operator, not a demo.
+
+Determinism notes:
+* Event time stays INTEGER nanos inside the handler (the parquet
+  TIMESTAMP(NANOS) read as long); gap math is exact integer arithmetic,
+  and boundaries are floor-divided to micros exactly like the oracle's
+  ns->us cast.
+* Values are summed as 2-dp Decimals (mirroring the oracle's
+  CAST(value AS DECIMAL(18,2)) exact accumulation) and converted to
+  float once at the end — no float-accumulation-order sensitivity.
+
+At 100 TB: state is per-user and bounded (GroupState holds one counter
+here; a production job would add a timeout to evict idle users); the
+only shuffle is the groupBy(user_id) exchange feeding the stateful
+operator, identical to the built-in session_window plan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from decimal import Decimal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_NS = 30 * 60 * 1_000_000_000  # 30 minutes in nanoseconds
+GAP_US = GAP_NS // 1000
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampNTZType()),
+        T.StructField("session_end", T.TimestampNTZType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("n_sessions", T.LongType())])
+
+_CENT = Decimal("0.01")
+
+
+def _sessionize(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values("ts", kind="mergesort")
+    user_id = int(key[0])
+
+    out: list[tuple] = []
+    start_ns = prev_ns = None
+    n = 0
+    total = Decimal(0)
+
+    def flush() -> None:
+        # boundaries floor-divided to micros == the oracle's ns->us cast
+        out.append(
+            (
+                user_id,
+                pd.to_datetime(start_ns // 1000, unit="us"),
+                pd.to_datetime((prev_ns + GAP_NS) // 1000, unit="us"),
+                n,
+                float(total),
+            )
+        )
+
+    for ts_ns, val in zip(rows["ts"], rows["value"]):
+        ts_ns = int(ts_ns)
+        # gap compared at MICROsecond granularity, matching the oracle's
+        # ns->us cast before the interval comparison
+        if prev_ns is not None and ts_ns // 1000 - prev_ns // 1000 > GAP_US:
+            flush()
+            start_ns, n, total = None, 0, Decimal(0)
+        if start_ns is None:
+            start_ns = ts_ns
+        prev_ns = ts_ns
+        n += 1
+        total += Decimal(float(val)).quantize(_CENT)
+    if prev_ns is not None:
+        flush()
+
+    prior = state.get[0] if state.exists else 0
+    state.update((prior + len(out),))
+    yield pd.DataFrame(
+        out, columns=["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    )
+
+
+def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful sessionizer over the events stream to a memory
+    sink (availableNow: process everything, then stop)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-stream-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+
+    raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
+    sessions = (
+        raw.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"stateful_sessions_sink_{abs(id(sessions)) % 10_000_000}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+QUERIES = {"streaming_stateful_sessions": stateful_sessions}
+
+# Same semantics as the built-in session window -> same oracle shape.
+ORACLE = {
+    "streaming_stateful_sessions": """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+""",
+}
