@@ -1,0 +1,115 @@
+"""Scale-pattern operators: the shuffle-shaping techniques a 100 TB
+deployment leans on, expressed as verifiable queries rather than lore.
+
+* ``skew_salted_agg`` — explicit two-stage (salted) aggregation: stage 1
+  aggregates on (key, salt) spreading a hot key over N reducers, stage 2
+  merges the partials. Result is bit-identical to a plain GROUP BY (the
+  oracle), because counts/decimal-sums are associative — which is
+  exactly why the technique is safe to deploy.
+* ``range_join_bands`` — non-equi (range) join of facts to interval
+  dims: the small band table is broadcast so the range predicate is
+  evaluated map-side (BroadcastNestedLoopJoin over 4 rows), never a
+  shuffle-side theta join.
+* ``approx_distinct`` — HyperLogLog++ ``approx_count_distinct`` next to
+  the exact count. Sketches differ across engines, so no SQL oracle
+  (rows-only); pytest pins the relative error instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+
+N_SALT = 16
+
+# part.p_retailprice spans [900, 1000) in the testdata
+PRICE_BANDS = [
+    ("budget", 0.0, 925.0),
+    ("mid", 925.0, 950.0),
+    ("premium", 950.0, 975.0),
+    ("luxury", 975.0, 1e9),
+]
+
+
+def salted_agg(
+    df: DataFrame, key: str, measures_partial, measures_final, n_salt: int = N_SALT
+) -> DataFrame:
+    """Generic two-stage salted aggregation scaffold."""
+    salted = df.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), n_salt))
+    partial = salted.groupBy(key, "_salt").agg(*measures_partial)
+    return partial.groupBy(key).agg(*measures_final)
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type totals via explicit salting (5 hot keys x 10k rows
+    would otherwise funnel 5 reducers; salting spreads each key 16-way)."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        "event_type",
+        measures_partial=[
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        ],
+        measures_final=[
+            F.sum("pn").alias("n"),
+            F.sum("pv").cast("double").alias("sum_value"),
+        ],
+    )
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts joined to price bands by range predicate (broadcast side)."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band string, lo double, hi double"
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct counts next to exact (rows-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+QUERIES = {
+    "skew_salted_agg": q_skew_salted_agg,
+    "range_join_bands": q_range_join_bands,
+    "approx_distinct": q_approx_distinct,  # rows-only (sketches differ)
+}
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{b}' AS band, {lo} AS lo, {hi} AS hi" for b, lo, hi in PRICE_BANDS
+)
+
+ORACLE = {
+    "skew_salted_agg": """
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+    "range_join_bands": f"""
+WITH bands AS ({_BANDS_SQL})
+SELECT band, count(*) AS n_parts,
+       min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+""",
+}

@@ -12,6 +12,7 @@ from .operators import (
     graph_queries,
     multimodal,
     relational,
+    scale_patterns,
     similarity,
     text_analysis,
 )
@@ -27,6 +28,7 @@ _MODULES = [
     multimodal,
     asof,
     stateful,
+    scale_patterns,
 ]
 
 QUERIES = {}

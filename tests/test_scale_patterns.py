@@ -1,0 +1,73 @@
+"""Scale-pattern operators: salted agg equivalence, approx-distinct
+error bound, bucketed co-located join (no exchange in the join plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_sssp_spark.operators.scale_patterns import salted_agg
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    plain = {
+        (r.k): (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.n, r.s)
+        for r in salted_agg(
+            df,
+            "k",
+            measures_partial=[F.count("*").alias("pn"), F.sum("v").alias("ps")],
+            measures_final=[F.sum("pn").alias("n"), F.sum("ps").alias("s")],
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from mapreduce_sssp_spark.operators.scale_patterns import q_approx_distinct
+
+    for r in q_approx_distinct(spark, sf_dir).collect():
+        assert abs(r.approx_parts - r.exact_parts) <= 0.05 * r.exact_parts + 5
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """bucketBy + saveAsTable co-locates both join sides: the sort-merge
+    join plan must contain NO Exchange (the 100 TB co-located join)."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    for name in ("bt_a", "bt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        (
+            df.write.bucketBy(8, "k")
+            .sortBy("k")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    # Disable broadcast so the planner must pick the bucketed sort-merge
+    # path (at real scale both sides are too big to broadcast anyway).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bt_a", "bt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
