@@ -223,10 +223,43 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_top1(_vectors(spark, sf_dir))
 
 
+NEARDUP_THRESHOLD = 0.4
+NEARDUP_LABELS = 3  # restrict to labels < 3: the candidate "shard"
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, thresholded).
+
+    Brute-force within a deterministic label shard — the exact baseline
+    of the dedup family's embedding method. At 100 TB the same
+    computation runs per LSH/IVF bucket (see ann/ivf above) instead of
+    per shard; the pair-scoring expression is identical.
+    """
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    vec = emb.filter(F.col("label") < NEARDUP_LABELS).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    vec = _cache(vec.withColumn("nrm", F.sqrt(_dot("v", "v"))))
+    a = vec.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    pairs = (
+        a.crossJoin(vec)
+        .filter(F.col("id_a") < F.col("vec_id"))
+        .select(
+            "id_a",
+            F.col("vec_id").alias("id_b"),
+            (_dot("va", "v") / (F.col("na") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_ann_lsh": q_similarity_ann_lsh,  # rows-only (approximate)
     "similarity_ivf": q_similarity_ivf,  # rows-only (approximate)
+    "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLE = {
@@ -245,5 +278,20 @@ SELECT q_id, cand_id, cosine, rn FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
   FROM scored
 ) WHERE rn <= {TOPK}
+""",
+    "embedding_neardup": f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label < {NEARDUP_LABELS}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {NEARDUP_THRESHOLD}
 """,
 }
