@@ -1,0 +1,98 @@
+"""Weakly-connected components as a DataFrame fixpoint loop — the second
+iterative operator built on the engine's BSP pattern (SURVEY.md §2.8:
+the reference's defining feature is the counter-driven fixpoint;
+SingleSourceSP.java:439-519 is min-distance relaxation, this is
+min-label propagation over the undirected closure).
+
+Same scale posture as sssp(): edges symmetrized + min-combined once and
+hash-partitioned on src; per round one join (frontier x edges) and one
+min-aggregation; frontier gating (only nodes whose label changed emit);
+deterministic count() convergence; reliable checkpoint every few rounds
+to truncate lineage; caches unpersisted eagerly.
+
+Rounds needed = graph diameter (label floods one hop per round).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .sssp import _ensure_checkpoint_dir
+
+
+def wcc(
+    edges: DataFrame,
+    *,
+    checkpoint_every: int = 5,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """(node BIGINT, component BIGINT): component = min node id reachable
+    treating edges as undirected. Isolated src/dst nodes keep themselves.
+    """
+    spark = edges.sparkSession
+    _ensure_checkpoint_dir(spark)
+    n_part = spark.sparkContext.defaultParallelism
+
+    fwd = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    und = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    state = (
+        und.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("component"))
+        .withColumn("updated", F.lit(True))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    for rnd in range(1, max_rounds + 1):
+        frontier = state.filter("updated").select(
+            F.col("node").alias("f_node"), F.col("component").alias("f_comp")
+        )
+        msgs = frontier.join(und, frontier["f_node"] == und["src"]).select(
+            F.col("dst").alias("node"), F.col("f_comp").alias("cand")
+        )
+        cand = msgs.groupBy("node").agg(F.min("cand").alias("cand"))
+        new_state = (
+            state.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least("component", "cand").alias("new_comp"),
+                F.col("component").alias("old_comp"),
+            )
+            .select(
+                "node",
+                F.col("new_comp").alias("component"),
+                (F.col("new_comp") < F.col("old_comp")).alias("updated"),
+            )
+        )
+        cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        if rnd % checkpoint_every == 0:
+            new_state = cached.checkpoint()
+            cached.unpersist()
+        else:
+            new_state = cached
+        changed = new_state.filter("updated").count()
+        state.unpersist()
+        state = new_state
+        if changed == 0:
+            break
+    else:
+        warnings.warn(
+            f"wcc: max_rounds={max_rounds} exhausted with {changed} labels "
+            "still moving",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    und.unpersist()
+    return state.select("node", "component")

@@ -32,6 +32,7 @@ from ..io.sources import (
     EDGES_SQL,
     edges_from_lineitem,
     edges_order_chain,
+    load_table,
     read_edge_list_text,
     read_tsv_edge_list,
 )
@@ -112,6 +113,33 @@ def q_tsv_edges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_tsv_edge_list(spark, path)
 
 
+def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components over per-order lineitem chains.
+
+    Nodes are (orderkey, linenumber) encoded ``l_orderkey * 8 +
+    l_linenumber`` (unique per order, so components correspond to
+    multi-line orders — sizes bounded by 7, which keeps the DuckDB
+    recursive-CTE oracle linear). The engine runs the same min-label
+    fixpoint it would on any graph.
+    """
+    from ..graph.wcc import wcc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    step = li.select("l_orderkey", "l_linenumber").distinct()
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    chain = step.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("node"),
+    ).withColumn("next_node", F.lead("node").over(w))
+    edges = chain.filter(F.col("next_node").isNotNull()).select(
+        F.col("node").alias("src"), F.col("next_node").alias("dst")
+    )
+    return wcc(edges)
+
+
 def q_compat_state_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-compat node-state records for the format job's initial state
     (grammar ``nodeId<SP>dist|dst:w,...|Y-or-N``, SingleSourceSP.java:114-121,
@@ -145,6 +173,7 @@ def q_compat_reverse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sssp": q_sssp,
     "sssp_dag": q_sssp_dag,
+    "wcc": q_wcc,
     "compat_state_lines": q_compat_state_lines,
     "compat_final_lines": q_compat_final_lines,
     "compat_reverse_lines": q_compat_reverse_lines,
@@ -194,6 +223,23 @@ FROM edges GROUP BY src
 """,
     "reverse_graph_exploded": f"""
 SELECT DISTINCT dst AS node, src AS neighbor FROM ({EDGES_SQL})
+""",
+    "wcc": """
+WITH RECURSIVE e AS (
+  SELECT node AS src, next_node AS dst FROM (
+    SELECT l_orderkey * 8 + l_linenumber AS node,
+           lead(l_orderkey * 8 + l_linenumber)
+             OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_node
+    FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+  ) WHERE next_node IS NOT NULL
+),
+und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+reach(node, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM und)
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node, min(label) AS component FROM reach GROUP BY node
 """,
     "text_edges_roundtrip": EDGES_SQL,
     "tsv_edges_roundtrip": f"""

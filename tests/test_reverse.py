@@ -42,3 +42,14 @@ def test_compat_line_formats(spark):
     assert {r["value"] for r in final} == {"1 1 0.0", "1 2 1.0"}
     rev = format_reverse_line(reverse_graph(e)).collect()
     assert [r["value"] for r in rev] == ["2\t1"]
+
+
+def test_wcc_two_components(spark):
+    from mapreduce_sssp_spark.graph.wcc import wcc
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11), (5, 5)],
+        "src long, dst long",
+    )
+    out = {r.node: r.component for r in wcc(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 5: 5}
