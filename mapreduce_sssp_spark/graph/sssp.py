@@ -174,6 +174,11 @@ def sssp(
         else:
             new_state = cached
 
+        # One count() per round is deliberate: it both decides convergence
+        # AND materializes the round. Letting rounds chain lazily (checking
+        # every K rounds) was measured to save nothing at K=2 and to blow
+        # up driver memory at K=3 — AQE broadcast-planning over the
+        # unmaterialized multi-round lineage loses its size bounds.
         changed = new_state.filter("updated").count()
         state.unpersist()
         state = new_state

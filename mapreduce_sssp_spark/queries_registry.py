@@ -10,6 +10,7 @@ from .operators import (
     dedup,
     event_windows,
     graph_queries,
+    grouped_pandas,
     multimodal,
     relational,
     scale_patterns,
@@ -29,6 +30,7 @@ _MODULES = [
     asof,
     stateful,
     scale_patterns,
+    grouped_pandas,
 ]
 
 QUERIES = {}
