@@ -37,9 +37,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # NOTE: spark.driver.memory must be set at JVM launch
-        # (spark-submit --driver-memory / SPARK_SUBMIT_OPTS); setting it via
-        # .config() after the JVM exists is a no-op, so we don't.
+        # Honored only when THIS process launches the JVM (pyspark's
+        # gateway passes it to spark-submit): bench/tests/tools get a real
+        # heap instead of the 1g default, which measurably GC-throttled
+        # the bench suite. A no-op on sessions whose JVM already exists
+        # (e.g. the external driver harness) — harmless there.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
