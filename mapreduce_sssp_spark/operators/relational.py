@@ -155,6 +155,49 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order totals per year pivoted by status (explicit pivot values).
+
+    Listing the pivot values up front skips Spark's extra distinct-scan
+    job AND keeps the plan a single pass at any scale — pivot with an
+    explicit value list compiles to one hash aggregate with conditional
+    measures (exactly the oracle's FILTER clauses), no shuffle beyond
+    the groupBy.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("yr", F.year("o_orderdate").cast("int"))
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(_dec("o_totalprice")).cast("double"))
+        .select(
+            "yr",
+            F.col("F").alias("total_f"),
+            F.col("O").alias("total_o"),
+            F.col("P").alias("total_p"),
+        )
+    )
+
+
+def q_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average price — the correlated
+    scalar-subquery pattern, decorrelated into agg + self-join (the same
+    rewrite Catalyst's RewriteCorrelatedScalarSubquery performs).
+
+    The average is decimal-sum / count (identical operands in both
+    engines), so the > comparison is bit-deterministic cross-engine.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    avgs = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("cust_avg")
+    )
+    return (
+        orders.join(avgs, orders.o_custkey == avgs.ck)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
 # --------------------------------------------------------------------------
 # Window functions (rank / lag / moving frame)
 # --------------------------------------------------------------------------
@@ -327,6 +370,8 @@ QUERIES = {
     "distinct_pairs": q_distinct,
     "rollup_agg": q_rollup,
     "cube_agg": q_cube,
+    "pivot_status": q_pivot,
+    "above_cust_avg": q_above_cust_avg,
     "window_rank": q_window_rank,
     "window_lag": q_window_lag,
     "window_moving": q_window_moving,
@@ -401,6 +446,28 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "pivot_status": """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS total_o,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS total_p
+FROM orders
+GROUP BY 1
+""",
+    "above_cust_avg": """
+WITH avgs AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS cust_avg
+  FROM orders GROUP BY 1
+)
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM orders JOIN avgs ON o_custkey = ck
+WHERE o_totalprice > cust_avg
 """,
     "window_rank": """
 SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk

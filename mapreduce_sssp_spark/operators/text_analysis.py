@@ -174,8 +174,32 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub pass: mask digit runs, collapse whitespace, and
+    count the redactions — the normalize-before-training map stage.
+
+    All regexp work is JVM-side (codegen'd); the patterns stay within
+    the regex subset where Java regex and DuckDB's RE2 agree (character
+    classes + quantifiers, no backrefs/lookaround). Map-only at 100 TB:
+    zero shuffle, reads and writes stream through the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.trim(F.col("text")), r"[0-9]+", "<NUM>"),
+            r"\s+",
+            " ",
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias(
+            "n_masked"
+        ),
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "text_scrub": q_text_scrub,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -212,6 +236,13 @@ comp AS (
 SELECT doc_id, n_tokens, stopword_ratio, ttr, len_ok,
        len_ok * 0.4 + ttr * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.2 AS quality
 FROM comp
+""",
+    "text_scrub": r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(trim(text), '[0-9]+', '<NUM>', 'g'),
+                      '\s+', ' ', 'g') AS scrubbed,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_masked
+FROM documents
 """,
     "lang_id": None,  # filled below (needs fold emulation)
     "doc_fingerprint": f"""

@@ -17,7 +17,7 @@ from .operators import (
     similarity,
     text_analysis,
 )
-from .streaming import stateful
+from .streaming import joins, stateful
 
 _MODULES = [
     graph_queries,
@@ -29,6 +29,7 @@ _MODULES = [
     multimodal,
     asof,
     stateful,
+    joins,
     scale_patterns,
     grouped_pandas,
 ]

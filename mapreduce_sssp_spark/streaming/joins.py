@@ -1,0 +1,116 @@
+"""Watermarked stream-stream join (SURVEY.md §2.9 extension): views
+joined to same-user purchases within one hour, both sides event-time
+watermarked so the join state is bounded.
+
+The reference has no streaming surface; this is the Structured-Streaming
+pattern its per-round message joins would map onto in a continuous
+deployment. Semantically the availableNow run equals the batch interval
+self-join, so the DuckDB oracle is a plain SQL join — the whole
+watermark/state-store machinery is hash-verified, not demoed.
+
+At 100 TB / continuous: state per side is bounded by (watermark delay +
+join interval) of events per user; the only shuffle is the symmetric
+hash exchange on user_id. A production job swaps the memory sink for
+Kafka/Delta; plan and state semantics are unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_seq_lock = threading.Lock()
+_seq_n = [0]
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (same symlink-dir
+    trick as event_windows.q_streaming_tumbling: file sources need a
+    directory). ts arrives as TIMESTAMP(NANOS)-as-long and is floor-
+    divided to micros, matching the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-stream-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner stream-stream join: each view paired with the same user's
+    purchases in [view_ts, view_ts + 1 hour]."""
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts"
+            " AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    with _seq_lock:
+        _seq_n[0] += 1
+        sink = f"streaming_join_sink_{_seq_n[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+QUERIES = {"streaming_join": streaming_view_purchase_join}
+
+ORACLE = {
+    "streaming_join": """
+SELECT v.user_id AS user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       CAST(v.ts AS TIMESTAMP) AS view_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       p.value AS purchase_value
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+""",
+}
