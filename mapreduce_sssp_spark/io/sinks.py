@@ -1,0 +1,74 @@
+"""Sinks: partitioned-parquet writer with read-back verification.
+
+The reference's only sink is newline text (SingleSourceSP.java:150-161
+formatting; covered by the compat_* queries). A Spark engine's working
+sink at 100 TB is partitioned parquet: ``partitionBy`` on a
+low-cardinality column so downstream readers get partition pruning,
+``maxRecordsPerFile`` bounding file sizes so a skewed partition can't
+produce one monster file.
+
+``sink_partitioned_roundtrip`` exercises the full write→read cycle:
+write orders partitioned by status to a scratch dir, read it back (the
+status column is now a partition directory, pruned at the scan), and
+aggregate. The oracle aggregates the source table directly — so the
+hash check proves the sink lost/duplicated nothing, including the
+partition-column round trip.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources import load_table
+
+DEC = "decimal(18,2)"
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str, max_records_per_file: int = 1_000_000
+) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-sink-" + sf_dir.strip("/").replace("/", "_"),
+        "orders_by_status",
+    )
+    write_partitioned(orders, path, "o_orderstatus")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+QUERIES = {"sink_partitioned_roundtrip": q_sink_roundtrip}
+
+ORACLE = {
+    "sink_partitioned_roundtrip": """
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+""",
+}

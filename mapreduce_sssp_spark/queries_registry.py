@@ -5,6 +5,7 @@ entries. Import side-effect free; each module contributes QUERIES (name ->
 
 from __future__ import annotations
 
+from .io import sinks
 from .operators import (
     asof,
     dedup,
@@ -32,6 +33,7 @@ _MODULES = [
     joins,
     scale_patterns,
     grouped_pandas,
+    sinks,
 ]
 
 QUERIES = {}

@@ -1,0 +1,68 @@
+"""Sink coverage: partitioned-parquet roundtrip (pruning + content) and
+bucketed tables producing a shuffle-free co-located join — the two
+write-side disciplines that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreduce_sssp_spark.io.sinks import write_partitioned
+from mapreduce_sssp_spark.io.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_prunes_and_preserves(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, path, "o_orderstatus")
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+
+    # A filter on the partition column must prune to that directory:
+    # the scan's partition count reflects only matching files.
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """bucketBy co-locates both join sides at write time; the join plan
+    must then contain no Exchange (shuffle) on either side."""
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    for name, df, key in (
+        ("t_orders_b", orders.select("o_orderkey", "o_custkey", "o_totalprice"), "o_custkey"),
+        ("t_customer_b", customer.select("c_custkey", "c_name"), "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    # Disable broadcast + AQE coalescing so the bucketed sort-merge join
+    # shape is visible deterministically.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_orders_b").join(
+            spark.table("t_customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
