@@ -361,8 +361,24 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props parsed with ``from_json`` into map<string,bigint>, exploded
+    to (key, value) rows, re-aggregated — the typed-JSON path next to
+    ``json_extract``'s path-string one. All JVM-side (Jackson parse +
+    generator), no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.explode(F.from_json("props", "map<string,bigint>")).alias("pkey", "pval")
+        )
+        .groupBy("pkey", (F.col("pval") % 5).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("pval").alias("sum_val"))
+    )
+
+
 QUERIES = {
     "join_inner": q_join_inner,
+    "json_map_explode": q_json_map_explode,
     "join_left": q_join_left,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
@@ -534,6 +550,20 @@ SELECT o_orderkey,
          AS days_to_1999,
        strftime(o_orderdate, '%Y-%m') AS ym
 FROM orders
+""",
+    "json_map_explode": """
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS pkey, props FROM events
+),
+typed AS (
+  SELECT pkey,
+         CAST(json_extract_string(props, '$.' || pkey) AS BIGINT) AS pval
+  FROM kv
+)
+SELECT pkey, pval % 5 AS bucket, count(*) AS n,
+       CAST(SUM(pval) AS BIGINT) AS sum_val
+FROM typed
+GROUP BY 1, 2
 """,
     "json_extract": """
 SELECT event_type,

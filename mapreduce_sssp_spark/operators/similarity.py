@@ -255,14 +255,55 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cosine") >= NEARDUP_THRESHOLD)
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector stats via a vectorized scalar ``@pandas_udf`` — the
+    one UDF surface the engine hadn't exercised (next to mapInPandas,
+    applyInPandas/Arrow and applyInPandasWithState). Arrow ships each
+    batch; numpy evaluates it column-at-a-time.
+
+    Outputs are integer-exact (length, count>0, argmax index — first
+    occurrence on ties in both engines), so no float-accumulation-order
+    concern exists and the query hash-checks against DuckDB.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # No type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's eval-type inference rejects; unhinted
+    # defaults to the scalar (Series -> DataFrame-for-struct) form.
+    @pandas_udf("dim int, n_pos int, argmax_idx int")
+    def vec_stats(vs):
+        dims, npos, amax = [], [], []
+        for v in vs:
+            a = np.asarray(v, dtype=np.float32)
+            dims.append(a.size)
+            npos.append(int((a > 0).sum()))
+            amax.append(int(a.argmax()))
+        return pd.DataFrame({"dim": dims, "n_pos": npos, "argmax_idx": amax})
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", vec_stats("embedding").alias("s")).select(
+        "vec_id", "s.dim", "s.n_pos", "s.argmax_idx"
+    )
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
+    "embedding_stats": q_embedding_stats,
     "similarity_ann_lsh": q_similarity_ann_lsh,  # rows-only (approximate)
     "similarity_ivf": q_similarity_ivf,  # rows-only (approximate)
     "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLE = {
+    "embedding_stats": """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       CAST(list_position(embedding, list_max(embedding)) - 1 AS INT) AS argmax_idx
+FROM embeddings
+""",
     "similarity_topk": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 scored AS (
