@@ -1,0 +1,133 @@
+"""PageRank as a DataFrame fixpoint loop — the third iterative operator
+next to sssp and wcc, reusing the same physical discipline the reference's
+iterated-job chain maps onto (SingleSourceSP.java:398-519's loop shape:
+partition-once edge side, per-round message aggregation, per-round
+materialization, periodic lineage truncation).
+
+Differences from the min-relaxation loops:
+
+* the per-round reduce is a SUM of float contributions (not min), so
+  results are order-sensitive in the last ulps — the query ships as a
+  rows-only driver check and is cross-verified against a numpy power
+  iteration in tests/test_pagerank.py at 1e-9 relative tolerance;
+* no frontier: every node's rank moves every round, so the loop runs a
+  fixed ``iterations`` count (bounded, reproducible cost) rather than a
+  convergence count();
+* dangling mass (ranks of nodes with no out-edges) is collected as ONE
+  driver scalar per round and redistributed uniformly — the same
+  scalar-per-round pattern as sssp's convergence count, not a data
+  collect.
+
+At 100 TB: edges are hash-partitioned on src once and persisted; each
+round shuffles only the rank table (one row per node). The contribution
+aggregation is a partial-aggregating groupBy — a celebrity node with
+10^6 in-edges combines map-side. AQE skew-join covers hub out-degrees
+on the join side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .sssp import _ensure_checkpoint_dir
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Ranks after ``iterations`` synchronous power-iteration rounds.
+
+    edges: DataFrame with (src, dst) columns; parallel edges collapse to
+    one link (standard PageRank on the simple digraph).
+    Returns (node BIGINT, rank DOUBLE); ranks sum to 1 up to float error.
+    """
+    spark = edges.sparkSession
+    _ensure_checkpoint_dir(spark)
+    n_part = spark.sparkContext.defaultParallelism
+
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()
+
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # Edge side carries 1/deg so each round multiplies, never re-divides.
+    links = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv_deg"))
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.unpersist()
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    base = (1.0 - damping) / n_nodes
+    has_out = deg.select(F.col("src").alias("node")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def dangling_mass(r: DataFrame) -> float:
+        # One driver scalar per round: total rank on nodes without
+        # out-edges. (Folding this into the materializing action was
+        # measured 2x SLOWER than a separate count() — the anti-join as
+        # first touch of the un-materialized cache re-plans badly under
+        # AQE; keep the cheap count() as the materializer.)
+        return (
+            r.join(has_out, "node", "left_anti").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+
+    for it in range(1, iterations + 1):
+        dangling = dangling_mass(ranks)
+        contribs = (
+            ranks.join(links, ranks["node"] == links["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("inv_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("rank"),
+            )
+        )
+        cached = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        if it % checkpoint_every == 0:
+            new_ranks = cached.checkpoint()
+            cached.unpersist()
+        else:
+            new_ranks = cached
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+
+    links.unpersist()
+    nodes.unpersist()
+    has_out.unpersist()
+    return ranks

@@ -113,6 +113,20 @@ def q_tsv_edges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_tsv_edge_list(spark, path)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (6 synchronous rounds) over the B1 lineitem graph.
+
+    Rows-only driver check: the per-round SUM of float contributions is
+    partial-aggregation-order sensitive in the last ulps, so no DuckDB
+    hash twin exists; tests/test_pagerank.py cross-checks the operator
+    against a numpy power iteration at 1e-9 on five graph shapes.
+    """
+    from ..graph.pagerank import pagerank
+
+    edges = edges_from_lineitem(spark, sf_dir)
+    return pagerank(edges.select("src", "dst"), iterations=6)
+
+
 def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components over per-order lineitem chains.
 
@@ -174,6 +188,7 @@ QUERIES = {
     "sssp": q_sssp,
     "sssp_dag": q_sssp_dag,
     "wcc": q_wcc,
+    "pagerank": q_pagerank,
     "compat_state_lines": q_compat_state_lines,
     "compat_final_lines": q_compat_final_lines,
     "compat_reverse_lines": q_compat_reverse_lines,
