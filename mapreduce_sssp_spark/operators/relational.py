@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io.sources import load_table
+from ..io.sources import load_table, register_tables
 
 DEC = "decimal(18,2)"
 
@@ -361,6 +361,33 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The engine's SQL entry point: the same ANSI text runs on Spark (via
+# registered temp views) and on DuckDB as its own oracle — one string,
+# two engines. TPC-H Q3 shape (shipping priority).
+_SQL_Q3 = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q3)
+
+
 def q_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props parsed with ``from_json`` into map<string,bigint>, exploded
     to (key, value) rows, re-aggregated — the typed-JSON path next to
@@ -379,6 +406,7 @@ def q_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "join_inner": q_join_inner,
     "json_map_explode": q_json_map_explode,
+    "sql_tpch_q3": q_sql_api,
     "join_left": q_join_left,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
@@ -404,6 +432,7 @@ _SETOP_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUIL
 _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0"
 
 ORACLE = {
+    "sql_tpch_q3": _SQL_Q3,
     "join_inner": """
 SELECT n_name,
        count(*) AS n_orders,

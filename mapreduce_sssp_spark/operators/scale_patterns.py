@@ -89,10 +89,31 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles next to exact bounds
+    (rows-only: sketch internals differ across engines; the min/max
+    columns pin the sketch outputs inside the data range, and the error
+    bound vs exact quantiles is asserted in pytest).
+
+    At 100 TB this is THE way to get percentiles: the GK sketch is a
+    bounded-size mergeable summary (one per partition, merged on the
+    driver side of the agg) — no global sort, no full materialization.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10_000).alias(
+            "price_quartiles"
+        ),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
 QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
     "range_join_bands": q_range_join_bands,
     "approx_distinct": q_approx_distinct,  # rows-only (sketches differ)
+    "approx_quantiles": q_approx_quantiles,  # rows-only (sketches differ)
 }
 
 _BANDS_SQL = " UNION ALL ".join(

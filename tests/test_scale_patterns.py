@@ -38,6 +38,26 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         assert abs(r.approx_parts - r.exact_parts) <= 0.05 * r.exact_parts + 5
 
 
+def test_approx_quantiles_error_bound(spark, sf_dir):
+    """GK sketch quartiles must land within rank-error of the exact
+    quantiles (accuracy=10000 -> 1/10000 rank error; allow a loose
+    margin via exact rank windows)."""
+    from mapreduce_sssp_spark.operators.scale_patterns import q_approx_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.q
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("q"))
+        .collect()
+    }
+    for r in q_approx_quantiles(spark, sf_dir).collect():
+        assert r.min_price <= r.price_quartiles[0] <= r.price_quartiles[1]
+        assert r.price_quartiles[1] <= r.price_quartiles[2] <= r.max_price
+        for got, want in zip(r.price_quartiles, exact[r.l_returnflag]):
+            assert got == pytest.approx(want, rel=0.01), r.l_returnflag
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """bucketBy + saveAsTable co-locates both join sides: the sort-merge
     join plan must contain NO Exchange (the 100 TB co-located join)."""
