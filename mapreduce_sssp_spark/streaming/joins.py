@@ -97,9 +97,64 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-QUERIES = {"streaming_join": streaming_view_purchase_join}
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the events file is fed to the stream TWICE
+    (two links in the source dir), and stateful ``dropDuplicates`` on
+    event_id must emit each event exactly once — the streaming face of
+    the batch dedup_exact operator, state bounded by the watermark.
+
+    The oracle is simply the events table read once: if the dedup state
+    machinery failed, every row would appear twice and the row-count
+    check alone would catch it.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-stream2x-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    for link_name in ("events_a.parquet", "events_b.parquet"):
+        link = os.path.join(stream_dir, link_name)
+        if not os.path.lexists(link):
+            os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    with _seq_lock:
+        _seq_n[0] += 1
+        sink = f"streaming_dedup_sink_{_seq_n[0]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+QUERIES = {
+    "streaming_join": streaming_view_purchase_join,
+    "streaming_dedup": streaming_dedup,
+}
 
 ORACLE = {
+    "streaming_dedup": """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM events
+""",
     "streaming_join": """
 SELECT v.user_id AS user_id,
        v.event_id AS view_id,
