@@ -1,0 +1,99 @@
+"""Property-based cross-checks (hypothesis): the custom as-of join
+against pandas.merge_asof, and the WCC fixpoint against a union-find —
+randomized inputs, trusted independent implementations.
+
+Example counts are small (Spark jobs per example); deadlines disabled.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mapreduce_sssp_spark.operators.asof import asof_join
+
+KEYS = st.integers(min_value=0, max_value=2)
+TIMES = st.integers(min_value=0, max_value=20)
+
+left_rows = st.lists(st.tuples(KEYS, TIMES), min_size=1, max_size=12)
+right_rows = st.lists(st.tuples(KEYS, TIMES, st.integers(0, 99)), max_size=12)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=left_rows, right=right_rows)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # De-dup (key, time) on the right: with ties merge_asof keeps the
+    # LAST row while the window formulation keeps the last in sort order
+    # too, but sort stability differs — dropping ties makes the spec
+    # unambiguous without weakening the <= semantics under test.
+    seen = set()
+    right = [
+        r for r in right if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, t long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, t long, v long")
+    got = {
+        (r.lid): r.asof_v
+        for r in asof_join(ldf, rdf, "k", "t", "t", ["v"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "t", "lid"]
+    ).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(right, columns=["k", "t", "v"]).sort_values(
+        "t", kind="mergesort"
+    )
+    if rp.empty:
+        want = {int(r.lid): None for r in lp.itertuples()}
+    else:
+        m = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else int(r.v)) for r in m.itertuples()
+        }
+    assert got == want
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=25
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_wcc_matches_union_find(spark, edges):
+    from mapreduce_sssp_spark.graph.wcc import wcc
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in wcc(df).collect()}
+    want = _union_find_components(edges)
+    # Same partition into components AND min-id labeling.
+    assert got == want
