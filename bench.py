@@ -54,6 +54,11 @@ def main() -> None:
             traceback.print_exc(file=sys.stderr)
             timings[name] = -1.0  # failed marker; excluded from total
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+        # Iterative queries return a still-persisted final state; left in
+        # place these accumulate over 60+ queries and the executor-memory
+        # pressure inflates later queries (wcc measured 59s polluted vs
+        # 36s isolated). Per-query isolation: drop all cached data.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     line = {
