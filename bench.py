@@ -43,6 +43,16 @@ def main() -> None:
         names = [s.strip() for s in subset.split(",") if s.strip()]
         queries = {n: queries[n] for n in names}
 
+    # Warm the JVM before timing anything: the first job in a fresh JVM
+    # pays JIT + codegen-compiler + shuffle-subsystem init (~8s measured),
+    # which would otherwise be billed entirely to whichever query runs
+    # first. Exercises scan/shuffle/join/agg paths once, then drops.
+    warm = spark.range(0, 1_000_000, 1, 8).selectExpr("id", "id % 97 AS k")
+    warm.join(warm.groupBy("k").count(), "k").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.time()

@@ -99,7 +99,113 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(binary_table(spark, sf_dir))
 
 
-QUERIES = {"multimodal_features": q_multimodal_features}
+# --------------------------------------------------------------------------
+# Resize (1 -> 1 binary transform) and frame sampling (1 -> N explode)
+# --------------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 64, 64
+FRAME_BYTES = 1024
+FRAME_STEP = 4  # keep every 4th frame
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_len", T.LongType()),
+        T.StructField("out_len", T.LongType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("out_head", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_off", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_head", T.IntegerType()),
+    ]
+)
+
+
+def resize_image(content: bytes, w: int, h: int) -> bytes:
+    """Real resampling hook — needs Pillow/libvips, absent here."""
+    raise NotImplementedError("image codecs not installed in this environment")
+
+
+def _fake_resize(content: bytes, w: int, h: int) -> bytes:
+    """Deterministic resize stand-in: truncate/keep to w*h 'pixels' (bytes).
+
+    Preserves the two invariants a real resampler has — output size is a
+    pure function of (w, h, input) and content derives from the input —
+    so the plan, schema and oracle exercise the true dataflow.
+    """
+    return content[: w * h]
+
+
+def resize_images(binary_df: DataFrame, w: int = RESIZE_W, h: int = RESIZE_H) -> DataFrame:
+    """Arrow-batched 1->1 binary transform: each payload resized to (w, h)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["content"].map(lambda c: _fake_resize(c, w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_len": pdf["content"].map(len),
+                    "out_len": out.map(len),
+                    "target_w": w,
+                    "target_h": h,
+                    "out_head": out.map(lambda c: c[0] if c else -1),
+                }
+            )
+
+    return binary_df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    binary_df: DataFrame, frame_bytes: int = FRAME_BYTES, step: int = FRAME_STEP
+) -> DataFrame:
+    """1 -> N frame sampling: fixed-size frames, keep every ``step``-th.
+
+    The mapInPandas generator emits MORE rows than it consumes — the
+    batch shape a real video frame-sampler has. Row explosion happens
+    executor-side per Arrow batch; no shuffle, no driver involvement.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                n = len(content)
+                n_frames = -(-n // frame_bytes)  # ceil
+                for idx in range(0, n_frames, step):
+                    off = idx * frame_bytes
+                    rows.append(
+                        (doc_id, idx, off, min(frame_bytes, n - off), content[off])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_off", "frame_len", "frame_head"],
+            )
+
+    return binary_df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images(binary_table(spark, sf_dir))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(binary_table(spark, sf_dir))
+
+
+QUERIES = {
+    "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+}
 
 ORACLE = {
     "multimodal_features": f"""
@@ -109,5 +215,28 @@ SELECT doc_id,
        CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
        'text/plain' AS mime
 FROM documents
+""",
+    "multimodal_resize": f"""
+SELECT doc_id,
+       strlen(text) AS orig_len,
+       least(strlen(text), {RESIZE_W * RESIZE_H}) AS out_len,
+       CAST({RESIZE_W} AS INT) AS target_w,
+       CAST({RESIZE_H} AS INT) AS target_h,
+       CASE WHEN strlen(text) > 0 THEN CAST(ascii(substr(text, 1, 1)) AS INT)
+            ELSE -1 END AS out_head
+FROM documents
+""",
+    "multimodal_frames": f"""
+SELECT doc_id,
+       f AS frame_idx,
+       f * {FRAME_BYTES} AS frame_off,
+       least({FRAME_BYTES}, strlen(text) - f * {FRAME_BYTES}) AS frame_len,
+       CAST(ascii(substr(text, f * {FRAME_BYTES} + 1, 1)) AS INT) AS frame_head
+FROM (
+    SELECT doc_id, text,
+           UNNEST(range(0, CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT),
+                        {FRAME_STEP})) AS f
+    FROM documents
+)
 """,
 }

@@ -9,6 +9,9 @@ from mapreduce_sssp_spark.operators.multimodal import (
     binary_table,
     decode_image,
     extract_features,
+    resize_image,
+    resize_images,
+    sample_frames,
 )
 
 
@@ -45,3 +48,44 @@ def test_binary_table_matches_text_bytes(spark, sf_dir):
     assert isinstance(row.content, (bytes, bytearray))
     assert len(row.content) == row.meta.n_bytes
     assert row.meta.mime == "text/plain"
+
+
+def _literal_binary(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(rows, "doc_id long, content binary").select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length("content").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def test_resize_stub_and_fake_transform(spark):
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 8, 8)
+    binary = _literal_binary(
+        spark, [(1, b"a" * 100), (2, b""), (3, bytes([7]) + b"x" * 9999)]
+    )
+    out = {r.doc_id: r for r in resize_images(binary, w=8, h=8).collect()}
+    # 8x8 => 64-byte budget: shorter payloads keep their size, longer truncate.
+    assert (out[1].orig_len, out[1].out_len, out[1].out_head) == (100, 64, ord("a"))
+    assert (out[2].orig_len, out[2].out_len, out[2].out_head) == (0, 0, -1)
+    assert (out[3].orig_len, out[3].out_len, out[3].out_head) == (10000, 64, 7)
+
+
+def test_frame_sampling_explodes_one_to_n(spark):
+    # 10 frames of 4 bytes, keep every 3rd -> indices 0,3,6,9.
+    payload = bytes(range(40))
+    binary = _literal_binary(spark, [(1, payload), (2, b""), (3, b"abc")])
+    rows = sample_frames(binary, frame_bytes=4, step=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 3, 6, 9]
+    f9 = next(r for r in by_doc[1] if r.frame_idx == 9)
+    assert (f9.frame_off, f9.frame_len, f9.frame_head) == (36, 4, 36)
+    assert 2 not in by_doc  # empty payload -> zero frames
+    assert [(r.frame_idx, r.frame_len) for r in by_doc[3]] == [(0, 3)]

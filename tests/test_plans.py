@@ -1,0 +1,133 @@
+"""Physical-plan assertions: the engine's promises about HOW queries
+execute, not just what they return.
+
+The 100 TB design claims (SCALE.md, module docstrings) are checkable on
+the optimized plan Catalyst produces — broadcast join for dim tables,
+parquet filter pushdown + column pruning, partial (map-side) aggregation,
+TakeOrdered for top-k instead of a global sort, semi/anti join selection,
+whole-stage codegen coverage. A regression here silently turns a
+cluster-safe plan into a shuffle storm long before any wall-clock test
+would notice at local scale, so the plan IS the contract under test.
+
+Plans are built lazily at sf0.001 — no job runs except where a query's
+constructor itself acts (those queries are excluded here; the iterative
+fixpoints get algorithmic tests in test_sssp/test_pagerank instead).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from mapreduce_sssp_spark.operators import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_join_inner_broadcasts_dim_and_never_cartesian(spark):
+    plan = plan_of(R.q_join_inner(spark, SF))
+    assert "BroadcastHashJoin" in plan  # nation (25 rows) must broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_and_anti_join_strategies(spark):
+    semi = plan_of(R.q_join_semi(spark, SF))
+    anti = plan_of(R.q_join_anti(spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+    assert "CartesianProduct" not in semi + anti
+
+
+def test_agg_multi_pushes_filter_prunes_columns_partial_agg(spark):
+    plan = plan_of(R.q_agg_multi(spark, SF))
+    # Predicate reaches the parquet scan (l_shipdate <= cutoff).
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1]
+    # Column pruning: Q1 reads 7 of lineitem's 11 columns; the unused id
+    # columns must not appear in the scan's ReadSchema.
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    # Partial + final hash aggregation (map-side combine), fused in codegen.
+    assert plan.count("HashAggregate") >= 2
+    # Under AQE the pre-execution plan hides codegen; plan once with AQE
+    # off to assert the scan->filter->partial-agg pipeline fuses.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        codegen = plan_of(R.q_agg_multi(spark, SF), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in codegen
+    assert "Found 0 WholeStageCodegen" not in codegen
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(R.q_topk(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+    # A global sort would show a range-partitioning exchange.
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_window_uses_single_partition_exchange_per_key(spark):
+    plan = plan_of(R.q_window_rank(spark, SF), "simple")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_broadcasts_interval_dim(spark):
+    from mapreduce_sssp_spark.operators import scale_patterns as S
+
+    plan = plan_of(S.q_range_join_bands(spark, SF), "simple")
+    # Non-equi join against a tiny interval dim: broadcast nested loop is
+    # the intended strategy — NOT a shuffled cartesian.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_topk_broadcasts_query_vectors(spark):
+    from mapreduce_sssp_spark.operators import similarity as SIM
+
+    plan = plan_of(SIM.q_similarity_topk(spark, SF), "simple")
+    assert "Broadcast" in plan  # tiny query-vector side never shuffles the corpus
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "join_left",
+        "distinct_pairs",
+        "rollup_agg",
+        "cube_agg",
+        "pivot_status",
+        "above_cust_avg",
+        "window_lag",
+        "window_moving",
+        "set_union",
+        "set_intersect",
+        "set_except",
+        "scalar_string_math",
+        "scalar_date",
+        "json_extract",
+        "json_map_explode",
+        "dedup_exact",
+        "text_stats",
+        "text_quality",
+        "lang_id",
+        "window_tumbling",
+        "window_sliding",
+        "window_session",
+    ],
+)
+def test_no_cartesian_products_anywhere(spark, qname):
+    from mapreduce_sssp_spark.queries_registry import QUERIES
+
+    plan = plan_of(QUERIES[qname](spark, SF), "simple")
+    assert "CartesianProduct" not in plan
