@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io.sources import load_table
+from ..io.sources import load_parallel, load_table
 from .text_common import (
     DUCK_SHINGLES_REL,
     DUCK_TOKENS,
@@ -197,12 +197,61 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rabin-Karp rolling-hash parameters, shared verbatim by the DuckDB twin
+# (both engines evaluate the identical polynomial over identical windows).
+RH_K = 8  # window width in chars
+RH_B = 257  # polynomial base
+RH_M = 2147483647  # 2^31 - 1 (prime modulus; acc*B+255 < 2^39, no overflow)
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprints, entirely JVM-side.
+
+    Per document: ``content_hash`` (the polynomial hash of the whole
+    text — an order-sensitive content fingerprint) and ``winnow_min``
+    (the minimum hash over every ``RH_K``-char window — the
+    winnowing-style near-dup prefilter: one edit disturbs at most K
+    windows, so the min survives with high probability).
+
+    Higher-order functions (``transform``/``aggregate`` over
+    ``sequence``) keep the whole computation inside whole-stage codegen:
+    no UDF, no Python, no shuffle — a pure map stage that streams at
+    scan speed at 100 TB.
+    """
+    docs = load_parallel(spark, sf_dir, "documents")
+    win = F.expr(
+        f"""CASE WHEN length(text) >= {RH_K} THEN
+              array_min(transform(sequence(0, length(text) - {RH_K}),
+                i -> aggregate(sequence(1, {RH_K}), 0L,
+                     (a, j) -> (a * {RH_B}
+                                + ascii(substring(text, cast(i + j AS INT), 1)))
+                               % {RH_M})))
+            END"""
+    )
+    content = F.expr(
+        f"""CASE WHEN length(text) > 0 THEN
+              aggregate(sequence(1, length(text)), 0L,
+                (a, j) -> (a * {RH_B}
+                           + ascii(substring(text, cast(j AS INT), 1))) % {RH_M})
+            END"""
+    )
+    return docs.select(
+        "doc_id",
+        win.alias("winnow_min"),
+        content.alias("content_hash"),
+        F.greatest(F.length("text") - (RH_K - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_scrub": q_text_scrub,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
     "token_freq_top100": q_token_freq,
 }
 
@@ -258,6 +307,23 @@ FROM (SELECT unnest(toks) AS token FROM t)
 GROUP BY token
 ORDER BY freq DESC, token
 LIMIT 100
+""",
+    "rolling_fingerprint": f"""
+SELECT doc_id,
+       CASE WHEN strlen(text) >= {RH_K} THEN
+         list_min([
+            list_reduce([CAST(ascii(substr(text, i + j, 1)) AS BIGINT)
+                         for j in range(1, {RH_K} + 1)],
+                        (a, b) -> (a * {RH_B} + b) % {RH_M})
+            for i in range(0, strlen(text) - {RH_K} + 1)])
+       END AS winnow_min,
+       CASE WHEN strlen(text) > 0 THEN
+         list_reduce([CAST(ascii(substr(text, j, 1)) AS BIGINT)
+                      for j in range(1, strlen(text) + 1)],
+                     (a, b) -> (a * {RH_B} + b) % {RH_M})
+       END AS content_hash,
+       greatest(strlen(text) - {RH_K - 1}, 0) AS n_windows
+FROM documents
 """,
 }
 

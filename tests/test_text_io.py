@@ -27,3 +27,42 @@ def test_tsv_edge_list_skips_comments(spark, tmp_path):
     p.write_text("# Directed graph\n# Nodes: 3\n1\t2\n2\t3\nc stray line\n10\t1\n")
     rows = sorted(read_tsv_edge_list(spark, str(p)).collect(), key=lambda r: (r.src, r.dst))
     assert [tuple(r) for r in rows] == [(1, 2), (2, 3), (10, 1)]
+
+
+def test_rolling_fingerprint_polynomial(spark, tmp_path):
+    """Hand-computed Rabin-Karp values on a tiny corpus, plus edge cases
+    (empty text -> NULLs, text shorter than the window -> no winnow)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        RH_B,
+        RH_K,
+        RH_M,
+        q_rolling_fingerprint,
+    )
+
+    docs = pa.table({"doc_id": [1, 2, 3], "text": ["abcdefghij", "", "hi"]})
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r for r in q_rolling_fingerprint(spark, str(tmp_path)).collect()
+    }
+
+    def poly(s):
+        a = 0
+        for ch in s:
+            a = (a * RH_B + ord(ch)) % RH_M
+        return a
+
+    s = "abcdefghij"
+    assert out[1].content_hash == poly(s)
+    assert out[1].winnow_min == min(
+        poly(s[i : i + RH_K]) for i in range(len(s) - RH_K + 1)
+    )
+    assert out[1].n_windows == len(s) - RH_K + 1
+    assert (out[2].winnow_min, out[2].content_hash, out[2].n_windows) == (
+        None,
+        None,
+        0,
+    )
+    assert out[3].winnow_min is None and out[3].content_hash == poly("hi")
