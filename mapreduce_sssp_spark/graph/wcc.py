@@ -10,7 +10,13 @@ min-aggregation; frontier gating (only nodes whose label changed emit);
 deterministic count() convergence; reliable checkpoint every few rounds
 to truncate lineage; caches unpersisted eagerly.
 
-Rounds needed = graph diameter (label floods one hop per round).
+Plain propagation needs diameter rounds (a 10^6-hop chain at 100 TB
+would need 10^6 shuffles). Each round therefore also SHORTCUTS labels —
+``label[n] := label[label[n]]`` (pointer jumping, the standard trick
+from PRAM connectivity / Kiveris et al.'s large-star-small-star): safe
+because labels only decrease and a node's label is always in its own
+component, and it composes hops so reach doubles per round ->
+O(log diameter) rounds.
 """
 
 from __future__ import annotations
@@ -63,12 +69,24 @@ def wcc(
             F.col("dst").alias("node"), F.col("f_comp").alias("cand")
         )
         cand = msgs.groupBy("node").agg(F.min("cand").alias("cand"))
+        propagated = state.join(cand, "node", "left").select(
+            "node",
+            F.least("component", "cand").alias("component"),
+            F.col("component").alias("old_comp"),
+        )
+        # Pointer jumping: label <- label[label]. The join key is the
+        # label value — skewed by construction (every member of a big
+        # component carries the same label), which AQE's skew-join split
+        # absorbs; labels are node ids so the lookup side is state itself.
+        labels = state.select(
+            F.col("node").alias("l_node"), F.col("component").alias("l_comp")
+        )
         new_state = (
-            state.join(cand, "node", "left")
+            propagated.join(labels, propagated["component"] == labels["l_node"], "left")
             .select(
                 "node",
-                F.least("component", "cand").alias("new_comp"),
-                F.col("component").alias("old_comp"),
+                F.least("component", "l_comp").alias("new_comp"),
+                "old_comp",
             )
             .select(
                 "node",
