@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -62,7 +63,21 @@ def approx_equal(a, b):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="check-oracle")
+    if os.environ.get("CHECK_ORACLE_VANILLA"):
+        # Reproduce the external driver's environment: a plain session with
+        # none of get_spark()'s tuning (no UTC TZ, no checkpoint dir, stock
+        # confs). Every query must be self-sufficient on such a session —
+        # round 1 shipped a checkpoint-dir crash that only this catches.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-oracle-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="check-oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
