@@ -101,6 +101,61 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with unmatched rows on BOTH sides (BUILDING
+    customers vs customers holding >450k orders) — null preservation in
+    each direction, the join shape the reference's tagged-union merge
+    implements for SSSP state (SingleSourceSP.java:205-293)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("a_key")
+    )
+    b = (
+        orders.filter(F.col("o_totalprice") > 450000.0)
+        .groupBy(F.col("o_custkey").alias("b_key"))
+        .agg(F.count("*").alias("big_orders"))
+    )
+    return a.join(b, a["a_key"] == b["b_key"], "full_outer").select(
+        F.coalesce("a_key", "b_key").alias("custkey"),
+        F.col("a_key").isNotNull().alias("in_building"),
+        F.coalesce("big_orders", F.lit(0)).cast("long").alias("n_big_orders"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube: an arbitrary
+    subset lattice) — (status, priority), (status), and grand total in
+    one pass; Catalyst expands then aggregates partially map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucket, percent_rank and
+    cume_dist per order-status partition. Tie-broken by the unique
+    orderkey so every engine assigns identical bucket boundaries."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregation (multi-measure, distinct, rollup, cube)
 # --------------------------------------------------------------------------
@@ -410,6 +465,9 @@ QUERIES = {
     "join_left": q_join_left,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
+    "join_full": q_join_full,
+    "grouping_sets_agg": q_grouping_sets,
+    "window_ntile": q_window_ntile,
     "agg_multi": q_agg_multi,
     "distinct_pairs": q_distinct,
     "rollup_agg": q_rollup,
@@ -461,6 +519,31 @@ SELECT c_custkey, c_nationkey
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+    "join_full": """
+SELECT COALESCE(a.a_key, b.b_key) AS custkey,
+       a.a_key IS NOT NULL AS in_building,
+       CAST(COALESCE(b.big_orders, 0) AS BIGINT) AS n_big_orders
+FROM (SELECT c_custkey AS a_key FROM customer WHERE c_mktsegment = 'BUILDING') a
+FULL OUTER JOIN (SELECT o_custkey AS b_key, count(*) AS big_orders
+                 FROM orders WHERE o_totalprice > 450000.0
+                 GROUP BY o_custkey) b
+ON a.a_key = b.b_key
+""",
+    "grouping_sets_agg": """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+    "window_ntile": """
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """,
     "agg_multi": """
 SELECT l_returnflag, l_linestatus,

@@ -103,6 +103,9 @@ def test_similarity_topk_broadcasts_query_vectors(spark):
     "qname",
     [
         "join_left",
+        "join_full",
+        "grouping_sets_agg",
+        "window_ntile",
         "distinct_pairs",
         "rollup_agg",
         "cube_agg",
