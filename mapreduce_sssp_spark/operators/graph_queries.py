@@ -154,6 +154,33 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wcc(edges)
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-occurrence graph
+    (parts are adjacent when they ship in the same order — the B1
+    supplier->part digraph is bipartite, hence triangle-free, so the
+    co-occurrence projection is the natural triangle testbed).
+
+    The engine orients edges by degree before the wedge join
+    (graph/triangles.py) so no hub can quadratically explode one task;
+    the DuckDB oracle enumerates the identical triangle set with the
+    canonical a<b<c three-way self-join.
+    """
+    from ..graph.triangles import canonical_edges, triangle_counts
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, F.col("a.o") == F.col("b.o"))
+        .where(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+    )
+    return triangle_counts(canonical_edges(pairs))
+
+
 def q_compat_state_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-compat node-state records for the format job's initial state
     (grammar ``nodeId<SP>dist|dst:w,...|Y-or-N``, SingleSourceSP.java:114-121,
@@ -197,6 +224,7 @@ QUERIES = {
     "adjacency": q_adjacency,
     "text_edges_roundtrip": q_text_edges_roundtrip,
     "tsv_edges_roundtrip": q_tsv_edges_roundtrip,
+    "triangle_counts": q_triangle_counts,
 }
 
 ORACLE = {
@@ -297,5 +325,16 @@ WITH edges AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL}))
 SELECT CAST(dst AS VARCHAR) || chr(9)
        || string_agg(CAST(src AS VARCHAR), ',' ORDER BY src) AS value
 FROM edges GROUP BY dst
+""",
+    "triangle_counts": """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (SELECT unnest([a, b, c]) AS node FROM t)
+SELECT node, count(*) AS n_tri FROM corners GROUP BY node
 """,
 }

@@ -1,0 +1,134 @@
+"""The remaining Python-integration API surfaces: UDTF, grouped-agg
+pandas UDAF, Arrow-optimized scalar UDF.
+
+Together with the scalar ``@pandas_udf`` (similarity.py), grouped
+``applyInPandas``/``applyInArrow`` (grouped_pandas.py), ``mapInPandas``
+(multimodal.py) and ``applyInPandasWithState`` (streaming/stateful.py),
+this completes SURVEY §2.9's UDF/UDAF/UDTF checklist — every way a
+user can drop to Python, each demonstrated on an oracle-checked query.
+
+All three are the *slow path* by design contract: the hot-path rule in
+this engine is built-in ``pyspark.sql.functions`` first (whole-stage
+codegen), Arrow-vectorized Python second, row-Python never. These
+queries exist to prove the escape hatches work and stay exact.
+
+At 100 TB: the UDTF streams rows per-partition (no state); the UDAF
+shuffles once on the grouping key with bounded per-group series; the
+Arrow UDF transfers columnar batches, never per-row pickles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..io.sources import load_table, register_tables
+
+
+class SentenceStats:
+    """Lateral table function: one input document -> one output row per
+    '.'-separated sentence, with raw char length and single-space word
+    count. Semantics chosen to be bit-identical to the DuckDB
+    unnest(string_split(...)) twin (space-only trim, empty tokens kept
+    on consecutive spaces)."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for seg in text.split("."):
+            t = seg.strip(" ")
+            if not t:
+                continue
+            yield len(seg), len(t.split(" "))
+
+
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    # Decorated here, not at module import: the DDL return type parses
+    # against the active session (same constraint as pandas_udf below).
+    spark.udtf.register(
+        "sentence_stats", udtf(SentenceStats, returnType="n_chars: bigint, n_words: bigint")
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.n_chars, s.n_words
+        FROM documents d, LATERAL sentence_stats(d.text) s
+        """
+    )
+
+
+def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAFs: per-supplier doubled median and
+    item count of l_quantity. Spark refuses to mix GROUPED_AGG pandas
+    UDFs with native aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT),
+    so both measures are pandas-side here.
+
+    The UDFs are built inside the query (not at module import) because
+    ``@pandas_udf`` parses its DDL return type against the active
+    session, which does not exist at registry-import time.
+    """
+
+    @pandas_udf("bigint")
+    def median_x2(v: pd.Series) -> int:
+        # 2*median is integer-exact on integral-valued doubles (the .5
+        # of an even-count median is an exact binary fraction), so the
+        # query stays hash-comparable across engines.
+        return int(round(2 * v.median()))
+
+    @pandas_udf("bigint")
+    def n_items(v: pd.Series) -> int:
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        median_x2("l_quantity").alias("median2_qty"),
+        n_items("l_quantity").alias("n_items"),
+    )
+
+
+def q_arrow_udf_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``useArrow=True``): slugify
+    part names. Arrow batches replace per-row pickling; still slower
+    than the equivalent built-in regexp_replace (which is what the
+    oracle uses — same output, two execution strategies)."""
+    import re
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    @F.udf("string", useArrow=True)
+    def slug(s: str) -> str:
+        return pat.sub("-", s.lower()).strip("-") if s is not None else None
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select("p_partkey", slug("p_name").alias("slug"))
+
+
+QUERIES = {
+    "udtf_sentences": q_udtf_sentences,
+    "udaf_median": q_udaf_median,
+    "arrow_udf_slug": q_arrow_udf_slug,
+}
+
+ORACLE = {
+    "udtf_sentences": """
+SELECT doc_id,
+       CAST(length(s) AS BIGINT) AS n_chars,
+       CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_words
+FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s FROM documents)
+WHERE trim(s) <> ''
+""",
+    "udaf_median": """
+SELECT l_suppkey,
+       CAST(round(2 * median(l_quantity)) AS BIGINT) AS median2_qty,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_suppkey
+""",
+    "arrow_udf_slug": """
+SELECT p_partkey,
+       trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug
+FROM part
+""",
+}

@@ -443,6 +443,59 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q3)
 
 
+# TPC-H Q5 shape (local supplier volume): the 6-table join chain with a
+# co-nation equi-condition — the widest join tree in the suite. Catalyst
+# broadcast-joins region/nation/supplier/customer and shuffles only
+# orders JOIN lineitem; at 100 TB the date filter prunes at the scan.
+_SQL_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q5)
+
+
+# TPC-H Q18 shape (large-volume customers): IN-subquery with a grouped
+# HAVING — planned as a left-semi join on the aggregated subquery, then
+# re-joined and re-aggregated; top-k by a deterministic tiebreak.
+_SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q18)
+
+
 def q_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props parsed with ``from_json`` into map<string,bigint>, exploded
     to (key, value) rows, re-aggregated — the typed-JSON path next to
@@ -462,6 +515,8 @@ QUERIES = {
     "join_inner": q_join_inner,
     "json_map_explode": q_json_map_explode,
     "sql_tpch_q3": q_sql_api,
+    "sql_tpch_q5": q_sql_q5,
+    "sql_tpch_q18": q_sql_q18,
     "join_left": q_join_left,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
@@ -491,6 +546,8 @@ _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.
 
 ORACLE = {
     "sql_tpch_q3": _SQL_Q3,
+    "sql_tpch_q5": _SQL_Q5,
+    "sql_tpch_q18": _SQL_Q18,
     "join_inner": """
 SELECT n_name,
        count(*) AS n_orders,

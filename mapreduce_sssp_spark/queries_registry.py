@@ -13,6 +13,7 @@ from .operators import (
     graph_queries,
     grouped_pandas,
     multimodal,
+    python_surface,
     relational,
     scale_patterns,
     similarity,
@@ -33,6 +34,7 @@ _MODULES = [
     joins,
     scale_patterns,
     grouped_pandas,
+    python_surface,
     sinks,
 ]
 

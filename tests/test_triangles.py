@@ -1,0 +1,65 @@
+"""Triangle counting: hand-built graphs with known counts, plus a
+randomized cross-check against an itertools brute force (the trusted
+independent implementation — no orientation, no joins)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mapreduce_sssp_spark.graph.triangles import canonical_edges, triangle_counts
+
+
+def _run(spark, pairs):
+    df = spark.createDataFrame(pairs, "u long, v long")
+    return {
+        r.node: r.n_tri for r in triangle_counts(canonical_edges(df)).collect()
+    }
+
+
+def _brute(pairs):
+    edges = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+    nodes = sorted({n for e in edges for n in e})
+    counts: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (b, c), (a, c)} <= edges:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    k4 = [(u, v) for u, v in combinations(range(4), 2)]
+    assert _run(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_path_graph_has_no_triangles(spark):
+    path = [(i, i + 1) for i in range(5)]
+    assert _run(spark, path) == {}
+
+
+def test_duplicate_reversed_and_self_loop_edges_are_canonicalized(spark):
+    tri = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)]
+    assert _run(spark, tri) == {0: 1, 1: 1, 2: 1}
+
+
+def test_hub_star_plus_rim(spark):
+    # Hub 0 connected to 1..6; rim edges (1,2),(3,4) close two triangles.
+    pairs = [(0, i) for i in range(1, 7)] + [(1, 2), (3, 4)]
+    assert _run(spark, pairs) == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=30
+    )
+)
+def test_random_graphs_match_brute_force(spark, pairs):
+    assert _run(spark, pairs) == _brute(pairs)
