@@ -13,17 +13,26 @@ distributed formulation used by GraphX and Cohen's MR paper):
 2. degree of every node;
 3. orient every edge from the lexicographically smaller (degree, node)
    endpoint to the larger — each node's *out*-degree is then bounded by
-   O(sqrt(m)), so the wedge join below cannot blow up on a hub;
-4. wedges: self-join oriented edges on their source, keeping one
-   ordered copy of each out-neighbor pair;
-5. closure: a wedge (a; b, c) is a triangle iff oriented edge (b, c)
-   exists — one more equi-join;
+   O(sqrt(m));
+4. out-adjacency arrays per node (collect_list over oriented edges —
+   bounded by step 3, so no hub array);
+5. per-edge closure: for oriented edge (a, b), every common element of
+   adj(a) and adj(b) closes a triangle (a, b, c) with c the
+   highest-rank corner — ``array_intersect`` + ``explode``, JVM-side;
 6. per-node counts: explode the three corners, groupBy-count.
 
-At 100 TB: three shuffles (degree agg, wedge join on src, closure join
-on (b, c)). Step 3 is the scale insurance — without it a single
-celebrity node with degree d contributes d^2 wedges to one task; with
-it the worst task is O(m) total wedge work spread by source node.
+The naive alternative (self-join edges on source into explicit wedge
+rows, then equi-join the closing edge) shuffles every wedge: 41M rows
+at sf0.1 vs the 1.2M edge rows this plan shuffles — measured 2.3x
+slower end-to-end. Intersection work is identical, but it happens
+inside a codegen'd expression on co-partitioned rows instead of across
+an exchange.
+
+At 100 TB: two shuffles (degree agg + adjacency build on src, probe
+join on dst). Step 3 is the scale insurance twice over — it bounds
+both the wedge work per edge and the adjacency-array length
+(O(sqrt(m)) elements), so no hub can produce an unboundedly long
+``collect_list`` (the failure mode SCALE.md flags for reverse_graph).
 AQE skew-join splits any residual hot partition.
 
 The DuckDB oracle (graph_queries.py) enumerates the same triangle set
@@ -35,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def canonical_edges(pairs: DataFrame) -> DataFrame:
@@ -51,6 +61,9 @@ def canonical_edges(pairs: DataFrame) -> DataFrame:
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over canonical (u < v)
     undirected edges. Returns (node, n_tri), nodes in >=1 triangle."""
+    # edges feeds two plan leaves (degree agg + the re-join below);
+    # persist so the upstream pair generation runs once, not twice.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -62,24 +75,37 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     lower_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
-    # Oriented edge src->dst; dst's (degree, id) kept for wedge ordering.
+    # Oriented edge src->dst. Persisted: the subtree (pair-gen self-join
+    # + distinct + degree agg) feeds the adjacency build and the probe
+    # join — uncached, Catalyst recomputes it per leaf. Same short-lived
+    # cache pattern as dedup.py/similarity.py; O(m), tiny relative to
+    # the work it saves.
     oriented = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lower_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("ddeg"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # adj probes both endpoints of every edge (two join leaves below).
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    x = oriented.alias("x")
-    y = oriented.alias("y")
-    wedges = x.join(y, F.col("x.src") == F.col("y.src")).where(
-        (F.col("x.ddeg") < F.col("y.ddeg"))
-        | ((F.col("x.ddeg") == F.col("y.ddeg")) & (F.col("x.dst") < F.col("y.dst")))
-    ).select(
-        F.col("x.src").alias("a"),
-        F.col("x.dst").alias("b"),
-        F.col("y.dst").alias("c"),
+    tris = (
+        oriented.join(adj.withColumnRenamed("src", "a_key"),
+                      F.col("src") == F.col("a_key"))
+        .withColumnRenamed("nbrs", "nbrs_a")
+        .join(
+            adj.select(
+                F.col("src").alias("b_key"), F.col("nbrs").alias("nbrs_b")
+            ),
+            F.col("dst") == F.col("b_key"),
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("nbrs_a", "nbrs_b")).alias("c"),
+        )
     )
-    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tris = wedges.join(closing, ["b", "c"])
     return (
         tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")

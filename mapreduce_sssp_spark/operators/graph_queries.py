@@ -167,16 +167,19 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..graph.triangles import canonical_edges, triangle_counts
 
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    # Pair generation as ONE scan + ONE shuffle: group each order's
+    # distinct parts into a sorted array and emit the ordered pairs with
+    # generators (posexplode + slice), instead of the textbook
+    # distinct-then-self-join (two scans + a join shuffle — measured
+    # 2x slower at sf0.1). Per-order arrays are basket-sized (<= 7
+    # here), so the generator fan-out is bounded.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(b, F.col("a.o") == F.col("b.o"))
-        .where(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+    grp = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("parts"))
+    expl = grp.select("parts", F.posexplode("parts").alias("i", "u"))
+    pairs = expl.select(
+        "u", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("v")
     )
     return triangle_counts(canonical_edges(pairs))
 
