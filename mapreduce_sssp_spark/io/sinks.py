@@ -59,7 +59,41 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"sink_partitioned_roundtrip": q_sink_roundtrip}
+def _scratch(sf_dir: str, leaf: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-sink-" + sf_dir.strip("/").replace("/", "_"),
+        leaf,
+    )
+
+
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header CSV write -> schema-on-read back. Returns the full
+    read-back row set, so the hash check proves the text round trip is
+    lossless — including doubles, which survive because Spark writes
+    shortest-round-trip representations and parses them back exactly.
+    The read uses an EXPLICIT schema (never inferSchema: a second pass
+    over the data at 100 TB, and type drift on edge values)."""
+    cust = load_table(spark, sf_dir, "customer")
+    path = _scratch(sf_dir, "customer_csv")
+    cust.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(cust.schema).option("header", True).csv(path)
+
+
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write -> schema-on-read back (explicit schema, same
+    rationale as CSV). part covers int/long/string/double fields."""
+    part = load_table(spark, sf_dir, "part")
+    path = _scratch(sf_dir, "part_json")
+    part.write.mode("overwrite").json(path)
+    return spark.read.schema(part.schema).json(path)
+
+
+QUERIES = {
+    "sink_partitioned_roundtrip": q_sink_roundtrip,
+    "sink_csv_roundtrip": q_sink_csv_roundtrip,
+    "sink_json_roundtrip": q_sink_json_roundtrip,
+}
 
 ORACLE = {
     "sink_partitioned_roundtrip": """
@@ -70,5 +104,11 @@ SELECT o_orderstatus,
        max(o_orderkey) AS max_key
 FROM orders
 GROUP BY o_orderstatus
+""",
+    "sink_csv_roundtrip": """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+""",
+    "sink_json_roundtrip": """
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part
 """,
 }

@@ -19,7 +19,7 @@ from .operators import (
     similarity,
     text_analysis,
 )
-from .streaming import joins, stateful
+from .streaming import foreach_sink, joins, stateful
 
 _MODULES = [
     graph_queries,
@@ -32,6 +32,7 @@ _MODULES = [
     asof,
     stateful,
     joins,
+    foreach_sink,
     scale_patterns,
     grouped_pandas,
     python_surface,

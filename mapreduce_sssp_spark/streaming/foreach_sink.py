@@ -1,0 +1,99 @@
+"""Streaming ``foreachBatch`` sink: incremental partial-aggregate
+append + compaction read — the exactly-once upsert pattern for engines
+without a MERGE-capable table format on the classpath.
+
+Each micro-batch aggregates itself (map-side combine inside the batch),
+appends its partial per-key aggregates to a parquet dir tagged with the
+batch id, and the final read re-aggregates partials — associative
+measures (count, decimal sum) make partial-of-partials exact. With a
+transactional table format this foreachBatch body would be a keyed
+MERGE; the partial-append formulation needs nothing but parquet and
+stays idempotent per batch id.
+
+At 100 TB: nothing ever collects to the driver — each batch's aggregate
+is a distributed job, the append is a distributed write, and compaction
+is a scan over tiny partial files. State size is bounded by
+(#keys x #batches), compacted on read.
+
+Determinism: partial sums stay DECIMAL(18,2) in parquet and re-sum as
+decimals — no float accumulation order anywhere; the oracle is the
+plain batch GROUP BY.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-stream-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    return spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
+
+
+def q_streaming_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _events_stream(spark, sf_dir)
+
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-foreach-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    out_dir = os.path.join(scratch, "partials")
+    ckpt_dir = os.path.join(scratch, "ckpt")
+    # Fresh run every invocation: stale partials would double-count and a
+    # stale checkpoint would replay zero batches (offsets already done).
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        raw.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(out_dir)
+    return partials.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value_dec").cast("double").alias("sum_value"),
+    )
+
+
+QUERIES = {"streaming_foreach_upsert": q_streaming_foreach_upsert}
+
+ORACLE = {
+    "streaming_foreach_upsert": """
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+}

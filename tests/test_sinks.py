@@ -66,3 +66,50 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_csv_roundtrip_is_lossless(spark, sf_dir):
+    from mapreduce_sssp_spark.io.sinks import q_sink_csv_roundtrip
+    from mapreduce_sssp_spark.io.sources import load_table
+
+    back = q_sink_csv_roundtrip(spark, sf_dir)
+    src = load_table(spark, sf_dir, "customer")
+    assert back.schema == src.schema
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_json_roundtrip_is_lossless(spark, sf_dir):
+    from mapreduce_sssp_spark.io.sinks import q_sink_json_roundtrip
+    from mapreduce_sssp_spark.io.sources import load_table
+
+    back = q_sink_json_roundtrip(spark, sf_dir)
+    src = load_table(spark, sf_dir, "part")
+    assert back.schema == src.schema
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_foreach_upsert_matches_batch_groupby(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.io.sources import load_events
+    from mapreduce_sssp_spark.streaming.foreach_sink import (
+        q_streaming_foreach_upsert,
+    )
+
+    got = {
+        r.event_type: (r.n, r.sum_value)
+        for r in q_streaming_foreach_upsert(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.sum_value)
+        for r in load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
