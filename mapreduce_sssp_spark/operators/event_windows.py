@@ -1,6 +1,6 @@
 """Event-time windowing over ``events`` (SURVEY.md §2.9 / §7 P3):
-tumbling, sliding and session windows, plus a Structured Streaming
-variant of the tumbling aggregate.
+tumbling, sliding and session windows, plus Structured Streaming
+variants of the tumbling and sliding aggregates.
 
 The ``ts`` column is TIMESTAMP_NTZ (see io.sources.load_events — parquet
 TIMESTAMP(NANOS) floor-divided to micros), so window arithmetic is pure
@@ -92,6 +92,24 @@ _stream_seq = threading.Lock()
 _stream_n = [0]
 
 
+def _events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream. The file stream source
+    requires a *directory*; events.parquet is a single file, so stream
+    from a temp dir holding a symlink to it (a real deployment streams
+    from an arriving-files directory anyway)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-stream-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    return spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate as a Structured Streaming query.
 
@@ -102,20 +120,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     production job writes to Kafka/Delta with the identical plan — but
     the watermark/window/state machinery exercised is the real one.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file stream source requires a *directory*; events.parquet is a
-    # single file, so stream from a temp dir holding a symlink to it
-    # (a real deployment streams from an arriving-files directory anyway).
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-stream-" + sf_dir.strip("/").replace("/", "_"),
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
+    raw = _events_stream_source(spark, sf_dir)
     # Watermarks require TIMESTAMP (not NTZ); convert back to NTZ on
     # output so the result schema matches the batch/oracle shape.
     ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -147,6 +152,43 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1h window / 30min slide) aggregate as a
+    Structured Streaming query — each event lands in two windows, so
+    this exercises the multi-assignment expansion inside the streaming
+    state store, not just tumbling's 1:1 bucketing. Same source /
+    watermark / memory-sink harness as ``q_streaming_tumbling``; the
+    oracle is the batch ``window_sliding`` twin."""
+    raw = _events_stream_source(spark, sf_dir)
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    with _stream_seq:
+        _stream_n[0] += 1
+        sink = f"streaming_sliding_sink_{_stream_n[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 _TUMBLING_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type, count(*) AS n,
@@ -160,12 +202,10 @@ QUERIES = {
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
     "streaming_tumbling": q_streaming_tumbling,
+    "streaming_sliding": q_streaming_sliding,
 }
 
-ORACLE = {
-    "window_tumbling": _TUMBLING_SQL,
-    "streaming_tumbling": _TUMBLING_SQL,
-    "window_sliding": """
+_SLIDING_SQL = """
 WITH assigned AS (
   SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
          event_type, value
@@ -180,8 +220,9 @@ SELECT window_start, event_type, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM assigned
 GROUP BY 1, 2
-""",
-    "window_session": """
+"""
+
+_SESSION_SQL = """
 WITH ordered AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
          lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
@@ -206,5 +247,12 @@ SELECT user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM islands
 GROUP BY user_id, session_id
-""",
+"""
+
+ORACLE = {
+    "window_tumbling": _TUMBLING_SQL,
+    "streaming_tumbling": _TUMBLING_SQL,
+    "window_sliding": _SLIDING_SQL,
+    "streaming_sliding": _SLIDING_SQL,
+    "window_session": _SESSION_SQL,
 }

@@ -134,3 +134,34 @@ def test_no_cartesian_products_anywhere(spark, qname):
 
     plan = plan_of(QUERIES[qname](spark, SF), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """Joining a status-partitioned fact with a filtered dim must inject
+    a dynamicpruning subquery on the partition column, so at 100 TB the
+    scan reads one partition directory, not all of them."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.io.sinks import write_partitioned
+    from mapreduce_sssp_spark.io.sources import load_table
+
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, path, "o_orderstatus")
+    fact = spark.read.parquet(path)
+
+    dim = spark.createDataFrame(
+        [("F", 1), ("O", 2), ("P", 3)], "status string, weight int"
+    ).where(F.col("weight") == 1)
+
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        j = fact.join(dim, fact.o_orderstatus == dim.status).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = plan_of(j, "extended")
+        assert "dynamicpruning" in plan.lower(), plan
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+        )
