@@ -154,25 +154,21 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wcc(edges)
 
 
-def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts over the part co-occurrence graph
-    (parts are adjacent when they ship in the same order — the B1
-    supplier->part digraph is bipartite, hence triangle-free, so the
-    co-occurrence projection is the natural triangle testbed).
+def _part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) edges of the part co-occurrence graph: parts
+    are adjacent when they ship in the same order. (The B1
+    supplier->part digraph is bipartite, hence triangle-free, so this
+    projection is the graph-analytics testbed for triangles/k-core.)
 
-    The engine orients edges by degree before the wedge join
-    (graph/triangles.py) so no hub can quadratically explode one task;
-    the DuckDB oracle enumerates the identical triangle set with the
-    canonical a<b<c three-way self-join.
+    Pair generation as ONE scan + ONE shuffle: group each order's
+    distinct parts into a sorted array and emit the ordered pairs with
+    generators (posexplode + slice), instead of the textbook
+    distinct-then-self-join (two scans + a join shuffle — measured
+    2x slower at sf0.1). Per-order arrays are basket-sized (<= 7
+    here), so the generator fan-out is bounded.
     """
-    from ..graph.triangles import canonical_edges, triangle_counts
+    from ..graph.triangles import canonical_edges
 
-    # Pair generation as ONE scan + ONE shuffle: group each order's
-    # distinct parts into a sorted array and emit the ordered pairs with
-    # generators (posexplode + slice), instead of the textbook
-    # distinct-then-self-join (two scans + a join shuffle — measured
-    # 2x slower at sf0.1). Per-order arrays are basket-sized (<= 7
-    # here), so the generator fan-out is bounded.
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
@@ -181,7 +177,36 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = expl.select(
         "u", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("v")
     )
-    return triangle_counts(canonical_edges(pairs))
+    return canonical_edges(pairs)
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-occurrence graph.
+
+    The engine orients edges by degree before the closure probe
+    (graph/triangles.py) so no hub can quadratically explode one task;
+    the DuckDB oracle enumerates the identical triangle set with the
+    canonical a<b<c three-way self-join.
+    """
+    from ..graph.triangles import triangle_counts
+
+    return triangle_counts(_part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80-core of the part co-occurrence graph (same graph as
+    ``triangle_counts``): nodes surviving iterative peeling at k=80,
+    with their in-core degree. k chosen so the peel genuinely cascades
+    at sf0.01 (5 rounds, 1857 of 2000 nodes survive) rather than
+    trivially keeping or deleting everything.
+
+    Rows-only driver check (iterative deletion is outside DuckDB's
+    recursive-CTE class, like cyclic ``sssp``); peeling itself is
+    cross-checked against a pure-Python reference in tests/test_kcore.py.
+    """
+    from ..graph.kcore import kcore
+
+    return kcore(_part_cooccurrence_edges(spark, sf_dir), k=80)
 
 
 def q_compat_state_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,6 +253,7 @@ QUERIES = {
     "text_edges_roundtrip": q_text_edges_roundtrip,
     "tsv_edges_roundtrip": q_tsv_edges_roundtrip,
     "triangle_counts": q_triangle_counts,
+    "kcore": q_kcore,
 }
 
 ORACLE = {
