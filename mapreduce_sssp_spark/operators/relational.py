@@ -496,6 +496,40 @@ def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q18)
 
 
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape with ``DataFrame.unpivot`` (ANSI UNPIVOT):
+    lineitem's four measure columns to (key, measure, value) rows. The
+    generator runs in the scan projection — no shuffle at all; values
+    are projected untouched, so the roundtrip is bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` props into
+    a VARIANT column, ``variant_get`` typed extraction, grouped
+    aggregate. The open-schema alternative to from_json's fixed schema —
+    at 100 TB the shredded variant skips re-parsing per access."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("pv")
+    ).select(
+        "event_type",
+        F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def q_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props parsed with ``from_json`` into map<string,bigint>, exploded
     to (key, value) rows, re-aggregated — the typed-JSON path next to
@@ -517,6 +551,8 @@ QUERIES = {
     "sql_tpch_q3": q_sql_api,
     "sql_tpch_q5": q_sql_q5,
     "sql_tpch_q18": q_sql_q18,
+    "unpivot_measures": q_unpivot_measures,
+    "variant_extract": q_variant_extract,
     "join_left": q_join_left,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
@@ -548,6 +584,24 @@ ORACLE = {
     "sql_tpch_q3": _SQL_Q3,
     "sql_tpch_q5": _SQL_Q5,
     "sql_tpch_q18": _SQL_Q18,
+    "unpivot_measures": """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""",
+    "variant_extract": """
+SELECT event_type,
+       count(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
     "join_inner": """
 SELECT n_name,
        count(*) AS n_orders,
