@@ -165,3 +165,14 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
         spark.conf.unset(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
         )
+
+
+def test_unpivot_is_generator_only_no_exchange(spark):
+    """unpivot must expand in the scan's projection (Expand node), never
+    shuffle — wide->long of a 100 TB fact would otherwise quadruple
+    shuffle volume for a reshape that needs none."""
+    from mapreduce_sssp_spark.operators.relational import q_unpivot_measures
+
+    plan = plan_of(q_unpivot_measures(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Expand" in plan, plan
