@@ -1,0 +1,168 @@
+"""End-to-end training-data cleaning pipeline: the LLM-data operators
+composed the way a real corpus build runs them, in one DataFrame plan.
+
+    documents
+      -> quality score (JVM-side heuristic, text_analysis.py formula)
+      -> quality filter (>= 0.5)
+      -> exact dedup   (sha2 digest, keep min doc_id per group)
+      -> near-dedup    (3-gram shingle Jaccard >= 0.8 inverted index,
+                        drop the higher doc_id of each qualifying pair)
+      -> per-source corpus stats
+
+Each stage is individually hash-verified by its own queries() entry
+(text_quality, dedup_exact, ngram_jaccard_pairs); this entry verifies
+the COMPOSITION — stage boundaries, survivor propagation, and the
+deterministic keep rules — against a DuckDB oracle built from the same
+verified SQL fragments chained with CTEs.
+
+Determinism notes: the quality threshold compares identically-computed
+IEEE doubles (same ops, same order, both engines), so the boundary set
+is bit-stable; dedup keep rules are min-id (order-free); the near-dup
+drop rule is single-pass ("drop any doc appearing as the higher id in
+a pair"), not iterative clustering, so it needs no fixpoint.
+
+At 100 TB: quality scoring is map-side; exact dedup shuffles digests
+(not texts); the near-dup inverted index shuffles shingle postings of
+quality+exact survivors only (each stage shrinks the data before the
+next, the whole point of this stage order). The jaccard self-join
+inherits the posting-skew guards documented in dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_parallel
+from .dedup import JACCARD_THRESHOLD
+from .text_common import DUCK_TOKENS, TOKENS_EXPR, shingle_postings
+from .text_analysis import STOPWORDS
+
+QUALITY_MIN = 0.5
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", "text", F.expr(TOKENS_EXPR).alias("toks")
+    )
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    comp = t.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").alias("n_tokens"),
+        (F.expr(f"size(filter(toks, x -> x IN ({en})))") / F.size("toks")).alias(
+            "stopword_ratio"
+        ),
+        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
+        F.when((F.size("toks") >= 20) & (F.size("toks") <= 100), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("len_ok"),
+    )
+    scored = comp.withColumn(
+        "quality",
+        F.col("len_ok") * 0.4
+        + F.col("ttr") * 0.4
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.2,
+    )
+    q_ok = scored.filter(F.col("quality") >= QUALITY_MIN).select(
+        "doc_id", "source", "text", "n_tokens"
+    )
+
+    # Exact dedup: min doc_id per sha2 digest (digests shuffle, texts
+    # stay put). Cached: feeds the keep-set agg, the survivor join and
+    # the shingle pipeline below.
+    from pyspark.storagelevel import StorageLevel
+
+    digests = q_ok.withColumn("digest", F.sha2("text", 256)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    keep_exact = digests.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    s1 = digests.join(keep_exact, ["digest", "doc_id"], "semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # Near-dedup among exact survivors: inverted-index Jaccard, drop the
+    # higher id of each >= threshold pair.
+    post = shingle_postings(s1.select("doc_id", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    drop = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= JACCARD_THRESHOLD
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(drop, "doc_id", "anti")
+
+    return s2.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+QUERIES = {"pipeline_clean_corpus": q_pipeline_clean_corpus}
+
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+ORACLE = {
+    "pipeline_clean_corpus": f"""
+WITH t AS (SELECT doc_id, source, text, {DUCK_TOKENS} AS toks FROM documents),
+comp AS (
+  SELECT doc_id, source, text,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({_EN}))) / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) / len(toks) AS ttr,
+         CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0 ELSE 0.0 END AS len_ok
+  FROM t
+),
+qok AS (
+  SELECT doc_id, source, text, n_tokens
+  FROM comp
+  WHERE len_ok * 0.4 + ttr * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.2
+        >= {QUALITY_MIN}
+),
+keepx AS (SELECT min(doc_id) AS doc_id FROM qok GROUP BY text),
+s1 AS (SELECT * FROM qok WHERE doc_id IN (SELECT doc_id FROM keepx)),
+toks1 AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM s1),
+sh AS (
+  SELECT DISTINCT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+                          || ' ' || t[CAST(i AS INT)+2] AS s
+  FROM toks1, range(1, 10000) r(i)
+  WHERE CAST(i AS INT) + 2 <= len(t)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN sz sa ON sa.doc_id = a.doc_id
+  JOIN sz sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+  HAVING count(*) / (sa.n + sb.n - count(*)) >= {JACCARD_THRESHOLD}
+),
+s2 AS (SELECT * FROM s1
+       WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs))
+SELECT source, count(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM s2 GROUP BY source
+""",
+}

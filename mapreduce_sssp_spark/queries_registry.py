@@ -13,6 +13,7 @@ from .operators import (
     graph_queries,
     grouped_pandas,
     multimodal,
+    pipeline,
     python_surface,
     relational,
     scale_patterns,
@@ -36,6 +37,7 @@ _MODULES = [
     scale_patterns,
     grouped_pandas,
     python_surface,
+    pipeline,
     sinks,
 ]
 
