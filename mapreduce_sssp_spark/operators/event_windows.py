@@ -88,6 +88,42 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour moving aggregate per user: a RANGE frame over event
+    time (value-based — all events within the preceding hour), the
+    window form ROWS frames can't express when event spacing is uneven.
+
+    Ordering key is wall-clock epoch MICROseconds computed TZ-free from
+    the NTZ timestamp (timestampdiff from the NTZ epoch) — a cast to
+    TIMESTAMP would re-interpret in the session zone and shift frames on
+    a driver session with a different TZ. DuckDB's epoch_us(ts) on a
+    naive timestamp is the same wall-clock number, so frame boundaries
+    and tie-peers match exactly.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select("user_id", "event_id", us.alias("ts_us"), "value")
+        .select(
+            "user_id",
+            "event_id",
+            F.count("*").over(w).alias("n_trailing_1h"),
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias(
+                "sum_trailing_1h"
+            ),
+        )
+    )
+
+
 _stream_seq = threading.Lock()
 _stream_n = [0]
 
@@ -201,6 +237,7 @@ QUERIES = {
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
+    "window_range_trailing": q_window_range_trailing,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
 }
@@ -255,4 +292,13 @@ ORACLE = {
     "window_sliding": _SLIDING_SQL,
     "streaming_sliding": _SLIDING_SQL,
     "window_session": _SESSION_SQL,
+    "window_range_trailing": """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
 }
