@@ -1,0 +1,209 @@
+"""Deterministic sampling, dataset splits, and sequence packing — the
+reproducibility layer of a training-data pipeline (SURVEY.md §7 P3).
+
+Random sampling (``df.sample``/``TABLESAMPLE``) is useless for corpus
+curation at 100 TB: re-runs must produce the SAME split, adding a shard
+must not reshuffle previous assignments, and two engines must agree on
+which row landed where. The standard answer is content-hash bucketing:
+``md5(salt || key)`` is uniform, stable across engines/runs/partitionings,
+and a hex-prefix threshold turns it into an exact-fraction filter. Both
+Spark and DuckDB ship bit-identical lowercase-hex ``md5``, so every query
+here is hash-checked against its oracle twin, not approximately compared.
+
+The four operators:
+
+- ``split_train_test``  80/10/10 split assignment per document.
+- ``sample_hash``       deterministic ~10% corpus sample.
+- ``stratified_sample`` per-language rates (downsample the dominant
+                        language, keep the tail) — the skew-rebalancing
+                        primitive of corpus mixing.
+- ``pack_sequences``    sequential packing of documents into
+                        fixed-capacity context windows, sharded.
+
+Scale shape: the first three are pure map-side filters/projections —
+zero shuffle, predicate evaluable at the scan, embarrassingly parallel
+at any corpus size. Packing is the only one with a window, and it is
+PARTITIONED BY SHARD: each shard packs independently (one ordered scan
+per shard), so parallelism = #shards and no global sort exists. A
+packing that ordered the whole corpus in one sequence would serialize
+at 100 TB — the shard key is the design, not a convenience.
+
+The 4-hex-digit prefix gives 65536 buckets; thresholds are chosen as
+exact bucket counts (52429/65536 = 80.0003%), so split fractions are
+fixed-point exact, not float-rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+
+# Salted per use-case so the split assignment and the sample are
+# independent draws (same key never correlates across operators).
+_SPLIT_KEY = "split:"
+_SAMPLE_KEY = "sample:"
+
+# substr(md5, 1, 4) thresholds. Lowercase hex compares lexicographically
+# as magnitude because all digits are in ['0'..'9','a'..'f'].
+_TRAIN_HI = "cccd"  # 52429/65536 ≈ 80.00%
+_VAL_HI = "e666"  # 58982/65536 ≈ 90.00% cumulative
+_SAMPLE_HI = "199a"  # 6554/65536 ≈ 10.00%
+
+# Per-language keep thresholds for the stratified sample. 'g' sorts
+# after every hex digit, so it means "keep all".
+_STRATA = {"en": "3333", "es": "8000"}  # 20%, 50%
+_STRATA_DEFAULT = "g"  # keep everything else
+
+
+def _bucket(col, salt: str):
+    """First 4 hex chars of md5(salt || key) — a uniform 16-bit bucket."""
+    return F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 4)
+
+
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by content-hash bucket.
+
+    The assignment is a pure function of doc_id: appending new shards or
+    re-running on a different cluster never moves an existing document
+    between splits (the property random splits lack).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"), _SPLIT_KEY)
+    return docs.select(
+        "doc_id",
+        "lang",
+        b.alias("bucket"),
+        F.when(b < _TRAIN_HI, "train")
+        .when(b < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample — same rows on every run/engine.
+
+    The filter is a scan-level predicate on a map-side expression: at
+    100 TB this reads every row once and shuffles nothing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        _bucket(F.col("doc_id"), _SAMPLE_KEY) < _SAMPLE_HI
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates: corpus rebalancing, deterministically.
+
+    Dominant strata are downsampled (en 20%, es 50%), tail languages kept
+    whole — the hash-threshold version of `sampleBy`, but reproducible
+    across engines and incremental over new data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", _STRATA["en"]).when(
+        F.col("lang") == "es", _STRATA["es"]
+    ).otherwise(_STRATA_DEFAULT)
+    return docs.filter(
+        _bucket(F.col("doc_id"), _SAMPLE_KEY) < thr
+    ).select("doc_id", "lang", "n_chars")
+
+
+#: Context-window capacity in characters (stand-in for tokens; the cost
+#: column is n_chars so the oracle needs no tokenizer).
+PACK_CAPACITY = 4096
+#: Shards pack independently — parallelism knob, NOT a tuning detail.
+PACK_SHARDS = 16
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential packing: fill fixed-size context windows with documents.
+
+    Within each shard, documents are taken in doc_id order and a window
+    is cut every time the running size crosses the capacity: pack_id =
+    floor(exclusive_prefix_sum / capacity). A document whose cost
+    straddles a boundary belongs to the window its prefix started in
+    (deterministic; no splitting). This is the standard "sequential
+    greedy fill" used for LLM pretraining batches — bin-packing
+    optimality is deliberately traded for a single ordered scan.
+
+    Scale: the window partitions by shard, so no global ordering exists;
+    each shard is one independent sorted run (sort is the shard's only
+    cost). Skew is structurally impossible: shards are a uniform hash of
+    doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    shard = (F.col("doc_id") % PACK_SHARDS).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # floor(), not cast(): DuckDB CAST(float AS BIGINT) rounds-to-nearest
+    # while Spark's cast truncates — floor is the portable semantics.
+    packed = docs.select(shard, "doc_id", "n_chars").withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / PACK_CAPACITY
+        ),
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+QUERIES = {
+    "split_train_test": q_split_train_test,
+    "sample_hash": q_sample_hash,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
+}
+
+ORACLE = {
+    "split_train_test": f"""
+SELECT doc_id, lang,
+       substr(md5('{_SPLIT_KEY}' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+       CASE WHEN substr(md5('{_SPLIT_KEY}' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{_TRAIN_HI}' THEN 'train'
+            WHEN substr(md5('{_SPLIT_KEY}' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{_VAL_HI}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    "sample_hash": f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5('{_SAMPLE_KEY}' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < '{_SAMPLE_HI}'
+""",
+    "stratified_sample": f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substr(md5('{_SAMPLE_KEY}' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE lang WHEN 'en' THEN '{_STRATA["en"]}'
+                  WHEN 'es' THEN '{_STRATA["es"]}'
+                  ELSE '{_STRATA_DEFAULT}' END
+""",
+    "pack_sequences": f"""
+WITH costed AS (
+  SELECT doc_id % {PACK_SHARDS} AS shard, doc_id, n_chars,
+         CAST(floor(coalesce(sum(n_chars) OVER (
+             PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {PACK_CAPACITY}) AS BIGINT) AS pack_id
+  FROM documents
+)
+SELECT shard, pack_id, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM costed GROUP BY shard, pack_id
+""",
+}

@@ -16,6 +16,7 @@ from .operators import (
     pipeline,
     python_surface,
     relational,
+    sampling,
     scale_patterns,
     similarity,
     text_analysis,
@@ -34,6 +35,7 @@ _MODULES = [
     stateful,
     joins,
     foreach_sink,
+    sampling,
     scale_patterns,
     grouped_pandas,
     python_surface,

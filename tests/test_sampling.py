@@ -1,0 +1,113 @@
+"""Deterministic sampling / split / packing operators (operators/sampling.py).
+
+The oracle gate proves cross-engine equality; these tests pin the
+*semantic* properties that make the operators useful: exact-function
+determinism, partition (every doc in exactly one split), fraction
+accuracy, stratification rates, and the packing invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_sssp_spark.operators import sampling
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_md5_bucket_matches_duckdb(spark):
+    # The whole module rests on Spark md5 == DuckDB md5 (lowercase hex).
+    import duckdb
+
+    got = (
+        spark.range(1)
+        .select(F.md5(F.lit("split:42")).alias("h"))
+        .collect()[0]["h"]
+    )
+    want = duckdb.connect().execute("SELECT md5('split:42')").fetchone()[0]
+    assert got == want
+
+
+def test_split_partition_and_fractions(spark):
+    df = sampling.q_split_train_test(spark, SF).cache()
+    n = df.count()
+    counts = {r["split"]: r["cnt"] for r in df.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n  # exactly one split per doc
+    # 500 docs, 80/10/10: binomial 3-sigma ≈ ±27 on train, ±20 on val/test
+    assert abs(counts["train"] - 0.8 * n) < 30 * 2
+    assert abs(counts.get("val", 0) - 0.1 * n) < 25 * 2
+    assert abs(counts.get("test", 0) - 0.1 * n) < 25 * 2
+
+
+def test_split_is_deterministic(spark):
+    a = sorted(map(tuple, sampling.q_split_train_test(spark, SF).collect()))
+    b = sorted(map(tuple, sampling.q_split_train_test(spark, SF).collect()))
+    assert a == b
+
+
+def test_sample_rate_and_independence(spark):
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    sample = sampling.q_sample_hash(spark, SF).cache()
+    k = sample.count()
+    # 10% of 500, 3-sigma ≈ ±20
+    assert abs(k - 0.1 * docs_n) < 25 * 2
+    # Different salt ⇒ the sample is NOT just the test split: correlation
+    # between (in sample) and (split == test) should look independent.
+    split = sampling.q_split_train_test(spark, SF)
+    joint = (
+        sample.join(split, "doc_id")
+        .filter(F.col("split") == "test")
+        .count()
+    )
+    # Independent draws: E[joint] = n * 0.1 * 0.1 = 5, allow wide slack
+    assert joint < 0.1 * docs_n  # far below "sample == test split"
+
+
+def test_stratified_rates(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    samp = sampling.q_stratified_sample(spark, SF)
+    got = {r["lang"]: r["n"] for r in samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # en kept at ~20%, es ~50%, everything else exactly 100%
+    for lang, n in base.items():
+        if lang == "en":
+            assert got.get(lang, 0) < 0.45 * n
+        elif lang == "es":
+            assert 0.2 * n < got.get(lang, 0) <= max(1, 0.8 * n)
+        else:
+            assert got.get(lang, 0) == n
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
+    packs = sampling.q_pack_sequences(spark, SF).cache()
+    rows = packs.collect()
+    # Every document is in exactly one pack.
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # Straddle rule: a pack can exceed capacity only by the straddling
+    # document, i.e. total < capacity + max single-doc cost; and any pack
+    # except a shard's last must have reached capacity with its straddler.
+    for r in rows:
+        assert r["total_chars"] < sampling.PACK_CAPACITY + max_doc
+    # pack_ids are dense-ish per shard: min is 0 and count ≤ max+1.
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r["pack_id"])
+    for shard, ids in per_shard.items():
+        assert min(ids) == 0
+        assert len(ids) == len(set(ids))
+
+
+def test_pack_sequences_plan_has_no_global_sort(spark):
+    # The window partitions by shard — the physical plan must sort within
+    # partitions (local per-shard runs), never range-exchange globally.
+    plan = (
+        sampling.q_pack_sequences(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower()
