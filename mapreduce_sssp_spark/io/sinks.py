@@ -89,10 +89,23 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(part.schema).json(path)
 
 
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write -> read back. Second columnar format (zlib-compressed,
+    predicate-pushdown-capable like parquet) — the interop sink for
+    Hive-era warehouses. Binary columnar storage, so the round trip is
+    trivially lossless; the hash check proves no row was dropped or
+    duplicated by the write/read pair."""
+    supp = load_table(spark, sf_dir, "supplier")
+    path = _scratch(sf_dir, "supplier_orc")
+    supp.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
 QUERIES = {
     "sink_partitioned_roundtrip": q_sink_roundtrip,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_json_roundtrip": q_sink_json_roundtrip,
+    "sink_orc_roundtrip": q_sink_orc_roundtrip,
 }
 
 ORACLE = {
@@ -110,5 +123,8 @@ SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
 """,
     "sink_json_roundtrip": """
 SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part
+""",
+    "sink_orc_roundtrip": """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
 """,
 }

@@ -496,6 +496,71 @@ def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q18)
 
 
+# TPC-H Q7 shape (volume shipping between two nations): the nation table
+# joins the fact chain TWICE under different roles (supplier's nation vs
+# customer's nation) with a symmetric OR pair-filter, grouped by year.
+# Both nation sides broadcast; EXTRACT is cast to BIGINT because Spark's
+# year() is INT while DuckDB's EXTRACT is BIGINT — the cast pins the
+# shared-string schema.
+_SQL_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_shipments
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q7)
+
+
+# TPC-H Q10 shape (returned-item reporting): customer-level revenue loss
+# on returned lineitems in a quarter, top 20. Exercises a 4-table join
+# where the selective filter (returnflag + date window) sits on the FACT
+# side — scan pruning does the heavy lifting, then a high-cardinality
+# groupBy on custkey and a TakeOrdered top-k.
+_SQL_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q10)
+
+
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long reshape with ``DataFrame.unpivot`` (ANSI UNPIVOT):
     lineitem's four measure columns to (key, measure, value) rows. The
@@ -550,6 +615,8 @@ QUERIES = {
     "json_map_explode": q_json_map_explode,
     "sql_tpch_q3": q_sql_api,
     "sql_tpch_q5": q_sql_q5,
+    "sql_tpch_q7": q_sql_q7,
+    "sql_tpch_q10": q_sql_q10,
     "sql_tpch_q18": q_sql_q18,
     "unpivot_measures": q_unpivot_measures,
     "variant_extract": q_variant_extract,
@@ -583,6 +650,8 @@ _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.
 ORACLE = {
     "sql_tpch_q3": _SQL_Q3,
     "sql_tpch_q5": _SQL_Q5,
+    "sql_tpch_q7": _SQL_Q7,
+    "sql_tpch_q10": _SQL_Q10,
     "sql_tpch_q18": _SQL_Q18,
     "unpivot_measures": """
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem

@@ -88,6 +88,16 @@ def test_json_roundtrip_is_lossless(spark, sf_dir):
     assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
 
 
+def test_orc_roundtrip_is_lossless(spark, sf_dir):
+    from mapreduce_sssp_spark.io.sinks import q_sink_orc_roundtrip
+    from mapreduce_sssp_spark.io.sources import load_table
+
+    back = q_sink_orc_roundtrip(spark, sf_dir)
+    src = load_table(spark, sf_dir, "supplier")
+    assert back.schema == src.schema
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
 def test_foreach_upsert_matches_batch_groupby(spark, sf_dir):
     from pyspark.sql import functions as F
 
