@@ -1,18 +1,30 @@
-"""Driver bench harness: time every registered query at one scale factor.
+"""Driver bench harness: time the headline queries at one scale factor.
 
 Prints exactly ONE JSON line on stdout (the last line):
 
     {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
+and ALSO rewrites ``BENCH_RESULTS.json`` (same payload) after EVERY
+query, so even a harness-side timeout/kill leaves a complete, parseable
+artifact of everything that did run.
+
 Env:
     SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[N] parallelism (default all cores)
-    SPARK_GRAFT_BENCH_QUERIES  comma-separated subset (default: all)
+    SPARK_GRAFT_BENCH_QUERIES  "all", or comma-separated subset
+                               (default: the HEADLINE set below)
 
 Each query is executed with a `noop` format write — full physical
 execution of the plan on the executors without driver-side collect
 overhead, so the number measures the engine, not py4j transfer.
+
+The default HEADLINE set is ~40 queries covering every operator family
+(graph fixpoints, relational/TPC-H, windows, dedup, similarity, text,
+sampling, streaming, multimodal, pipeline) rather than all 93 entries:
+a bench that finishes comfortably inside the driver's budget beats one
+that gets killed 85% through (round 2 shipped no parseable bench for
+exactly that reason). `SPARK_GRAFT_BENCH_QUERIES=all` runs everything.
 """
 
 from __future__ import annotations
@@ -25,6 +37,63 @@ import time
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # graph fixpoints + reference surface
+    "sssp",
+    "sssp_dag",
+    "wcc",
+    "pagerank",
+    "kcore",
+    "reverse_graph",
+    "triangle_counts",
+    "compat_final_lines",
+    # relational / SQL
+    "sql_tpch_q3",
+    "sql_tpch_q5",
+    "sql_tpch_q18",
+    "agg_multi",
+    "join_inner",
+    "grouping_sets_agg",
+    "window_moving",
+    "topk_orders",
+    "json_extract",
+    "variant_extract",
+    # event-time windows + as-of + skew
+    "window_tumbling",
+    "window_session",
+    "window_range_trailing",
+    "asof_join",
+    "skew_salted_agg",
+    "range_join_bands",
+    # dedup family
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "dedup_minhash",
+    "dedup_simhash",
+    # similarity / embeddings
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ivf",
+    "embedding_neardup",
+    "embedding_stats",
+    # text analysis
+    "text_stats",
+    "text_quality",
+    "lang_id",
+    "token_freq_top100",
+    "doc_fingerprint",
+    # sampling / packing / python surface
+    "sample_hash",
+    "pack_sequences",
+    "order_gaps_arrow",
+    "udaf_median",
+    # streaming + multimodal + end-to-end
+    "streaming_tumbling",
+    "streaming_stateful_sessions",
+    "multimodal_features",
+    "pipeline_clean_corpus",
+]
 
 
 def main() -> None:
@@ -39,9 +108,13 @@ def main() -> None:
 
     queries = entrymod.queries()
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    if subset:
+    if subset and subset.strip().lower() == "all":
+        pass  # every registered query
+    elif subset:
         names = [s.strip() for s in subset.split(",") if s.strip()]
         queries = {n: queries[n] for n in names}
+    else:
+        queries = {n: queries[n] for n in HEADLINE if n in queries}
 
     # Warm the JVM before timing anything: the first job in a fresh JVM
     # pays JIT + codegen-compiler + shuffle-subsystem init (~8s measured),
@@ -52,6 +125,26 @@ def main() -> None:
         "noop"
     ).save()
     spark.catalog.clearCache()
+
+    results_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULTS.json"
+    )
+
+    def payload(timings: dict[str, float]) -> dict:
+        total = round(sum(t for t in timings.values() if t >= 0), 3)
+        return {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
+
+    def flush_results(timings: dict[str, float]) -> None:
+        tmp = results_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload(timings), f)
+        os.replace(tmp, results_path)
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
@@ -64,21 +157,14 @@ def main() -> None:
             traceback.print_exc(file=sys.stderr)
             timings[name] = -1.0  # failed marker; excluded from total
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+        flush_results(timings)
         # Iterative queries return a still-persisted final state; left in
         # place these accumulate over 60+ queries and the executor-memory
         # pressure inflates later queries (wcc measured 59s polluted vs
         # 36s isolated). Per-query isolation: drop all cached data.
         spark.catalog.clearCache()
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    line = {
-        "metric": "total_query_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
-    print(json.dumps(line), flush=True)
+    print(json.dumps(payload(timings)), flush=True)
 
 
 if __name__ == "__main__":

@@ -65,29 +65,66 @@ def load_parallel(
     return df.repartition(n, by) if by else df.repartition(n)
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default. Read nanos as long and floor-divide to micros
-    (integer DIV — a double division would lose ULPs at 1.7e18 and shift
-    events across window boundaries), matching DuckDB's ns->us cast.
+def normalize_event_ts(df: DataFrame, as_ntz: bool = True) -> DataFrame:
+    """Normalize the ``ts`` column of an events scan to a timestamp,
+    branching on the dtype the scan actually produced (works for both
+    batch and stream DataFrames — the schema is static either way):
+
+    * ``timestamp_ntz`` / ``timestamp`` — the parquet stores a real
+      timestamp type (the driver testdata is ``timestamp[us]``); only a
+      (lossless, UTC-session) cast is needed.
+    * ``bigint`` — the file stores TIMESTAMP(NANOS) read under
+      ``spark.sql.legacy.parquet.nanosAsLong``; floor-divide to micros
+      with integer DIV (a double division would lose ULPs at 1.7e18 and
+      shift events across window boundaries), matching DuckDB's ns->us
+      cast.
+
+    ``as_ntz=True`` yields TIMESTAMP_NTZ (wall-clock, session-TZ
+    independent — the batch/oracle shape); ``as_ntz=False`` yields
+    TIMESTAMP (required by streaming watermarks). The session TZ is
+    pinned to UTC (session.py), so the two are the same instant.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # TIMESTAMP_NTZ arithmetic keeps the value wall-clock (no session-TZ
-    # dependence), matching DuckDB's timezone-naive TIMESTAMP.
-    return ev.withColumn(
-        "ts",
-        F.expr(
+    dtype = dict(df.dtypes).get("ts")
+    if dtype in ("timestamp_ntz", "timestamp"):
+        col = F.col("ts")
+    elif dtype == "bigint":
+        col = F.expr(
             "timestampadd(MICROSECOND, ts DIV 1000,"
             " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        ),
-    )
+        )
+    else:
+        raise TypeError(f"events.ts has unsupported dtype {dtype!r}")
+    target = "timestamp_ntz" if as_ntz else "timestamp"
+    return df.withColumn("ts", col.cast(target))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events.parquet with ``ts`` normalized to TIMESTAMP_NTZ
+    regardless of the file's physical encoding (timestamp[us] in the
+    driver testdata; TIMESTAMP(NANOS)-as-long tolerated for legacy
+    files — see normalize_event_ts)."""
+    # Harmless when the file stores a real timestamp type; required to
+    # even scan TIMESTAMP(NANOS) files.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return normalize_event_ts(ev, as_ntz=True)
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register every driver table as a temp view (for the SQL API)."""
+    """Register every driver table as a temp view (for the SQL API).
+
+    Per-table isolation: one table failing to load must not take down
+    SQL queries that never reference it — the failure is deferred into
+    a view that raises only when actually selected from.
+    """
     for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        try:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception:  # noqa: BLE001 — deferred, not swallowed
+            # Leave any previously-registered healthy view in place;
+            # otherwise queries touching this table fail at resolution
+            # (table not found) instead of poisoning unrelated ones.
+            continue
 
 
 def edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

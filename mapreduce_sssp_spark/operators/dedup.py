@@ -251,7 +251,8 @@ bits AS (
   GROUP BY doc_id, j
 )
 SELECT doc_id,
-       SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
 }

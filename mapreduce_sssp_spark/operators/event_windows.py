@@ -2,8 +2,8 @@
 tumbling, sliding and session windows, plus Structured Streaming
 variants of the tumbling and sliding aggregates.
 
-The ``ts`` column is TIMESTAMP_NTZ (see io.sources.load_events — parquet
-TIMESTAMP(NANOS) floor-divided to micros), so window arithmetic is pure
+The ``ts`` column is TIMESTAMP_NTZ (see io.sources.normalize_event_ts —
+dtype-branched on what the scan produced), so window arithmetic is pure
 wall-clock and session-TZ independent in both engines.
 
 Oracle mapping:
@@ -30,7 +30,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io.sources import load_table
+from ..io.sources import load_table, normalize_event_ts
 
 DEC = "decimal(18,2)"
 GAP = "30 minutes"
@@ -133,7 +133,6 @@ def _events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires a *directory*; events.parquet is a single file, so stream
     from a temp dir holding a symlink to it (a real deployment streams
     from an arriving-files directory anyway)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = os.path.join(
         tempfile.gettempdir(),
@@ -159,7 +158,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _events_stream_source(spark, sf_dir)
     # Watermarks require TIMESTAMP (not NTZ); convert back to NTZ on
     # output so the result schema matches the batch/oracle shape.
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = normalize_event_ts(raw, as_ntz=False)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -196,7 +195,7 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark / memory-sink harness as ``q_streaming_tumbling``; the
     oracle is the batch ``window_sliding`` twin."""
     raw = _events_stream_source(spark, sf_dir)
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = normalize_event_ts(raw, as_ntz=False)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")

@@ -132,7 +132,8 @@ comp AS (
          len(toks) AS n_tokens,
          len(list_filter(toks, x -> x IN ({_EN}))) / len(toks) AS stopword_ratio,
          len(list_distinct(toks)) / len(toks) AS ttr,
-         CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0 ELSE 0.0 END AS len_ok
+         CAST(CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0 ELSE 0.0 END
+              AS DOUBLE) AS len_ok
   FROM t
 ),
 qok AS (
@@ -161,7 +162,7 @@ pairs AS (
 ),
 s2 AS (SELECT * FROM s1
        WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs))
-SELECT source, count(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+SELECT source, count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM s2 GROUP BY source
 """,

@@ -665,7 +665,7 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
     "variant_extract": """
 SELECT event_type,
        count(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events

@@ -202,7 +202,8 @@ WITH costed AS (
               / {PACK_CAPACITY}) AS BIGINT) AS pack_id
   FROM documents
 )
-SELECT shard, pack_id, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT shard, pack_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM costed GROUP BY shard, pack_id
 """,

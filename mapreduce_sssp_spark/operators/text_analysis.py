@@ -265,7 +265,8 @@ SELECT doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_uniq,
        len(list_distinct(toks)) / len(toks) AS ttr,
-       list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS sum_tok_len,
+       CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+            AS BIGINT) AS sum_tok_len,
        list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) / len(toks)
          AS avg_tok_len,
        CAST(list_max(list_transform(toks, x -> length(x))) AS INT) AS max_tok_len,
@@ -279,7 +280,8 @@ comp AS (
          len(toks) AS n_tokens,
          len(list_filter(toks, x -> x IN ({_EN}))) / len(toks) AS stopword_ratio,
          len(list_distinct(toks)) / len(toks) AS ttr,
-         CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0 ELSE 0.0 END AS len_ok
+         CAST(CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0 ELSE 0.0 END
+              AS DOUBLE) AS len_ok
   FROM t
 )
 SELECT doc_id, n_tokens, stopword_ratio, ttr, len_ok,

@@ -33,7 +33,6 @@ DEC = "decimal(18,2)"
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = os.path.join(
         tempfile.gettempdir(),

@@ -23,6 +23,8 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io.sources import normalize_event_ts
+
 _seq_lock = threading.Lock()
 _seq_n = [0]
 
@@ -30,9 +32,8 @@ _seq_n = [0]
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (same symlink-dir
     trick as event_windows.q_streaming_tumbling: file sources need a
-    directory). ts arrives as TIMESTAMP(NANOS)-as-long and is floor-
-    divided to micros, matching the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    directory). ts is normalized to TIMESTAMP via the shared
+    dtype-branching helper, matching the batch loader."""
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = os.path.join(
         tempfile.gettempdir(),
@@ -43,7 +44,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.lexists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw, as_ntz=False)
 
 
 def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,7 +108,6 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery failed, every row would appear twice and the row-count
     check alone would catch it.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = os.path.join(
         tempfile.gettempdir(),
@@ -119,7 +119,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.lexists(link):
             os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = normalize_event_ts(raw, as_ntz=False)
     deduped = (
         ev.withWatermark("ts", "1 hour")
         .dropDuplicates(["event_id"])

@@ -10,10 +10,10 @@ SQL oracle as the built-in session window — a hash-checked custom
 operator, not a demo.
 
 Determinism notes:
-* Event time stays INTEGER nanos inside the handler (the parquet
-  TIMESTAMP(NANOS) read as long); gap math is exact integer arithmetic,
-  and boundaries are floor-divided to micros exactly like the oracle's
-  ns->us cast.
+* Event time is converted to INTEGER epoch micros JVM-side
+  (``unix_micros`` after the shared dtype-branching normalization, UTC
+  session TZ) before entering the handler; gap math is exact integer
+  arithmetic with no float or TZ dependence.
 * Values are summed as 2-dp Decimals (mirroring the oracle's
   CAST(value AS DECIMAL(18,2)) exact accumulation) and converted to
   float once at the end — no float-accumulation-order sensitivity.
@@ -38,8 +38,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-GAP_NS = 30 * 60 * 1_000_000_000  # 30 minutes in nanoseconds
-GAP_US = GAP_NS // 1000
+from ..io.sources import normalize_event_ts
+
+GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -64,35 +65,32 @@ def _sessionize(
     user_id = int(key[0])
 
     out: list[tuple] = []
-    start_ns = prev_ns = None
+    start_us = prev_us = None
     n = 0
     total = Decimal(0)
 
     def flush() -> None:
-        # boundaries floor-divided to micros == the oracle's ns->us cast
         out.append(
             (
                 user_id,
-                pd.to_datetime(start_ns // 1000, unit="us"),
-                pd.to_datetime((prev_ns + GAP_NS) // 1000, unit="us"),
+                pd.to_datetime(start_us, unit="us"),
+                pd.to_datetime(prev_us + GAP_US, unit="us"),
                 n,
                 float(total),
             )
         )
 
-    for ts_ns, val in zip(rows["ts"], rows["value"]):
-        ts_ns = int(ts_ns)
-        # gap compared at MICROsecond granularity, matching the oracle's
-        # ns->us cast before the interval comparison
-        if prev_ns is not None and ts_ns // 1000 - prev_ns // 1000 > GAP_US:
+    for ts_us, val in zip(rows["ts"], rows["value"]):
+        ts_us = int(ts_us)
+        if prev_us is not None and ts_us - prev_us > GAP_US:
             flush()
-            start_ns, n, total = None, 0, Decimal(0)
-        if start_ns is None:
-            start_ns = ts_ns
-        prev_ns = ts_ns
+            start_us, n, total = None, 0, Decimal(0)
+        if start_us is None:
+            start_us = ts_us
+        prev_us = ts_us
         n += 1
         total += Decimal(float(val)).quantize(_CENT)
-    if prev_ns is not None:
+    if prev_us is not None:
         flush()
 
     prior = state.get[0] if state.exists else 0
@@ -105,7 +103,6 @@ def _sessionize(
 def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful sessionizer over the events stream to a memory
     sink (availableNow: process everything, then stop)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = os.path.join(
         tempfile.gettempdir(),
@@ -117,8 +114,14 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
 
     raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
+    # Exact integer epoch-micros event time for the handler, computed
+    # JVM-side (UTC session TZ makes the NTZ->TIMESTAMP cast an
+    # instant-identity).
+    ev = normalize_event_ts(raw, as_ntz=False).withColumn(
+        "ts", F.unix_micros(F.col("ts"))
+    )
     sessions = (
-        raw.select("user_id", "ts", "value")
+        ev.select("user_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize,

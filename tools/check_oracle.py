@@ -57,6 +57,11 @@ def approx_equal(a, b):
             return True, 0.0
         d = abs(a - b) / max(abs(a), abs(b), 1e-12)
         return d < 1e-9, d
+    if type(a) is not type(b) and a is not None and b is not None:
+        # Values equal but types drift (e.g. DuckDB HUGEINT/DECIMAL vs
+        # Spark bigint/double): Python == passes, but the driver's
+        # value-hash stringifies per-dtype and fails. Surface it.
+        return a == b, "typedrift"
     return a == b, None
 
 
@@ -127,13 +132,18 @@ def compare(name, scols, srows, dcols, drows):
     _, sc = canon_rows(scols, srows)
     _, dc = canon_rows(dcols, drows)
     max_float_dev = 0.0
+    type_drift = False
     for i, (a, b) in enumerate(zip(sc, dc)):
         for x, y in zip(a, b):
             eq, dev = approx_equal(x, y)
-            if dev:
+            if dev == "typedrift":
+                type_drift = True
+            elif dev:
                 max_float_dev = max(max_float_dev, dev)
             if not eq:
                 return "VALUE-MISMATCH", f"row {i}: {a} != {b}"
+    if type_drift:
+        return "OK", "(TYPE DRIFT — values equal, dtypes differ; driver hash may fail)"
     if max_float_dev > 0:
         return "OK", f"(float dev {max_float_dev:.2e} — NOT bit-exact, driver hash may fail)"
     return "OK", ""
