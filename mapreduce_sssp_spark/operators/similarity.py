@@ -225,31 +225,74 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_THRESHOLD = 0.4
 NEARDUP_LABELS = 3  # restrict to labels < 3: the candidate "shard"
+NEARDUP_BLOCKS = 8  # B: block-pair decomposition fan-out
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, thresholded).
+    """Embedding-cosine near-duplicate pairs — exact, thresholded,
+    via BLOCK-PAIR decomposition (no crossJoin anywhere in the plan).
 
-    Brute-force within a deterministic label shard — the exact baseline
-    of the dedup family's embedding method. At 100 TB the same
-    computation runs per LSH/IVF bucket (see ann/ivf above) instead of
-    per shard; the pair-scoring expression is identical.
+    Exact all-pairs at a LOW threshold is intrinsically O(n^2) compute —
+    at cosine 0.4 every qualifying pair in this data sits in [0.40,
+    0.51], where hyperplane-LSH per-table collision probability is
+    ~2-3% (theta/pi ~ 0.35), so an LSH/IVF candidate filter either
+    misses real pairs (breaking exactness) or needs so many low-bit
+    tables that bucket joins exceed brute force. What CAN scale is the
+    shuffle shape: split vectors into B blocks by vec_id, replicate
+    each vector to the B block-pair tasks it participates in, and join
+    on the task id. Shuffle is O(n*B) rows (vs O(n^2) pair rows through
+    an exchange), the n^2/2 dot products distribute evenly over
+    B(B+1)/2 independent tasks, and per-task memory is 2n/B vectors —
+    the standard distributed exact-similarity-join decomposition. Same
+    bit-exact sequential-accumulation scoring as the crossJoin
+    formulation, so the oracle hash is unchanged.
+
+    Replication is asymmetric so each pair meets EXACTLY once: the left
+    side of task (i, j) carries only block i (a block-i vector joins
+    tasks (i, j) for j >= i), the right side only block j (a block-j
+    vector joins tasks (i, j) for i <= j). A cross-block pair meets
+    only in its (min, max) task with fixed roles; a same-block pair
+    meets twice in the diagonal task with swapped roles, where the
+    id_a < id_b filter keeps one. Cross-block rows keep whichever role
+    order the blocks dictate (block order is vec_id % B, unrelated to
+    id order) and the output canonicalizes ids with least/greatest.
+    Join output is therefore ~n^2/2 pair rows — the brute-force pair
+    count, never inflated.
     """
-    emb = load_parallel(spark, sf_dir, "embeddings")
+    B = NEARDUP_BLOCKS
+    emb = load_table(spark, sf_dir, "embeddings")
     vec = emb.filter(F.col("label") < NEARDUP_LABELS).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    vec = _cache(vec.withColumn("nrm", F.sqrt(_dot("v", "v"))))
+    vec = vec.withColumn("nrm", F.sqrt(_dot("v", "v"))).withColumn(
+        "blk", F.col("vec_id") % B
+    )
     a = vec.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        F.explode(
+            F.expr(f"transform(sequence(blk, {B - 1}), j -> blk * {B} + j)")
+        ).alias("task"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = vec.select(
+        F.explode(
+            F.expr(f"transform(sequence(0, blk), i -> i * {B} + blk)")
+        ).alias("task"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = (
-        a.crossJoin(vec)
-        .filter(F.col("id_a") < F.col("vec_id"))
+        a.join(b.hint("shuffle_hash"), "task")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            | (F.col("id_a") % B != F.col("id_b") % B)
+        )
         .select(
-            "id_a",
-            F.col("vec_id").alias("id_b"),
-            (_dot("va", "v") / (F.col("na") * F.col("nrm"))).alias("cosine"),
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
     return pairs.filter(F.col("cosine") >= NEARDUP_THRESHOLD)
