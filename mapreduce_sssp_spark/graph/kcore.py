@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir
+from .sssp import _ensure_checkpoint_dir, static_rounds
 
 
 def kcore(
@@ -82,43 +82,44 @@ def kcore(
     )
 
     n_doomed = -1
-    for rnd in range(1, max_rounds + 1):
-        doomed = state.filter(F.col("alive") & (F.col("deg") < k)).select("node")
-        # The one action per round: materializes state AND tests the
-        # fixed point.
-        n_doomed = doomed.count()
-        if n_doomed == 0:
-            break
-        msgs = (
-            und.join(
-                F.broadcast(doomed.withColumnRenamed("node", "u")), "u"
+    with static_rounds(spark):
+        for rnd in range(1, max_rounds + 1):
+            doomed = state.filter(F.col("alive") & (F.col("deg") < k)).select(
+                "node"
             )
-            .groupBy("v")
-            .agg(F.count("*").alias("dec"))
-            .select(F.col("v").alias("node"), "dec")
-        )
-        new_state = state.join(msgs, "node", "left").select(
-            "node",
-            (F.col("deg") - F.coalesce("dec", F.lit(0))).alias("deg"),
-            # alive judged on the OLD degree: this round's doomed die,
-            # survivors carry the decremented degree into next round.
-            (F.col("alive") & (F.col("deg") >= k)).alias("alive"),
-        )
-        cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-        if rnd % checkpoint_every == 0:
-            new_state = cached.checkpoint()
-            cached.unpersist()
+            # The one action per round: materializes state AND tests the
+            # fixed point.
+            n_doomed = doomed.count()
+            if n_doomed == 0:
+                break
+            msgs = (
+                und.join(F.broadcast(doomed.withColumnRenamed("node", "u")), "u")
+                .groupBy("v")
+                .agg(F.count("*").alias("dec"))
+                .select(F.col("v").alias("node"), "dec")
+            )
+            new_state = state.join(msgs, "node", "left").select(
+                "node",
+                (F.col("deg") - F.coalesce("dec", F.lit(0))).alias("deg"),
+                # alive judged on the OLD degree: this round's doomed die,
+                # survivors carry the decremented degree into next round.
+                (F.col("alive") & (F.col("deg") >= k)).alias("alive"),
+            )
+            cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+            if rnd % checkpoint_every == 0:
+                new_state = cached.checkpoint()
+                cached.unpersist()
+            else:
+                new_state = cached
+            state.unpersist()
+            state = new_state
         else:
-            new_state = cached
-        state.unpersist()
-        state = new_state
-    else:
-        warnings.warn(
-            f"kcore: max_rounds={max_rounds} exhausted with {n_doomed} nodes "
-            "still peeling; returned core may contain sub-k nodes",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"kcore: max_rounds={max_rounds} exhausted with {n_doomed} nodes "
+                "still peeling; returned core may contain sub-k nodes",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     out = state.filter("alive").select("node", F.col("deg").alias("core_deg"))
     und.unpersist()
     return out

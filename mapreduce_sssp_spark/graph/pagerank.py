@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir
+from .sssp import _ensure_checkpoint_dir, static_rounds
 
 
 def pagerank(
@@ -95,37 +95,38 @@ def pagerank(
             or 0.0
         )
 
-    for it in range(1, iterations + 1):
-        dangling = dangling_mass(ranks)
-        contribs = (
-            ranks.join(links, ranks["node"] == links["src"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") * F.col("inv_deg")).alias("c"),
+    with static_rounds(spark):
+        for it in range(1, iterations + 1):
+            dangling = dangling_mass(ranks)
+            contribs = (
+                ranks.join(links, ranks["node"] == links["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") * F.col("inv_deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("contrib"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        new_ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
+            new_ranks = nodes.join(contribs, "node", "left").select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.lit(dangling / n_nodes)
+                    )
                 ).alias("rank"),
             )
-        )
-        cached = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
-        if it % checkpoint_every == 0:
-            new_ranks = cached.checkpoint()
-            cached.unpersist()
-        else:
-            new_ranks = cached
-        new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
+            cached = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            if it % checkpoint_every == 0:
+                new_ranks = cached.checkpoint()
+                cached.unpersist()
+            else:
+                new_ranks = cached
+            new_ranks.count()
+            ranks.unpersist()
+            ranks = new_ranks
 
     links.unpersist()
     nodes.unpersist()

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir
+from .sssp import _ensure_checkpoint_dir, static_rounds
 
 
 def wcc(
@@ -61,56 +61,60 @@ def wcc(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    for rnd in range(1, max_rounds + 1):
-        frontier = state.filter("updated").select(
-            F.col("node").alias("f_node"), F.col("component").alias("f_comp")
-        )
-        msgs = frontier.join(und, frontier["f_node"] == und["src"]).select(
-            F.col("dst").alias("node"), F.col("f_comp").alias("cand")
-        )
-        cand = msgs.groupBy("node").agg(F.min("cand").alias("cand"))
-        propagated = state.join(cand, "node", "left").select(
-            "node",
-            F.least("component", "cand").alias("component"),
-            F.col("component").alias("old_comp"),
-        )
-        # Pointer jumping: label <- label[label]. The join key is the
-        # label value — skewed by construction (every member of a big
-        # component carries the same label), which AQE's skew-join split
-        # absorbs; labels are node ids so the lookup side is state itself.
-        labels = state.select(
-            F.col("node").alias("l_node"), F.col("component").alias("l_comp")
-        )
-        new_state = (
-            propagated.join(labels, propagated["component"] == labels["l_node"], "left")
-            .select(
-                "node",
-                F.least("component", "l_comp").alias("new_comp"),
-                "old_comp",
+    with static_rounds(spark):
+        for rnd in range(1, max_rounds + 1):
+            frontier = state.filter("updated").select(
+                F.col("node").alias("f_node"), F.col("component").alias("f_comp")
             )
-            .select(
-                "node",
-                F.col("new_comp").alias("component"),
-                (F.col("new_comp") < F.col("old_comp")).alias("updated"),
+            msgs = frontier.join(und, frontier["f_node"] == und["src"]).select(
+                F.col("dst").alias("node"), F.col("f_comp").alias("cand")
             )
-        )
-        cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-        if rnd % checkpoint_every == 0:
-            new_state = cached.checkpoint()
-            cached.unpersist()
+            cand = msgs.groupBy("node").agg(F.min("cand").alias("cand"))
+            propagated = state.join(cand, "node", "left").select(
+                "node",
+                F.least("component", "cand").alias("component"),
+                F.col("component").alias("old_comp"),
+            )
+            # Pointer jumping: label <- label[label]. The join key is the
+            # label value — skewed by construction (every member of a big
+            # component carries the same label; salt this key on a known
+            # power-law graph — see static_rounds on why not AQE here);
+            # labels are node ids so the lookup side is state itself.
+            labels = state.select(
+                F.col("node").alias("l_node"), F.col("component").alias("l_comp")
+            )
+            new_state = (
+                propagated.join(
+                    labels, propagated["component"] == labels["l_node"], "left"
+                )
+                .select(
+                    "node",
+                    F.least("component", "l_comp").alias("new_comp"),
+                    "old_comp",
+                )
+                .select(
+                    "node",
+                    F.col("new_comp").alias("component"),
+                    (F.col("new_comp") < F.col("old_comp")).alias("updated"),
+                )
+            )
+            cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+            if rnd % checkpoint_every == 0:
+                new_state = cached.checkpoint()
+                cached.unpersist()
+            else:
+                new_state = cached
+            changed = new_state.filter("updated").count()
+            state.unpersist()
+            state = new_state
+            if changed == 0:
+                break
         else:
-            new_state = cached
-        changed = new_state.filter("updated").count()
-        state.unpersist()
-        state = new_state
-        if changed == 0:
-            break
-    else:
-        warnings.warn(
-            f"wcc: max_rounds={max_rounds} exhausted with {changed} labels "
-            "still moving",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"wcc: max_rounds={max_rounds} exhausted with {changed} labels "
+                "still moving",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     und.unpersist()
     return state.select("node", "component")
