@@ -101,11 +101,78 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+BUCKETS = 8
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = BUCKETS
+) -> None:
+    """Bucketed managed-table write: pre-shuffles the data into
+    ``buckets`` files by hash of ``key`` (and sorts within each bucket),
+    so every FUTURE join or aggregation on ``key`` between tables with
+    matching bucket counts runs with NO exchange — the shuffle is paid
+    once at write time and amortized over every downstream query. This
+    is the 100 TB answer to a fact table joined on the same key daily.
+    """
+    spark = df.sparkSession
+    # A fresh session's in-memory catalog does not know tables a prior
+    # session left in the warehouse dir, so mode("overwrite") cannot
+    # reclaim the location — drop the catalog entry AND any orphaned
+    # directory first to stay idempotent across sessions.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table)
+    if os.path.isdir(loc):
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+    (
+        # Pre-partition on the bucket key with the bucket count so each
+        # write task holds exactly one bucket's rows: one file per
+        # bucket instead of (tasks x buckets) fragments. repartition and
+        # bucketBy share the same Murmur3 column hash, so the layouts
+        # align.
+        df.repartition(buckets, key)
+        .write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders and customer bucketed on the join key, then join the
+    two bucketed tables and aggregate per market segment.
+
+    The read-side join of the two bucketed tables is exchange-free
+    (bucket layouts align; asserted in tests/test_plans.py with
+    broadcast disabled), and the hash check against a plain-join oracle
+    proves the bucketed write/read pair lost nothing.
+    """
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "bkt_orders", "o_custkey"
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer"), "bkt_customer", "c_custkey"
+    )
+    o = spark.table("bkt_orders")
+    c = spark.table("bkt_customer")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 QUERIES = {
     "sink_partitioned_roundtrip": q_sink_roundtrip,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_json_roundtrip": q_sink_json_roundtrip,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
+    "sink_bucketed_join": q_sink_bucketed_join,
 }
 
 ORACLE = {
@@ -126,5 +193,14 @@ SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part
 """,
     "sink_orc_roundtrip": """
 SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+""",
+    "sink_bucketed_join": """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
 """,
 }

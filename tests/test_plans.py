@@ -176,3 +176,33 @@ def test_unpivot_is_generator_only_no_exchange(spark):
     plan = plan_of(q_unpivot_measures(spark, SF))
     assert "Exchange" not in plan, plan
     assert "Expand" in plan, plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Two tables bucketed on the join key with matching bucket counts
+    must sort-merge join with NO exchange on either side — the write
+    paid the shuffle once; every future join on the key rides the
+    bucket layout. Broadcast is disabled so the plan can't sidestep the
+    assertion by broadcasting the small test table."""
+    from mapreduce_sssp_spark.io.sinks import write_bucketed
+    from mapreduce_sssp_spark.io.sources import load_table
+
+    write_bucketed(load_table(spark, SF, "orders"), "bkt_orders_t", "o_custkey")
+    write_bucketed(
+        load_table(spark, SF, "customer"), "bkt_customer_t", "c_custkey"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("bkt_orders_t")
+        c = spark.table("bkt_customer_t")
+        j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            "o_orderkey", "c_mktsegment"
+        )
+        plan = plan_of(j, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders_t")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer_t")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
