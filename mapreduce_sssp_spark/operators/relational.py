@@ -561,6 +561,144 @@ def q_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q10)
 
 
+# TPC-H Q1 (pricing summary) through the SQL API — the DataFrame twin is
+# q_agg_multi; this one proves the SQL surface plans the same partial-
+# aggregate shape. All money math in DECIMAL(18,2), cast to DOUBLE once
+# at the end (bit-exact across engines; float accumulation is not).
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q1)
+
+
+# TPC-H Q4 shape (order priority checking), adapted: the synthetic
+# schema has no commit/receipt dates, so "late" = some lineitem shipped
+# more than 60 days after the order date. Planned as a left-semi join
+# against the correlated EXISTS.
+_SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q4)
+
+
+# TPC-H Q6 (forecasting revenue change): the pure scan-predicate query —
+# every filter must reach the parquet scan; no join, one global agg.
+_SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q6)
+
+
+# TPC-H Q14 (promotion effect): conditional aggregation over a
+# fact-to-dim join. Sums stay DECIMAL; the ratio is taken in DOUBLE
+# (decimal-division scale rules differ between engines, double division
+# of exact decimal sums does not).
+_SQL_Q14 = """
+SELECT 100.0
+       * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def q_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q14)
+
+
+# TPC-H Q16 shape (parts/supplier relationship), adapted: no partsupp
+# table, so supplier sets come from shipped lineitems. COUNT(DISTINCT)
+# over a join with dim-side filters.
+_SQL_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_sql_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q16)
+
+
+# TPC-H Q22 shape (global sales opportunity), adapted twice: no phone
+# column, so grouping is by nation; and every synthetic customer has
+# orders, so the anti-join condition is "no FINISHED order" to keep the
+# NOT EXISTS selective rather than vacuous. Scalar subquery threshold +
+# anti join. The threshold divides an exact decimal sum in DOUBLE so
+# both engines compute the identical cutoff (a float AVG would drift in
+# accumulation order and flip borderline customers).
+_SQL_Q22 = """
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY n_name
+"""
+
+
+def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q22)
+
+
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long reshape with ``DataFrame.unpivot`` (ANSI UNPIVOT):
     lineitem's four measure columns to (key, measure, value) rows. The
@@ -613,11 +751,17 @@ def q_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "join_inner": q_join_inner,
     "json_map_explode": q_json_map_explode,
+    "sql_tpch_q1": q_sql_q1,
     "sql_tpch_q3": q_sql_api,
+    "sql_tpch_q4": q_sql_q4,
     "sql_tpch_q5": q_sql_q5,
+    "sql_tpch_q6": q_sql_q6,
     "sql_tpch_q7": q_sql_q7,
     "sql_tpch_q10": q_sql_q10,
+    "sql_tpch_q14": q_sql_q14,
+    "sql_tpch_q16": q_sql_q16,
     "sql_tpch_q18": q_sql_q18,
+    "sql_tpch_q22": q_sql_q22,
     "unpivot_measures": q_unpivot_measures,
     "variant_extract": q_variant_extract,
     "join_left": q_join_left,
@@ -648,11 +792,17 @@ _SETOP_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUIL
 _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0"
 
 ORACLE = {
+    "sql_tpch_q1": _SQL_Q1,
     "sql_tpch_q3": _SQL_Q3,
+    "sql_tpch_q4": _SQL_Q4,
     "sql_tpch_q5": _SQL_Q5,
+    "sql_tpch_q6": _SQL_Q6,
     "sql_tpch_q7": _SQL_Q7,
     "sql_tpch_q10": _SQL_Q10,
+    "sql_tpch_q14": _SQL_Q14,
+    "sql_tpch_q16": _SQL_Q16,
     "sql_tpch_q18": _SQL_Q18,
+    "sql_tpch_q22": _SQL_Q22,
     "unpivot_measures": """
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
 UNION ALL
