@@ -245,10 +245,56 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals — the standard LLM-corpus filter
+    for boilerplate and degenerate generations: duplicate-token fraction,
+    duplicate-3-gram fraction, and top-token dominance.
+
+    The duplicate fractions are map-side array expressions behind the
+    usual repartition barrier (see text_common.with_shingles on why);
+    top-token dominance needs a per-(doc, token) count — one explode +
+    partial-aggregating groupBy, the same shuffle shape as
+    token_freq_top100, joined back on doc_id. All ratios are int/int
+    double divisions of identical operands — bit-exact across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    t = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks")).repartition(n)
+    base = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("toks")) / F.size("toks")).alias(
+            "dup_token_ratio"
+        ),
+        F.expr(
+            "if(size(toks) >= 3,"
+            " 1.0 - size(array_distinct(transform(sequence(0, size(toks) - 3),"
+            "   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"
+            "   / cast(size(toks) - 2 as double),"
+            " cast(0.0 as double))"
+        ).alias("dup_3gram_ratio"),
+    )
+    top = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_ratio",
+        "dup_3gram_ratio",
+        (F.col("top_c") / F.col("n_tokens")).alias("top_token_ratio"),
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_scrub": q_text_scrub,
     "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -258,6 +304,31 @@ QUERIES = {
 _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 ORACLE = {
+    "text_repetition": f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         1.0 - len(list_distinct(toks)) / len(toks) AS dup_token_ratio,
+         CASE WHEN len(toks) >= 3 THEN
+           1.0 - len(list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[CAST(i AS INT)] || ' '
+                            || toks[CAST(i AS INT) + 1] || ' '
+                            || toks[CAST(i AS INT) + 2])))
+                 / CAST(len(toks) - 2 AS DOUBLE)
+         ELSE 0.0 END AS dup_3gram_ratio
+  FROM t
+),
+top AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY doc_id, tok)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.dup_token_ratio, b.dup_3gram_ratio,
+       top_c / b.n_tokens AS top_token_ratio
+FROM base b JOIN top USING (doc_id)
+""",
     "text_stats": f"""
 WITH t AS (SELECT doc_id, text, {DUCK_TOKENS} AS toks FROM documents)
 SELECT doc_id,
