@@ -109,9 +109,45 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch re-aggregation (Apache DataSketches HLL, Spark 4):
+    build per-(returnflag, linestatus) distinct-part sketches, then
+    hll_union_agg them up to per-returnflag estimates, next to the
+    direct estimate and the exact count.
+
+    Mergeability is THE sketch property that matters at 100 TB: daily
+    (or per-partition) sketches persist as tiny binaries and any rollup
+    — week, month, ad-hoc cohort — is a union of sketches, never a
+    rescan of the fact. The union estimate must equal the direct
+    estimate over the same rows (same lgK), which this query exposes
+    side-by-side; rows-only driver check (sketch internals are
+    engine-specific), equality and error bounds pinned in pytest.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("hll_sketch_agg(l_partkey, 12)").alias("sk")
+    )
+    return (
+        partials.groupBy("l_returnflag")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("merged")
+        )
+        .join(
+            li.groupBy("l_returnflag").agg(
+                F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").alias(
+                    "direct"
+                ),
+                F.countDistinct("l_partkey").alias("exact"),
+            ),
+            "l_returnflag",
+        )
+    )
+
+
 QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
     "range_join_bands": q_range_join_bands,
+    "sketch_merge": q_sketch_merge,  # rows-only (sketches differ)
     "approx_distinct": q_approx_distinct,  # rows-only (sketches differ)
     "approx_quantiles": q_approx_quantiles,  # rows-only (sketches differ)
 }

@@ -91,3 +91,17 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bt_a", "bt_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_sketch_merge_union_equals_direct_and_bounds_error(spark, sf_dir):
+    """HLL union of per-linestatus sketches must estimate the same
+    distinct count as one direct sketch over the same rows (same lgK —
+    union is lossless), and both must sit within 5% of the exact
+    count."""
+    from mapreduce_sssp_spark.operators.scale_patterns import q_sketch_merge
+
+    rows = q_sketch_merge(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["merged"] == r["direct"], (r["merged"], r["direct"])
+        assert abs(r["merged"] - r["exact"]) / r["exact"] < 0.05, dict(r.asDict())
