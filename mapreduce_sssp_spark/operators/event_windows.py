@@ -224,6 +224,65 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def q_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling aggregate over a MULTI-micro-batch run: the events table
+    is split into 4 source files and the stream is throttled with
+    ``maxFilesPerTrigger=1``, so availableNow executes 4 micro-batches
+    and the window state genuinely carries across batches (the
+    single-batch streaming queries above never exercise state handoff).
+    Complete-mode output after the final batch must equal the batch
+    aggregate — same oracle as ``window_tumbling``.
+    """
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-stream-split4-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    marker = os.path.join(src, "_SUCCESS")
+    if not os.path.exists(marker):
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+    batch_schema = spark.read.parquet(src).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    ev = normalize_event_ts(raw, as_ntz=False)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    with _stream_seq:
+        _stream_n[0] += 1
+        sink = f"streaming_incremental_sink_{_stream_n[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 2, (
+        f"expected a multi-batch run, got {n_batches} micro-batch(es) — "
+        "maxFilesPerTrigger throttling did not engage"
+    )
+    return spark.table(sink)
+
+
 _TUMBLING_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type, count(*) AS n,
@@ -239,6 +298,7 @@ QUERIES = {
     "window_range_trailing": q_window_range_trailing,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
+    "streaming_incremental": q_streaming_incremental,
 }
 
 _SLIDING_SQL = """
@@ -288,6 +348,7 @@ GROUP BY user_id, session_id
 ORACLE = {
     "window_tumbling": _TUMBLING_SQL,
     "streaming_tumbling": _TUMBLING_SQL,
+    "streaming_incremental": _TUMBLING_SQL,
     "window_sliding": _SLIDING_SQL,
     "streaming_sliding": _SLIDING_SQL,
     "window_session": _SESSION_SQL,

@@ -23,7 +23,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io.sources import normalize_event_ts
+from ..io.sources import load_table, normalize_event_ts
 
 _seq_lock = threading.Lock()
 _seq_n = [0]
@@ -145,12 +145,59 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined to the
+    static customer dim on user_id, aggregated per market segment.
+
+    The static side is planned per micro-batch as a broadcast hash join
+    — no streaming state AT ALL is kept for the join (unlike
+    stream-stream), which is why dimension enrichment at 100 TB/day is
+    a stream-static join against a (refreshable) dim snapshot, never a
+    stream-stream join. Aggregate in DECIMAL; oracle is the equivalent
+    batch join.
+    """
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    with _seq_lock:
+        _seq_n[0] += 1
+        sink = f"streaming_enrich_sink_{_seq_n[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 QUERIES = {
     "streaming_join": streaming_view_purchase_join,
     "streaming_dedup": streaming_dedup,
+    "streaming_static_enrich": streaming_static_enrich,
 }
 
 ORACLE = {
+    "streaming_static_enrich": """
+SELECT c_mktsegment, event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+""",
     "streaming_dedup": """
 SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
 FROM events
