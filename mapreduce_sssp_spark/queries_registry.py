@@ -5,7 +5,7 @@ entries. Import side-effect free; each module contributes QUERIES (name ->
 
 from __future__ import annotations
 
-from .io import sinks
+from .io import python_datasource, sinks
 from .operators import (
     asof,
     dedup,
@@ -41,6 +41,7 @@ _MODULES = [
     python_surface,
     pipeline,
     sinks,
+    python_datasource,
 ]
 
 QUERIES = {}
