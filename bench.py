@@ -71,6 +71,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "dedup_minhash",
     "dedup_simhash",
+    "sketch_merge",
     # similarity / embeddings
     "similarity_topk",
     "similarity_ann_lsh",
@@ -80,6 +81,7 @@ HEADLINE = [
     # text analysis
     "text_stats",
     "text_quality",
+    "text_repetition",
     "lang_id",
     "token_freq_top100",
     "doc_fingerprint",
@@ -91,8 +93,10 @@ HEADLINE = [
     # streaming + multimodal + end-to-end
     "streaming_tumbling",
     "streaming_stateful_sessions",
+    "streaming_static_enrich",
     "multimodal_features",
     "pipeline_clean_corpus",
+    "sink_bucketed_join",
 ]
 
 
