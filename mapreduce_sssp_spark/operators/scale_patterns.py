@@ -144,10 +144,30 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``approx_top_k`` (Spark 4 frequent-items
+    sketch), exploded to (item, est) rows.
+
+    Sketch regime note: with maxItemsTracked >= the true distinct count
+    the sketch degenerates to exact counting — which is what makes this
+    query HASH-checkable against a plain GROUP BY oracle. At 100 TB
+    vocabulary scale (distinct >> maxItemsTracked) the same plan returns
+    approximate counts in bounded memory; the exact regime here proves
+    plumbing and determinism, the pytest in test_scale_patterns pins the
+    estimates against exact counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 5, 10000)").alias("top"))
+    return sk.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("est")
+    )
+
+
 QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
     "range_join_bands": q_range_join_bands,
     "sketch_merge": q_sketch_merge,  # rows-only (sketches differ)
+    "approx_topk_items": q_approx_topk_items,
     "approx_distinct": q_approx_distinct,  # rows-only (sketches differ)
     "approx_quantiles": q_approx_quantiles,  # rows-only (sketches differ)
 }
@@ -168,5 +188,9 @@ SELECT band, count(*) AS n_parts,
        min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
 FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
 GROUP BY band
+""",
+    "approx_topk_items": """
+SELECT event_type AS item, count(*) AS est
+FROM events GROUP BY event_type
 """,
 }
