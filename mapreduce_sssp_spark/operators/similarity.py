@@ -168,12 +168,15 @@ IVF_CENTROID_MOD = 50  # centroid set = vec_id % MOD == 0 (a stand-in for k-mean
 IVF_NPROBE = 2
 
 
-def ivf_top1(
-    vec: DataFrame, centroid_mod: int = IVF_CENTROID_MOD, nprobe: int = IVF_NPROBE
+def ivf_topk(
+    vec: DataFrame,
+    k: int,
+    centroid_mod: int = IVF_CENTROID_MOD,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest centroid
+    """IVF-style ANN top-k: assign every vector to its nearest centroid
     (inverted list), probe each query against its `nprobe` nearest
-    centroids' lists only.
+    centroids' lists only, keep the k best candidates per query.
 
     Centroids here are a deterministic sample (vec_id % centroid_mod == 0)
     standing in for k-means output — the *plan shape* is the real thing:
@@ -213,14 +216,29 @@ def ivf_top1(
         )
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
-    return cand.select(
+    ranked = cand.select(
         "q_id", "nn_id", "cosine", F.row_number().over(w2).alias("rn")
-    ).filter(F.col("rn") == 1).drop("rn")
+    ).filter(F.col("rn") <= k)
+    return ranked.drop("rn") if k == 1 else ranked
+
+
+def ivf_top1(
+    vec: DataFrame, centroid_mod: int = IVF_CENTROID_MOD, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """Approximate top-1 neighbor per vector (k=1 IVF probe)."""
+    return ivf_topk(vec, 1, centroid_mod, nprobe)
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbor (top-1) via IVF inverted lists."""
     return ivf_top1(_vectors(spark, sf_dir))
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors per vector via IVF inverted lists —
+    the k>1 probe every retrieval pipeline actually runs (rows-only:
+    approximate by construction; recall pinned in tests)."""
+    return ivf_topk(_vectors(spark, sf_dir), 3)
 
 
 NEARDUP_THRESHOLD = 0.4
@@ -344,6 +362,7 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "similarity_ann_lsh": q_similarity_ann_lsh,  # rows-only (approximate)
     "similarity_ivf": q_similarity_ivf,  # rows-only (approximate)
+    "similarity_ivf_topk": q_similarity_ivf_topk,  # rows-only (approximate)
     "embedding_neardup": q_embedding_neardup,
 }
 

@@ -67,3 +67,20 @@ def test_ivf_recall_on_clusters(vec):
     assert len(approx) == len(exact)
     hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
     assert hits >= 0.9 * len(approx)
+
+
+def test_ivf_topk_neighbors_stay_in_cluster(vec):
+    from mapreduce_sssp_spark.operators.similarity import ivf_topk
+
+    rows = ivf_topk(vec, 3, centroid_mod=8, nprobe=2).collect()
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.nn_id)
+    assert len(per_q) >= 0.9 * N_CLUSTERS * PER_CLUSTER
+    in_cluster = 0
+    total = 0
+    for q, nns in per_q.items():
+        assert 1 <= len(nns) <= 3
+        total += len(nns)
+        in_cluster += sum(1 for n in nns if n // PER_CLUSTER == q // PER_CLUSTER)
+    assert in_cluster >= 0.8 * total
