@@ -207,11 +207,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: the shape every production corpus
+    actually runs — an INCOMING batch deduplicated against the EXISTING
+    corpus, not all-pairs over everything.
+
+    Existing = doc_id % 10 != 0, incoming = the rest (deterministic
+    stand-ins for "corpus so far" / "today's crawl"). Incoming docs
+    survive if their sha2 digest matches nothing in the existing corpus
+    AND they are the min-doc_id holder of their digest within the batch
+    (intra-batch dedup). Both steps are digest-keyed — shuffle bytes are
+    O(rows x 32 bytes) regardless of document size, and at 100 TB the
+    existing side is a bucketed digest table so the anti join rides the
+    bucket layout with no exchange (see sink_bucketed_join).
+    """
+    docs = load_parallel(spark, sf_dir, "documents")
+    digests = docs.select("doc_id", F.sha2("text", 256).alias("digest"))
+    existing = digests.filter(F.col("doc_id") % 10 != 0)
+    incoming = digests.filter(F.col("doc_id") % 10 == 0)
+    batch_keep = incoming.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        batch_keep.join(existing.select("digest"), "digest", "left_anti")
+        .select("doc_id", "digest")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 _EXACT_JACCARD_SQL = f"""
@@ -230,6 +256,15 @@ ORACLE = {
     "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY text
+""",
+    "dedup_incremental": """
+WITH digests AS (SELECT doc_id, sha256(text) AS digest FROM documents),
+existing AS (SELECT * FROM digests WHERE doc_id % 10 <> 0),
+incoming AS (SELECT * FROM digests WHERE doc_id % 10 = 0),
+batch_keep AS (SELECT digest, min(doc_id) AS doc_id
+               FROM incoming GROUP BY digest)
+SELECT doc_id, digest FROM batch_keep
+WHERE digest NOT IN (SELECT digest FROM existing)
 """,
     "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
     # The LSH path is exact-verified, so it must match the exact oracle

@@ -186,6 +186,22 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_suppkey", "l_partkey").dropDuplicates()
 
 
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (``percentile``, linear interpolation)
+    — the deterministic counterpart of ``approx_quantiles``: both
+    engines interpolate identically on doubles, so quartiles hash-match
+    bit-for-bit. Exact percentile sorts within each group; use the GK
+    sketch twin when a group no longer fits a partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals: rollup(returnflag, linestatus)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -772,6 +788,7 @@ QUERIES = {
     "window_ntile": q_window_ntile,
     "agg_multi": q_agg_multi,
     "distinct_pairs": q_distinct,
+    "group_percentiles": q_group_percentiles,
     "rollup_agg": q_rollup,
     "cube_agg": q_cube,
     "pivot_status": q_pivot,
@@ -893,6 +910,14 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
     "distinct_pairs": "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem",
+    "group_percentiles": """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS q1,
+       quantile_cont(l_extendedprice, 0.5) AS median,
+       quantile_cont(l_extendedprice, 0.75) AS q3,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
     "rollup_agg": """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
