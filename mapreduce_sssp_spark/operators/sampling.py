@@ -161,14 +161,78 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data EXPORT: assign hash-bucket splits, write
+    the corpus as split-partitioned parquet shards, read the shards
+    back, and return the per-split manifest (doc counts, char totals,
+    id ranges).
+
+    This is the delivery step every pipeline ends with: downstream
+    trainers read ``split=train/`` by directory (partition pruning — no
+    file-level filtering), file sizes are bounded with
+    maxRecordsPerFile, and the manifest aggregates come from the
+    WRITTEN data, so the hash check against a source-side oracle proves
+    the export lost/duplicated nothing — including the split column's
+    round trip through the directory name.
+    """
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"), _SPLIT_KEY)
+    assigned = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(b < _TRAIN_HI, "train")
+        .when(b < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-export-" + sf_dir.strip("/").replace("/", "_"),
+        "corpus",
+    )
+    (
+        assigned.write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .partitionBy("split")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 QUERIES = {
     "split_train_test": q_split_train_test,
     "sample_hash": q_sample_hash,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "export_training_shards": q_export_training_shards,
 }
 
 ORACLE = {
+    "export_training_shards": f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN substr(md5('{_SPLIT_KEY}' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_TRAIN_HI}' THEN 'train'
+              WHEN substr(md5('{_SPLIT_KEY}' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_VAL_HI}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM assigned GROUP BY split
+""",
     "split_train_test": f"""
 SELECT doc_id, lang,
        substr(md5('{_SPLIT_KEY}' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
