@@ -68,6 +68,7 @@ HEADLINE = [
     "range_join_bands",
     # dedup family
     "dedup_exact",
+    "dedup_incremental",
     "ngram_jaccard_pairs",
     "dedup_minhash",
     "dedup_simhash",
@@ -88,6 +89,8 @@ HEADLINE = [
     # sampling / packing / python surface
     "sample_hash",
     "pack_sequences",
+    "export_training_shards",
+    "group_percentiles",
     "order_gaps_arrow",
     "udaf_median",
     # streaming + multimodal + end-to-end
