@@ -114,8 +114,9 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view (for the SQL API).
 
     Per-table isolation: one table failing to load must not take down
-    SQL queries that never reference it — the failure is deferred into
-    a view that raises only when actually selected from.
+    SQL queries that never reference it — the broken table is skipped
+    (any previously-registered healthy view stays in place), so only
+    queries that actually reference it fail, at name resolution.
     """
     for name in TABLES:
         try:
