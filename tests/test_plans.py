@@ -127,6 +127,16 @@ def test_similarity_topk_broadcasts_query_vectors(spark):
         "window_tumbling",
         "window_sliding",
         "window_session",
+        "sql_tpch_q1",
+        "sql_tpch_q4",
+        "sql_tpch_q6",
+        "sql_tpch_q14",
+        "sql_tpch_q16",
+        "sql_tpch_q22",
+        "text_repetition",
+        "dedup_incremental",
+        "group_percentiles",
+        "approx_topk_items",
     ],
 )
 def test_no_cartesian_products_anywhere(spark, qname):
@@ -206,3 +216,32 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_customer_t")
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    """The correlated EXISTS in Q4 must decorrelate to a left-semi join,
+    never a per-row subquery or a cartesian."""
+    from mapreduce_sssp_spark.queries_registry import QUERIES
+
+    plan = plan_of(QUERIES["sql_tpch_q4"](spark, SF), "simple")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_not_exists_plans_as_anti_join(spark):
+    """Q22's NOT EXISTS must decorrelate to an anti join."""
+    from mapreduce_sssp_spark.queries_registry import QUERIES
+
+    plan = plan_of(QUERIES["sql_tpch_q22"](spark, SF), "simple")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_is_anti_join_on_digest(spark):
+    """Incremental dedup must anti-join on the 32-byte digest (shuffle
+    is O(rows x digest), never document bodies through the exchange)."""
+    from mapreduce_sssp_spark.queries_registry import QUERIES
+
+    plan = plan_of(QUERIES["dedup_incremental"](spark, SF), "simple")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
