@@ -73,15 +73,29 @@ def static_rounds(spark: SparkSession):
     instead (the skew is the same every round, so a static salt does
     what adaptive splitting would, without the planning tax).
 
-    The conf flip is session-visible for the loop's duration; queries
+    With AQE off, every per-round shuffle materializes at the raw
+    ``spark.sql.shuffle.partitions`` (no runtime coalescing) — a stock
+    session's 200 means 200 tasks per stage per round regardless of
+    frontier size. The loop therefore also clamps shuffle partitions to
+    the cluster's core count for its duration: parallelism is still
+    full, but per-round task-scheduling overhead stops scaling with a
+    conf that was tuned for one-shot queries.
+
+    The conf flips are session-visible for the loop's duration; queries
     are executed sequentially by every harness this engine targets.
     """
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    n = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev_parts), max(n, 4)))
+    )
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _ensure_checkpoint_dir(spark: SparkSession) -> None:
