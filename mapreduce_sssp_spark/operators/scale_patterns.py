@@ -163,6 +163,57 @@ def q_approx_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GLOBAL_ID_SHARDS = 16
+
+
+def q_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbering WITHOUT a global sort — the
+    two-pass pattern for assigning stable ids at 100 TB.
+
+    ``row_number() OVER (ORDER BY k)`` range-partitions into ONE
+    partition at the window: a serialization point that cannot scale.
+    Instead: shard uniformly, rank within each shard (parallel), compute
+    per-shard counts (a tiny agg), turn them into cumulative offsets
+    (window over #shards rows — driver-scale, not data-scale), and add.
+    The resulting id is dense and contiguous in (shard, doc_id) order —
+    a total order both engines reproduce exactly, so the query
+    hash-checks against DuckDB's single ROW_NUMBER formulation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    sharded = docs.select(
+        (F.col("doc_id") % GLOBAL_ID_SHARDS).alias("shard"), "doc_id"
+    )
+    w_in = Window.partitionBy("shard").orderBy("doc_id")
+    ranked = sharded.withColumn("in_rank", F.row_number().over(w_in))
+    counts = sharded.groupBy("shard").agg(F.count("*").alias("n"))
+    w_off = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "shard", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    return ranked.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "shard",
+        (F.col("offset") + F.col("in_rank")).alias("global_id"),
+    )
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram of the B1 graph — the first diagnostic run
+    on any production graph (it decides the skew strategy: salting,
+    orientation, broadcast thresholds). Two cheap aggregations, both
+    map-side partial."""
+    from ..io.sources import edges_from_lineitem
+
+    e = edges_from_lineitem(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
     "range_join_bands": q_range_join_bands,
@@ -170,6 +221,8 @@ QUERIES = {
     "approx_topk_items": q_approx_topk_items,
     "approx_distinct": q_approx_distinct,  # rows-only (sketches differ)
     "approx_quantiles": q_approx_quantiles,  # rows-only (sketches differ)
+    "global_row_ids": q_global_row_ids,
+    "degree_distribution": q_degree_distribution,
 }
 
 _BANDS_SQL = " UNION ALL ".join(
@@ -192,5 +245,18 @@ GROUP BY band
     "approx_topk_items": """
 SELECT event_type AS item, count(*) AS est
 FROM events GROUP BY event_type
+""",
+    "global_row_ids": f"""
+SELECT doc_id, doc_id % {GLOBAL_ID_SHARDS} AS shard,
+       CAST(row_number() OVER (ORDER BY doc_id % {GLOBAL_ID_SHARDS}, doc_id)
+            AS BIGINT) AS global_id
+FROM documents
+""",
+    "degree_distribution": """
+WITH deg AS (
+  SELECT l_suppkey AS src, count(*) AS degree
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
 """,
 }
