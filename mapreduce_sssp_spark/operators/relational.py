@@ -715,6 +715,136 @@ def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q22)
 
 
+# TPC-H Q8 shape (national market share): revenue share of one nation's
+# suppliers among one region's customer orders, per year. A CASE-sum
+# ratio over the full join tree; the share divides exact decimal sums in
+# DOUBLE (identical operands both engines).
+_SQL_Q8 = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+) all_nations
+GROUP BY o_year
+"""
+
+
+def q_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q8)
+
+
+# TPC-H Q9 shape (product type profit), adapted: no partsupp table, so
+# supply cost is a deterministic function of the part (60% of retail
+# price) — the join tree, per-nation-per-year grouping, and
+# revenue-minus-cost arithmetic are the real content.
+_SQL_Q9 = """
+SELECT n_name AS nation, o_year,
+       CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         - CAST(ROUND(p_retailprice * 0.6, 2) AS DECIMAL(18,2))
+           * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_type = 'PROMO'
+) profit
+GROUP BY n_name, o_year
+"""
+
+
+def q_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q9)
+
+
+# TPC-H Q13 (customer order-count distribution): left join so
+# zero-order customers are counted, then a histogram of the counts —
+# the double-aggregation shape.
+_SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+def q_sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q13)
+
+
+# TPC-H Q15 (top supplier): quarterly revenue per supplier, then the
+# max-revenue supplier(s) via a scalar subquery over the same derived
+# table — the classic view-reuse shape. Revenue stays DECIMAL through
+# the max comparison so the tie set is exact, cast once for output.
+_SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q_sql_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q15)
+
+
+# TPC-H Q17 (small-quantity-order revenue): correlated scalar average
+# per part. The threshold compares l_quantity (double) against 0.2 x a
+# DOUBLE division of an exact decimal sum by a count — deterministic in
+# both engines, so the filtered row set is identical.
+_SQL_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*))
+    FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q17)
+
+
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long reshape with ``DataFrame.unpivot`` (ANSI UNPIVOT):
     lineitem's four measure columns to (key, measure, value) rows. The
@@ -773,7 +903,12 @@ QUERIES = {
     "sql_tpch_q5": q_sql_q5,
     "sql_tpch_q6": q_sql_q6,
     "sql_tpch_q7": q_sql_q7,
+    "sql_tpch_q8": q_sql_q8,
+    "sql_tpch_q9": q_sql_q9,
     "sql_tpch_q10": q_sql_q10,
+    "sql_tpch_q13": q_sql_q13,
+    "sql_tpch_q15": q_sql_q15,
+    "sql_tpch_q17": q_sql_q17,
     "sql_tpch_q14": q_sql_q14,
     "sql_tpch_q16": q_sql_q16,
     "sql_tpch_q18": q_sql_q18,
@@ -815,7 +950,12 @@ ORACLE = {
     "sql_tpch_q5": _SQL_Q5,
     "sql_tpch_q6": _SQL_Q6,
     "sql_tpch_q7": _SQL_Q7,
+    "sql_tpch_q8": _SQL_Q8,
+    "sql_tpch_q9": _SQL_Q9,
     "sql_tpch_q10": _SQL_Q10,
+    "sql_tpch_q13": _SQL_Q13,
+    "sql_tpch_q15": _SQL_Q15,
+    "sql_tpch_q17": _SQL_Q17,
     "sql_tpch_q14": _SQL_Q14,
     "sql_tpch_q16": _SQL_Q16,
     "sql_tpch_q18": _SQL_Q18,
