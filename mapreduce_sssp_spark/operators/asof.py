@@ -77,6 +77,64 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Forward as-of: attach the EARLIEST right row with right_time >=
+    left_time per key — the mirror carry, scanning the same single
+    sorted union with a forward-looking window (first non-null ahead).
+    Equal-timestamp right rows count (left sorts before right at ties),
+    and ties among right rows resolve by the first right column
+    ascending, mirrored in the oracle.
+    """
+    left_other = [c for c in left.columns if c != on]
+    lu = left.select(
+        on,
+        F.col(left_time).alias("_t"),
+        F.lit(True).alias("_is_left"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+        *left_other,
+    )
+    ru = right.select(
+        on,
+        F.col(right_time).alias("_t"),
+        F.lit(False).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_other
+        ],
+    )
+    u = lu.unionByName(ru)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(
+            F.col("_t"),
+            F.col("_is_left").cast("int").desc(),  # left BEFORE tie-rights
+            F.col(f"_r_{right_cols[0]}").asc_nulls_first(),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_is_left")).drop(
+        "_t", "_is_left", *[f"_r_{c}" for c in right_cols]
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each 'error' event joined as-of to the user's latest preceding
     'click' event; gap reported in microseconds."""
@@ -103,7 +161,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"asof_join": q_asof_join}
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each 'error' event joined forward to the user's NEXT 'click'
+    event (time-to-recovery analysis shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join_forward(
+        errors, clicks, on="user_id", left_time="ts", right_time="click_ts",
+        right_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_click_id").alias("click_id"),
+        F.col("asof_click_ts").alias("click_ts"),
+        F.expr("timestampdiff(MICROSECOND, ts, asof_click_ts)").alias("gap_us"),
+    )
+
+
+QUERIES = {"asof_join": q_asof_join, "asof_join_forward": q_asof_join_forward}
 
 ORACLE = {
     "asof_join": """
@@ -119,5 +203,22 @@ SELECT e.event_id, e.user_id, e.ts, c.click_id, c.click_ts,
        date_diff('microsecond', c.click_ts, e.ts) AS gap_us
 FROM errors e ASOF LEFT JOIN clicks c
   ON e.user_id = c.user_id AND e.ts >= c.click_ts
+""",
+    "asof_join_forward": """
+WITH errors AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, e.ts, c.click_id, c.click_ts,
+       date_diff('microsecond', e.ts, c.click_ts) AS gap_us
+FROM errors e LEFT JOIN LATERAL (
+  SELECT click_id, click_ts FROM clicks c
+  WHERE c.user_id = e.user_id AND c.click_ts >= e.ts
+  ORDER BY c.click_ts, c.click_id LIMIT 1
+) c ON true
 """,
 }
