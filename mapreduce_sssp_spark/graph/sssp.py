@@ -175,6 +175,7 @@ def sssp(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    changed = -1  # defined even if max_rounds < 1 skips the loop body
     with static_rounds(spark):
         for rnd in range(1, max_rounds + 1):
             # Frontier: only nodes whose distance changed last round emit

@@ -61,6 +61,7 @@ def wcc(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    changed = -1  # defined even if max_rounds < 1 skips the loop body
     with static_rounds(spark):
         for rnd in range(1, max_rounds + 1):
             frontier = state.filter("updated").select(

@@ -77,16 +77,16 @@ class EdgeListReader(DataSourceReader):
                 yield int(edge_id), int(src), int(dst), float(weight)
 
 
-_registered_sessions: set[int] = set()
-
-
 def register(spark: SparkSession) -> None:
-    """Idempotently register the source on a session (re-registering on
-    the same session raises)."""
-    key = id(spark)
-    if key not in _registered_sessions:
+    """Idempotently register the source on a session. Registration is
+    attempted every call — an id()-keyed cache would go stale when a
+    session is stopped and a new one reuses the address; duplicate
+    registration just replaces the entry (and any error from an older
+    Spark that rejects duplicates is non-fatal by construction)."""
+    try:
         spark.dataSource.register(EdgeListDataSource)
-        _registered_sessions.add(key)
+    except Exception:  # noqa: BLE001 — duplicate registration only
+        pass
 
 
 def q_pyds_edges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +104,13 @@ def q_pyds_edges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges_from_lineitem(spark, sf_dir).withColumn(
         "edge_id", F.monotonically_increasing_id()
     )
-    path = tempfile.mkdtemp(prefix="spark-graft-pyds-") + "/edges"
+    # Deterministic sf-keyed path + overwrite: repeated runs reuse one
+    # directory instead of accumulating mkdtemp copies.
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-pyds-" + sf_dir.strip("/").replace("/", "_"),
+        "edges",
+    )
     e.select(
         F.concat_ws(
             " ", "edge_id", "src", "dst", F.col("weight").cast("string")

@@ -133,6 +133,9 @@ def _events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires a *directory*; events.parquet is a single file, so stream
     from a temp dir holding a symlink to it (a real deployment streams
     from an arriving-files directory anyway)."""
+    # Legacy TIMESTAMP(NANOS) events files need this to even scan;
+    # harmless for native timestamp[us] (see io.sources.normalize_event_ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = os.path.join(
         tempfile.gettempdir(),
@@ -238,10 +241,16 @@ def q_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark-graft-stream-split4-" + sf_dir.strip("/").replace("/", "_"),
     )
     marker = os.path.join(src, "_SUCCESS")
-    if not os.path.exists(marker):
-        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
-            4
-        ).write.mode("overwrite").parquet(src)
+    source_file = f"{sf_dir}/events.parquet"
+    # Rebuild the split copy when missing OR older than the source —
+    # a stale copy would silently diverge from the oracle's view after
+    # a testdata refresh.
+    if not os.path.exists(marker) or os.path.getmtime(
+        marker
+    ) < os.path.getmtime(source_file):
+        spark.read.parquet(source_file).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
     batch_schema = spark.read.parquet(src).schema
     raw = (
         spark.readStream.schema(batch_schema)

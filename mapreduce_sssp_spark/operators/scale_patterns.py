@@ -157,7 +157,10 @@ def q_approx_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates against exact counts.
     """
     ev = load_table(spark, sf_dir, "events")
-    sk = ev.agg(F.expr("approx_top_k(event_type, 5, 10000)").alias("top"))
+    # k far above the expected cardinality: the exactness argument rests
+    # on maxItemsTracked, and k == cardinality would silently truncate
+    # the result if the data ever grew a new item.
+    sk = ev.agg(F.expr("approx_top_k(event_type, 100, 10000)").alias("top"))
     return sk.select(F.explode("top").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").alias("est")
     )

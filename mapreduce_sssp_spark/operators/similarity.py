@@ -216,17 +216,17 @@ def ivf_topk(
         )
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
-    ranked = cand.select(
-        "q_id", "nn_id", "cosine", F.row_number().over(w2).alias("rn")
-    ).filter(F.col("rn") <= k)
-    return ranked.drop("rn") if k == 1 else ranked
+    # Schema is k-independent: (q_id, nn_id, cosine, rank) for every k.
+    return cand.select(
+        "q_id", "nn_id", "cosine", F.row_number().over(w2).alias("rank")
+    ).filter(F.col("rank") <= k)
 
 
 def ivf_top1(
     vec: DataFrame, centroid_mod: int = IVF_CENTROID_MOD, nprobe: int = IVF_NPROBE
 ) -> DataFrame:
     """Approximate top-1 neighbor per vector (k=1 IVF probe)."""
-    return ivf_topk(vec, 1, centroid_mod, nprobe)
+    return ivf_topk(vec, 1, centroid_mod, nprobe).drop("rank")
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

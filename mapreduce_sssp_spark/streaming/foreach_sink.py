@@ -33,6 +33,9 @@ DEC = "decimal(18,2)"
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
+    # Legacy TIMESTAMP(NANOS) events files need this to even scan;
+    # harmless for native timestamp[us] (see io.sources.normalize_event_ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = os.path.join(
         tempfile.gettempdir(),

@@ -34,6 +34,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick as event_windows.q_streaming_tumbling: file sources need a
     directory). ts is normalized to TIMESTAMP via the shared
     dtype-branching helper, matching the batch loader."""
+    # Legacy TIMESTAMP(NANOS) events files need this to even scan;
+    # harmless for native timestamp[us] (see io.sources.normalize_event_ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = os.path.join(
         tempfile.gettempdir(),
@@ -108,6 +111,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery failed, every row would appear twice and the row-count
     check alone would catch it.
     """
+    # Legacy TIMESTAMP(NANOS) events files need this to even scan;
+    # harmless for native timestamp[us] (see io.sources.normalize_event_ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = os.path.join(
         tempfile.gettempdir(),

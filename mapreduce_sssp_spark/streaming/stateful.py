@@ -103,6 +103,9 @@ def _sessionize(
 def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful sessionizer over the events stream to a memory
     sink (availableNow: process everything, then stop)."""
+    # Legacy TIMESTAMP(NANOS) events files need this to even scan;
+    # harmless for native timestamp[us] (see io.sources.normalize_event_ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = os.path.join(
         tempfile.gettempdir(),
