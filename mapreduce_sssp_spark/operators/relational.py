@@ -186,6 +186,30 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_suppkey", "l_partkey").dropDuplicates()
 
 
+HIST_BIN_WIDTH = 5000.0
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice: the one-pass binned
+    aggregation behind every distribution dashboard. Bin id =
+    floor(x / width) — a map-side expression, so the whole histogram is
+    one partial-aggregating groupBy regardless of data size (contrast
+    with percentile, which must sort or sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.floor(F.col("l_extendedprice") / HIST_BIN_WIDTH).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * HIST_BIN_WIDTH).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
 def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT grouped percentiles (``percentile``, linear interpolation)
     — the deterministic counterpart of ``approx_quantiles``: both
@@ -924,6 +948,7 @@ QUERIES = {
     "agg_multi": q_agg_multi,
     "distinct_pairs": q_distinct,
     "group_percentiles": q_group_percentiles,
+    "price_histogram": q_price_histogram,
     "rollup_agg": q_rollup,
     "cube_agg": q_cube,
     "pivot_status": q_pivot,
@@ -1050,6 +1075,12 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
     "distinct_pairs": "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem",
+    "price_histogram": f"""
+SELECT bin, CAST(bin * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo, count(*) AS n
+FROM (SELECT CAST(floor(l_extendedprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin
+      FROM lineitem)
+GROUP BY bin
+""",
     "group_percentiles": """
 SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.25) AS q1,

@@ -84,3 +84,50 @@ def test_ivf_topk_neighbors_stay_in_cluster(vec):
         total += len(nns)
         in_cluster += sum(1 for n in nns if n // PER_CLUSTER == q // PER_CLUSTER)
     assert in_cluster >= 0.8 * total
+
+
+def test_blockpair_neardup_equals_bruteforce(spark):
+    """Property: the block-pair decomposition in q_embedding_neardup must
+    produce EXACTLY the brute-force qualifying pair set — every pair
+    meets exactly once regardless of how vec_ids distribute over blocks.
+    Uses ids crafted to hit same-block ties, cross-block order reversals
+    (id order opposite block order), and sparse blocks."""
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.operators import similarity as S
+
+    # ids chosen so id % 8 reverses id order in places and collides
+    ids = [0, 1, 7, 8, 9, 15, 16, 23, 24, 100, 101, 107]
+    rows = []
+    for i, vid in enumerate(ids):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        v[(i + 1) % 8] = 0.9  # heavy overlap -> many pairs >= 0.4
+        rows.append((vid, [float(x) for x in v]))
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    expected = {
+        (min(u, v), max(u, v))
+        for (u, a), (v, b) in itertools.combinations(rows, 2)
+        if cos(a, b) >= S.NEARDUP_THRESHOLD
+    }
+    assert expected, "test vectors must produce at least one pair"
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = df.withColumn("label", F.lit(0))
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="blockpair-prop-") + "/embeddings.parquet"
+    df.write.parquet(path)
+    sf_dir = path.rsplit("/", 1)[0]
+    got = S.q_embedding_neardup(spark, sf_dir)
+    got_pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert got_pairs == expected, (sorted(got_pairs), sorted(expected))
