@@ -167,7 +167,61 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CORRUPT = 3
+
+
+def q_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode malformed-row handling: a CSV with known-bad
+    lines injected must load every good row AND surface every bad one
+    in ``_corrupt_record`` — never silently drop either. At 100 TB
+    "2 of a billion rows were garbage" must be an observable count, not
+    a job failure (FAILFAST) or a silent hole (DROPMALFORMED).
+
+    Returns one row: (n_good, n_corrupt). The oracle counts the same
+    from the source table + the injected constant.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    path = _scratch(sf_dir, "customer_malformed_csv")
+    cust.write.mode("overwrite").csv(path)
+    bad = spark.createDataFrame(
+        [("not,an,int,row,at,all,extra,cols",)] * N_CORRUPT, "value string"
+    )
+    bad_path = _scratch(sf_dir, "customer_malformed_csv_bad")
+    bad.write.mode("overwrite").text(bad_path)
+
+    import shutil as _sh
+
+    for f in os.listdir(bad_path):
+        if f.startswith("part-"):
+            _sh.copy(
+                os.path.join(bad_path, f), os.path.join(path, "zz-" + f + ".csv")
+            )
+
+    schema_ddl = (
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string, _corrupt_record string"
+    )
+    back = (
+        spark.read.schema(schema_ddl)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # A corrupt-record count requires caching the parse (Spark refuses
+    # to filter on the corrupt column of an uncached lazy CSV relation).
+    back = back.cache()
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).alias(
+            "n_good"
+        ),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+    )
+
+
 QUERIES = {
+    "csv_malformed_handling": q_csv_malformed_handling,
     "sink_partitioned_roundtrip": q_sink_roundtrip,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_json_roundtrip": q_sink_json_roundtrip,
@@ -176,6 +230,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "csv_malformed_handling": f"""
+SELECT CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_good,
+       CAST({N_CORRUPT} AS BIGINT) AS n_corrupt
+""",
     "sink_partitioned_roundtrip": """
 SELECT o_orderstatus,
        count(*) AS n,

@@ -88,9 +88,55 @@ def q_streaming_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"streaming_foreach_upsert": q_streaming_foreach_upsert}
+def q_streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable file sink (vs the test-only memory sink used
+    elsewhere): stream events through a projection into an append-mode
+    parquet sink with a checkpoint, then read the WRITTEN files back.
+
+    The file sink's manifest (_spark_metadata) + checkpoint give
+    exactly-once output across restarts — the production path for
+    stream-to-lake delivery. The read-back equals the batch projection
+    of the source, proving no row was lost or duplicated through the
+    sink. Scratch dirs are wiped per run: a stale checkpoint would
+    replay zero batches and a stale sink would double rows.
+    """
+    from ..io.sources import normalize_event_ts
+
+    raw = _events_stream(spark, sf_dir)
+    ev = normalize_event_ts(raw, as_ntz=True).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-fsink-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    out_dir = os.path.join(scratch, "out")
+    ckpt_dir = os.path.join(scratch, "ckpt")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+QUERIES = {
+    "streaming_foreach_upsert": q_streaming_foreach_upsert,
+    "streaming_parquet_sink": q_streaming_parquet_sink,
+}
 
 ORACLE = {
+    "streaming_parquet_sink": """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM events
+""",
     "streaming_foreach_upsert": """
 SELECT event_type,
        count(*) AS n,
