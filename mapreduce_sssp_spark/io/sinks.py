@@ -220,8 +220,43 @@ def q_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: an old batch written without a column
+    and a new batch written with it, read together under
+    ``mergeSchema=true`` — the lake-ingestion reality where producers
+    add fields over time. Old rows surface NULL for the new column; the
+    aggregate proves both the union of schemas and the null semantics.
+
+    At 100 TB, mergeSchema's footer-union pass is why evolved tables
+    should record their schema in a catalog instead (the read itself is
+    then a plain scan); the QUERY semantics — old rows null-extended —
+    are identical either way.
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    path = _scratch(sf_dir, "supplier_evolved")
+    old = supp.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    new = supp.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "batch=0"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("s_acctbal").isNull(), 1).otherwise(0)).alias(
+            "n_null_acctbal"
+        ),
+        F.sum(F.coalesce(F.col("s_acctbal").cast(DEC), F.lit(0).cast(DEC)))
+        .cast("double")
+        .alias("sum_acctbal_new"),
+    )
+
+
 QUERIES = {
     "csv_malformed_handling": q_csv_malformed_handling,
+    "schema_evolution_merge": q_schema_evolution_merge,
     "sink_partitioned_roundtrip": q_sink_roundtrip,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_json_roundtrip": q_sink_json_roundtrip,
@@ -230,6 +265,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "schema_evolution_merge": """
+SELECT s_nationkey,
+       count(*) AS n,
+       CAST(SUM(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_acctbal,
+       CAST(SUM(CASE WHEN s_suppkey % 2 = 1
+                     THEN CAST(s_acctbal AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS sum_acctbal_new
+FROM supplier GROUP BY s_nationkey
+""",
     "csv_malformed_handling": f"""
 SELECT CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_good,
        CAST({N_CORRUPT} AS BIGINT) AS n_corrupt

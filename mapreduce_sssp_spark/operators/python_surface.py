@@ -106,13 +106,49 @@ def q_arrow_udf_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select("p_partkey", slug("p_name").alias("slug"))
 
 
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the lowest-overhead Python batch surface — raw
+    pyarrow RecordBatches in and out, no pandas conversion at all
+    (completing the matrix next to pandas_udf, Arrow UDF, UDTF, UDAF,
+    applyInPandas/Arrow, applyInPandasWithState and mapInPandas).
+    Computes per-document byte/char counts with pyarrow compute —
+    integer-exact, so the query hash-checks against plain SQL.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def doc_bytes(batches):
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.binary_length(text),
+                    pc.utf8_length(text),
+                ],
+                ["doc_id", "n_bytes", "n_chars_utf8"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        doc_bytes, "doc_id long, n_bytes int, n_chars_utf8 int"
+    )
+
+
 QUERIES = {
     "udtf_sentences": q_udtf_sentences,
     "udaf_median": q_udaf_median,
     "arrow_udf_slug": q_arrow_udf_slug,
+    "map_in_arrow": q_map_in_arrow,
 }
 
 ORACLE = {
+    "map_in_arrow": """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(length(text) AS INT) AS n_chars_utf8
+FROM documents
+""",
     "udtf_sentences": """
 SELECT doc_id,
        CAST(length(s) AS BIGINT) AS n_chars,
