@@ -97,9 +97,12 @@ HEADLINE = [
     "streaming_tumbling",
     "streaming_stateful_sessions",
     "streaming_static_enrich",
+    "streaming_parquet_sink",
     "multimodal_features",
     "pipeline_clean_corpus",
     "sink_bucketed_join",
+    "asof_join_forward",
+    "price_histogram",
 ]
 
 
