@@ -138,7 +138,68 @@ def q_order_gaps_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"order_gaps": q_order_gaps, "order_gaps_arrow": q_order_gaps_arrow}
+COGROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_orders", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_order_value", T.DoubleType()),
+        T.StructField("sum_event_value", T.DoubleType()),
+    ]
+)
+
+
+def _merge_user(key: tuple, orders: pd.DataFrame, events: pd.DataFrame) -> pd.DataFrame:
+    from decimal import Decimal
+
+    cent = Decimal("0.01")
+    # Exact decimal accumulation mirrors the oracle's DECIMAL sums — no
+    # float-order sensitivity.
+    o_sum = sum(
+        (Decimal(float(v)).quantize(cent) for v in orders["o_totalprice"]),
+        Decimal(0),
+    )
+    e_sum = sum(
+        (Decimal(float(v)).quantize(cent) for v in events["value"]), Decimal(0)
+    )
+    return pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_orders": [len(orders)],
+            "n_events": [len(events)],
+            "sum_order_value": [float(o_sum)],
+            "sum_event_value": [float(e_sum)],
+        }
+    )
+
+
+def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup().applyInPandas`` — the cogrouped Python surface (two
+    keyed DataFrames delivered to one handler per key): per-user order
+    and event activity merged in pandas. Full-outer key semantics (a
+    key present on either side reaches the handler; the other side
+    arrives empty) are exactly DuckDB's FULL OUTER JOIN of the two
+    group-bys, so the query hash-checks.
+
+    At 100 TB: both sides shuffle once on the key; per-key state is one
+    user's rows on each side — the same bound as a regular cogroup join.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    return (
+        orders.groupBy("user_id")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(_merge_user, COGROUP_SCHEMA)
+    )
+
+
+QUERIES = {
+    "order_gaps": q_order_gaps,
+    "order_gaps_arrow": q_order_gaps_arrow,
+    "cogroup_user_activity": q_cogroup_user_activity,
+}
 
 _ORDER_GAPS_SQL_TPL = """
 WITH ordered AS (
@@ -163,6 +224,24 @@ HAVING count(*) >= 2
 """
 
 ORACLE = {
+    "cogroup_user_activity": """
+WITH o AS (
+  SELECT o_custkey AS user_id, count(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS o_sum
+  FROM orders GROUP BY o_custkey
+),
+e AS (
+  SELECT user_id, count(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS e_sum
+  FROM events GROUP BY user_id
+)
+SELECT coalesce(o.user_id, e.user_id) AS user_id,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(o_sum, 0) AS DOUBLE) AS sum_order_value,
+       CAST(coalesce(e_sum, 0) AS DOUBLE) AS sum_event_value
+FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
+""",
     "order_gaps": _ORDER_GAPS_SQL_TPL.format(
         where=(
             " WHERE o_custkey % 3 = 0 AND o_custkey IN"

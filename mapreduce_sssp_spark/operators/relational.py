@@ -186,6 +186,43 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_suppkey", "l_partkey").dropDuplicates()
 
 
+STATUS_LABELS = {"F": "finished", "O": "open", "P": "pending"}
+
+
+def q_map_literal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny-dimension decode via a MAP LITERAL (``element_at`` lookup)
+    instead of a join: for enums of a handful of values, the lookup is
+    a map-side expression — zero shuffle, zero broadcast, and the
+    'dimension' ships inside the plan itself."""
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = [x for kv in STATUS_LABELS.items() for x in kv]
+    decode = F.create_map(*[F.lit(x) for x in pairs])
+    return (
+        orders.select(
+            F.coalesce(
+                decode[F.col("o_orderstatus")], F.lit("unknown")
+            ).alias("status_label")
+        )
+        .groupBy("status_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_collect_set_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set aggregation: per supplier, the sorted distinct
+    return flags it ever shipped, as a CSV (``collect_set`` +
+    ``array_sort`` — set semantics make the result order-free and
+    hash-checkable; contrast collect_list, whose order is
+    partition-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("l_returnflag")), ","
+        ).alias("flags_csv"),
+        F.size(F.collect_set("l_returnflag")).alias("n_flags"),
+    )
+
+
 HIST_BIN_WIDTH = 5000.0
 
 
@@ -949,6 +986,8 @@ QUERIES = {
     "distinct_pairs": q_distinct,
     "group_percentiles": q_group_percentiles,
     "price_histogram": q_price_histogram,
+    "map_literal_decode": q_map_literal_decode,
+    "collect_set_flags": q_collect_set_flags,
     "rollup_agg": q_rollup,
     "cube_agg": q_cube,
     "pivot_status": q_pivot,
@@ -1080,6 +1119,21 @@ SELECT bin, CAST(bin * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo, count(*) AS n
 FROM (SELECT CAST(floor(l_extendedprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin
       FROM lineitem)
 GROUP BY bin
+""",
+    "map_literal_decode": """
+SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'
+                          WHEN 'O' THEN 'open'
+                          WHEN 'P' THEN 'pending'
+                          ELSE 'unknown' END AS status_label,
+       count(*) AS n
+FROM orders GROUP BY 1
+""",
+    "collect_set_flags": """
+SELECT l_suppkey,
+       string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag)
+         AS flags_csv,
+       CAST(count(DISTINCT l_returnflag) AS INT) AS n_flags
+FROM lineitem GROUP BY l_suppkey
 """,
     "group_percentiles": """
 SELECT l_returnflag,
