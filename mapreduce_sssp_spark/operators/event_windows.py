@@ -129,23 +129,11 @@ _stream_n = [0]
 
 
 def _events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream. The file stream source
-    requires a *directory*; events.parquet is a single file, so stream
-    from a temp dir holding a symlink to it (a real deployment streams
-    from an arriving-files directory anyway)."""
-    # Legacy TIMESTAMP(NANOS) events files need this to even scan;
-    # harmless for native timestamp[us] (see io.sources.normalize_event_ts).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-stream-" + sf_dir.strip("/").replace("/", "_"),
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    return spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
+    """events.parquet as a file-source stream (shared symlink-dir
+    helper; ts left raw — callers normalize)."""
+    from ..streaming.source import events_stream
+
+    return events_stream(spark, sf_dir, normalize=False)
 
 
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,19 +33,9 @@ DEC = "decimal(18,2)"
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    # Legacy TIMESTAMP(NANOS) events files need this to even scan;
-    # harmless for native timestamp[us] (see io.sources.normalize_event_ts).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-stream-" + sf_dir.strip("/").replace("/", "_"),
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    return spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
+    from .source import events_stream
+
+    return events_stream(spark, sf_dir, normalize=False)
 
 
 def q_streaming_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

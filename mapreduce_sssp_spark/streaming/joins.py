@@ -16,38 +16,22 @@ Kafka/Delta; plan and state semantics are unchanged.
 
 from __future__ import annotations
 
-import os
-import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io.sources import load_table, normalize_event_ts
+from ..io.sources import load_table
 
 _seq_lock = threading.Lock()
 _seq_n = [0]
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (same symlink-dir
-    trick as event_windows.q_streaming_tumbling: file sources need a
-    directory). ts is normalized to TIMESTAMP via the shared
-    dtype-branching helper, matching the batch loader."""
-    # Legacy TIMESTAMP(NANOS) events files need this to even scan;
-    # harmless for native timestamp[us] (see io.sources.normalize_event_ts).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-stream-" + sf_dir.strip("/").replace("/", "_"),
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
-    return normalize_event_ts(raw, as_ntz=False)
+    """Normalized events file-stream (shared symlink-dir helper)."""
+    from .source import events_stream
+
+    return events_stream(spark, sf_dir)
 
 
 def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,21 +95,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery failed, every row would appear twice and the row-count
     check alone would catch it.
     """
-    # Legacy TIMESTAMP(NANOS) events files need this to even scan;
-    # harmless for native timestamp[us] (see io.sources.normalize_event_ts).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-stream2x-" + sf_dir.strip("/").replace("/", "_"),
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    for link_name in ("events_a.parquet", "events_b.parquet"):
-        link = os.path.join(stream_dir, link_name)
-        if not os.path.lexists(link):
-            os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
-    ev = normalize_event_ts(raw, as_ntz=False)
+    from .source import events_stream
+
+    ev = events_stream(spark, sf_dir, copies=2, tag="stream2x")
     deduped = (
         ev.withWatermark("ts", "1 hour")
         .dropDuplicates(["event_id"])

@@ -1,0 +1,54 @@
+"""Shared events file-stream source.
+
+One implementation of the symlink-directory trick every streaming query
+needs (Spark's file stream source requires a DIRECTORY; the driver
+testdata is a single parquet file), with the timestamp normalization
+applied in exactly one place. Round 2 shipped a dtype bug that had to
+be fixed in five separate copies of this logic — the consolidation IS
+the fix's regression guard.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io.sources import normalize_event_ts
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    copies: int = 1,
+    tag: str = "stream",
+    normalize: bool = True,
+) -> DataFrame:
+    """events.parquet as a file-source stream.
+
+    copies > 1 links the file multiple times (streaming-dedup inputs);
+    ``normalize`` applies the shared dtype-branching ts normalization to
+    TIMESTAMP (watermark-compatible; see io.sources.normalize_event_ts).
+    """
+    # Legacy TIMESTAMP(NANOS) events files need this to even scan;
+    # harmless for native timestamp[us].
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark-graft-{tag}-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    names = (
+        ["events.parquet"]
+        if copies == 1
+        else [f"events_{i}.parquet" for i in range(copies)]
+    )
+    for name in names:
+        link = os.path.join(stream_dir, name)
+        if not os.path.lexists(link):
+            os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
+    return normalize_event_ts(raw, as_ntz=False) if normalize else raw

@@ -26,8 +26,6 @@ operator, identical to the built-in session_window plan.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from collections.abc import Iterator
 from decimal import Decimal
 
@@ -37,8 +35,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-from ..io.sources import normalize_event_ts
 
 GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
@@ -103,24 +99,12 @@ def _sessionize(
 def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful sessionizer over the events stream to a memory
     sink (availableNow: process everything, then stop)."""
-    # Legacy TIMESTAMP(NANOS) events files need this to even scan;
-    # harmless for native timestamp[us] (see io.sources.normalize_event_ts).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-stream-" + sf_dir.strip("/").replace("/", "_"),
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    from .source import events_stream
 
-    raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
     # Exact integer epoch-micros event time for the handler, computed
     # JVM-side (UTC session TZ makes the NTZ->TIMESTAMP cast an
     # instant-identity).
-    ev = normalize_event_ts(raw, as_ntz=False).withColumn(
+    ev = events_stream(spark, sf_dir).withColumn(
         "ts", F.unix_micros(F.col("ts"))
     )
     sessions = (
