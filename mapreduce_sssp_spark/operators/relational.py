@@ -906,6 +906,80 @@ def q_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q17)
 
 
+# TPC-H Q12 shape (shipping modes / priority), adapted: no shipmode
+# column, so lineitems classify late/ontime by shipdate vs orderdate +
+# 30 days. Conditional counts per class.
+_SQL_Q12 = """
+SELECT late_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+              THEN 'late' ELSE 'ontime' END AS late_class
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+GROUP BY late_class
+"""
+
+
+def q_sql_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q12)
+
+
+# TPC-H Q19 shape (discounted revenue, OR-ed predicate bands), adapted:
+# no container column, so bands are (brand, size range, quantity range).
+# The disjunctive join predicate must still plan as an equi-join on
+# partkey with the OR residual as a post-join filter — never a
+# cartesian.
+_SQL_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+def q_sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q19)
+
+
+# TPC-H Q21 shape (suppliers who kept orders waiting), adapted:
+# lateness is shipdate > orderdate + 60 days (no commit/receipt dates).
+# One EXISTS + one NOT EXISTS, both correlated on the order — the
+# double-decorrelation query.
+_SQL_Q21 = """
+SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q21)
+
+
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long reshape with ``DataFrame.unpivot`` (ANSI UNPIVOT):
     lineitem's four measure columns to (key, measure, value) rows. The
@@ -967,9 +1041,12 @@ QUERIES = {
     "sql_tpch_q8": q_sql_q8,
     "sql_tpch_q9": q_sql_q9,
     "sql_tpch_q10": q_sql_q10,
+    "sql_tpch_q12": q_sql_q12,
     "sql_tpch_q13": q_sql_q13,
     "sql_tpch_q15": q_sql_q15,
     "sql_tpch_q17": q_sql_q17,
+    "sql_tpch_q19": q_sql_q19,
+    "sql_tpch_q21": q_sql_q21,
     "sql_tpch_q14": q_sql_q14,
     "sql_tpch_q16": q_sql_q16,
     "sql_tpch_q18": q_sql_q18,
@@ -1017,9 +1094,12 @@ ORACLE = {
     "sql_tpch_q8": _SQL_Q8,
     "sql_tpch_q9": _SQL_Q9,
     "sql_tpch_q10": _SQL_Q10,
+    "sql_tpch_q12": _SQL_Q12,
     "sql_tpch_q13": _SQL_Q13,
     "sql_tpch_q15": _SQL_Q15,
     "sql_tpch_q17": _SQL_Q17,
+    "sql_tpch_q19": _SQL_Q19,
+    "sql_tpch_q21": _SQL_Q21,
     "sql_tpch_q14": _SQL_Q14,
     "sql_tpch_q16": _SQL_Q16,
     "sql_tpch_q18": _SQL_Q18,
