@@ -133,6 +133,12 @@ def test_similarity_topk_broadcasts_query_vectors(spark):
         "sql_tpch_q14",
         "sql_tpch_q16",
         "sql_tpch_q22",
+        "sql_tpch_q12",
+        "sql_tpch_q19",
+        "sql_tpch_q21",
+        "map_literal_decode",
+        "collect_set_flags",
+        "price_histogram",
         "text_repetition",
         "dedup_incremental",
         "group_percentiles",
@@ -243,5 +249,25 @@ def test_dedup_incremental_is_anti_join_on_digest(spark):
     from mapreduce_sssp_spark.queries_registry import QUERIES
 
     plan = plan_of(QUERIES["dedup_incremental"](spark, SF), "simple")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_or_bands_stay_equi_join(spark):
+    """Q19's OR-ed predicate bands must plan as the partkey equi-join
+    with the disjunction as a residual filter — not a cartesian."""
+    from mapreduce_sssp_spark.queries_registry import QUERIES
+
+    plan = plan_of(QUERIES["sql_tpch_q19"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_q21_double_decorrelation(spark):
+    """Q21's EXISTS and NOT EXISTS must both decorrelate to joins."""
+    from mapreduce_sssp_spark.queries_registry import QUERIES
+
+    plan = plan_of(QUERIES["sql_tpch_q21"](spark, SF), "simple")
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
