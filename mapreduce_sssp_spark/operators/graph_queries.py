@@ -154,6 +154,28 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wcc(edges)
 
 
+def q_wcc_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WCC on a CYCLIC subgraph of B1 (edges with l_quantity < 1.5 —
+    ~2.3k undirected edges over ~900 nodes forming one dense component
+    full of cycles at sf0.01).
+
+    This is the fixpoint verification ``wcc`` (per-order chains, depth
+    <= 7, acyclic) cannot give: min-label propagation + pointer jumping
+    converging on a graph WITH cycles, hash-checked end-to-end. The
+    oracle is the recursive reachability closure — terminating because
+    the label lattice is finite (unlike cyclic min-DISTANCE, which is
+    why ``sssp`` on B1 stays rows-only). Closure cost is
+    O(sum comp_size^2) rows, which the quantity filter keeps bounded.
+    """
+    from ..graph.wcc import wcc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") < 1.5).select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return wcc(edges)
+
+
 def _part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (u < v) edges of the part co-occurrence graph: parts
     are adjacent when they ship in the same order. (The B1
@@ -243,6 +265,7 @@ QUERIES = {
     "sssp": q_sssp,
     "sssp_dag": q_sssp_dag,
     "wcc": q_wcc,
+    "wcc_cyclic": q_wcc_cyclic,
     "pagerank": q_pagerank,
     "compat_state_lines": q_compat_state_lines,
     "compat_final_lines": q_compat_final_lines,
@@ -306,6 +329,19 @@ WITH RECURSIVE e AS (
   ) WHERE next_node IS NOT NULL
 ),
 und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+reach(node, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM und)
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node, min(label) AS component FROM reach GROUP BY node
+""",
+    "wcc_cyclic": """
+WITH RECURSIVE e AS (
+  SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
+  WHERE l_quantity < 1.5
+),
+und AS (SELECT DISTINCT src, dst FROM e UNION SELECT DISTINCT dst, src FROM e),
 reach(node, label) AS (
   SELECT src, src FROM (SELECT DISTINCT src FROM und)
   UNION
