@@ -2,15 +2,17 @@
 
 Oracle notes:
 * ``sssp`` runs on the FIXTURES.md B1 graph, which has cycles in its
-  0-99 core; DuckDB 1.0's recursive CTEs (plain UNION, no keyed
-  recursion) cannot express converging min-relaxation over a cyclic
-  graph without enumerating unboundedly many path sums — so ``sssp``
-  ships without an oracle (driver rows-only check) and is instead
-  cross-checked against pure-Python Dijkstra in tests/test_sssp.py,
-  including at sf0.01.
+  0-99 core. A plain recursive CTE cannot converge min-relaxation over
+  cycles (UNION dedup never terminates — cycles mint fresh path sums
+  forever), so the oracle is a ROUND-BOUNDED Bellman-Ford: an explicit
+  level counter caps the recursion at 64 hops, which dominates every
+  shortest path because all B1 weights are >= 1. All weights are
+  integer-valued doubles, so path sums are exact and the hash is
+  engine-stable. ``sssp`` is additionally cross-checked against
+  pure-Python Dijkstra in tests/test_sssp.py, including at sf0.01.
 * ``sssp_dag`` runs the same fixpoint engine on a layered DAG derived
   from lineitem (depth <= 7), where a bounded recursive CTE terminates —
-  giving the iterative operator a full hash-checked oracle.
+  giving the iterative operator a second hash-checked oracle.
 """
 
 from __future__ import annotations
@@ -280,7 +282,35 @@ QUERIES = {
 }
 
 ORACLE = {
-    # sssp: intentionally absent (see module docstring).
+    # Round-bounded Bellman-Ford: walk level r holds, per node, the min
+    # left-associated path sum over exactly-r-hop paths; min over r <= 64
+    # equals the converged fixpoint because every B1 weight >= 1 (so any
+    # shortest path has fewer hops than its own integer distance, far
+    # under 64) and all weights are integer-valued doubles (path sums are
+    # exact — no ulp divergence between engines). The explicit round
+    # counter is what makes the recursion terminate on a CYCLIC graph:
+    # plain UNION dedup never would (cycles mint fresh dist values
+    # forever) — same device as wcc_cyclic's finite label lattice.
+    "sssp": f"""
+WITH RECURSIVE edges AS (
+  SELECT src, dst, min(weight) AS weight FROM ({EDGES_SQL}) GROUP BY src, dst
+),
+src AS (SELECT min(src) AS s FROM edges),
+walk(r, node, dist) AS (
+    SELECT 0, s, CAST(0.0 AS DOUBLE) FROM src
+    UNION
+    SELECT w.r + 1, e.dst, min(w.dist + e.weight)
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.r < 64
+    GROUP BY w.r + 1, e.dst
+),
+best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+outn AS (SELECT DISTINCT src AS node FROM edges)
+SELECT (SELECT s FROM src) AS source,
+       coalesce(o.node, b.node) AS node,
+       coalesce(b.dist, 65535.0) AS dist
+FROM outn o FULL OUTER JOIN best b ON o.node = b.node
+""",
     "sssp_dag": f"""
 WITH RECURSIVE edges AS ({EDGES_DAG_SQL}),
 src AS (SELECT min(src) AS s FROM edges),
