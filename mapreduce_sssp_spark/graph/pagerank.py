@@ -13,10 +13,10 @@ Differences from the min-relaxation loops:
 * no frontier: every node's rank moves every round, so the loop runs a
   fixed ``iterations`` count (bounded, reproducible cost) rather than a
   convergence count();
-* dangling mass (ranks of nodes with no out-edges) is collected as ONE
-  driver scalar per round and redistributed uniformly — the same
-  scalar-per-round pattern as sssp's convergence count, not a data
-  collect.
+* dangling mass (ranks of nodes with no out-edges) is aggregated to a
+  one-row DataFrame and broadcast into the rank update, so each round
+  is a single Spark action (the materializing count()) — no separate
+  driver collect per round.
 
 At 100 TB: edges are hash-partitioned on src once and persisted; each
 round shuffles only the rank table (one row per node). The contribution
@@ -84,20 +84,17 @@ def pagerank(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    def dangling_mass(r: DataFrame) -> float:
-        # One driver scalar per round: total rank on nodes without
-        # out-edges. (Folding this into the materializing action was
-        # measured 2x SLOWER than a separate count() — the anti-join as
-        # first touch of the un-materialized cache re-plans badly under
-        # AQE; keep the cheap count() as the materializer.)
-        return (
-            r.join(has_out, "node", "left_anti").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
-
     with static_rounds(spark):
         for it in range(1, iterations + 1):
-            dangling = dangling_mass(ranks)
+            # Dangling mass (rank on nodes with no out-edges) as a 1-row
+            # DataFrame broadcast into the update — the round's single
+            # count() action then materializes the whole chain, where the
+            # old driver-side collect() cost an extra job launch per round.
+            dangling_df = F.broadcast(
+                ranks.join(has_out, "node", "left_anti").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
+                )
+            )
             contribs = (
                 ranks.join(links, ranks["node"] == links["src"])
                 .select(
@@ -107,16 +104,20 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("contrib"))
             )
-            new_ranks = nodes.join(contribs, "node", "left").select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce("contrib", F.lit(0.0))
-                        + F.lit(dangling / n_nodes)
-                    )
-                ).alias("rank"),
+            new_ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(dangling_df)
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("contrib", F.lit(0.0))
+                            + F.col("dangling") / F.lit(float(n_nodes))
+                        )
+                    ).alias("rank"),
+                )
             )
             cached = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
             if it % checkpoint_every == 0:

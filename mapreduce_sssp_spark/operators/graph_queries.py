@@ -118,15 +118,23 @@ def q_tsv_edges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (6 synchronous rounds) over the B1 lineitem graph.
 
-    Rows-only driver check: the per-round SUM of float contributions is
-    partial-aggregation-order sensitive in the last ulps, so no DuckDB
-    hash twin exists; tests/test_pagerank.py cross-checks the operator
-    against a numpy power iteration at 1e-9 on five graph shapes.
+    The per-round SUM of float contributions is partial-aggregation-order
+    sensitive in the last ulps, so the raw doubles cannot hash-match an
+    oracle. The query therefore emits ``rank_e9 = round(rank * 1e9)`` as
+    BIGINT: both engines run the identical fixed-iteration recurrence
+    (same damping, same dangling redistribution, no early exit), whose
+    cross-engine divergence is ~1e-15 relative — nine orders of magnitude
+    under the rounding quantum — making the integer output hash-stable.
+    tests/test_pagerank.py additionally cross-checks the operator against
+    a numpy power iteration at 1e-9 on five graph shapes.
     """
     from ..graph.pagerank import pagerank
 
     edges = edges_from_lineitem(spark, sf_dir)
-    return pagerank(edges.select("src", "dst"), iterations=6)
+    ranks = pagerank(edges.select("src", "dst"), iterations=6)
+    return ranks.select(
+        "node", F.round(F.col("rank") * 1e9, 0).cast("long").alias("rank_e9")
+    )
 
 
 def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +338,45 @@ SELECT (SELECT s FROM src) AS source,
        coalesce(o.node, b.node) AS node,
        coalesce(b.dist, 65535.0) AS dist
 FROM outn o FULL OUTER JOIN best b ON o.node = b.node
+""",
+    # Fixed-iteration power method, mirroring graph/pagerank.py round for
+    # round: per-node contribution sum (the 0-weight self-"carry" link
+    # keeps in-link-free nodes in the recursion — adding 0.0 is an exact
+    # float no-op), dangling mass via a scalar-subquery second reference
+    # to the working table, identical damping/base/division shapes, and
+    # the same round(rank*1e9) integer projection as the Spark entry.
+    "pagerank": f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
+-- NOT "src UNION dst": under WITH RECURSIVE, DuckDB 1.0 gives a CTE
+-- with a top-level UNION recursive-union treatment and skips the dedup.
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+links AS (
+  SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.deg AS w
+  FROM e JOIN deg ON deg.src = e.src
+  UNION ALL
+  SELECT node, node, CAST(0.0 AS DOUBLE) FROM nodes
+),
+dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e)),
+pr(it, node, rank) AS (
+  SELECT 0, node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT p.it + 1, l.dst,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE) * (
+             sum(p.rank * l.w)
+             + (SELECT coalesce(sum(rank), 0.0) FROM pr
+                WHERE node IN (SELECT node FROM dang)) / (SELECT n FROM nn)
+           )
+  FROM pr p JOIN links l ON l.src = p.node
+  WHERE p.it < 6
+  GROUP BY p.it + 1, l.dst
+)
+SELECT node, CAST(round(rank * 1e9) AS BIGINT) AS rank_e9
+FROM pr WHERE it = 6
 """,
     "reverse_graph": f"""
 WITH edges AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL}))
