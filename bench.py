@@ -119,12 +119,16 @@ def main() -> None:
     queries = entrymod.queries()
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if subset and subset.strip().lower() == "all":
-        pass  # every registered query
+        query_set = "all"  # every registered query
     elif subset:
         names = [s.strip() for s in subset.split(",") if s.strip()]
         queries = {n: queries[n] for n in names}
+        query_set = "custom"
     else:
-        queries = {n: queries[n] for n in HEADLINE if n in queries}
+        missing = [n for n in HEADLINE if n not in queries]
+        assert not missing, f"HEADLINE names not in registry: {missing}"
+        queries = {n: queries[n] for n in HEADLINE}
+        query_set = "headline"
 
     # Warm the JVM before timing anything: the first job in a fresh JVM
     # pays JIT + codegen-compiler + shuffle-subsystem init (~8s measured),
@@ -148,6 +152,11 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            # Scope identity: totals are only comparable between runs of
+            # the same query_set/n_queries (the default is the HEADLINE
+            # subset, not the full registry).
+            "query_set": query_set,
+            "n_queries": len(queries),
         }
 
     def flush_results(timings: dict[str, float]) -> None:

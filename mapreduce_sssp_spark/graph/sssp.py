@@ -88,9 +88,14 @@ def static_rounds(spark: SparkSession):
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     n = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(prev_parts), max(n, 4)))
-    )
+    try:
+        parts = min(int(prev_parts), max(n, 4))
+    except ValueError:
+        # Some deployments set a non-numeric value (e.g. "auto"); skip
+        # the clamp rather than crash before the loop starts.
+        parts = None
+    if parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         yield
     finally:

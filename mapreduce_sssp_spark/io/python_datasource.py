@@ -73,7 +73,13 @@ class EdgeListReader(DataSourceReader):
                 line = line.strip()
                 if not line or not line[0].isdigit():
                     continue  # same comment tolerance as the TSV scan
-                edge_id, src, dst, weight = line.split(" ")
+                # General whitespace tokenization (the reference's
+                # StringTokenizer tolerates tabs and repeated spaces);
+                # lines with the wrong field count are skipped, not fatal.
+                fields = line.split()
+                if len(fields) != 4:
+                    continue
+                edge_id, src, dst, weight = fields
                 yield int(edge_id), int(src), int(dst), float(weight)
 
 

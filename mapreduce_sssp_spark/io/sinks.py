@@ -121,8 +121,18 @@ def write_bucketed(
     # directory first to stay idempotent across sessions.
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(wh.removeprefix("file:"), table)
-    if os.path.isdir(loc):
+    # Orphan-directory cleanup only applies to a LOCAL warehouse: with a
+    # remote URI (hdfs:/, s3a:/) or a file://host form, stripping the
+    # scheme would produce a bogus local path and silently no-op — rely
+    # on the DROP TABLE above there instead.
+    scheme = wh.split(":", 1)[0] if ":" in wh else ""
+    if scheme in ("", "file") and not wh.startswith("file://"):
+        loc = os.path.join(wh.removeprefix("file:"), table)
+    elif wh.startswith("file:///"):
+        loc = os.path.join(wh.removeprefix("file://"), table)
+    else:
+        loc = None
+    if loc and os.path.isdir(loc):
         import shutil
 
         shutil.rmtree(loc, ignore_errors=True)

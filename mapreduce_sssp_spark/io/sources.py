@@ -14,6 +14,8 @@ prunes columns into the file scan for free.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -114,18 +116,22 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view (for the SQL API).
 
     Per-table isolation: one table failing to load must not take down
-    SQL queries that never reference it — the broken table is skipped
-    (any previously-registered healthy view stays in place), so only
-    queries that actually reference it fail, at name resolution.
+    SQL queries that never reference it. But a FAILED load must also not
+    leave a view from an earlier register_tables (possibly a different
+    sf_dir) in place — that would silently serve wrong-scale data. So on
+    failure the stale view is dropped: queries touching the broken table
+    fail loudly at name resolution, everything else keeps working.
     """
     for name in TABLES:
         try:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-        except Exception:  # noqa: BLE001 — deferred, not swallowed
-            # Leave any previously-registered healthy view in place;
-            # otherwise queries touching this table fail at resolution
-            # (table not found) instead of poisoning unrelated ones.
-            continue
+        except Exception as exc:  # noqa: BLE001 — deferred, not swallowed
+            spark.catalog.dropTempView(name)  # no-op if absent
+            warnings.warn(
+                f"register_tables: skipped {name!r} from {sf_dir}: {exc}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,8 +68,26 @@ def test_register_tables_isolates_bad_table(spark, tmp_path):
 
     shutil.copy(f"{SF}/nation.parquet", tmp_path / "nation.parquet")
     shutil.copy(f"{SF}/region.parquet", tmp_path / "region.parquet")
-    register_tables(spark, str(tmp_path))
+    with pytest.warns(RuntimeWarning, match="skipped"):
+        register_tables(spark, str(tmp_path))
     assert spark.sql("SELECT count(*) FROM nation").collect()[0][0] > 0
     assert spark.sql("SELECT count(*) FROM region").collect()[0][0] > 0
     # Re-register the real dir so later tests see full tables.
+    register_tables(spark, SF)
+
+
+def test_register_tables_drops_stale_view_on_failure(spark, tmp_path):
+    """A failed re-registration must not leave the PREVIOUS sf_dir's view
+    serving wrong-scale data: the stale view is dropped so queries fail
+    at name resolution instead."""
+    import shutil
+
+    register_tables(spark, SF)  # healthy baseline: all views present
+    shutil.copy(f"{SF}/nation.parquet", tmp_path / "nation.parquet")
+    with pytest.warns(RuntimeWarning, match="skipped 'region'"):
+        register_tables(spark, str(tmp_path))
+    # nation re-registered from the new dir; region's stale view is gone.
+    assert spark.sql("SELECT count(*) FROM nation").collect()[0][0] > 0
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|region"):
+        spark.sql("SELECT count(*) FROM region").collect()
     register_tables(spark, SF)

@@ -29,6 +29,33 @@ def test_tsv_edge_list_skips_comments(spark, tmp_path):
     assert [tuple(r) for r in rows] == [(1, 2), (2, 3), (10, 1)]
 
 
+def test_python_datasource_tolerates_whitespace_variants(spark, tmp_path):
+    """The custom Python data source must match the reference's
+    StringTokenizer tolerance (SingleSourceSP.java:60-66): tabs and
+    repeated spaces separate fields; malformed field counts are skipped
+    rather than failing the partition."""
+    from mapreduce_sssp_spark.io.python_datasource import register
+
+    p = tmp_path / "edges.txt"
+    p.write_text(
+        "0 1 2 3.5\n"
+        "1\t2\t3\t0.25\n"        # tab-separated
+        "2  3   4  1.0\n"        # repeated spaces
+        "# comment line\n"
+        "3 9 9\n"                # wrong field count: skipped
+    )
+    register(spark)
+    rows = sorted(
+        spark.read.format("edgelist").load(str(p)).collect(),
+        key=lambda r: r.src,
+    )
+    assert [(r.src, r.dst, r.weight) for r in rows] == [
+        (1, 2, 3.5),
+        (2, 3, 0.25),
+        (3, 4, 1.0),
+    ]
+
+
 def test_rolling_fingerprint_polynomial(spark, tmp_path):
     """Hand-computed Rabin-Karp values on a tiny corpus, plus edge cases
     (empty text -> NULLs, text shorter than the window -> no winnow)."""
