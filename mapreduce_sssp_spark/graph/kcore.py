@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir, static_rounds
+from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
 
 
 def kcore(
@@ -64,7 +64,7 @@ def kcore(
     the node's degree inside the k-core (>= k by definition)."""
     spark = edges.sparkSession
     _ensure_checkpoint_dir(spark)
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = loop_partitions(spark, edges)
 
     # Both directions so every edge is visible from each endpoint;
     # partitioned once on u (the message-join key), never re-shuffled.
@@ -82,7 +82,7 @@ def kcore(
     )
 
     n_doomed = -1
-    with static_rounds(spark):
+    with static_rounds(spark, parts=n_part):
         for rnd in range(1, max_rounds + 1):
             doomed = state.filter(F.col("alive") & (F.col("deg") < k)).select(
                 "node"

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir, static_rounds
+from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
 
 
 def pagerank(
@@ -49,7 +49,7 @@ def pagerank(
     """
     spark = edges.sparkSession
     _ensure_checkpoint_dir(spark)
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = loop_partitions(spark, edges)
 
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -84,7 +84,7 @@ def pagerank(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    with static_rounds(spark):
+    with static_rounds(spark, parts=n_part):
         for it in range(1, iterations + 1):
             # Dangling mass (rank on nodes with no out-edges) as a 1-row
             # DataFrame broadcast into the update — the round's single

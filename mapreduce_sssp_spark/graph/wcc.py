@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir, static_rounds
+from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
 
 
 def wcc(
@@ -41,7 +41,7 @@ def wcc(
     """
     spark = edges.sparkSession
     _ensure_checkpoint_dir(spark)
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = loop_partitions(spark, edges)
 
     fwd = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
@@ -62,7 +62,7 @@ def wcc(
     )
 
     changed = -1  # defined even if max_rounds < 1 skips the loop body
-    with static_rounds(spark):
+    with static_rounds(spark, parts=n_part):
         for rnd in range(1, max_rounds + 1):
             frontier = state.filter("updated").select(
                 F.col("node").alias("f_node"), F.col("component").alias("f_comp")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table, normalize_event_ts
+from ..streaming.source import bounded_state_partitions
 
 DEC = "decimal(18,2)"
 GAP = "30 minutes"
@@ -167,14 +168,15 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_seq:
         _stream_n[0] += 1
         sink = f"streaming_tumbling_sink_{_stream_n[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -204,14 +206,15 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_seq:
         _stream_n[0] += 1
         sink = f"streaming_sliding_sink_{_stream_n[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -264,14 +267,15 @@ def q_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_seq:
         _stream_n[0] += 1
         sink = f"streaming_incremental_sink_{_stream_n[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     n_batches = len(q.recentProgress)
     assert n_batches >= 2, (
         f"expected a multi-batch run, got {n_batches} micro-batch(es) — "

@@ -188,9 +188,14 @@ def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("user_id"), "o_totalprice"
     )
     events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    # Pre-hash-partition both sides on the key (the bounded-fleet pattern
+    # used by every applyInPandas entry here): the cogroup exchange is
+    # satisfied by the existing layout, so the Python worker fleet is 8
+    # processes instead of one per shuffle partition.
     return (
-        orders.groupBy("user_id")
-        .cogroup(events.groupBy("user_id"))
+        orders.repartition(8, "user_id")
+        .groupBy("user_id")
+        .cogroup(events.repartition(8, "user_id").groupBy("user_id"))
         .applyInPandas(_merge_user, COGROUP_SCHEMA)
     )
 

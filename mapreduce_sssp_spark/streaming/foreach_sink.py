@@ -29,6 +29,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .source import bounded_state_partitions
+
 DEC = "decimal(18,2)"
 
 
@@ -63,13 +65,14 @@ def q_streaming_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
-    q = (
-        raw.writeStream.foreachBatch(sink_batch)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            raw.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     partials = spark.read.parquet(out_dir)
     return partials.groupBy("event_type").agg(
@@ -105,15 +108,16 @@ def q_streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = os.path.join(scratch, "ckpt")
     shutil.rmtree(scratch, ignore_errors=True)
 
-    q = (
-        ev.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            ev.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 

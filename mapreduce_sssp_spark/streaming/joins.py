@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table
+from .source import bounded_state_partitions
 
 _seq_lock = threading.Lock()
 _seq_n = [0]
@@ -74,14 +75,15 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _seq_lock:
         _seq_n[0] += 1
         sink = f"streaming_join_sink_{_seq_n[0]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -112,14 +114,15 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _seq_lock:
         _seq_n[0] += 1
         sink = f"streaming_dedup_sink_{_seq_n[0]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -151,14 +154,15 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _seq_lock:
         _seq_n[0] += 1
         sink = f"streaming_enrich_sink_{_seq_n[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -52,3 +53,31 @@ def events_stream(
             os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     raw = spark.readStream.schema(batch_schema).format("parquet").load(stream_dir)
     return normalize_event_ts(raw, as_ntz=False) if normalize else raw
+
+
+@contextmanager
+def bounded_state_partitions(spark: SparkSession, divisor: int = 4, floor: int = 4):
+    """Clamp ``spark.sql.shuffle.partitions`` — which for Structured
+    Streaming is also the STATE-STORE instance count, baked into the
+    query at start() — for the duration of a one-shot availableNow run.
+
+    A vanilla session's 200 means 200 state-store tasks per micro-batch
+    regardless of data volume (measured 3x end-to-end on the streaming
+    suite even going 32 -> 8 on local[32]). The clamp only ever LOWERS
+    the setting (to defaultParallelism/divisor, floored), so a session
+    tuned for a real cluster keeps its sizing; a continuous production
+    job should size state partitions explicitly instead of relying on
+    the one-shot default. Restores the previous value on exit.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    n = spark.sparkContext.defaultParallelism
+    try:
+        target = min(int(prev), max(n // divisor, floor))
+    except ValueError:  # non-numeric vendor values (e.g. "auto")
+        target = None
+    if target is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .source import bounded_state_partitions
+
 GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
 OUTPUT_SCHEMA = T.StructType(
@@ -119,14 +121,15 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stateful_sessions_sink_{abs(id(sessions)) % 10_000_000}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 

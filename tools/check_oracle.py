@@ -99,6 +99,12 @@ def main():
         scols = list(sdf.columns)
         srows = [tuple(r) for r in sdf.collect()]
         spark_t = time.time() - t0
+        # Per-query isolation, same as bench.py: fixpoint queries leave
+        # their final state persisted; across 130 queries the executor
+        # memory pressure inflates later timings (wcc measured 8.6s
+        # isolated vs 15.4s late-sweep polluted). Reliable checkpoints
+        # (e.g. the memoized DAG state) survive this by design.
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"  {name:28s} rows={len(srows):7d}  (rows-only, no oracle) "
                   f"[spark {spark_t:.1f}s]")
