@@ -71,15 +71,26 @@ def loop_partitions(spark: SparkSession, df: DataFrame) -> int:
     ``inputFiles()`` is pure scan metadata — unlike
     ``df.rdd.getNumPartitions()``, it never executes query stages (which
     AQE would do for any derived plan, running the edge-derivation
-    pipeline once just to learn its partition count). File count
-    under-reports splits of multi-GB files, but the floor plus
-    ``defaultParallelism`` cap keeps both ends sane.
+    pipeline once just to learn its partition count). Local files are
+    sized directly (~1 MB of COMPRESSED source per loop partition —
+    parquet decompresses ~5-10x and in-loop state is row-expanded, so
+    this is deliberately far finer than the 128 MB scan split size;
+    measured best 8-16 partitions for the 11 MB sf0.1 edges vs 4 from
+    file count); non-local URIs fall back to one partition per file,
+    and any failure falls back to ``defaultParallelism``.
     """
+    per_part = 1 << 20
     try:
-        data_parts = max(len(df.inputFiles()), 1)
+        files = df.inputFiles()
+        local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
+        if local and len(local) == len(files):
+            total = sum(os.path.getsize(f) for f in local)
+            data_parts = max(len(files), total // per_part)
+        else:
+            data_parts = max(len(files), 1)
     except Exception:  # noqa: BLE001 — sizing heuristic, never fatal
         data_parts = spark.sparkContext.defaultParallelism
-    return max(4, min(spark.sparkContext.defaultParallelism, data_parts))
+    return int(max(4, min(spark.sparkContext.defaultParallelism, data_parts)))
 
 
 @contextmanager
