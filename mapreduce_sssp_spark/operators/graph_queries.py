@@ -253,9 +253,14 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.01 (5 rounds, 1857 of 2000 nodes survive) rather than
     trivially keeping or deleting everything.
 
-    Rows-only driver check (iterative deletion is outside DuckDB's
-    recursive-CTE class, like cyclic ``sssp``); peeling itself is
-    cross-checked against a pure-Python reference in tests/test_kcore.py.
+    Hash-checked oracle: synchronous peeling IS expressible as a
+    round-bounded recursive CTE (the same device that oracles cyclic
+    ``sssp``): each recursion level keeps the nodes whose count of
+    still-alive neighbors is >= k, so level r is exactly the survivor
+    set after r synchronous peels; 16 levels dominate the 5 rounds the
+    sf0.01 graph needs, and extra stable levels are no-ops. Peeling is
+    additionally cross-checked against a pure-Python reference in
+    tests/test_kcore.py.
     """
     from ..graph.kcore import kcore
 
@@ -488,6 +493,40 @@ WITH edges AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL}))
 SELECT CAST(dst AS VARCHAR) || chr(9)
        || string_agg(CAST(src AS VARCHAR), ',' ORDER BY src) AS value
 FROM edges GROUP BY dst
+""",
+    # Synchronous k-core peel as round-bounded recursion: level r of
+    # ``alive`` is the survivor set after r peels (a node survives a
+    # level iff >= k of its neighbors were alive at the previous level —
+    # the correlated count's IN reads the working table). 16 levels
+    # dominate the 5 rounds sf0.01 needs; stable levels are no-ops.
+    "kcore": """
+WITH RECURSIVE
+op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+und AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+alive(r, node) AS (
+  -- The -1 sentinel survives every level so the recursion always
+  -- reaches level 16 even when the k-core is EMPTY (otherwise the last
+  -- non-empty level would be the pre-extinction survivor set).
+  SELECT 0, node FROM (SELECT DISTINCT src AS node FROM und
+                       UNION ALL SELECT -1)
+  UNION ALL
+  SELECT a.r + 1, a.node
+  FROM alive a
+  WHERE a.r < 16
+    AND (a.node = -1 OR
+         (SELECT count(*) FROM und e2
+          WHERE e2.src = a.node
+            AND e2.dst IN (SELECT node FROM alive)) >= 80)
+),
+core AS (SELECT node FROM alive
+         WHERE r = (SELECT max(r) FROM alive) AND node <> -1)
+SELECT c.node,
+       (SELECT count(*) FROM und e3
+        WHERE e3.src = c.node
+          AND e3.dst IN (SELECT node FROM core)) AS core_deg
+FROM core c
 """,
     "triangle_counts": """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -86,7 +86,7 @@ _DRIVER_CHECKED_R2_R3 = {
     "wcc_cyclic", "window_lag", "window_moving", "window_ntile",
     "window_rank",
 }
-_RECHECK_FIRST = ["json_extract", "dedup_simhash", "sssp", "pagerank"]
+_RECHECK_FIRST = ["json_extract", "dedup_simhash", "sssp", "pagerank", "kcore"]
 
 
 def _registry_order(names):
