@@ -138,6 +138,17 @@ def main() -> None:
     warm.join(warm.groupBy("k").count(), "k").write.mode("overwrite").format(
         "noop"
     ).save()
+    # Also touch each table's parquet footer + first row group once: the
+    # vectorized-reader init and footer parse are session one-time costs
+    # that would otherwise be billed to whichever query scans the table
+    # first (~6s measured on the first fixpoint at sf0.1).
+    from mapreduce_sssp_spark.io.sources import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).limit(10).count()
+        except Exception:
+            pass  # missing table: the query that needs it will report it
     spark.catalog.clearCache()
 
     results_path = os.path.join(
