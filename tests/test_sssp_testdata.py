@@ -1,7 +1,7 @@
-"""Cross-check the no-oracle `sssp` query against pure-Python Dijkstra on
-the real testdata graphs (backs the rows-only driver check — see
-operators/graph_queries.py docstring for why DuckDB 1.0 cannot oracle a
-cyclic-graph fixpoint).
+"""Cross-check the `sssp` query against pure-Python Dijkstra on the real
+testdata graphs, and pin the round bound its DuckDB oracle depends on
+(the round-bounded Bellman-Ford in operators/graph_queries.py is only
+exact while every graph converges in < 64 synchronous rounds).
 """
 
 from __future__ import annotations
@@ -27,3 +27,35 @@ def test_sssp_matches_dijkstra_on_testdata(spark, qname, edge_fn):
     expected = dijkstra(triples, source)
     got = {r["node"]: r["dist"] for r in gq.QUERIES[qname](spark, SF).collect()}
     assert got == expected
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_b1_converges_well_inside_oracle_round_bound(spark, sf):
+    """The sssp oracle runs EXACTLY 64 Bellman-Ford levels; that is only
+    the converged fixpoint if the graph converges in fewer synchronous
+    rounds. Pin it on the actual testdata (a refresh that produced a
+    deeper graph would silently break the oracle without this)."""
+    from mapreduce_sssp_spark.io.sources import edges_from_lineitem
+
+    triples = [
+        (r["src"], r["dst"], r["weight"])
+        for r in edges_from_lineitem(spark, sf).collect()
+    ]
+    source = min(t[0] for t in triples)
+    dist = {source: 0.0}
+    rounds = 0
+    while True:
+        rounds += 1
+        changed = False
+        # Synchronous round: relax from the previous round's state.
+        snapshot = dict(dist)
+        for s, d, w in triples:
+            if s in snapshot:
+                cand = snapshot[s] + w
+                if cand < dist.get(d, float("inf")):
+                    dist[d] = cand
+                    changed = True
+        if not changed:
+            break
+        assert rounds < 64, "graph needs >= 64 rounds; raise the oracle bound"
+    assert rounds < 32, f"converged in {rounds} rounds, margin shrinking"
