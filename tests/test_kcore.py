@@ -66,3 +66,37 @@ def test_core_with_cascading_peel(spark):
 )
 def test_random_graphs_match_brute_force(spark, pairs, k):
     assert _run(spark, pairs, k) == _brute(pairs, k)
+
+
+def test_sf001_synchronous_peel_inside_oracle_bound():
+    """The kcore DuckDB oracle runs EXACTLY 16 synchronous peel levels;
+    pin that the real sf0.01 co-occurrence graph at k=80 converges well
+    inside that (currently 5 rounds — a testdata refresh that cascades
+    deeper would silently break the oracle without this)."""
+    import duckdb
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        """
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet'))
+        SELECT DISTINCT a.p, b.p FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        """
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    rounds = 0
+    while True:
+        doomed = [n for n, nbrs in adj.items() if len(nbrs) < 80]
+        if not doomed:
+            break
+        rounds += 1
+        for n in doomed:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+        assert rounds < 16, "peel needs >= 16 rounds; raise the oracle bound"
+    assert rounds <= 8, f"converged in {rounds} rounds, margin shrinking"
+    assert len(adj) > 0  # the sf0.01 80-core is non-trivial
