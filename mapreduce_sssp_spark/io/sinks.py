@@ -18,6 +18,7 @@ partition-column round trip.
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,20 +123,17 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     # Orphan-directory cleanup only applies to a LOCAL warehouse: with a
-    # remote URI (hdfs:/, s3a:/) or a file://host form, stripping the
-    # scheme would produce a bogus local path and silently no-op — rely
-    # on the DROP TABLE above there instead.
-    scheme = wh.split(":", 1)[0] if ":" in wh else ""
-    if scheme in ("", "file") and not wh.startswith("file://"):
-        loc = os.path.join(wh.removeprefix("file:"), table)
-    elif wh.startswith("file:///"):
-        loc = os.path.join(wh.removeprefix("file://"), table)
-    else:
-        loc = None
-    if loc and os.path.isdir(loc):
-        import shutil
+    # remote URI (hdfs:/, s3a:/) or a file://host authority form,
+    # stripping the scheme would produce a bogus local path and silently
+    # no-op — rely on the DROP TABLE above there instead. Local spellings
+    # are a plain path, file:/abs, or file:///abs (empty authority).
+    local = re.fullmatch(r"(?:file:(?!//)|file://(?=/))?(?P<p>[^:]*)", wh)
+    if local:
+        loc = os.path.join(local.group("p"), table)
+        if os.path.isdir(loc):
+            import shutil
 
-        shutil.rmtree(loc, ignore_errors=True)
+            shutil.rmtree(loc, ignore_errors=True)
     (
         # Pre-partition on the bucket key with the bucket count so each
         # write task holds exactly one bucket's rows: one file per
