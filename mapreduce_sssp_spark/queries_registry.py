@@ -60,12 +60,16 @@ assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)
 # order.  Rounds 2-3 repeatedly re-checked the same front-of-registry entries
 # while 61 later ones never received a driver row.  Order the registry so the
 # entries with the weakest external evidence come first:
-#   1. entries whose last driver row was red but that have since been fixed
-#      (json_extract, dedup_simhash) plus sssp/pagerank, which gained hash
-#      oracles this round and need fresh driver rows;
-#   2. entries never checked by the driver in any round (union of
-#      CORRECTNESS_r02/r03 keys is the 69-name set below);
-#   3. entries already driver-green, in their original module order.
+#   1. entries whose LATEST driver row is red (mismatch or error) — either
+#      fixed since and needing a fresh row, or genuinely broken and needing
+#      the fastest possible feedback;
+#   2. entries never checked by the driver in any round;
+#   3. entries already driver-checked, in their original module order.
+# History is read dynamically from the CORRECTNESS_r*.json files the driver
+# itself writes into the repo root, so the ordering self-updates every round
+# without editing this module.  The static r2-r3 snapshot below is the
+# fallback when no history files are readable (package imported outside the
+# repo checkout).
 _DRIVER_CHECKED_R2_R3 = {
     "above_cust_avg", "adjacency", "agg_multi", "collect_set_flags",
     "compat_final_lines", "compat_reverse_lines", "compat_state_lines",
@@ -89,11 +93,54 @@ _DRIVER_CHECKED_R2_R3 = {
 _RECHECK_FIRST = ["json_extract", "dedup_simhash", "sssp", "pagerank", "kcore"]
 
 
+def _driver_history():
+    """Latest driver verdict per query from CORRECTNESS_r*.json, if present.
+
+    Returns (red, checked): names whose most recent driver row failed or
+    errored, and all names that have ever received a driver row.  Later
+    rounds override earlier ones (files sort lexicographically by round).
+    Returns (None, None) when no history is readable.
+    """
+    import json
+    from pathlib import Path
+
+    latest = {}
+    try:
+        root = Path(__file__).resolve().parents[1]
+        for p in sorted(root.glob("CORRECTNESS_r*.json")):
+            try:
+                data = json.loads(p.read_text())
+            except (OSError, ValueError):
+                continue
+            if isinstance(data, dict):
+                latest.update(
+                    {k: v for k, v in data.items() if isinstance(v, dict)}
+                )
+    except OSError:
+        return None, None
+    if not latest:
+        return None, None
+    red = {
+        n for n, row in latest.items()
+        if row.get("rows_match") is False
+        or row.get("schema_match") is False
+        or row.get("hash_match") is False
+        or row.get("err") not in (None, "no_oracle")
+        # rows-only in the last driver row but an oracle twin exists NOW:
+        # the oracle was added after that row, so a fresh check upgrades a
+        # weak verdict to a hash verdict.
+        or (row.get("err") == "no_oracle" and n in ORACLE)
+    }
+    return red, set(latest)
+
+
 def _registry_order(names):
-    front = [n for n in _RECHECK_FIRST if n in names]
-    never = [n for n in names if n not in _DRIVER_CHECKED_R2_R3]
-    green = [n for n in names
-             if n in _DRIVER_CHECKED_R2_R3 and n not in _RECHECK_FIRST]
+    red, checked = _driver_history()
+    if checked is None:  # fallback: static r2-r3 snapshot
+        red, checked = set(_RECHECK_FIRST), _DRIVER_CHECKED_R2_R3
+    front = [n for n in names if n in red]
+    never = [n for n in names if n not in checked and n not in red]
+    green = [n for n in names if n in checked and n not in red]
     return front + never + green
 
 
