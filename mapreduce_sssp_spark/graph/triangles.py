@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .sssp import loop_partitions, static_rounds
+
 
 def canonical_edges(pairs: DataFrame) -> DataFrame:
     """Distinct undirected edges as (u, v) with u < v from any (u, v)
@@ -61,35 +63,61 @@ def canonical_edges(pairs: DataFrame) -> DataFrame:
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over canonical (u < v)
     undirected edges. Returns (node, n_tri), nodes in >=1 triangle."""
-    # edges feeds two plan leaves (degree agg + the re-join below);
-    # persist so the upstream pair generation runs once, not twice.
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    deg = (
-        edges.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    du = deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "deg_u")
-    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "deg_v")
-    with_deg = edges.join(du, "u").join(dv, "v")
-    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
-        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
-    )
-    # Oriented edge src->dst. Persisted: the subtree (pair-gen self-join
-    # + distinct + degree agg) feeds the adjacency build and the probe
-    # join — uncached, Catalyst recomputes it per leaf. Same short-lived
-    # cache pattern as dedup.py/similarity.py; O(m), tiny relative to
-    # the work it saves.
-    oriented = with_deg.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # adj probes both endpoints of every edge (two join leaves below).
-    adj = (
-        oriented.groupBy("src")
-        .agg(F.collect_list("dst").alias("nbrs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    spark = edges.sparkSession
+    # Build AND materialize the whole cache chain (edges -> degrees ->
+    # oriented -> adj) under a data-proportional shuffle-partition
+    # clamp.  Two reasons the clamp must wrap CONSTRUCTION, not just the
+    # materializing count(): a cached plan's exchanges are compiled with
+    # the conf in force when persist() registers it, and cached plans
+    # are exempt from AQE partition coalescing
+    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    # defaults to false) — so on a stock 200-partition session every
+    # stage of this chain launches 200 tasks regardless of data size
+    # (measured 50s at sf0.01 on a stock local[8] session; ~6s with the
+    # clamp).  At cluster scale the clamp resolves to
+    # defaultParallelism (all executor cores), so parallelism is never
+    # reduced below the hardware; only tiny-data task-launch overhead
+    # goes away.
+    with static_rounds(spark, loop_partitions(spark, edges)):
+        # edges feeds two plan leaves (degree agg + the re-join below);
+        # persist so the upstream pair generation runs once, not twice.
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        deg = (
+            edges.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        du = deg.withColumnRenamed("node", "u").withColumnRenamed(
+            "deg", "deg_u"
+        )
+        dv = deg.withColumnRenamed("node", "v").withColumnRenamed(
+            "deg", "deg_v"
+        )
+        with_deg = edges.join(du, "u").join(dv, "v")
+        lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+            (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+        )
+        # Oriented edge src->dst. Persisted: the subtree (pair-gen
+        # self-join + distinct + degree agg) feeds the adjacency build
+        # and the probe join — uncached, Catalyst recomputes it per
+        # leaf. Same short-lived cache pattern as dedup.py/similarity.py;
+        # O(m), tiny relative to the work it saves.
+        oriented = with_deg.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias(
+                "src"
+            ),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias(
+                "dst"
+            ),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # adj probes both endpoints of every edge (two join leaves
+        # below).
+        adj = (
+            oriented.groupBy("src")
+            .agg(F.collect_list("dst").alias("nbrs"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        adj.count()
     tris = (
         oriented.join(adj.withColumnRenamed("src", "a_key"),
                       F.col("src") == F.col("a_key"))
