@@ -103,10 +103,29 @@ def lsh_buckets(
 def _cache(df: DataFrame) -> DataFrame:
     """Short-lived cache for subtrees used by both sides of a self-join
     (exchange reuse is unreliable for these shapes under AQE; measured
-    3-5x recompute without it). A few MB per query; dies with session."""
+    3-5x recompute without it). A few MB per query; dies with session.
+
+    Registered under a core-count shuffle-partition clamp: cached plans
+    compile their exchanges with the conf in force at persist() time
+    and are exempt from AQE coalescing
+    (canChangeCachedPlanOutputPartitioning=false), so on a stock
+    200-partition session every cached-subtree stage would otherwise
+    launch 200 tasks regardless of data size (measured 22.5s -> 1.8s
+    for similarity_ivf_topk in isolation at sf0.1). Unlike the
+    fixpoint loops, the clamp here is defaultParallelism, NOT
+    input-byte-sized: these subtrees are compute-bound (per-element
+    vector math dominates), so partitions must cover every core even
+    when the input is a single small file — byte-sizing was measured
+    5x slower on embedding_neardup at sf0.1."""
     from pyspark.storagelevel import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..graph.sssp import static_rounds
+
+    spark = df.sparkSession
+    with static_rounds(spark):  # clamp = defaultParallelism
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+    return df
 
 
 def ann_top1(vec: DataFrame) -> DataFrame:
