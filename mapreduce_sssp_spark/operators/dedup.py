@@ -66,10 +66,24 @@ def _cache(df: DataFrame) -> DataFrame:
     self-join shapes under AQE (measured 4-5x recompute overhead), so the
     shared subtree is persisted explicitly. Footprint is a few MB of
     signatures/postings per query; entries are dropped with the session.
+
+    Registered and materialized under a core-count shuffle-partition
+    clamp: cached plans compile their exchanges with the conf in force
+    at persist() time and are exempt from AQE coalescing, so on a stock
+    200-partition session the minhash-signature aggregation would run
+    200-task stages regardless of data size (same pathology measured on
+    triangles/similarity; see similarity._cache). defaultParallelism,
+    not input bytes — shingling/hashing is compute-bound.
     """
     from pyspark.storagelevel import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..graph.sssp import static_rounds
+
+    spark = df.sparkSession
+    with static_rounds(spark):  # clamp = defaultParallelism
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+    return df
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

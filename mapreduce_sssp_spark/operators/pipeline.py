@@ -73,21 +73,35 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact dedup: min doc_id per sha2 digest (digests shuffle, texts
     # stay put). Cached: feeds the keep-set agg, the survivor join and
     # the shingle pipeline below.
+    #
+    # The whole cache chain (digests -> s1 -> post) is registered and
+    # materialized under a core-count shuffle-partition clamp: cached
+    # plans compile their exchanges with the conf in force at persist()
+    # time and are exempt from AQE coalescing, so on a stock
+    # 200-partition session the semi-join exchange inside s1 would run
+    # 200-task stages regardless of data size (same pathology measured
+    # on triangles/similarity; see similarity._cache).
     from pyspark.storagelevel import StorageLevel
 
-    digests = q_ok.withColumn("digest", F.sha2("text", 256)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    keep_exact = digests.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
-    s1 = digests.join(keep_exact, ["digest", "doc_id"], "semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    from ..graph.sssp import static_rounds
 
-    # Near-dedup among exact survivors: inverted-index Jaccard, drop the
-    # higher id of each >= threshold pair.
-    post = shingle_postings(s1.select("doc_id", "text")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    with static_rounds(spark):  # clamp = defaultParallelism
+        digests = q_ok.withColumn("digest", F.sha2("text", 256)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        keep_exact = digests.groupBy("digest").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        s1 = digests.join(keep_exact, ["digest", "doc_id"], "semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+        # Near-dedup among exact survivors: inverted-index Jaccard, drop
+        # the higher id of each >= threshold pair.
+        post = shingle_postings(s1.select("doc_id", "text")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        post.count()  # materialize the chain while the clamp is active
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = post.alias("a"), post.alias("b")
     inter = (
