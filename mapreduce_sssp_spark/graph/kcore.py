@@ -66,23 +66,27 @@ def kcore(
     _ensure_checkpoint_dir(spark)
     n_part = loop_partitions(spark, edges)
 
-    # Both directions so every edge is visible from each endpoint;
-    # partitioned once on u (the message-join key), never re-shuffled.
-    und = (
-        edges.select("u", "v")
-        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition(n_part, "u")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    state = (
-        und.groupBy("u")
-        .agg(F.count("*").alias("deg"))
-        .select(F.col("u").alias("node"), "deg", F.lit(True).alias("alive"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
     n_doomed = -1
+    # Clamp opens before the caches are registered: cached plans compile
+    # their exchanges with the conf at persist() time and AQE cannot
+    # coalesce them (full note in sssp.py).
     with static_rounds(spark, parts=n_part):
+        # Both directions so every edge is visible from each endpoint;
+        # partitioned once on u (the message-join key), never
+        # re-shuffled.
+        und = (
+            edges.select("u", "v")
+            .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition(n_part, "u")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        state = (
+            und.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .select(F.col("u").alias("node"), "deg", F.lit(True).alias("alive"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
         for rnd in range(1, max_rounds + 1):
             doomed = state.filter(F.col("alive") & (F.col("deg") < k)).select(
                 "node"

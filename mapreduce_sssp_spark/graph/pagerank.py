@@ -51,40 +51,44 @@ def pagerank(
     _ensure_checkpoint_dir(spark)
     n_part = loop_partitions(spark, edges)
 
-    e = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .distinct()
-        .repartition(n_part, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_nodes = nodes.count()
-
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # Edge side carries 1/deg so each round multiplies, never re-divides.
-    links = (
-        e.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv_deg"))
-        .repartition(n_part, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    e.unpersist()
-
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
-    base = (1.0 - damping) / n_nodes
-    has_out = deg.select(F.col("src").alias("node")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
+    # Clamp opens before the caches are registered: cached plans compile
+    # their exchanges with the conf at persist() time and AQE cannot
+    # coalesce them (full note in sssp.py).
     with static_rounds(spark, parts=n_part):
+        e = (
+            edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+            .distinct()
+            .repartition(n_part, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_nodes = nodes.count()
+
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        # Edge side carries 1/deg so each round multiplies, never
+        # re-divides.
+        links = (
+            e.join(deg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv_deg"))
+            .repartition(n_part, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        e.unpersist()
+
+        ranks = nodes.select(
+            "node", F.lit(1.0 / n_nodes).alias("rank")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        base = (1.0 - damping) / n_nodes
+        has_out = deg.select(F.col("src").alias("node")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
         for it in range(1, iterations + 1):
             # Dangling mass (rank on nodes with no out-edges) as a 1-row
             # DataFrame broadcast into the update — the round's single

@@ -193,31 +193,37 @@ def sssp(
         if neg:
             raise ValueError("sssp requires non-negative edge weights")
 
-    # Min-combine parallel edges, then fix the partitioning on src so the
-    # per-round relax join never re-shuffles the edge side.
-    e = (
-        e.groupBy("src", "dst")
-        .agg(F.min("weight").alias("weight"))
-        .repartition(n_part, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    # Format job (SingleSourceSP.java:56-129): a state record per node
-    # with out-edges; source seeded to 0.0, everything else "infinity"
-    # (represented natively as NULL, not a sentinel string).
-    state = (
-        e.select("src")
-        .distinct()
-        .select(
-            F.col("src").alias("node"),
-            F.when(F.col("src") == source, F.lit(0.0)).alias("dist"),
-            (F.col("src") == source).alias("updated"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
     changed = -1  # defined even if max_rounds < 1 skips the loop body
+    # The clamp opens BEFORE the edge/state caches are registered:
+    # cached plans compile their exchanges with the conf in force at
+    # persist() time and are exempt from AQE coalescing, so on a stock
+    # 200-partition session the pre-loop caches would otherwise
+    # materialize through 200-task stages in round 1.
     with static_rounds(spark, parts=n_part):
+        # Min-combine parallel edges, then fix the partitioning on src
+        # so the per-round relax join never re-shuffles the edge side.
+        e = (
+            e.groupBy("src", "dst")
+            .agg(F.min("weight").alias("weight"))
+            .repartition(n_part, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        # Format job (SingleSourceSP.java:56-129): a state record per
+        # node with out-edges; source seeded to 0.0, everything else
+        # "infinity" (represented natively as NULL, not a sentinel
+        # string).
+        state = (
+            e.select("src")
+            .distinct()
+            .select(
+                F.col("src").alias("node"),
+                F.when(F.col("src") == source, F.lit(0.0)).alias("dist"),
+                (F.col("src") == source).alias("updated"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
         for rnd in range(1, max_rounds + 1):
             # Frontier: only nodes whose distance changed last round emit
             # relaxations (SingleSourceSP.java:179).

@@ -46,23 +46,30 @@ def wcc(
     fwd = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     )
-    und = (
-        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .repartition(n_part, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    state = (
-        und.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("component"))
-        .withColumn("updated", F.lit(True))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
     changed = -1  # defined even if max_rounds < 1 skips the loop body
+    # Clamp opens before the caches are registered: cached plans compile
+    # their exchanges with the conf at persist() time and AQE cannot
+    # coalesce them, so a stock 200-partition session would otherwise
+    # materialize the pre-loop caches through 200-task stages (sssp.py
+    # has the full note).
     with static_rounds(spark, parts=n_part):
+        und = (
+            fwd.unionByName(
+                fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .repartition(n_part, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        state = (
+            und.select("src")
+            .distinct()
+            .select(F.col("src").alias("node"), F.col("src").alias("component"))
+            .withColumn("updated", F.lit(True))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
         for rnd in range(1, max_rounds + 1):
             frontier = state.filter("updated").select(
                 F.col("node").alias("f_node"), F.col("component").alias("f_comp")
