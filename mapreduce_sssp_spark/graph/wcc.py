@@ -47,12 +47,16 @@ def wcc(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     )
     changed = -1  # defined even if max_rounds < 1 skips the loop body
-    # Clamp opens before the caches are registered: cached plans compile
-    # their exchanges with the conf at persist() time and AQE cannot
-    # coalesce them, so a stock 200-partition session would otherwise
-    # materialize the pre-loop caches through 200-task stages (sssp.py
-    # has the full note).
-    with static_rounds(spark, parts=n_part):
+    # The pre-loop caches register under a CORE-COUNT clamp, the loop
+    # under the data-sized n_part. Two scopes on purpose: cached plans
+    # compile their exchanges with the conf at persist() time and AQE
+    # cannot coalesce them (sssp.py has the full note), so on a stock
+    # 200-partition session the prelude would otherwise run 200-task
+    # stages — but the prelude's distinct over the doubled edge list is
+    # the heaviest single shuffle in wcc and wants every core, while
+    # n_part is sized for the loop's small per-round frontier shuffles
+    # (clamping the prelude to n_part measured 12.9s -> 22.0s at sf0.1).
+    with static_rounds(spark):
         und = (
             fwd.unionByName(
                 fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -69,7 +73,9 @@ def wcc(
             .withColumn("updated", F.lit(True))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        und.count()  # materialize the prelude at full core count
 
+    with static_rounds(spark, parts=n_part):
         for rnd in range(1, max_rounds + 1):
             frontier = state.filter("updated").select(
                 F.col("node").alias("f_node"), F.col("component").alias("f_comp")
