@@ -117,7 +117,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .agg(F.collect_list("dst").alias("nbrs"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        adj.count()
+        # No eager action: the clamp's effect is the partitioning
+        # compiled into the cached plans at persist() time (asserted in
+        # tests/test_cache_clamp.py); the probe join materializes them.
     tris = (
         oriented.join(adj.withColumnRenamed("src", "a_key"),
                       F.col("src") == F.col("a_key"))

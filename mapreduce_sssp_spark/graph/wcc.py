@@ -73,7 +73,9 @@ def wcc(
             .withColumn("updated", F.lit(True))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        und.count()  # materialize the prelude at full core count
+        # No eager action: the clamp's effect is the partitioning
+        # compiled into the cached plan at persist() time; round 1's
+        # count materializes both caches in one job.
 
     with static_rounds(spark, parts=n_part):
         for rnd in range(1, max_rounds + 1):

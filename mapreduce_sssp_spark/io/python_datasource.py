@@ -17,9 +17,13 @@ The DataSource earns its keep on formats no builtin covers (proprietary
 binary layouts, quirky scientific formats), where the alternative is a
 driver-side preprocessing step that breaks the single-plan pipeline.
 
-At 100 TB: one InputPartition per file (a real source would split by
-byte ranges); each partition parses independently executor-side, so
-parallelism = #files and nothing funnels through the driver.
+At 100 TB: InputPartitions are BYTE-RANGE SPLITS within files (Hadoop
+text-split semantics: a split reads the lines whose first byte falls in
+(start, end], plus line 0 for the first split), so a single multi-GB
+file fans out across the cluster instead of serializing on one task.
+``split_bytes`` (default 32 MB) controls the granularity; each split
+parses independently executor-side and nothing funnels through the
+driver.
 """
 
 from __future__ import annotations
@@ -28,6 +32,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+DEFAULT_SPLIT_BYTES = 32 << 20
 
 
 class EdgeListDataSource(DataSource):
@@ -45,9 +51,11 @@ class EdgeListDataSource(DataSource):
         return EdgeListReader(self.options)
 
 
-class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+class _SplitPartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
         self.path = path
+        self.start = start
+        self.end = end
 
 
 class EdgeListReader(DataSourceReader):
@@ -55,6 +63,11 @@ class EdgeListReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("edgelist source requires a path")
+        self.split_bytes = int(
+            options.get("split_bytes", DEFAULT_SPLIT_BYTES)
+        )
+        if self.split_bytes < 1:
+            raise ValueError("split_bytes must be positive")
 
     def partitions(self):
         if os.path.isdir(self.path):
@@ -65,12 +78,38 @@ class EdgeListReader(DataSourceReader):
             )
         else:
             files = [self.path]
-        return [_FilePartition(f) for f in files]
+        parts = []
+        for f in files:
+            size = os.path.getsize(f)
+            start = 0
+            while start < size:
+                end = min(start + self.split_bytes, size)
+                parts.append(_SplitPartition(f, start, end))
+                start = end
+        return parts
 
     def read(self, partition):
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
+        """Yield the rows whose line starts inside this split.
+
+        Ownership rule (identical to Hadoop's LineRecordReader): a line
+        belongs to the split whose (start, end] range contains its first
+        byte — the first split also owns byte 0. Concretely: every split
+        with start > 0 discards the first readline() (owned by its
+        predecessor, which reads past its own end to finish that line),
+        then reads whole lines while the line's starting offset is
+        <= end. Every line is read exactly once across splits.
+        """
+        with open(partition.path, "rb") as fh:
+            fh.seek(partition.start)
+            if partition.start > 0:
+                fh.readline()  # predecessor owns the line spanning start
+            while True:
+                if fh.tell() > partition.end:
+                    break
+                raw = fh.readline()
+                if not raw:
+                    break
+                line = raw.decode("utf-8").strip()
                 if not line or not line[0].isdigit():
                     continue  # same comment tolerance as the TSV scan
                 # General whitespace tokenization (the reference's

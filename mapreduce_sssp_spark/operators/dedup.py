@@ -81,9 +81,10 @@ def _cache(df: DataFrame) -> DataFrame:
 
     spark = df.sparkSession
     with static_rounds(spark):  # clamp = defaultParallelism
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
-    return df
+        # No eager action needed: the clamp's effect is the partitioning
+        # compiled into the cached plan at persist() time (asserted in
+        # tests/test_cache_clamp.py); the first consumer materializes.
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

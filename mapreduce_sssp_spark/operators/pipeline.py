@@ -101,7 +101,8 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         post = shingle_postings(s1.select("doc_id", "text")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        post.count()  # materialize the chain while the clamp is active
+        # No eager action: the clamp's effect is the partitioning
+        # compiled into the cached plans at persist() time.
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = post.alias("a"), post.alias("b")
     inter = (

@@ -56,6 +56,49 @@ def test_python_datasource_tolerates_whitespace_variants(spark, tmp_path):
     ]
 
 
+def test_python_datasource_byte_range_splits(spark, tmp_path):
+    """Byte-range splitting must assign every line to exactly one split
+    (Hadoop LineRecordReader ownership: a line belongs to the split
+    whose (start, end] contains its first byte). Tiny split sizes force
+    many splits with boundaries landing mid-line and exactly on
+    newlines; the multiset of rows must equal the single-split read."""
+    from mapreduce_sssp_spark.io.python_datasource import (
+        EdgeListReader,
+        register,
+    )
+
+    p = tmp_path / "edges.txt"
+    lines = [f"{i} {i % 7} {i % 11} {i}.25" for i in range(200)]
+    p.write_text("\n".join(lines) + "\n")
+
+    register(spark)
+    whole = sorted(
+        spark.read.format("edgelist").load(str(p)).collect(),
+        key=lambda r: r.edge_id,
+    )
+    assert len(whole) == 200
+
+    # Sweep split sizes around line-length scale so boundaries hit every
+    # phase of a line, including exactly-on-newline.
+    for split_bytes in (7, 13, 16, 64, 1 << 20):
+        split = sorted(
+            spark.read.format("edgelist")
+            .option("split_bytes", str(split_bytes))
+            .load(str(p))
+            .collect(),
+            key=lambda r: r.edge_id,
+        )
+        assert split == whole, f"split_bytes={split_bytes}"
+
+    # The partition planner itself must cover the file exactly once.
+    reader = EdgeListReader({"path": str(p), "split_bytes": "16"})
+    parts = reader.partitions()
+    size = p.stat().st_size
+    assert parts[0].start == 0 and parts[-1].end == size
+    for a, b in zip(parts, parts[1:]):
+        assert a.end == b.start
+
+
 def test_rolling_fingerprint_polynomial(spark, tmp_path):
     """Hand-computed Rabin-Karp values on a tiny corpus, plus edge cases
     (empty text -> NULLs, text shorter than the window -> no winnow)."""
