@@ -141,7 +141,17 @@ def _registry_order(names):
     front = [n for n in names if n in red]
     never = [n for n in names if n not in checked and n not in red]
     green = [n for n in names if n in checked and n not in red]
-    return front + never + green
+    # Within each group, oracle-backed entries go first: a driver check of
+    # a rows-only entry can only ever yield a weak rows-only row, so it
+    # should not consume budget ahead of an entry that can earn a full
+    # hash verdict.  Rows-only entries still surface once the hash-backed
+    # backlog drains (they stay "never checked" until then).
+    def by_oracle(group):
+        return [n for n in group if n in ORACLE] + [
+            n for n in group if n not in ORACLE
+        ]
+
+    return by_oracle(front) + by_oracle(never) + by_oracle(green)
 
 
 QUERIES = {n: QUERIES[n] for n in _registry_order(list(QUERIES))}
