@@ -9,13 +9,14 @@ SURVEY.md §7 P3.
   exactly by the DuckDB oracle's list_dot_product, so cosines are
   bit-identical across engines.
 * ``similarity_ann_lsh`` — the 100 TB scale path: multi-table random-
-  hyperplane LSH (4 tables x 8 bits; hyperplane signs derived from
-  xxhash64(table, j, dim), so the "random" planes are deterministic and
-  identical on every executor with zero driver state); vectors meet only
-  inside a same-(table, signature) bucket, then bucket-local exact
-  cosine + per-query top-1 across tables. Approximate by construction ->
-  no SQL oracle (driver rows-only check); recall on planted clusters is
-  asserted in pytest.
+  hyperplane LSH (4 tables x 8 bits; the ±1 hyperplane matrix is derived
+  driver-side from md5 of the coordinate triple and inlined as a plan
+  literal, so the "random" planes are deterministic and identical on
+  every executor with zero driver state — and identically embeddable in
+  the DuckDB oracle, making this *approximate-but-deterministic* query
+  fully hash-checkable); vectors meet only inside a same-(table,
+  signature) bucket, then bucket-local exact cosine + per-query top-1
+  across tables. Recall on planted clusters is asserted in pytest.
 
 At 100 TB: brute force is O(Q x N) — fine when Q is a broadcastable
 query batch; for all-vectors kNN use the LSH variant (or IVF with
@@ -23,6 +24,8 @@ learned centroids, same bucket-join shape, centroids broadcast).
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -73,21 +76,85 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") <= TOPK)
 
 
+PLANE_DIM = 64  # max supported vector dim; planes are sliced to size(v)
+
+
+@lru_cache(maxsize=None)
+def _plane_signs(
+    tables: int = LSH_TABLES, bits: int = SIG_BITS, dim: int = PLANE_DIM
+) -> tuple:
+    """±1.0 hyperplane matrix [tables][bits][dim] from md5 of the
+    coordinate triple — deterministic, seedless, and engine-neutral: the
+    same matrix is inlined as a literal into BOTH the Spark plan and the
+    DuckDB oracle SQL, so the two engines bucket identically. (A
+    driver-side constant also beats the earlier per-row xxhash64 plane
+    derivation on cost: the executors evaluate zero hash calls.)"""
+    import hashlib
+
+    return tuple(
+        tuple(
+            tuple(
+                1.0
+                if hashlib.md5(f"{t}:{j}:{d}".encode()).digest()[0] & 1
+                else -1.0
+                for d in range(dim)
+            )
+            for j in range(bits)
+        )
+        for t in range(tables)
+    )
+
+
+def _planes_spark(tables: int, bits: int, dim: int) -> str:
+    """The plane matrix as a Spark SQL array literal (constant-folded)."""
+    pl = _plane_signs(tables, bits, dim)
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{x:.1f}D" for x in row) + ")" for row in tb
+            )
+            + ")"
+            for tb in pl
+        )
+        + ")"
+    )
+
+
+def _planes_duckdb(tables: int, bits: int, dim: int) -> str:
+    """The same plane matrix as a DuckDB nested-list literal."""
+    pl = _plane_signs(tables, bits, dim)
+    body = ", ".join(
+        "["
+        + ", ".join("[" + ", ".join(f"{x:.1f}" for x in row) + "]" for row in tb)
+        + "]"
+        for tb in pl
+    )
+    return f"CAST([{body}] AS DOUBLE[][][])"
+
+
 def lsh_buckets(
     df: DataFrame, bits: int = SIG_BITS, tables: int = LSH_TABLES
 ) -> DataFrame:
     """Explode each vector into `tables` rows of (table_id, bucket).
 
-    Bucket = sign pattern of `bits` pseudo-random hyperplane projections,
-    packed into a long. Hyperplane (t, j)'s weight for dimension d is ±1
-    from bit 0 of xxhash64(t, j, d) — deterministic, stateless, identical
-    on every executor. Multiple tables trade compute for recall exactly
-    like classic multi-table LSH.
+    Bucket = sign pattern of `bits` hyperplane projections, packed into
+    a long. The ±1 planes come from :func:`_plane_signs` — a driver-side
+    constant inlined into the plan, identical on every executor and in
+    the DuckDB oracle. Projections are sequential left-to-right double
+    accumulation, mirrored exactly by the oracle's list_dot_product, so
+    bucket assignments (and hence the candidate sets) are bit-identical
+    across engines. Multiple tables trade compute for recall exactly
+    like classic multi-table LSH. Vectors longer than PLANE_DIM are
+    unsupported (the plane slice would truncate); shorter ones use the
+    leading dims.
     """
+    pl = _planes_spark(tables, bits, PLANE_DIM)
     proj = (
         f"transform(sequence(0, {bits - 1}),"
-        " j -> aggregate(zip_with(v, sequence(0, size(v) - 1),"
-        "   (x, d) -> if((xxhash64(t, j, d) & 1) = 1, x, -x)),"
+        f" j -> aggregate(zip_with(v, slice(element_at(element_at({pl}, t + 1),"
+        " j + 1), 1, size(v)), (x, s) -> x * s),"
         " cast(0.0 as double), (acc, x) -> acc + x))"
     )
     packed = (
@@ -180,7 +247,12 @@ def exact_top1(vec: DataFrame) -> DataFrame:
 
 
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbor (top-1) via hyperplane-LSH buckets."""
+    """Approximate nearest neighbor (top-1) via hyperplane-LSH buckets.
+
+    Approximate w.r.t. the true nearest neighbor, but *deterministic*
+    given the literal plane matrix — so the DuckDB twin reproduces the
+    exact candidate sets and the driver hash-checks it like any exact
+    query. Recall vs exact_top1 is pinned separately in pytest."""
     return ann_top1(_vectors(spark, sf_dir))
 
 
@@ -256,8 +328,10 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors per vector via IVF inverted lists —
-    the k>1 probe every retrieval pipeline actually runs (rows-only:
-    approximate by construction; recall pinned in tests)."""
+    the k>1 probe every retrieval pipeline actually runs. Approximate
+    w.r.t. true kNN but fully deterministic arithmetic (centroid
+    assignment + bucket join + rank), so it hash-checks against a plain
+    SQL twin; recall pinned in tests."""
     return ivf_topk(_vectors(spark, sf_dir), 3)
 
 
@@ -380,9 +454,9 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "embedding_stats": q_embedding_stats,
-    "similarity_ann_lsh": q_similarity_ann_lsh,  # rows-only (approximate)
-    "similarity_ivf": q_similarity_ivf,  # rows-only (approximate)
-    "similarity_ivf_topk": q_similarity_ivf_topk,  # rows-only (approximate)
+    "similarity_ann_lsh": q_similarity_ann_lsh,
+    "similarity_ivf": q_similarity_ivf,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
 }
 
@@ -426,3 +500,77 @@ WHERE a.vec_id < b.vec_id
       >= {NEARDUP_THRESHOLD}
 """,
 }
+
+
+def _ivf_oracle(k: int, with_rank: bool) -> str:
+    """DuckDB twin of :func:`ivf_topk` — IVF is deterministic arithmetic
+    (broadcast-centroid assignment, nprobe bucket join, exact re-rank),
+    so the whole pipeline is plain SQL; cosines are bit-identical by the
+    same sequential-accumulation argument as similarity_topk."""
+    cols = "q_id, nn_id, cosine" + (", rank" if with_rank else "")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+          WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id)
+         AS c_rn
+  FROM (SELECT n.vec_id, n.v, n.nrm, c.c_id,
+               list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS c_cos
+        FROM n, cents c)
+),
+members AS (SELECT c_id AS bucket, vec_id AS nn_id, v AS nv, nrm AS nn_nrm
+            FROM ranked WHERE c_rn = 1),
+probes  AS (SELECT c_id AS bucket, vec_id AS q_id, v AS qv, nrm AS qn
+            FROM ranked WHERE c_rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT DISTINCT p.q_id, m.nn_id,
+         list_dot_product(p.qv, m.nv) / (p.qn * m.nn_nrm) AS cosine
+  FROM probes p JOIN members m USING (bucket)
+  WHERE m.nn_id <> p.q_id
+)
+SELECT {cols} FROM (
+  SELECT q_id, nn_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id)
+         AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
+
+
+ORACLE["similarity_ivf"] = _ivf_oracle(1, with_rank=False)
+ORACLE["similarity_ivf_topk"] = _ivf_oracle(3, with_rank=True)
+
+# The LSH twin re-derives the SAME buckets from the SAME literal plane
+# matrix (sliced to the data's dim), joins within (table, bucket), and
+# re-ranks — the approximation is deterministic, so the hash matches.
+ORACLE["similarity_ann_lsh"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+b AS (
+  SELECT vec_id, t,
+         list_sum(list_transform(range({SIG_BITS}), j ->
+           CASE WHEN list_dot_product(v, planes.pl[t + 1][j + 1][1:len(v)]) > 0
+                THEN 1 << j ELSE 0 END)) AS bucket
+  FROM n, range({LSH_TABLES}) r(t),
+       (SELECT {_planes_duckdb(LSH_TABLES, SIG_BITS, PLANE_DIM)} AS pl) planes
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS q_id, c.vec_id AS nn_id
+  FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket
+  WHERE c.vec_id <> a.vec_id
+),
+scored AS (
+  SELECT p.q_id, p.nn_id,
+         list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) AS cosine
+  FROM pairs p
+  JOIN n qa ON qa.vec_id = p.q_id
+  JOIN n qb ON qb.vec_id = p.nn_id
+)
+SELECT q_id, nn_id, cosine FROM (
+  SELECT q_id, nn_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
