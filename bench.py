@@ -72,6 +72,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "dedup_minhash",
     "dedup_simhash",
+    "decontaminate_ngrams",
+    "dedup_spans",
     "sketch_merge",
     # similarity / embeddings
     "similarity_topk",

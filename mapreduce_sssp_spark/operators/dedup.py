@@ -1,7 +1,7 @@
 """Deduplication operators over ``documents`` — the LLM-training-data
 pipeline surface (SURVEY.md §7 P3).
 
-Four methods, each a first-class oracle-checked query:
+Each method is a first-class oracle-checked query:
 
 * ``dedup_exact``      — hash-groupBy on sha2(text). At 100 TB the group
   key is the 32-byte digest, never the document body, so shuffle bytes
@@ -20,6 +20,14 @@ Four methods, each a first-class oracle-checked query:
 * ``dedup_simhash``    — 32-bit SimHash per document, computed in ONE
   pass over the token array with aggregate/zip_with (no 32x row blowup;
   the oracle uses the blowup formulation, the engine does not).
+* ``dedup_incremental`` — incoming batch anti-joined against the
+  existing corpus on digest (the production ingestion shape).
+* ``decontaminate_ngrams`` — benchmark/eval-set contamination sweep:
+  broadcast the (tiny) benchmark shingle set, count per-doc overlap;
+  the corpus side never shuffles.
+* ``dedup_spans``      — C4-style sub-document dedup: fixed 10-token
+  spans, first corpus occurrence elected per md5(span) via partial
+  agg + join-back (window-free, hot-span safe).
 
 All hashing is expression-level (md5/xxhash64) — JVM codegen, no UDFs.
 Reference has no dedup surface; this extends it per the driver contract.
@@ -247,12 +255,107 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BENCH_MOD = 20  # benchmark/eval-set stand-in: doc_id % BENCH_MOD == 0
+SPAN_TOKENS = 10  # sub-document dedup span width (tokens)
+
+
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    3-gram shingle with the benchmark/eval set (here doc_id % 20 == 0
+    stands in for the held-out benchmark corpus).
+
+    The shape that matters at 100 TB: the benchmark side is tiny and
+    fixed (eval sets are MBs; the corpus is TBs), so its distinct
+    shingle set is explicitly broadcast — the corpus side is scanned
+    once, joined map-side with zero shuffle of corpus rows, and the
+    per-doc overlap count partial-aggregates before the only exchange
+    (keyed by doc_id, one row per contaminated doc). Never join this
+    the other way around: shuffling corpus shingles to meet a
+    benchmark-keyed side would move the whole corpus.
+
+    Output: (doc_id, n_hits) for contaminated corpus docs — n_hits =
+    number of distinct shingles shared with the benchmark (the triage
+    ranking a curator reviews before dropping documents).
+    """
+    post = _cache(_shingle_postings(spark, sf_dir))
+    bench = (
+        post.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+    )
+    corpus = post.filter(F.col("doc_id") % BENCH_MOD != 0)
+    # Postings are distinct per (doc_id, s), so count(*) counts distinct
+    # shared shingles.
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (span-level) exact dedup, C4-style: every document
+    is chunked into fixed 10-token spans (trailing partial span kept)
+    and a span survives only at its FIRST corpus occurrence — minimal
+    (doc_id, span_idx) — so boilerplate repeated across documents is
+    dropped everywhere but once while the containing documents live on.
+
+    Scale shape: the dedup key is md5(span) — shuffle bytes are
+    O(spans x 16 B), never document bodies. First-occurrence election
+    is a partial-aggregating groupBy(min(struct(doc_id, span_idx)))
+    joined back on the digest, NOT a window over the corpus: a span
+    duplicated 10^9 times map-side combines to one row per partition in
+    the agg, and the skewed probe side of the join-back is AQE
+    skew-split — a window would funnel that span's every occurrence
+    through one task.
+
+    Output: (doc_id, span_idx, kept) — the keep/drop verdict per span.
+    """
+    docs = load_parallel(spark, sf_dir, "documents")
+    n_spans = f"int(ceil(size(toks) / {SPAN_TOKENS}.0))"
+    spans = (
+        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"if(size(toks) = 0, array(),"
+                f" transform(sequence(0, {n_spans} - 1),"
+                f"  i -> concat_ws(' ', slice(toks, i * {SPAN_TOKENS} + 1,"
+                f" {SPAN_TOKENS}))))"
+            ).alias("spans"),
+        )
+        # OUTER generate + null-filter, same reason as shingle_postings:
+        # a non-outer Generate lets InferFiltersFromGenerate push the
+        # whole span pipeline below the repartition into the scan as an
+        # inferred filter, re-evaluating tokenize+chunk per row.
+        .select("doc_id", F.posexplode_outer("spans").alias("span_idx", "span"))
+        .filter(F.col("span").isNotNull())
+        .select(
+            "doc_id",
+            F.col("span_idx").cast("long").alias("span_idx"),
+            F.md5("span").alias("digest"),
+        )
+    )
+    spans = _cache(spans)
+    first = spans.groupBy("digest").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first")
+    )
+    return spans.join(first, "digest").select(
+        "doc_id",
+        "span_idx",
+        (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("span_idx") == F.col("first.span_idx"))
+        ).alias("kept"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_incremental": q_dedup_incremental,
+    "decontaminate_ngrams": q_decontaminate_ngrams,
+    "dedup_spans": q_dedup_spans,
 }
 
 _EXACT_JACCARD_SQL = f"""
@@ -304,5 +407,29 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
             AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
+""",
+    "decontaminate_ngrams": f"""
+WITH sh AS ({DUCK_SHINGLES_REL}),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT c.doc_id, count(*) AS n_hits
+FROM corpus c JOIN bench b USING (s)
+GROUP BY c.doc_id
+""",
+    "dedup_spans": f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+spans AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+         array_to_string(
+           t[CAST(i * {SPAN_TOKENS} + 1 AS INT)
+             : CAST((i + 1) * {SPAN_TOKENS} AS INT)], ' ') AS span
+  FROM toks, range(0, 100000) r(i)
+  WHERE CAST(i AS INT) * {SPAN_TOKENS} + 1 <= len(t)
+)
+SELECT doc_id, span_idx, (rn = 1) AS kept FROM (
+  SELECT doc_id, span_idx,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+)
 """,
 }

@@ -271,3 +271,37 @@ def test_q21_double_decorrelation(spark):
     assert "LeftSemi" in plan or "ExistenceJoin" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The contamination sweep must broadcast the (tiny, fixed)
+    benchmark shingle set — the corpus side joins map-side and never
+    shuffles. A shuffled join here would move the whole corpus at
+    100 TB."""
+    from mapreduce_sssp_spark.queries_registry import QUERIES
+
+    plan = plan_of(QUERIES["decontaminate_ngrams"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
+
+
+def test_dedup_spans_elects_first_via_agg_not_window(spark):
+    """Span-level dedup must elect first occurrences with a partial-
+    aggregating groupBy + join-back, not a corpus-wide window: a span
+    duplicated 10^9 times map-side combines in the agg, while a window
+    would funnel every occurrence through one task."""
+    from mapreduce_sssp_spark.queries_registry import QUERIES
+
+    plan = plan_of(QUERIES["dedup_spans"](spark, SF), "simple")
+    assert "Window" not in plan, plan
+    # min(struct) plans as SortAggregate; the map-side combine is the
+    # property that matters (hot spans collapse before the exchange).
+    assert "partial_min" in plan, plan
+    assert "CartesianProduct" not in plan
+    # The OUTER generate must have kept the span pipeline out of the
+    # scan-level filter (InferFiltersFromGenerate pathology: a non-outer
+    # Generate gets a size()>0 filter inferred and pushed into the scan
+    # as a DataFilter re-evaluating tokenize+chunk per row).
+    assert "DataFilters: [(" not in plan, plan
+    spark.catalog.clearCache()
