@@ -191,8 +191,8 @@ def q_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     path = _scratch(sf_dir, "customer_malformed_csv")
     cust.write.mode("overwrite").csv(path)
-    bad = spark.createDataFrame(
-        [("not,an,int,row,at,all,extra,cols",)] * N_CORRUPT, "value string"
+    bad = spark.range(N_CORRUPT).select(
+        F.lit("not,an,int,row,at,all,extra,cols").alias("value")
     )
     bad_path = _scratch(sf_dir, "customer_malformed_csv_bad")
     bad.write.mode("overwrite").text(bad_path)

@@ -127,9 +127,9 @@ def q_tsv_edges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
     lines = pairs.select(F.concat_ws("\t", "src", "dst").alias("value"))
-    comments = spark.createDataFrame(
-        [("# SNAP-style header comment",), ("c non-digit lead is skipped too",)],
-        "value string",
+    comments = spark.sql(
+        "SELECT * FROM VALUES ('# SNAP-style header comment'),"
+        " ('c non-digit lead is skipped too') AS t(value)"
     )
     path = tempfile.mkdtemp(prefix="spark-graft-tsvedges-") + "/edges"
     lines.unionByName(comments).write.mode("overwrite").text(path)

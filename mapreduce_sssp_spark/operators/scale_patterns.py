@@ -61,11 +61,19 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts joined to price bands by range predicate (broadcast side)."""
+    """Parts joined to price bands by range predicate (broadcast side).
+
+    The band dim is built as a constant-folded VALUES plan (LocalRelation),
+    not ``spark.createDataFrame`` — the latter routes through
+    applySchemaToPythonRDD and spins up a Python worker for a 4-row literal
+    table, which showed up as ~2s of pure overhead in the bench.
+    """
     part = load_table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
-        PRICE_BANDS, "band string, lo double, hi double"
+    values = ", ".join(
+        f"('{b}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+        for b, lo, hi in PRICE_BANDS
     )
+    bands = spark.sql(f"SELECT * FROM VALUES {values} AS t(band, lo, hi)")
     return (
         part.join(
             F.broadcast(bands),
