@@ -71,6 +71,7 @@ HEADLINE = [
     "dedup_incremental",
     "ngram_jaccard_pairs",
     "dedup_minhash",
+    "dedup_minhash_clusters",
     "dedup_simhash",
     "decontaminate_ngrams",
     "dedup_spans",

@@ -175,8 +175,11 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH
     )
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-verified to Jaccard >= 0.8."""
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a < doc_b, jaccard): LSH candidate pairs exact-verified to
+    Jaccard >= 0.8 — the shared first half of ``dedup_minhash`` (which
+    returns the pairs) and ``dedup_minhash_clusters`` (which closes them
+    into components)."""
     docs = load_parallel(spark, sf_dir, "documents")
     sh = _cache(with_shingles(docs))
     cand = lsh_candidate_pairs(_cache(minhash_signatures(docs)))
@@ -198,6 +201,46 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified to Jaccard >= 0.8."""
+    return minhash_verified_pairs(spark, sf_dir)
+
+
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup CLUSTERS: the production step after pair finding.
+
+    Near-dup pairs only say "a looks like b"; what a pipeline ships is
+    one survivor per near-dup *cluster* (pair similarity is not
+    transitive, so clusters are the connected components of the pair
+    graph — the C4/SlimPajama formulation). This runs the engine's own
+    ``wcc`` fixpoint (pointer-jumping min-label propagation,
+    O(log diameter) rounds) over the exact-verified LSH pairs and elects
+    canon_id = min(doc_id) per component.
+
+    Scale shape: the pair graph is TINY relative to the corpus (only
+    docs with a >= 0.8-Jaccard partner appear), so the closure runs on
+    the reduced edge set, never the corpus. Near-dup components are
+    short-diameter by construction, so the fixpoint converges in a few
+    rounds regardless of corpus size.
+
+    Output: (doc_id, canon_id, kept) for every doc in at least one
+    near-dup pair; kept marks the cluster survivor. Docs with no
+    near-dup partner are implicitly all kept (anti-join this result to
+    drop losers — the ``dedup_incremental`` composition).
+    """
+    from ..graph.wcc import wcc
+
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    comp = wcc(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canon_id"),
+        (F.col("node") == F.col("component")).alias("kept"),
     )
 
 
@@ -352,6 +395,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_incremental": q_dedup_incremental,
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -388,6 +432,26 @@ WHERE digest NOT IN (SELECT digest FROM existing)
     # The LSH path is exact-verified, so it must match the exact oracle
     # (up to the negligible banding miss probability documented above).
     "dedup_minhash": _EXACT_JACCARD_SQL,
+    # Connected components of the exact pair graph (the engine's LSH
+    # pairs equal the exact pairs modulo the documented banding miss
+    # probability), closed by recursive reachability — terminating
+    # because the label lattice is finite (the wcc_cyclic device).
+    "dedup_minhash_clusters": f"""
+WITH RECURSIVE pairs AS ({_EXACT_JACCARD_SQL}),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM und)
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node AS doc_id, min(label) AS canon_id,
+       (node = min(label)) AS kept
+FROM reach GROUP BY node
+""",
     "dedup_simhash": f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({DUCK_TOKENS})) AS tok FROM documents
