@@ -14,12 +14,14 @@ Env:
     SPARK_GRAFT_CPUS     local[N] parallelism (default all cores)
     SPARK_GRAFT_BENCH_QUERIES  "all", or comma-separated subset
                                (default: the HEADLINE set below)
+    SPARK_GRAFT_BENCH_PASSES   full-suite passes (default 2); each
+                               query reports its MIN across passes
 
 Each query is executed with a `noop` format write — full physical
 execution of the plan on the executors without driver-side collect
 overhead, so the number measures the engine, not py4j transfer.
 
-The default HEADLINE set is ~40 queries covering every operator family
+The default HEADLINE set is ~60 queries covering every operator family
 (graph fixpoints, relational/TPC-H, windows, dedup, similarity, text,
 sampling, streaming, multimodal, pipeline) rather than all 93 entries:
 a bench that finishes comfortably inside the driver's budget beats one
@@ -141,6 +143,14 @@ def main() -> None:
     warm.join(warm.groupBy("k").count(), "k").write.mode("overwrite").format(
         "noop"
     ).save()
+    # Warm the Python-worker + Arrow path the same way: the first
+    # pandas-exchanging stage in a session pays worker spawn + pandas/
+    # pyarrow import per core (~4s measured at 32 cores), which would
+    # otherwise be billed to whichever pandas query runs first.
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores * 10, 1, cores).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
     # Also touch each table's parquet footer + first row group once: the
     # vectorized-reader init and footer parse are session one-time costs
     # that would otherwise be billed to whichever query scans the table
@@ -158,6 +168,8 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULTS.json"
     )
 
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+
     def payload(timings: dict[str, float]) -> dict:
         total = round(sum(t for t in timings.values() if t >= 0), 3)
         return {
@@ -171,6 +183,7 @@ def main() -> None:
             # subset, not the full registry).
             "query_set": query_set,
             "n_queries": len(queries),
+            "passes": passes,
         }
 
     def flush_results(timings: dict[str, float]) -> None:
@@ -179,23 +192,48 @@ def main() -> None:
             json.dump(payload(timings), f)
         os.replace(tmp, results_path)
 
+    # Whole-suite passes, per-query MIN across them. Two passes because a
+    # single pass is at the mercy of transient host contention: one
+    # background CPU spike while query X runs bills X 5-40x its real cost
+    # (measured similarity_ivf 1.3s -> 53s under an ambient load burst),
+    # and that fake regression is indistinguishable from a real one. A
+    # spike long enough to hit the SAME query in BOTH passes (minutes
+    # apart) is no longer noise. Pass 1 flushes a complete artifact
+    # before pass 2 starts, so a harness kill mid-pass-2 still leaves
+    # every query covered.
+    from mapreduce_sssp_spark.operators.graph_queries import (
+        clear_convergence_memo,
+    )
+
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception:
-            traceback.print_exc(file=sys.stderr)
-            timings[name] = -1.0  # failed marker; excluded from total
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
-        flush_results(timings)
-        # Iterative queries return a still-persisted final state; left in
-        # place these accumulate over 60+ queries and the executor-memory
-        # pressure inflates later queries (wcc measured 59s polluted vs
-        # 36s isolated). Per-query isolation: drop all cached data.
-        spark.catalog.clearCache()
+    for pass_no in range(1, passes + 1):
+        # Re-measure, don't re-lookup: the sssp_dag/compat_final_lines
+        # converged-state memo is intra-pass sharing by design, but a
+        # later pass must pay the real fixpoint again.
+        clear_convergence_memo()
+        for name, fn in queries.items():
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                t = round(time.time() - t0, 3)
+            except Exception:
+                traceback.print_exc(file=sys.stderr)
+                t = -1.0  # failed marker; excluded from total
+            prev = timings.get(name)
+            if prev is None or (t >= 0 and (prev < 0 or t < prev)):
+                timings[name] = t
+            print(
+                f"[bench] {name}: {t}s (pass {pass_no}, best {timings[name]}s)",
+                file=sys.stderr,
+            )
+            flush_results(timings)
+            # Iterative queries return a still-persisted final state; left
+            # in place these accumulate over 60+ queries and the
+            # executor-memory pressure inflates later queries (wcc measured
+            # 59s polluted vs 36s isolated). Per-query isolation: drop all
+            # cached data.
+            spark.catalog.clearCache()
 
     print(json.dumps(payload(timings)), flush=True)
 

@@ -56,6 +56,13 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAG_STATE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
+def clear_convergence_memo() -> None:
+    """Drop memoized converged states. For harnesses that time the same
+    query repeatedly (bench passes): without this, pass 2 of sssp_dag
+    measures a dict lookup, not the fixpoint."""
+    _DAG_STATE_MEMO.clear()
+
+
 def _sssp_dag_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _DAG_STATE_MEMO.get(key)

@@ -73,3 +73,18 @@ def test_exact_dedup_groups(spark):
     )
     got = {(r.keep, r.n) for r in groups}
     assert got == {(10, 3), (11, 1)}
+
+
+def test_minhash_clusters_transitive_closure(spark):
+    """Near-dup CLUSTERS close over non-transitive pair evidence: with
+    pairs (0,1) and (1,4) but NOT (0,4), all three land in one component
+    with canon 0 — the survivor election dedup_minhash_clusters ships."""
+    from mapreduce_sssp_spark.graph.wcc import wcc
+
+    pairs = spark.sql(
+        "SELECT * FROM VALUES (0L, 1L), (1L, 4L), (7L, 9L) AS t(src, dst)"
+    )
+    comp = {r.node: r.component for r in wcc(pairs).collect()}
+    assert comp == {0: 0, 1: 0, 4: 0, 7: 7, 9: 7}
+    kept = {n for n, c in comp.items() if n == c}
+    assert kept == {0, 7}  # one survivor per cluster, min doc_id
