@@ -91,6 +91,7 @@ HEADLINE = [
     "lang_id",
     "token_freq_top100",
     "doc_fingerprint",
+    "bpe_merges",
     # sampling / packing / python surface
     "sample_hash",
     "pack_sequences",

@@ -290,7 +290,112 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 3  # fixed merge count so the oracle can unroll the loop
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction: the first BPE_MERGES byte-pair-
+    encoding merges learned from the corpus, (rank, left, right,
+    pair_count).
+
+    Scale shape (the SentencePiece trick): the corpus is scanned ONCE
+    into a (distinct word, count) vocab — Zipf makes that table tiny
+    relative to the corpus (one word-keyed shuffle with map-side
+    combine) — and every merge iteration touches only the vocab: pair
+    counting partial-aggregates on the (left,right) key, the argmax is
+    a driver scalar via TakeOrdered (bounded: one row), and applying
+    the merge is a map-side literal replace. Nothing downstream ever
+    re-reads documents.
+
+    Merge application is non-overlapping left-to-right string
+    replacement — identical semantics in Spark and DuckDB ``replace``
+    (verified: ' a a a a ' -> ' aa a a ' in both), which is what makes
+    the unrolled recursive-free oracle possible. It deviates from
+    classic greedy BPE only inside runs of a self-pair (e.g. 'aaaa'
+    becomes [aa,a,a], classic gives [aa,aa]); the deviation is
+    deterministic and cross-engine identical. Ties in the argmax break
+    on (count DESC, left, right) — binary UTF-8 order in both engines.
+    """
+    docs = load_parallel(spark, sf_dir, "documents")
+    return bpe_merge_table(docs)
+
+
+def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """(merge_rank, lhs, rhs, pair_count) — see q_bpe_merges."""
+    spark = docs.sparkSession
+    # ' c h a r s ' symbol-string per distinct word, with corpus count.
+    words = (
+        docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.expr(
+                        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                    ),
+                    " ",
+                ),
+                F.lit(" "),
+            ).alias("s"),
+            "cnt",
+        )
+        .persist()
+    )
+    merges = []
+    try:
+        for rank in range(1, n_merges + 1):
+            pc = (
+                words.select(
+                    F.expr("filter(split(trim(s), ' '), x -> x != '')").alias("sy"),
+                    "cnt",
+                )
+                .where(F.expr("size(sy) >= 2"))
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(sy) - 2),"
+                            " i -> struct(sy[i] AS l, sy[i+1] AS r))"
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("n"))
+            )
+            best = pc.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+            if not best:
+                break
+            b = best[0]
+            merges.append((rank, b.l, b.r, int(b.n)))
+            nxt = words.select(
+                F.replace(
+                    F.col("s"),
+                    F.lit(f" {b.l} {b.r} "),
+                    F.lit(f" {b.l}{b.r} "),
+                ).alias("s"),
+                "cnt",
+            ).persist()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    # 3 driver-side rows; parameter binding keeps arbitrary token text
+    # out of the SQL string.
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, :l{r} AS lhs, :r{r} AS rhs,"
+        f" CAST(:n{r} AS BIGINT) AS pair_count"
+        for r, _, _, _ in merges
+    )
+    args = {}
+    for r, l, rt, n in merges:
+        args[f"l{r}"], args[f"r{r}"], args[f"n{r}"] = l, rt, n
+    return spark.sql(f"SELECT * FROM ({rows}) ORDER BY merge_rank", args=args)
+
+
 QUERIES = {
+    "bpe_merges": q_bpe_merges,
     "text_stats": q_text_stats,
     "text_scrub": q_text_scrub,
     "text_quality": q_text_quality,
@@ -418,3 +523,49 @@ SELECT s.doc_id, min(s.lang) AS pred_lang, m.mh AS hits
 FROM s JOIN m ON s.doc_id = m.doc_id AND s.hits = m.mh
 GROUP BY s.doc_id, m.mh
 """
+
+
+def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled DuckDB twin of q_bpe_merges: the fixed merge count turns
+    the iteration into a chain of CTE stages (pair-count -> argmax ->
+    replace), each reproducing the engine's exact arithmetic — same
+    symbol strings, same non-overlapping replace, same tie-break."""
+    pair_count = (
+        "SELECT z[1] AS lhs, z[2] AS rhs, SUM(cnt) AS n FROM (\n"
+        "  SELECT unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS z, cnt\n"
+        "  FROM (SELECT list_filter(string_split(trim(s), ' '),"
+        " x -> x <> '') AS sy, cnt FROM {w})\n"
+        "  WHERE len(sy) >= 2\n"
+        ") GROUP BY 1, 2"
+    )
+    ctes = [
+        f"toks AS (SELECT {DUCK_TOKENS} AS t FROM documents)",
+        "w0 AS (\n"
+        "  SELECT ' ' || array_to_string(list_transform("
+        "range(1, length(tok)+1), i -> substr(tok, CAST(i AS INT), 1)), ' ')"
+        " || ' ' AS s,\n"
+        "         CAST(count(*) AS BIGINT) AS cnt\n"
+        "  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok\n"
+        ")",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"p{k} AS ({pair_count.format(w=f'w{k - 1}')})")
+        ctes.append(
+            f"b{k} AS (SELECT lhs, rhs, n FROM p{k}"
+            " ORDER BY n DESC, lhs, rhs LIMIT 1)"
+        )
+        if k < n_merges:
+            ctes.append(
+                f"w{k} AS (SELECT replace(s,"
+                f" ' ' || (SELECT lhs FROM b{k}) || ' ' || (SELECT rhs FROM b{k}) || ' ',"
+                f" ' ' || (SELECT lhs FROM b{k}) || (SELECT rhs FROM b{k}) || ' ') AS s,"
+                f" cnt FROM w{k - 1})"
+            )
+    finals = "\nUNION ALL ".join(
+        f"SELECT {k} AS merge_rank, lhs, rhs, n AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY merge_rank"
+
+
+ORACLE["bpe_merges"] = _bpe_oracle_sql()

@@ -136,3 +136,22 @@ def test_rolling_fingerprint_polynomial(spark, tmp_path):
         0,
     )
     assert out[3].winnow_min is None and out[3].content_hash == poly("hi")
+
+
+def test_bpe_merges_planted_corpus(spark):
+    """Planted corpus with known pair counts, including a tie on merge 3
+    resolved by the (lhs, rhs) lexicographic tie-break:
+
+    'aaab aaab cd cd cd' -> word counts {aaab: 2, cd: 3}
+      merge 1: (a,a) n=4   [two positional (a,a) pairs per 'aaab']
+      merge 2: (c,d) n=3   [(aa,a) and (a,b) are only 2 after merge 1]
+      merge 3: (a,b) n=2   [ties (aa,a) at 2; 'a' < 'aa' lexicographically]
+    """
+    from mapreduce_sssp_spark.operators.text_analysis import bpe_merge_table
+
+    docs = spark.sql("SELECT 1L AS doc_id, 'aaab aaab cd cd cd' AS text")
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merge_table(docs).collect()
+    ]
+    assert got == [(1, "a", "a", 4), (2, "c", "d", 3), (3, "a", "b", 2)]
