@@ -92,6 +92,7 @@ HEADLINE = [
     "token_freq_top100",
     "doc_fingerprint",
     "bpe_merges",
+    "bpe_encode",
     # sampling / packing / python surface
     "sample_hash",
     "pack_sequences",

@@ -320,11 +320,10 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(docs)
 
 
-def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
-    """(merge_rank, lhs, rhs, pair_count) — see q_bpe_merges."""
-    spark = docs.sparkSession
-    # ' c h a r s ' symbol-string per distinct word, with corpus count.
-    words = (
+def _bpe_vocab(docs: DataFrame) -> DataFrame:
+    """(s, cnt): ' c h a r s ' symbol-string per distinct word, with
+    corpus count — the only pass that ever reads the corpus."""
+    return (
         docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
@@ -341,46 +340,60 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             ).alias("s"),
             "cnt",
         )
-        .persist()
     )
-    merges = []
-    try:
-        for rank in range(1, n_merges + 1):
-            pc = (
-                words.select(
-                    F.expr("filter(split(trim(s), ' '), x -> x != '')").alias("sy"),
-                    "cnt",
-                )
-                .where(F.expr("size(sy) >= 2"))
-                .select(
-                    F.explode(
-                        F.expr(
-                            "transform(sequence(0, size(sy) - 2),"
-                            " i -> struct(sy[i] AS l, sy[i+1] AS r))"
-                        )
-                    ).alias("p"),
-                    "cnt",
-                )
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("cnt").alias("n"))
-            )
-            best = pc.orderBy(F.desc("n"), "l", "r").limit(1).collect()
-            if not best:
-                break
-            b = best[0]
-            merges.append((rank, b.l, b.r, int(b.n)))
-            nxt = words.select(
-                F.replace(
-                    F.col("s"),
-                    F.lit(f" {b.l} {b.r} "),
-                    F.lit(f" {b.l}{b.r} "),
-                ).alias("s"),
+
+
+def _learn_bpe(
+    docs: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge iterations; returns (merges, post-merge vocab).
+
+    The returned vocab DataFrame stays persisted (few MB — one row per
+    distinct word; session-lifetime like the dedup subtree caches)."""
+    words = _bpe_vocab(docs).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pc = (
+            words.select(
+                F.expr("filter(split(trim(s), ' '), x -> x != '')").alias("sy"),
                 "cnt",
-            ).persist()
-            words.unpersist()
-            words = nxt
-    finally:
+            )
+            .where(F.expr("size(sy) >= 2"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(sy) - 2),"
+                        " i -> struct(sy[i] AS l, sy[i+1] AS r))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pc.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        merges.append((rank, b.l, b.r, int(b.n)))
+        nxt = words.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {b.l} {b.r} "),
+                F.lit(f" {b.l}{b.r} "),
+            ).alias("s"),
+            "cnt",
+        ).persist()
         words.unpersist()
+        words = nxt
+    return merges, words
+
+
+def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """(merge_rank, lhs, rhs, pair_count) — see q_bpe_merges."""
+    spark = docs.sparkSession
+    merges, words = _learn_bpe(docs, n_merges)
+    words.unpersist()
     # 3 driver-side rows; parameter binding keeps arbitrary token text
     # out of the SQL string.
     rows = " UNION ALL ".join(
@@ -394,8 +407,40 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     return spark.sql(f"SELECT * FROM ({rows}) ORDER BY merge_rank", args=args)
 
 
+BPE_ENCODE_TOPK = 20
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the tokenizer workflow: ENCODE the corpus with
+    the learned merge table and emit the top-20 resulting vocabulary
+    symbols by corpus frequency, (sym, freq).
+
+    Encoding rides the same vocab table as induction — the learned
+    merges are applied per distinct word (map-side literal replaces) and
+    symbol frequencies re-weight by word count, so the corpus is still
+    scanned exactly once end-to-end. At 100 TB the production encode of
+    the full corpus is the same replace chain applied map-side to each
+    document's words — embarrassingly parallel, zero extra shuffle.
+    """
+    docs = load_parallel(spark, sf_dir, "documents")
+    _, words = _learn_bpe(docs, BPE_MERGES)
+    return (
+        words.select(
+            F.explode(
+                F.expr("filter(split(trim(s), ' '), x -> x != '')")
+            ).alias("sym"),
+            "cnt",
+        )
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.desc("freq"), "sym")
+        .limit(BPE_ENCODE_TOPK)
+    )
+
+
 QUERIES = {
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "text_stats": q_text_stats,
     "text_scrub": q_text_scrub,
     "text_quality": q_text_quality,
@@ -525,11 +570,13 @@ GROUP BY s.doc_id, m.mh
 """
 
 
-def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
-    """Unrolled DuckDB twin of q_bpe_merges: the fixed merge count turns
-    the iteration into a chain of CTE stages (pair-count -> argmax ->
-    replace), each reproducing the engine's exact arithmetic — same
-    symbol strings, same non-overlapping replace, same tie-break."""
+def _bpe_oracle_sql(n_merges: int = BPE_MERGES, emit: str = "merges") -> str:
+    """Unrolled DuckDB twin of q_bpe_merges / q_bpe_encode: the fixed
+    merge count turns the iteration into a chain of CTE stages
+    (pair-count -> argmax -> replace), each reproducing the engine's
+    exact arithmetic — same symbol strings, same non-overlapping
+    replace, same tie-break. ``emit`` picks the final projection: the
+    merge table, or the top-K encoded-symbol frequencies."""
     pair_count = (
         "SELECT z[1] AS lhs, z[2] AS rhs, SUM(cnt) AS n FROM (\n"
         "  SELECT unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS z, cnt\n"
@@ -554,13 +601,23 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
             f"b{k} AS (SELECT lhs, rhs, n FROM p{k}"
             " ORDER BY n DESC, lhs, rhs LIMIT 1)"
         )
-        if k < n_merges:
+        if k < n_merges or emit == "encoded":
             ctes.append(
                 f"w{k} AS (SELECT replace(s,"
                 f" ' ' || (SELECT lhs FROM b{k}) || ' ' || (SELECT rhs FROM b{k}) || ' ',"
                 f" ' ' || (SELECT lhs FROM b{k}) || (SELECT rhs FROM b{k}) || ' ') AS s,"
                 f" cnt FROM w{k - 1})"
             )
+    if emit == "encoded":
+        finals = (
+            "SELECT sym, SUM(cnt) AS freq FROM (\n"
+            "  SELECT unnest(list_filter(string_split(trim(s), ' '),"
+            " x -> x <> '')) AS sym, cnt"
+            f" FROM w{n_merges}\n"
+            ") GROUP BY sym ORDER BY freq DESC, sym"
+            f" LIMIT {BPE_ENCODE_TOPK}"
+        )
+        return "WITH " + ",\n".join(ctes) + "\n" + finals
     finals = "\nUNION ALL ".join(
         f"SELECT {k} AS merge_rank, lhs, rhs, n AS pair_count FROM b{k}"
         for k in range(1, n_merges + 1)
@@ -569,3 +626,4 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
 
 
 ORACLE["bpe_merges"] = _bpe_oracle_sql()
+ORACLE["bpe_encode"] = _bpe_oracle_sql(emit="encoded")

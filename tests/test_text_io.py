@@ -155,3 +155,26 @@ def test_bpe_merges_planted_corpus(spark):
         for r in bpe_merge_table(docs).collect()
     ]
     assert got == [(1, "a", "a", 4), (2, "c", "d", 3), (3, "a", "b", 2)]
+
+
+def test_bpe_encode_planted_corpus(spark):
+    """Encoding with the learned merges: 'aaab' -> [aa, ab], 'cd' -> [cd],
+    so corpus symbol frequencies are cd:3, aa:2, ab:2 (freq DESC, sym)."""
+    from mapreduce_sssp_spark.operators.text_analysis import _learn_bpe
+    from pyspark.sql import functions as F
+
+    docs = spark.sql("SELECT 1L AS doc_id, 'aaab aaab cd cd cd' AS text")
+    _, words = _learn_bpe(docs, 3)
+    freqs = (
+        words.select(
+            F.explode(
+                F.expr("filter(split(trim(s), ' '), x -> x != '')")
+            ).alias("sym"),
+            "cnt",
+        )
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.desc("freq"), "sym")
+        .collect()
+    )
+    assert [(r.sym, r.freq) for r in freqs] == [("cd", 3), ("aa", 2), ("ab", 2)]
