@@ -213,7 +213,26 @@ def main() -> None:
         # converged-state memo is intra-pass sharing by design, but a
         # later pass must pay the real fixpoint again.
         clear_convergence_memo()
-        for name, fn in queries.items():
+        # Alternate direction per pass: a PERIODIC external load burst
+        # with period ≈ pass duration hits the same wall-clock offset
+        # each pass, i.e. the same query slot — observed as
+        # multimodal_features billed 7.8s in BOTH passes of a run while
+        # measuring 0.55s in-session minutes later. Reversing every
+        # other pass de-correlates query identity from wall-clock
+        # phase, so the per-query min sees at least one clean run.
+        ordered = list(queries.items())
+        if pass_no % 2 == 0:
+            ordered.reverse()
+            # ...except the memo-sharing pair: sssp_dag must still run
+            # before compat_final_lines, else the reversed pass bills
+            # the fixpoint to compat_final_lines and sssp_dag freeloads
+            # a 0.1s dict-lookup "time" into the min.
+            names = [n for n, _ in ordered]
+            if "sssp_dag" in names and "compat_final_lines" in names:
+                i, j = names.index("sssp_dag"), names.index("compat_final_lines")
+                if i > j:
+                    ordered[i], ordered[j] = ordered[j], ordered[i]
+        for name, fn in ordered:
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)

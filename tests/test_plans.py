@@ -143,6 +143,7 @@ def test_similarity_topk_broadcasts_query_vectors(spark):
         "dedup_incremental",
         "group_percentiles",
         "approx_topk_items",
+        "bpe_encode",
     ],
 )
 def test_no_cartesian_products_anywhere(spark, qname):

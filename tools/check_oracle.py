@@ -88,6 +88,17 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    # Untimed session warm-up, same rationale as bench.py: JIT/codegen/
+    # shuffle init and the first pandas-exchanging stage (Python worker
+    # spawn + pandas/pyarrow import per core) are one-time session costs
+    # that would otherwise be billed to whichever query runs first.
+    warm = spark.range(0, 100_000, 1, 8).selectExpr("id", "id % 97 AS k")
+    warm.join(warm.groupBy("k").count(), "k").count()
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores * 10, 1, cores).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
