@@ -96,6 +96,7 @@ HEADLINE = [
     # sampling / packing / python surface
     "sample_hash",
     "pack_sequences",
+    "chunk_documents",
     "export_training_shards",
     "group_percentiles",
     "order_gaps_arrow",

@@ -209,12 +209,62 @@ def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RAG / context-window chunking: window width and stride in tokens.
+#: stride < width -> adjacent chunks overlap by (width - stride) tokens.
+CHUNK_W = 64
+CHUNK_STRIDE = 48
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token-window chunking — the prep step between
+    corpus cleaning and embedding/indexing (RAG) or context-window
+    training. Each document yields windows of CHUNK_W tokens starting
+    every CHUNK_STRIDE tokens; the final window is tail-truncated, and
+    the start grid is ``1 + ceil(max(n - W, 0) / S)`` windows so every
+    token is covered and a short doc yields exactly one chunk.
+
+    Output is (doc_id, chunk_idx, n_chunk_tokens, chunk_digest) — the
+    digest (md5 of the space-joined window) stands in for chunk text so
+    the result stays O(chunks x 32 B) and downstream exact-dedup of
+    chunks can run digest-keyed, same as dedup_spans.
+
+    Scale: pure map-side generate — tokenize once per doc, emit
+    bounded-fanout windows, zero shuffle; streams at scan speed.
+    """
+    from .text_common import TOKENS_EXPR
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_starts = f"(1 + ((greatest(size(toks) - {CHUNK_W}, 0) + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}))"
+    return (
+        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"if(size(toks) = 0, array(),"
+                f" transform(sequence(0, {n_starts} - 1),"
+                f"  i -> slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_W})))"
+            ).alias("chunks"),
+        )
+        # OUTER generate + null-filter: same InferFiltersFromGenerate
+        # pathology as dedup_spans/shingle_postings.
+        .select("doc_id", F.posexplode_outer("chunks").alias("chunk_idx", "ch"))
+        .filter(F.col("ch").isNotNull())
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("ch").cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join("ch", " ")).alias("chunk_digest"),
+        )
+    )
+
+
 QUERIES = {
     "split_train_test": q_split_train_test,
     "sample_hash": q_sample_hash,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "export_training_shards": q_export_training_shards,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLE = {
@@ -272,3 +322,23 @@ SELECT shard, pack_id, count(*) AS n_docs,
 FROM costed GROUP BY shard, pack_id
 """,
 }
+
+from .text_common import DUCK_TOKENS as _DUCK_TOKENS  # noqa: E402
+
+ORACLE["chunk_documents"] = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+grid AS (
+  SELECT doc_id, t, CAST(i AS BIGINT) AS chunk_idx,
+         CAST(i AS INT) * {CHUNK_STRIDE} AS start
+  FROM toks, range(0, 100000) r(i)
+  WHERE len(t) > 0
+    AND CAST(i AS INT) <
+        1 + ((greatest(len(t) - {CHUNK_W}, 0) + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE})
+),
+cut AS (
+  SELECT doc_id, chunk_idx, t[start + 1 : start + {CHUNK_W}] AS ch FROM grid
+)
+SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(ch, ' ')) AS chunk_digest
+FROM cut
+"""

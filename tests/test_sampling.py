@@ -111,3 +111,40 @@ def test_pack_sequences_plan_has_no_global_sort(spark):
         .toString()
     )
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_chunk_documents_window_grid(spark, tmp_path):
+    """Window-count formula edge cases: n <= W -> one tail-truncated
+    chunk; n = W + 1 -> two chunks with the second holding the
+    (n - stride) tail; empty text -> no chunks."""
+    import pyspark.sql.functions as F
+    from mapreduce_sssp_spark.operators.sampling import (
+        CHUNK_STRIDE,
+        CHUNK_W,
+        q_chunk_documents,
+    )
+
+    words = lambda n: " ".join(f"t{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, words(CHUNK_W)),       # exactly one full window
+            (2, words(CHUNK_W + 1)),   # spills into a second window
+            (3, words(10)),            # short doc -> one short chunk
+            (4, ""),                   # empty -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf")
+    import os
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        (r.doc_id, r.chunk_idx): r.n_chunk_tokens
+        for r in q_chunk_documents(spark, sf).collect()
+    }
+    assert out == {
+        (1, 0): CHUNK_W,
+        (2, 0): CHUNK_W,
+        (2, 1): CHUNK_W + 1 - CHUNK_STRIDE,
+        (3, 0): 10,
+    }
