@@ -184,6 +184,17 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
         )
 
 
+def test_chunk_documents_is_map_side_only(spark):
+    """Chunking must be scan -> project -> generate with ZERO exchanges:
+    a reshape that shuffled 100 TB of chunk rows for a per-document
+    transform would be wrong by construction."""
+    from mapreduce_sssp_spark.operators.sampling import q_chunk_documents
+
+    plan = plan_of(q_chunk_documents(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+
+
 def test_unpivot_is_generator_only_no_exchange(spark):
     """unpivot must expand in the scan's projection (Expand node), never
     shuffle — wide->long of a 100 TB fact would otherwise quadruple
