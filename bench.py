@@ -23,7 +23,7 @@ overhead, so the number measures the engine, not py4j transfer.
 
 The default HEADLINE set is ~60 queries covering every operator family
 (graph fixpoints, relational/TPC-H, windows, dedup, similarity, text,
-sampling, streaming, multimodal, pipeline) rather than all 93 entries:
+sampling, streaming, multimodal, pipeline) rather than all 136 entries:
 a bench that finishes comfortably inside the driver's budget beats one
 that gets killed 85% through (round 2 shipped no parseable bench for
 exactly that reason). `SPARK_GRAFT_BENCH_QUERIES=all` runs everything.

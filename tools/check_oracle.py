@@ -111,7 +111,7 @@ def main():
         srows = [tuple(r) for r in sdf.collect()]
         spark_t = time.time() - t0
         # Per-query isolation, same as bench.py: fixpoint queries leave
-        # their final state persisted; across 130 queries the executor
+        # their final state persisted; across 136 queries the executor
         # memory pressure inflates later timings (wcc measured 8.6s
         # isolated vs 15.4s late-sweep polluted). Reliable checkpoints
         # (e.g. the memoized DAG state) survive this by design.
