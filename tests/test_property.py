@@ -97,3 +97,54 @@ def test_wcc_matches_union_find(spark, edges):
     want = _union_find_components(edges)
     # Same partition into components AND min-id labeling.
     assert got == want
+
+
+words_strategy = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=12
+)
+
+
+def _ref_bpe(words: list[str], n_merges: int):
+    """Trusted pure-Python twin of _learn_bpe: positional pair counts
+    over the distinct-word vocab, (count DESC, lhs, rhs) argmax, and
+    str.replace merge application — Python's replace is the same
+    non-overlapping left-to-right scan as Spark/DuckDB replace()."""
+    from collections import Counter
+
+    vocab = Counter(words)
+    sym_counts = Counter()
+    for w, c in vocab.items():
+        sym_counts[" " + " ".join(w) + " "] += c
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for s, c in sym_counts.items():
+            sy = s.split()
+            for a, b in zip(sy, sy[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, n))
+        nxt = Counter()
+        for s, c in sym_counts.items():
+            nxt[s.replace(f" {l} {r} ", f" {l}{r} ")] += c
+        sym_counts = nxt
+    return merges
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=words_strategy)
+def test_bpe_merges_match_pure_python(spark, words):
+    from mapreduce_sssp_spark.operators.text_analysis import _learn_bpe
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    merges, vocab = _learn_bpe(docs, 3)
+    vocab.unpersist()
+    assert merges == _ref_bpe(words, 3)
