@@ -108,6 +108,7 @@ HEADLINE = [
     "streaming_parquet_sink",
     "multimodal_features",
     "pipeline_clean_corpus",
+    "pipeline_training_data",
     "sink_bucketed_join",
     "asof_join_forward",
     "price_histogram",

@@ -41,7 +41,10 @@ from .text_analysis import STOPWORDS
 QUALITY_MIN = 0.5
 
 
-def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quality_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages shared by both pipeline queries: quality filter -> exact
+    dedup survivors, (doc_id, source, text, n_tokens), cached under the
+    core-count clamp (see q_pipeline_clean_corpus notes)."""
     docs = load_parallel(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "source", "text", F.expr(TOKENS_EXPR).alias("toks")
@@ -95,7 +98,16 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1 = digests.join(keep_exact, ["digest", "doc_id"], "semi").persist(
             StorageLevel.MEMORY_AND_DISK
         )
+    return s1
 
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from ..graph.sssp import static_rounds
+
+    s1 = _quality_exact_survivors(spark, sf_dir)
+    with static_rounds(spark):  # clamp = defaultParallelism
         # Near-dedup among exact survivors: inverted-index Jaccard, drop
         # the higher id of each >= threshold pair.
         post = shingle_postings(s1.select("doc_id", "text")).persist(
@@ -135,7 +147,74 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pipeline_clean_corpus": q_pipeline_clean_corpus}
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The downstream half of the corpus build, composed end-to-end:
+
+        quality filter -> exact dedup  (shared _quality_exact_survivors)
+          -> overlapping token-window chunking  (chunk_documents grid)
+          -> deterministic train/val/test assignment  (split_train_test
+             md5-bucket, a pure function of doc_id)
+          -> per-(split, source) chunk inventory
+
+    Output: (split, source, n_docs, n_chunks, n_uniq_chunks,
+    sum_chunk_tokens) — what a dataset card reports per shard set.
+    n_uniq_chunks counts distinct chunk digests, i.e. the post-split
+    chunk-level dedup opportunity.
+
+    Scale: every added stage is map-side (chunk generate, split hash) —
+    the only shuffles beyond the shared clean stages are the final
+    aggregation's partial-agg exchange and countDistinct's digest
+    shuffle, both keyed small.
+    """
+    from .sampling import _SPLIT_KEY, _TRAIN_HI, _VAL_HI, _bucket
+    from .sampling import CHUNK_STRIDE, CHUNK_W
+
+    s1 = _quality_exact_survivors(spark, sf_dir)
+    n_starts = (
+        f"(1 + ((greatest(size(toks) - {CHUNK_W}, 0) + {CHUNK_STRIDE} - 1)"
+        f" div {CHUNK_STRIDE}))"
+    )
+    chunks = (
+        s1.select("doc_id", "source", F.expr(TOKENS_EXPR).alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"if(size(toks) = 0, array(),"
+                f" transform(sequence(0, {n_starts} - 1),"
+                f"  i -> slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_W})))"
+            ).alias("chunks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode_outer("chunks").alias("chunk_idx", "ch"),
+        )
+        .filter(F.col("ch").isNotNull())
+    )
+    b = _bucket(F.col("doc_id"), _SPLIT_KEY)
+    assigned = chunks.select(
+        "doc_id",
+        "source",
+        F.when(b < _TRAIN_HI, "train")
+        .when(b < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size("ch").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("ch", " ")).alias("chunk_digest"),
+    )
+    return assigned.groupBy("split", "source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk_digest").alias("n_uniq_chunks"),
+        F.sum("n_chunk_tokens").alias("sum_chunk_tokens"),
+    )
+
+
+QUERIES = {
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "pipeline_training_data": q_pipeline_training_data,
+}
 
 _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
@@ -182,3 +261,57 @@ SELECT source, count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
 FROM s2 GROUP BY source
 """,
 }
+
+from .sampling import (  # noqa: E402
+    CHUNK_STRIDE as _CS,
+    CHUNK_W as _CW,
+    _SPLIT_KEY as _SK,
+    _TRAIN_HI as _TH,
+    _VAL_HI as _VH,
+)
+
+ORACLE["pipeline_training_data"] = f"""
+WITH t AS (SELECT doc_id, source, text, {DUCK_TOKENS} AS toks FROM documents),
+comp AS (
+  SELECT doc_id, source, text,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({_EN}))) / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) / len(toks) AS ttr,
+         CAST(CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0 ELSE 0.0 END
+              AS DOUBLE) AS len_ok
+  FROM t
+),
+qok AS (
+  SELECT doc_id, source, text
+  FROM comp
+  WHERE len_ok * 0.4 + ttr * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.2
+        >= {QUALITY_MIN}
+),
+keepx AS (SELECT min(doc_id) AS doc_id FROM qok GROUP BY text),
+s1 AS (SELECT * FROM qok WHERE doc_id IN (SELECT doc_id FROM keepx)),
+toks1 AS (SELECT doc_id, source, {DUCK_TOKENS} AS t FROM s1),
+grid AS (
+  SELECT doc_id, source, t, CAST(i AS INT) * {_CS} AS start
+  FROM toks1, range(0, 100000) r(i)
+  WHERE len(t) > 0
+    AND CAST(i AS INT) <
+        1 + ((greatest(len(t) - {_CW}, 0) + {_CS} - 1) // {_CS})
+),
+assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN substr(md5('{_SK}' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_TH}' THEN 'train'
+              WHEN substr(md5('{_SK}' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_VH}' THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len(t[start + 1 : start + {_CW}]) AS BIGINT) AS n_chunk_tokens,
+         md5(array_to_string(t[start + 1 : start + {_CW}], ' ')) AS chunk_digest
+  FROM grid
+)
+SELECT split, source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(count(DISTINCT chunk_digest) AS BIGINT) AS n_uniq_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens
+FROM assigned GROUP BY split, source
+"""
