@@ -394,6 +394,11 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     spark = docs.sparkSession
     merges, words = _learn_bpe(docs, n_merges)
     words.unpersist()
+    if not merges:  # empty/pairless corpus: empty result, stable schema
+        return spark.sql(
+            "SELECT CAST(NULL AS INT) AS merge_rank, CAST(NULL AS STRING) AS lhs,"
+            " CAST(NULL AS STRING) AS rhs, CAST(NULL AS BIGINT) AS pair_count"
+        ).where("1 = 0")
     # 3 driver-side rows; parameter binding keeps arbitrary token text
     # out of the SQL string.
     rows = " UNION ALL ".join(
