@@ -212,14 +212,33 @@ def sssp(
         # Format job (SingleSourceSP.java:56-129): a state record per
         # node with out-edges; source seeded to 0.0, everything else
         # "infinity" (represented natively as NULL, not a sentinel
-        # string).
-        state = (
+        # string) — then pre-relaxed one hop: the source's out-edges are
+        # folded in at init (a filter + tiny join on the already
+        # src-partitioned edge cache, no extra shuffle), which is
+        # exactly round 1's relaxation, so the loop starts one round
+        # ahead. Non-negative weights mean the source itself can never
+        # improve, so only its neighbors start "updated".
+        base = (
             e.select("src")
             .distinct()
             .select(
                 F.col("src").alias("node"),
                 F.when(F.col("src") == source, F.lit(0.0)).alias("dist"),
-                (F.col("src") == source).alias("updated"),
+            )
+        )
+        hop1 = e.filter(F.col("src") == source).select(
+            F.col("dst").alias("node"), F.col("weight").alias("cand")
+        )
+        state = (
+            base.join(hop1, "node", "full_outer")
+            .select(
+                "node",
+                F.least("dist", "cand").alias("dist"),
+                (
+                    (F.col("node") != source)
+                    & F.col("cand").isNotNull()
+                    & F.least("dist", "cand").eqNullSafe(F.col("cand"))
+                ).alias("updated"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
