@@ -23,7 +23,7 @@ overhead, so the number measures the engine, not py4j transfer.
 
 The default HEADLINE set is ~60 queries covering every operator family
 (graph fixpoints, relational/TPC-H, windows, dedup, similarity, text,
-sampling, streaming, multimodal, pipeline) rather than all 136 entries:
+sampling, streaming, multimodal, pipeline) rather than all 137 entries:
 a bench that finishes comfortably inside the driver's budget beats one
 that gets killed 85% through (round 2 shipped no parseable bench for
 exactly that reason). `SPARK_GRAFT_BENCH_QUERIES=all` runs everything.
@@ -228,7 +228,13 @@ def main() -> None:
             # ...except the memo-sharing pair: sssp_dag must still run
             # before compat_final_lines, else the reversed pass bills
             # the fixpoint to compat_final_lines and sssp_dag freeloads
-            # a 0.1s dict-lookup "time" into the min.
+            # a 0.1s dict-lookup "time" into the min. This pair is the
+            # ONLY one needing protection: its shared state is a
+            # reliable checkpoint that survives the per-query
+            # clearCache(); every other shared-prefix family
+            # (pipeline_*, dedup_minhash*) shares plain persist()s,
+            # which clearCache() drops between queries, so neither
+            # order lets one query freeload off the other.
             names = [n for n, _ in ordered]
             if "sssp_dag" in names and "compat_final_lines" in names:
                 i, j = names.index("sssp_dag"), names.index("compat_final_lines")

@@ -167,30 +167,11 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, both keyed small.
     """
     from .sampling import _SPLIT_KEY, _TRAIN_HI, _VAL_HI, _bucket
-    from .sampling import CHUNK_STRIDE, CHUNK_W
+    from .sampling import chunk_windows
 
     s1 = _quality_exact_survivors(spark, sf_dir)
-    n_starts = (
-        f"(1 + ((greatest(size(toks) - {CHUNK_W}, 0) + {CHUNK_STRIDE} - 1)"
-        f" div {CHUNK_STRIDE}))"
-    )
-    chunks = (
-        s1.select("doc_id", "source", F.expr(TOKENS_EXPR).alias("toks"))
-        .select(
-            "doc_id",
-            "source",
-            F.expr(
-                f"if(size(toks) = 0, array(),"
-                f" transform(sequence(0, {n_starts} - 1),"
-                f"  i -> slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_W})))"
-            ).alias("chunks"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.posexplode_outer("chunks").alias("chunk_idx", "ch"),
-        )
-        .filter(F.col("ch").isNotNull())
+    chunks = chunk_windows(
+        s1.select("doc_id", "source", "text"), "doc_id", "source"
     )
     b = _bucket(F.col("doc_id"), _SPLIT_KEY)
     assigned = chunks.select(

@@ -215,6 +215,39 @@ CHUNK_W = 64
 CHUNK_STRIDE = 48
 
 
+def chunk_windows(docs: DataFrame, *passthrough: str) -> DataFrame:
+    """(passthrough..., chunk_idx BIGINT, ch ARRAY<STRING>): the shared
+    overlapping-window grid over ``docs.text`` — one chunk of CHUNK_W
+    tokens every CHUNK_STRIDE tokens, 1 + ceil(max(n - W, 0) / S)
+    windows per doc, no chunks for empty docs. Used by both
+    q_chunk_documents and pipeline_training_data so the grid arithmetic
+    has exactly one definition."""
+    from .text_common import TOKENS_EXPR
+
+    n_starts = (
+        f"(1 + ((greatest(size(toks) - {CHUNK_W}, 0) + {CHUNK_STRIDE} - 1)"
+        f" div {CHUNK_STRIDE}))"
+    )
+    return (
+        docs.select(*passthrough, F.expr(TOKENS_EXPR).alias("toks"))
+        .select(
+            *passthrough,
+            F.expr(
+                f"if(size(toks) = 0, array(),"
+                f" transform(sequence(0, {n_starts} - 1),"
+                f"  i -> slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_W})))"
+            ).alias("chunks"),
+        )
+        # OUTER generate + null-filter: same InferFiltersFromGenerate
+        # pathology as dedup_spans/shingle_postings.
+        .select(
+            *passthrough, F.posexplode_outer("chunks").alias("chunk_idx", "ch")
+        )
+        .filter(F.col("ch").isNotNull())
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-token-window chunking — the prep step between
     corpus cleaning and embedding/indexing (RAG) or context-window
@@ -231,30 +264,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure map-side generate — tokenize once per doc, emit
     bounded-fanout windows, zero shuffle; streams at scan speed.
     """
-    from .text_common import TOKENS_EXPR
-
     docs = load_table(spark, sf_dir, "documents")
-    n_starts = f"(1 + ((greatest(size(toks) - {CHUNK_W}, 0) + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}))"
-    return (
-        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
-        .select(
-            "doc_id",
-            F.expr(
-                f"if(size(toks) = 0, array(),"
-                f" transform(sequence(0, {n_starts} - 1),"
-                f"  i -> slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_W})))"
-            ).alias("chunks"),
-        )
-        # OUTER generate + null-filter: same InferFiltersFromGenerate
-        # pathology as dedup_spans/shingle_postings.
-        .select("doc_id", F.posexplode_outer("chunks").alias("chunk_idx", "ch"))
-        .filter(F.col("ch").isNotNull())
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            F.size("ch").cast("long").alias("n_chunk_tokens"),
-            F.md5(F.array_join("ch", " ")).alias("chunk_digest"),
-        )
+    return chunk_windows(docs, "doc_id").select(
+        "doc_id",
+        "chunk_idx",
+        F.size("ch").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("ch", " ")).alias("chunk_digest"),
     )
 
 

@@ -384,6 +384,13 @@ def _learn_bpe(
             ).alias("s"),
             "cnt",
         ).persist()
+        # Materialize nxt BEFORE dropping its parent's cache: persist()
+        # is lazy, so unpersisting words first would force the next
+        # iteration to recompute the whole lineage back to the corpus
+        # scan — one extra corpus pass per merge, breaking the
+        # "corpus is read exactly once" contract. The count() is over
+        # the vocab (tiny), same device as the fixpoint loops.
+        nxt.count()
         words.unpersist()
         words = nxt
     return merges, words
@@ -607,10 +614,16 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES, emit: str = "merges") -> str:
             " ORDER BY n DESC, lhs, rhs LIMIT 1)"
         )
         if k < n_merges or emit == "encoded":
+            # CASE-guard: when the corpus dries up before n_merges, b{k}
+            # is empty and the scalar subqueries go NULL — an unguarded
+            # replace(s, NULL, NULL) would NULL-poison every subsequent
+            # stage (and the encode emit would return zero rows where
+            # the engine returns the un-merged vocab).
             ctes.append(
-                f"w{k} AS (SELECT replace(s,"
+                f"w{k} AS (SELECT CASE WHEN (SELECT count(*) FROM b{k}) = 0"
+                f" THEN s ELSE replace(s,"
                 f" ' ' || (SELECT lhs FROM b{k}) || ' ' || (SELECT rhs FROM b{k}) || ' ',"
-                f" ' ' || (SELECT lhs FROM b{k}) || (SELECT rhs FROM b{k}) || ' ') AS s,"
+                f" ' ' || (SELECT lhs FROM b{k}) || (SELECT rhs FROM b{k}) || ' ') END AS s,"
                 f" cnt FROM w{k - 1})"
             )
     if emit == "encoded":
