@@ -415,7 +415,7 @@ FROM pr WHERE it = 6
 WITH edges AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL}))
 SELECT dst AS node,
        string_agg(CAST(src AS VARCHAR), ',' ORDER BY src) AS neighbors_csv,
-       count(*) AS indegree
+       CAST(count(*) AS INT) AS indegree
 FROM edges GROUP BY dst
 """,
     "adjacency": f"""
@@ -423,7 +423,7 @@ WITH edges AS ({EDGES_SQL})
 SELECT src AS node,
        string_agg(CAST(dst AS VARCHAR) || ':' || CAST(weight AS VARCHAR),
                   ',' ORDER BY dst, weight) AS adj_csv,
-       count(*) AS outdegree
+       CAST(count(*) AS INT) AS outdegree
 FROM edges GROUP BY src
 """,
     "reverse_graph_exploded": f"""

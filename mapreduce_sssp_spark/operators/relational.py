@@ -1258,7 +1258,8 @@ FROM orders JOIN avgs ON o_custkey = ck
 WHERE o_totalprice > cust_avg
 """,
     "window_rank": """
-SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -1299,7 +1300,7 @@ LIMIT 10
 SELECT p_partkey,
        upper(p_name) AS name_upper,
        substr(p_name, 1, 4) AS name_pre,
-       length(p_name) AS name_len,
+       CAST(length(p_name) AS INT) AS name_len,
        p_brand || '/' || p_type AS brand_type,
        replace(p_name, ' ', '_') AS name_snake,
        abs(p_size - 25) AS size_dev,
@@ -1308,7 +1309,7 @@ SELECT p_partkey,
        CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
        round(p_retailprice, 1) AS price_round,
        sqrt(p_retailprice) AS price_sqrt,
-       greatest(p_size, 10) AS size_min10
+       CAST(greatest(p_size, 10) AS INT) AS size_min10
 FROM part
 """,
     "scalar_date": """

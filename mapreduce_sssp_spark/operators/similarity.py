@@ -478,7 +478,7 @@ scored AS (
   FROM e q, e c
   WHERE q.vec_id % {QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
 )
-SELECT q_id, cand_id, cosine, rn FROM (
+SELECT q_id, cand_id, cosine, CAST(rn AS INT) AS rn FROM (
   SELECT q_id, cand_id, cosine,
          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
   FROM scored
@@ -507,7 +507,9 @@ def _ivf_oracle(k: int, with_rank: bool) -> str:
     (broadcast-centroid assignment, nprobe bucket join, exact re-rank),
     so the whole pipeline is plain SQL; cosines are bit-identical by the
     same sequential-accumulation argument as similarity_topk."""
-    cols = "q_id, nn_id, cosine" + (", rank" if with_rank else "")
+    cols = "q_id, nn_id, cosine" + (
+        ", CAST(rank AS INT) AS rank" if with_rank else ""
+    )
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

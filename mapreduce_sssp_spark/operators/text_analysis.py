@@ -311,9 +311,13 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement — identical semantics in Spark and DuckDB ``replace``
     (verified: ' a a a a ' -> ' aa a a ' in both), which is what makes
     the unrolled recursive-free oracle possible. It deviates from
-    classic greedy BPE only inside runs of a self-pair (e.g. 'aaaa'
-    becomes [aa,a,a], classic gives [aa,aa]); the deviation is
-    deterministic and cross-engine identical. Ties in the argmax break
+    classic greedy BPE whenever an occurrence immediately follows a
+    replaced one — the replacement consumes the shared delimiter
+    space — covering both runs of a self-pair ('aaaa' becomes [aa,a,a],
+    classic gives [aa,aa]) and adjacent repeats of any pair
+    (' a b a b ' becomes [ab,a,b], classic gives [ab,ab]); the
+    deviation is deterministic and cross-engine identical. Ties in the
+    argmax break
     on (count DESC, left, right) — binary UTF-8 order in both engines.
     """
     docs = load_parallel(spark, sf_dir, "documents")
@@ -469,7 +473,7 @@ ORACLE = {
     "text_repetition": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
 base AS (
-  SELECT doc_id, len(toks) AS n_tokens,
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
          1.0 - len(list_distinct(toks)) / len(toks) AS dup_token_ratio,
          CASE WHEN len(toks) >= 3 THEN
            1.0 - len(list_distinct(list_transform(range(1, len(toks) - 1),
@@ -494,23 +498,23 @@ FROM base b JOIN top USING (doc_id)
     "text_stats": f"""
 WITH t AS (SELECT doc_id, text, {DUCK_TOKENS} AS toks FROM documents)
 SELECT doc_id,
-       length(text) AS n_chars,
-       len(toks) AS n_tokens,
-       len(list_distinct(toks)) AS n_uniq,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
        len(list_distinct(toks)) / len(toks) AS ttr,
        CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
             AS BIGINT) AS sum_tok_len,
        list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) / len(toks)
          AS avg_tok_len,
        CAST(list_max(list_transform(toks, x -> length(x))) AS INT) AS max_tok_len,
-       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
 FROM t
 """,
     "text_quality": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
 comp AS (
   SELECT doc_id,
-         len(toks) AS n_tokens,
+         CAST(len(toks) AS INT) AS n_tokens,
          len(list_filter(toks, x -> x IN ({_EN}))) / len(toks) AS stopword_ratio,
          len(list_distinct(toks)) / len(toks) AS ttr,
          CAST(CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0 ELSE 0.0 END
@@ -525,7 +529,7 @@ FROM comp
 SELECT doc_id,
        regexp_replace(regexp_replace(trim(text), '[0-9]+', '<NUM>', 'g'),
                       '\s+', ' ', 'g') AS scrubbed,
-       len(regexp_extract_all(text, '[0-9]+')) AS n_masked
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_masked
 FROM documents
 """,
     "lang_id": None,  # filled below (needs fold emulation)
@@ -576,7 +580,7 @@ ORACLE["lang_id"] = f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
 s AS ({_LANG_UNION}),
 m AS (SELECT doc_id, max(hits) AS mh FROM s GROUP BY doc_id)
-SELECT s.doc_id, min(s.lang) AS pred_lang, m.mh AS hits
+SELECT s.doc_id, min(s.lang) AS pred_lang, CAST(m.mh AS INT) AS hits
 FROM s JOIN m ON s.doc_id = m.doc_id AND s.hits = m.mh
 GROUP BY s.doc_id, m.mh
 """
@@ -590,7 +594,10 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES, emit: str = "merges") -> str:
     replace, same tie-break. ``emit`` picks the final projection: the
     merge table, or the top-K encoded-symbol frequencies."""
     pair_count = (
-        "SELECT z[1] AS lhs, z[2] AS rhs, SUM(cnt) AS n FROM (\n"
+        # CAST: DuckDB SUM(BIGINT) widens to HUGEINT; Spark stays BIGINT.
+        # The driver's value-hash is dtype-sensitive, so equal values
+        # still hash-mismatch without the cast (r4 false-negative).
+        "SELECT z[1] AS lhs, z[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS n FROM (\n"
         "  SELECT unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS z, cnt\n"
         "  FROM (SELECT list_filter(string_split(trim(s), ' '),"
         " x -> x <> '') AS sy, cnt FROM {w})\n"
@@ -628,7 +635,7 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES, emit: str = "merges") -> str:
             )
     if emit == "encoded":
         finals = (
-            "SELECT sym, SUM(cnt) AS freq FROM (\n"
+            "SELECT sym, CAST(SUM(cnt) AS BIGINT) AS freq FROM (\n"
             "  SELECT unnest(list_filter(string_split(trim(s), ' '),"
             " x -> x <> '')) AS sym, cnt"
             f" FROM w{n_merges}\n"

@@ -93,14 +93,10 @@ _DRIVER_CHECKED_R2_R3 = {
 _RECHECK_FIRST = ["json_extract", "dedup_simhash", "sssp", "pagerank", "kcore"]
 
 
-def _driver_history():
-    """Latest driver verdict per query from CORRECTNESS_r*.json, if present.
-
-    Returns (red, checked): names whose most recent driver row failed or
-    errored, and all names that have ever received a driver row.  Later
-    rounds override earlier ones (files sort lexicographically by round).
-    Returns (None, None) when no history is readable.
-    """
+def _latest_rows():
+    """Most recent driver row per query from CORRECTNESS_r*.json (later
+    rounds override earlier; files sort lexicographically by round), or
+    None when no history is readable."""
     import json
     from pathlib import Path
 
@@ -117,8 +113,19 @@ def _driver_history():
                     {k: v for k, v in data.items() if isinstance(v, dict)}
                 )
     except OSError:
-        return None, None
-    if not latest:
+        return None
+    return latest or None
+
+
+def _driver_history():
+    """Latest driver verdict per query from CORRECTNESS_r*.json, if present.
+
+    Returns (red, checked): names whose most recent driver row failed or
+    errored, and all names that have ever received a driver row.
+    Returns (None, None) when no history is readable.
+    """
+    latest = _latest_rows()
+    if latest is None:
         return None, None
     red = {
         n for n, row in latest.items()

@@ -37,14 +37,27 @@ def test_weak_evidence_entries_come_first():
 
 
 def test_rows_only_entries_with_new_oracle_are_red():
-    """A query whose last driver row was rows-only (err=no_oracle) but that
-    now ships an oracle twin must be re-prioritized for a hash verdict."""
-    red, checked = qr._driver_history()
-    if checked is None:
+    """A query whose LATEST driver row was rows-only (err=no_oracle) but
+    that now ships an oracle twin must be re-prioritized for a hash
+    verdict.  The candidate set is computed from the history precondition
+    itself — a hard-coded name list encodes one round's state and goes
+    stale the moment the driver upgrades those entries (the r4 lesson)."""
+    latest = qr._latest_rows()
+    if latest is None:
         return
-    for name in ("sssp", "pagerank", "kcore"):
-        if name in qr.ORACLE and name in checked:
-            assert name in red
+    red, checked = qr._driver_history()
+    upgradable = {
+        n for n, row in latest.items()
+        if row.get("err") == "no_oracle" and n in qr.ORACLE
+    }
+    assert upgradable <= red
+    # And conversely: a hash-green latest row with no error must not sit
+    # in the red (re-check-first) set.
+    green = {
+        n for n, row in latest.items()
+        if row.get("hash_match") is True and row.get("err") is None
+    }
+    assert not (green & red)
 
 
 def test_registry_order_fallback_without_history():

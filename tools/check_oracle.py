@@ -17,6 +17,7 @@ sys.path.insert(0, ".")
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from mapreduce_sssp_spark.dtype_parity import dtype_drift  # noqa: E402
 from mapreduce_sssp_spark.io.sources import TABLES  # noqa: E402
 from mapreduce_sssp_spark.session import get_spark  # noqa: E402
 
@@ -123,11 +124,18 @@ def main():
                 failures.append((name, "zero rows"))
             continue
         t0 = time.time()
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = [tuple(r) for r in res.fetchall()]
+        # Arrow fetch (not fetchall) so column dtypes survive: fetchall
+        # erases HUGEINT -> int / DECIMAL -> Decimal-or-float and hides
+        # the drift that fails the driver's dtype-sensitive hash.
+        tbl = con.execute(oracles[name]).fetch_arrow_table()
+        dcols = list(tbl.column_names)
+        cols_py = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        drows = list(zip(*cols_py)) if cols_py else []
         duck_t = time.time() - t0
         status, detail = compare(name, scols, srows, dcols, drows)
+        drifts = dtype_drift(sdf.schema, tbl.schema)
+        if drifts and status == "OK":
+            status, detail = "DTYPE-DRIFT", "; ".join(drifts)
         print(f"  {name:28s} rows={len(srows):7d}  {status:18s} "
               f"[spark {spark_t:.1f}s duck {duck_t:.1f}s] {detail}")
         if status != "OK":
