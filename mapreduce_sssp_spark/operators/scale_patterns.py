@@ -89,7 +89,16 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct counts next to exact (rows-only)."""
+    """HLL++ approximate distinct counts next to exact.
+
+    Deliberately rows-only: no hash oracle can exist because the sketch
+    estimate is a function of the engine's private HLL++ register layout
+    and hash function — DuckDB's approx_count_distinct uses a different
+    sketch and returns a different (equally valid) estimate for the same
+    data. The exact_parts column is the in-row ground truth, and
+    tests/test_scale_patterns.py::test_approx_distinct_error_bound pins
+    the estimate within the published HLL++ error envelope.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
@@ -99,9 +108,12 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantiles next to exact bounds
-    (rows-only: sketch internals differ across engines; the min/max
-    columns pin the sketch outputs inside the data range, and the error
-    bound vs exact quantiles is asserted in pytest).
+    (deliberately rows-only: a hash oracle cannot exist because the GK
+    sketch's compaction schedule is engine-private, so DuckDB's
+    approx_quantile returns a different equally-valid estimate; the
+    min/max columns pin the sketch outputs inside the data range, and
+    tests/test_scale_patterns.py::test_approx_quantiles_error_bound
+    holds the quartiles within 1% of exact).
 
     At 100 TB this is THE way to get percentiles: the GK sketch is a
     bounded-size mergeable summary (one per partition, merged on the
@@ -128,8 +140,11 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     — week, month, ad-hoc cohort — is a union of sketches, never a
     rescan of the fact. The union estimate must equal the direct
     estimate over the same rows (same lgK), which this query exposes
-    side-by-side; rows-only driver check (sketch internals are
-    engine-specific), equality and error bounds pinned in pytest.
+    side-by-side. Deliberately rows-only: DataSketches HLL binaries and
+    estimates are engine-specific, so no cross-engine hash oracle can
+    exist; union==direct equality and the error envelope are pinned in
+    tests/test_scale_patterns.py::
+    test_sketch_merge_union_equals_direct_and_bounds_error.
     """
     li = load_table(spark, sf_dir, "lineitem")
     partials = li.groupBy("l_returnflag", "l_linestatus").agg(
