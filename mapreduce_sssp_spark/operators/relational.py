@@ -253,13 +253,29 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines interpolate identically on doubles, so quartiles hash-match
     bit-for-bit. Exact percentile sorts within each group; use the GK
     sketch twin when a group no longer fits a partition.
+
+    All three quartiles come from ONE array-argument percentile
+    aggregate: three scalar percentile aggs would each build and sort
+    their own per-group value buffer (3x the memory and sort work in
+    the aggregation exec); the array form buffers once and probes
+    three ranks.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
-        F.count("*").alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+            ).alias("ps"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("q1"),
+            F.col("ps")[1].alias("median"),
+            F.col("ps")[2].alias("q3"),
+            "n",
+        )
     )
 
 
