@@ -47,6 +47,7 @@ HEADLINE = [
     "wcc",
     "pagerank",
     "kcore",
+    "label_propagation",
     "reverse_graph",
     "triangle_counts",
     "compat_final_lines",
@@ -57,6 +58,7 @@ HEADLINE = [
     "agg_multi",
     "join_inner",
     "grouping_sets_agg",
+    "outliers_mad",
     "window_moving",
     "topk_orders",
     "json_extract",

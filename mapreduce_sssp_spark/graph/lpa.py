@@ -1,0 +1,100 @@
+"""Synchronous label propagation (community detection) as a DataFrame
+fixed-iteration loop — the sixth iterative operator on the engine's BSP
+pattern (SURVEY.md §2.8; SingleSourceSP.java:398-519 is the reference's
+iterated-job shape this family maps onto).
+
+Semantics (deterministic by construction, so the driver can hash-check
+it cross-engine — the reason for these exact choices):
+
+* labels start as the node's own id;
+* each round, every node adopts the most frequent label among its
+  NEIGHBORS' previous-round labels (its own label does not vote), ties
+  broken by the smallest label — the argmax is ``min(struct(-count,
+  label))``, a plain JVM aggregate with no randomness;
+* a fixed ``rounds`` count (like pagerank's fixed power iterations):
+  classic LPA's run-to-convergence is order-dependent and may oscillate
+  on bipartite structures under synchronous update, whereas a bounded
+  round count is reproducible everywhere and oracle-able as unrolled
+  SQL stages.
+
+At 100 TB: the symmetrized edge list is hash-partitioned on src once
+and persisted; each round shuffles only the label table (one row per
+node) into the join, and both the (node, label) count and the per-node
+argmax partial-aggregate map-side. A celebrity node with 10^6 equal
+neighbor labels combines to one row before the shuffle. Skewed label
+values (big communities) sit on the GROUP BY side, not a join key, so
+no salting is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
+
+
+def label_propagation(edges: DataFrame, *, rounds: int = 4) -> DataFrame:
+    """Communities after ``rounds`` synchronous majority-vote rounds.
+
+    edges: DataFrame with (u, v) canonical undirected pairs (u < v as
+    produced by canonical_edges; duplicates collapse). Every node in
+    ``edges`` has >= 1 neighbor by construction, so the neighbor vote is
+    always non-empty. Returns (node BIGINT, community BIGINT).
+    """
+    spark = edges.sparkSession
+    _ensure_checkpoint_dir(spark)
+    n_part = loop_partitions(spark, edges)
+
+    # Prelude caches register under a core-count clamp, the loop under
+    # the data-sized n_part — wcc.py has the measured rationale (the
+    # prelude's pair-generation + distinct is the heaviest shuffle and
+    # wants every core; n_part is sized for the small per-round label
+    # shuffles).
+    with static_rounds(spark):
+        pairs = edges.select(
+            F.col("u").cast("long").alias("src"),
+            F.col("v").cast("long").alias("dst"),
+        ).distinct()
+        und = (
+            pairs.unionByName(
+                pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .repartition(n_part, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        labels = (
+            und.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    with static_rounds(spark, parts=n_part):
+        for _ in range(rounds):
+            # und row (src=m, dst=n): neighbor m votes its label for n.
+            votes = und.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), "label")
+            new_labels = (
+                votes.groupBy("node", "label")
+                .agg(F.count("*").alias("c"))
+                .groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("c")).alias("neg_c"),
+                            F.col("label").alias("l"),
+                        )
+                    ).alias("best")
+                )
+                .select("node", F.col("best.l").alias("label"))
+            )
+            cached = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.count()  # materialize before dropping the parent
+            labels.unpersist()
+            labels = cached
+
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("community"))

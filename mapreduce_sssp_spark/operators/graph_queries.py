@@ -274,6 +274,24 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(_part_cooccurrence_edges(spark, sf_dir), k=80)
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: 4 synchronous majority-vote label-propagation
+    rounds over the part co-occurrence graph (same graph as
+    ``triangle_counts``/``kcore``).
+
+    Deterministic by construction — fixed round count, neighbor-majority
+    vote with ties to the smallest label (graph/lpa.py) — so unlike
+    classic run-to-convergence LPA it hash-checks cross-engine: the
+    DuckDB oracle unrolls the 4 rounds as chained CTE stages, each the
+    argmax-with-tie-break of the previous stage's neighbor labels
+    (row_number ORDER BY count DESC, label — the same (count, label)
+    order as the engine's min(struct(-c, label)) aggregate).
+    """
+    from ..graph.lpa import label_propagation
+
+    return label_propagation(_part_cooccurrence_edges(spark, sf_dir), rounds=4)
+
+
 def q_compat_state_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-compat node-state records for the format job's initial state
     (grammar ``nodeId<SP>dist|dst:w,...|Y-or-N``, SingleSourceSP.java:114-121,
@@ -320,7 +338,37 @@ QUERIES = {
     "tsv_edges_roundtrip": q_tsv_edges_roundtrip,
     "triangle_counts": q_triangle_counts,
     "kcore": q_kcore,
+    "label_propagation": q_label_propagation,
 }
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled DuckDB twin of q_label_propagation: each stage computes
+    every node's majority neighbor label from the previous stage, ties
+    to the smallest label."""
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "e AS (SELECT DISTINCT a.p AS u, b.p AS v\n"
+        "      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+        "und AS (SELECT u AS src, v AS dst FROM e"
+        " UNION ALL SELECT v AS src, u AS dst FROM e)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"l{k} AS (SELECT node, label FROM (\n"
+            f"  SELECT u.dst AS node, l.label, count(*) AS c,\n"
+            f"         row_number() OVER (PARTITION BY u.dst\n"
+            f"                            ORDER BY count(*) DESC, l.label) AS rn\n"
+            f"  FROM und u JOIN l{k - 1} l ON l.node = u.src\n"
+            f"  GROUP BY u.dst, l.label\n"
+            f") WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{rounds}"
+    )
 
 ORACLE = {
     # Round-bounded Bellman-Ford: walk level r holds, per node, the min
@@ -546,4 +594,5 @@ t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
 corners AS (SELECT unnest([a, b, c]) AS node FROM t)
 SELECT node, count(*) AS n_tri FROM corners GROUP BY node
 """,
+    "label_propagation": _lpa_oracle_sql(),
 }

@@ -279,6 +279,47 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median absolute deviation
+    (MAD) with the Iglewicz-Hoaglin modified z-score (|0.6745 *
+    (x - median)| > 3.5 * MAD) — the standard data-quality screen when
+    the distribution has heavy tails that wreck mean/stddev z-scores.
+
+    Exact medians need two sequential passes (MAD's inner median depends
+    on the outer), so the plan is three pruned 2-column scans: median
+    per group, deviation median per group (group medians broadcast),
+    outlier count (both broadcast). At 100 TB swap percentile for the
+    mergeable GK sketch (see approx_quantiles) to fold passes 1-2 into
+    one scan each with no global sort. Hash-stable cross-engine: Spark
+    ``percentile`` and DuckDB ``quantile_cont`` interpolate identically
+    (the group_percentiles precedent), and the threshold comparison is
+    written with the same literal arithmetic shape in both engines so
+    boundary doubles agree bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.expr("count_if(0.6745 * adev > 3.5 * mad)").alias("n_outliers"),
+        )
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals: rollup(returnflag, linestatus)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1078,6 +1119,7 @@ QUERIES = {
     "agg_multi": q_agg_multi,
     "distinct_pairs": q_distinct,
     "group_percentiles": q_group_percentiles,
+    "outliers_mad": q_outliers_mad,
     "price_histogram": q_price_histogram,
     "map_literal_decode": q_map_literal_decode,
     "collect_set_flags": q_collect_set_flags,
@@ -1238,6 +1280,28 @@ SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.75) AS q3,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
+""",
+    "outliers_mad": """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+),
+dev AS (
+  SELECT l.l_returnflag, m.med,
+         abs(l.l_extendedprice - m.med) AS adev
+  FROM lineitem l JOIN med m USING (l_returnflag)
+),
+mad AS (
+  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY l_returnflag
+)
+SELECT d.l_returnflag,
+       count(*) AS n,
+       min(d.med) AS med,
+       min(a.mad) AS mad,
+       count(*) FILTER (WHERE 0.6745 * d.adev > 3.5 * a.mad) AS n_outliers
+FROM dev d JOIN mad a USING (l_returnflag)
+GROUP BY d.l_returnflag
 """,
     "rollup_agg": """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
