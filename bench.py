@@ -230,25 +230,31 @@ def main() -> None:
         ordered = list(queries.items())
         if pass_no % 2 == 0:
             ordered.reverse()
-            # ...except the memo-sharing pairs: the producer must still
-            # run before its consumer, else the reversed pass bills the
-            # fixpoint/induction to the consumer and the producer
-            # freeloads a 0.1s dict-lookup "time" into the min. These
-            # pairs are the ONLY ones needing protection: their shared
-            # state is a reliable checkpoint that survives the
-            # per-query clearCache(); every other shared-prefix family
-            # (pipeline_*, dedup_minhash*) shares plain persist()s,
-            # which clearCache() drops between queries, so neither
-            # order lets one query freeload off the other.
-            for prod, cons in (
-                ("sssp_dag", "compat_final_lines"),
-                ("bpe_merges", "bpe_encode"),
-            ):
-                names = [n for n, _ in ordered]
-                if prod in names and cons in names:
-                    i, j = names.index(prod), names.index(cons)
-                    if i > j:
-                        ordered[i], ordered[j] = ordered[j], ordered[i]
+        # Memo-sharing families: the producer must run before its
+        # consumers in EVERY pass (not just reversed ones), so the same
+        # query pays the fixpoint/induction/pair-generation each pass
+        # and no consumer freeloads a 0.1s dict-lookup "time" into the
+        # min. These families are the ONLY ones needing protection:
+        # their shared state is a reliable checkpoint that survives the
+        # per-query clearCache(); every other shared-prefix family
+        # (pipeline_*, dedup_minhash*) shares plain persist()s, which
+        # clearCache() drops between queries, so neither order lets one
+        # query freeload off the other. Constraints apply sequentially;
+        # for the 3-way co-occurrence family the pair order below
+        # bubble-sorts any permutation into triangle_counts -> kcore ->
+        # label_propagation.
+        for prod, cons in (
+            ("sssp_dag", "compat_final_lines"),
+            ("bpe_merges", "bpe_encode"),
+            ("triangle_counts", "kcore"),
+            ("triangle_counts", "label_propagation"),
+            ("kcore", "label_propagation"),
+        ):
+            names = [n for n, _ in ordered]
+            if prod in names and cons in names:
+                i, j = names.index(prod), names.index(cons)
+                if i > j:
+                    ordered[i], ordered[j] = ordered[j], ordered[i]
         for name, fn in ordered:
             t0 = time.time()
             try:

@@ -142,6 +142,7 @@ def test_similarity_topk_broadcasts_query_vectors(spark):
         "text_repetition",
         "dedup_incremental",
         "group_percentiles",
+        "outliers_mad",
         "approx_topk_items",
         "bpe_encode",
     ],
@@ -151,6 +152,17 @@ def test_no_cartesian_products_anywhere(spark, qname):
 
     plan = plan_of(QUERIES[qname](spark, SF), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_outliers_mad_broadcasts_group_medians(spark):
+    """Both per-group median tables (a handful of rows) must broadcast
+    back onto the fact — the fact table itself never rides a join
+    shuffle — and the scan must prune to the two referenced columns."""
+    plan = plan_of(R.q_outliers_mad(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "l_extendedprice" in read_schema and "l_partkey" not in read_schema
 
 
 def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
