@@ -67,6 +67,8 @@ HEADLINE = [
     "window_tumbling",
     "window_session",
     "window_range_trailing",
+    "funnel_steps",
+    "retention_cohorts",
     "asof_join",
     "skew_salted_agg",
     "range_join_bands",

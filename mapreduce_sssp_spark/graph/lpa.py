@@ -77,19 +77,14 @@ def label_propagation(edges: DataFrame, *, rounds: int = 4) -> DataFrame:
             votes = und.join(
                 labels.withColumnRenamed("node", "src"), "src"
             ).select(F.col("dst").alias("node"), "label")
-            new_labels = (
-                votes.groupBy("node", "label")
-                .agg(F.count("*").alias("c"))
-                .groupBy("node")
-                .agg(
-                    F.min(
-                        F.struct(
-                            (-F.col("c")).alias("neg_c"),
-                            F.col("label").alias("l"),
-                        )
-                    ).alias("best")
-                )
-                .select("node", F.col("best.l").alias("label"))
+            # mode(label, true) = most frequent, ties to the LOWEST value
+            # — exactly the majority-vote semantics — in ONE aggregation
+            # (one shuffle per round) where the groupBy(node, label).count
+            # + argmax formulation costs two. The partial-agg buffer is a
+            # per-node label-count map bounded by degree, and it combines
+            # map-side like any count.
+            new_labels = votes.groupBy("node").agg(
+                F.expr("mode(label, true)").alias("label")
             )
             cached = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
             cached.count()  # materialize before dropping the parent

@@ -125,6 +125,97 @@ def q_window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user:
+    earliest view, earliest click strictly after it, earliest purchase
+    strictly after that, and whether the full path completed within a
+    7-day conversion window of the first view.
+
+    Built as a chain of per-user min-aggregates with join-back (one
+    user-keyed shuffle per step, each step's table one row per surviving
+    user) rather than collect_list-per-user — at 100 TB a user's event
+    history does not fit a task, but the per-step aggregate always
+    partial-aggregates map-side and only shrinks. All comparisons are
+    timestamp/boolean (no floats), so the driver hash is exact;
+    ``FALSE AND NULL = FALSE`` (SQL 3VL) makes ``converted`` false, not
+    null, for users who never purchased, in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.col("t_purchase").isNotNull()
+                & (
+                    F.col("t_purchase")
+                    <= F.col("t_view") + F.expr("INTERVAL 7 DAYS")
+                )
+            ).alias("converted"),
+        )
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the week of their
+    first SIGNUP event, counted distinct in each post-signup activity
+    week (offset >= 0 — pre-acquisition events don't count as
+    retention; users who never signed up drop out via the inner join).
+
+    ``week_offset`` divides a day difference of week-truncated
+    timestamps by 7 — always an exact multiple, so float-vs-integer
+    division semantics can't diverge between engines. One shuffle to
+    find each user's cohort, one join-back, one (cohort, offset)
+    aggregate; the cohort table is one row per user and only the
+    distinct-count shuffles at corpus scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 _stream_seq = threading.Lock()
 _stream_n = [0]
 
@@ -300,6 +391,8 @@ QUERIES = {
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
     "streaming_incremental": q_streaming_incremental,
+    "funnel_steps": q_funnel_steps,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 _SLIDING_SQL = """
@@ -361,5 +454,50 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    "funnel_steps": """
+WITH v AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       (p.t_purchase IS NOT NULL
+        AND p.t_purchase <= v.t_view + INTERVAL 7 DAY) AS converted
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+""",
+    "retention_cohorts": """
+WITH first AS (
+  -- CAST: DuckDB date_trunc('week', ts) yields DATE where Spark yields
+  -- TIMESTAMP; the driver hash is dtype-sensitive.
+  SELECT user_id,
+         CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP)))
+              AS TIMESTAMP) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+offs AS (
+  SELECT f.cohort_week, e.user_id,
+         CAST(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP))
+                             AS TIMESTAMP)) / 7
+              AS INT) AS week_offset
+  FROM events e JOIN first f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+FROM offs WHERE week_offset >= 0
+GROUP BY 1, 2
 """,
 }
