@@ -290,6 +290,56 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOPK = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: each document's top-3 most characteristic terms,
+    (doc_id, term, tf, df, score_e9, rk).
+
+    Classic inverted-index shape: one tokenize pass -> (doc, term)
+    term-frequency aggregate -> document-frequency aggregate over the
+    (doc, term) table (already one row per posting, so df is a count,
+    not a distinct-count) -> score join -> per-doc top-k window. The df
+    table is vocab-sized (Zipf-small) and the window partitions by
+    doc_id, so nothing concentrates at 100 TB.
+
+    Hash determinism: scores involve ln(), whose last-ulp rounding libm
+    does not guarantee across engines, so the score ships as
+    ``score_e9 = round(tf * ln(N/df) * 1e9)`` BIGINT (the pagerank
+    rank_e9 device) and — crucially — the top-k rank orders by the
+    ROUNDED integer (desc, then term), never by the raw double, so even
+    a boundary-straddling ulp cannot reorder the two engines' rows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver scalar, one row
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e9
+        )
+        .cast("long")
+        .alias("score_e9"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e9"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score_e9", "rk")
+    )
+
+
 BPE_MERGES = 3  # fixed merge count so the oracle can unroll the loop
 
 
@@ -505,6 +555,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "text_stats": q_text_stats,
     "text_scrub": q_text_scrub,
     "text_quality": q_text_quality,
@@ -700,3 +751,29 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES, emit: str = "merges") -> str:
 
 ORACLE["bpe_merges"] = _bpe_oracle_sql()
 ORACLE["bpe_encode"] = _bpe_oracle_sql(emit="encoded")
+
+# BIGINT/BIGINT division is float division in DuckDB, matching Spark's
+# double(n_docs)/df; ties rank on the ROUNDED score_e9 (never the raw
+# double), so libm ln() ulp differences cannot reorder rows.
+ORACLE["tfidf_top_terms"] = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+posting AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY doc_id, term
+),
+docfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         CAST(round(p.tf * ln((SELECT n_docs FROM n) / d.df) * 1e9)
+              AS BIGINT) AS score_e9
+  FROM posting p JOIN docfreq d USING (term)
+)
+SELECT doc_id, term, tf, df, score_e9, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_e9 DESC, term)
+                 AS INT) AS rk
+  FROM scored
+) WHERE rk <= {TFIDF_TOPK}
+"""
