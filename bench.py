@@ -70,9 +70,11 @@ HEADLINE = [
     "window_range_trailing",
     "funnel_steps",
     "retention_cohorts",
+    "event_transitions",
     "asof_join",
     "skew_salted_agg",
     "range_join_bands",
+    "fuzzy_match_parts",
     # dedup family
     "dedup_exact",
     "dedup_incremental",

@@ -216,6 +216,36 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: counts of consecutive event-type
+    transitions per user stream — (prev_type, next_type, n_transitions,
+    n_users) — the sufficient statistics of a Markov transition matrix.
+
+    One window pass partitioned by user (ordered by ts with event_id as
+    the deterministic tie-break) emits each adjacent pair; the (prev,
+    next) aggregate is 25 cells here and event-type-squared anywhere —
+    always tiny, always map-side combinable. Pure ints/strings, so the
+    driver hash is exact.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 _stream_seq = threading.Lock()
 _stream_n = [0]
 
@@ -393,6 +423,7 @@ QUERIES = {
     "streaming_incremental": q_streaming_incremental,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
+    "event_transitions": q_event_transitions,
 }
 
 _SLIDING_SQL = """
@@ -498,6 +529,20 @@ offs AS (
 )
 SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
 FROM offs WHERE week_offset >= 0
+GROUP BY 1, 2
+""",
+    "event_transitions": """
+WITH seq AS (
+  SELECT user_id, event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS next_type
+  FROM events
+)
+SELECT prev_type, next_type,
+       count(*) AS n_transitions,
+       count(DISTINCT user_id) AS n_users
+FROM seq WHERE next_type IS NOT NULL
 GROUP BY 1, 2
 """,
 }

@@ -240,8 +240,47 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocking: each part's nearest fuzzy neighbor
+    (Levenshtein distance over names) among parts sharing its blocking
+    key (first name word), (key_a, key_b, dist).
+
+    The blocking pattern IS the 100 TB story: all-pairs matching is
+    O(n^2) and dead on arrival; equi-joining on a cheap blocking key
+    first turns it into one shuffle plus per-block quadratic work
+    bounded by block size (pick/compose keys until blocks are bounded —
+    the same reasoning as similarity's LSH bands). Deterministic:
+    Levenshtein is an exact integer metric with identical definition in
+    both engines, ties break on the smallest candidate key, so the
+    driver hash is exact.
+    """
+    from pyspark.sql import Window
+
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.substring_index("p_name", " ", 1).alias("block")
+    )
+    a = parts.select(
+        "block", F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = parts.select(
+        "block", F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("key_a") != F.col("key_b"))
+        .select("key_a", "key_b", F.levenshtein("name_a", "name_b").alias("dist"))
+    )
+    w = Window.partitionBy("key_a").orderBy("dist", "key_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("key_a", "key_b", "dist")
+    )
+
+
 QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
+    "fuzzy_match_parts": q_fuzzy_match_parts,
     "range_join_bands": q_range_join_bands,
     "sketch_merge": q_sketch_merge,  # rows-only (sketches differ)
     "approx_topk_items": q_approx_topk_items,
@@ -284,5 +323,20 @@ WITH deg AS (
   FROM lineitem GROUP BY l_suppkey
 )
 SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+""",
+    "fuzzy_match_parts": """
+WITH blocked AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS block FROM part
+),
+pairs AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+  FROM blocked a JOIN blocked b USING (block)
+  WHERE a.p_partkey <> b.p_partkey
+)
+SELECT key_a, key_b, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY key_a ORDER BY dist, key_b) AS rk
+  FROM pairs
+) WHERE rk = 1
 """,
 }
