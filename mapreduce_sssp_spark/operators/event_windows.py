@@ -140,21 +140,30 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``FALSE AND NULL = FALSE`` (SQL 3VL) makes ``converted`` false, not
     null, for users who never purchased, in both engines.
     """
-    ev = load_table(spark, sf_dir, "events")
+    return funnel(load_table(spark, sf_dir, "events"))
+
+
+def funnel(
+    ev: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    window_days: int = 7,
+) -> DataFrame:
+    """See q_funnel_steps. ev needs (user_id, event_type, ts)."""
+    s1, s2, s3 = steps
     views = (
-        ev.filter(F.col("event_type") == "view")
+        ev.filter(F.col("event_type") == s1)
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
     clicks = (
-        ev.filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == s2)
         .join(views, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     purchases = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == s3)
         .join(clicks, "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
@@ -172,7 +181,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("t_purchase").isNotNull()
                 & (
                     F.col("t_purchase")
-                    <= F.col("t_view") + F.expr("INTERVAL 7 DAYS")
+                    <= F.col("t_view") + F.expr(f"INTERVAL {window_days} DAYS")
                 )
             ).alias("converted"),
         )
@@ -192,9 +201,13 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the cohort table is one row per user and only the
     distinct-count shuffles at corpus scale.
     """
-    ev = load_table(spark, sf_dir, "events")
+    return retention(load_table(spark, sf_dir, "events"))
+
+
+def retention(ev: DataFrame, cohort_event: str = "signup") -> DataFrame:
+    """See q_retention_cohorts. ev needs (user_id, event_type, ts)."""
     first = (
-        ev.filter(F.col("event_type") == "signup")
+        ev.filter(F.col("event_type") == cohort_event)
         .groupBy("user_id")
         .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
     )
@@ -227,9 +240,14 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     always tiny, always map-side combinable. Pure ints/strings, so the
     driver hash is exact.
     """
+    return transitions(load_table(spark, sf_dir, "events"))
+
+
+def transitions(ev: DataFrame) -> DataFrame:
+    """See q_event_transitions. ev needs (user_id, event_type, ts,
+    event_id — the deterministic tie-break for simultaneous events)."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.select(

@@ -254,16 +254,25 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, ties break on the smallest candidate key, so the
     driver hash is exact.
     """
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"), F.col("p_name").alias("name")
+    )
+    return fuzzy_nearest(parts)
+
+
+def fuzzy_nearest(records: DataFrame) -> DataFrame:
+    """See q_fuzzy_match_parts. records needs (key, name); the blocking
+    key is the first whitespace-delimited name word."""
     from pyspark.sql import Window
 
-    parts = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", F.substring_index("p_name", " ", 1).alias("block")
+    blocked = records.select(
+        "key", "name", F.substring_index("name", " ", 1).alias("block")
     )
-    a = parts.select(
-        "block", F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    a = blocked.select(
+        "block", F.col("key").alias("key_a"), F.col("name").alias("name_a")
     )
-    b = parts.select(
-        "block", F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    b = blocked.select(
+        "block", F.col("key").alias("key_b"), F.col("name").alias("name_b")
     )
     pairs = (
         a.join(b, "block")
