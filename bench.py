@@ -71,6 +71,7 @@ HEADLINE = [
     "funnel_steps",
     "retention_cohorts",
     "event_transitions",
+    "resample_ffill",
     "asof_join",
     "skew_salted_agg",
     "range_join_bands",

@@ -264,6 +264,68 @@ def transitions(ev: DataFrame) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's event stream
+    onto an hourly grid spanning their first..last event, with the
+    per-hour event count (0 in gaps) and the last observed ``value``
+    carried forward — (user_id, hour, n_events, value_ffill).
+
+    The canonical feed shape for downstream models that need dense
+    regular series from sparse irregular logs. Grid generation is a
+    map-side sequence() explode off a per-user bounds aggregate (grid
+    size = active span, not corpus size); the carry-forward is one
+    ignore-nulls last() window per user. Carried values are verbatim
+    doubles (no arithmetic), counts are ints, so the hash is exact; the
+    last-in-hour election breaks timestamp ties on event_id.
+    """
+    return resample_ffill(load_table(spark, sf_dir, "events"))
+
+
+def resample_ffill(ev: DataFrame) -> DataFrame:
+    """See q_resample_ffill. ev needs (user_id, ts, event_id, value)."""
+    from pyspark.sql import Window
+
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("hour"),
+    )
+    hourly = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_last = Window.partitionBy("user_id", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last_in_hour = (
+        hourly.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", F.col("value").alias("lv"))
+    )
+    counts = hourly.groupBy("user_id", "hour").agg(F.count("*").alias("n"))
+    w_ff = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(counts, ["user_id", "hour"], "left")
+        .join(last_in_hour, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("lv", ignorenulls=True).over(w_ff).alias("value_ffill"),
+        )
+    )
+
+
 _stream_seq = threading.Lock()
 _stream_n = [0]
 
@@ -442,6 +504,7 @@ QUERIES = {
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
+    "resample_ffill": q_resample_ffill,
 }
 
 _SLIDING_SQL = """
@@ -562,5 +625,40 @@ SELECT prev_type, next_type,
        count(DISTINCT user_id) AS n_users
 FROM seq WHERE next_type IS NOT NULL
 GROUP BY 1, 2
+""",
+    "resample_ffill": """
+WITH b AS (
+  SELECT user_id,
+         date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0,
+         date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS t1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+  FROM b
+),
+lh AS (
+  SELECT user_id, hour, value AS lv FROM (
+    SELECT user_id,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, value,
+           row_number() OVER (
+             PARTITION BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+             ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+cnt AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT g.user_id, g.hour,
+       coalesce(c.n, 0) AS n_events,
+       last_value(l.lv IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS UNBOUNDED PRECEDING) AS value_ffill
+FROM grid g
+LEFT JOIN cnt c ON c.user_id = g.user_id AND c.hour = g.hour
+LEFT JOIN lh  l ON l.user_id = g.user_id AND l.hour = g.hour
 """,
 }

@@ -130,6 +130,35 @@ def test_fuzzy_nearest_tie_prefers_smaller_key(spark):
     assert got == {5: (7, 1), 7: (5, 1), 9: (5, 1)}
 
 
+def test_resample_ffill_fills_gaps_and_carries_last_value(spark):
+    from mapreduce_sssp_spark.operators.event_windows import resample_ffill
+
+    rows = [
+        (1, "view", "2024-01-01T00:10:00"),   # hour 00, value below
+        (1, "view", "2024-01-01T00:50:00"),   # same hour, later -> wins
+        (1, "click", "2024-01-01T03:30:00"),  # hours 01,02 are gaps
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, t, datetime.fromisoformat(ts), i, float(10 * (i + 1)))
+            for i, (u, t, ts) in enumerate(rows)
+        ],
+        "user_id long, event_type string, ts timestamp_ntz,"
+        " event_id long, value double",
+    )
+    got = {
+        r.hour: (r.n_events, r.value_ffill)
+        for r in resample_ffill(df).collect()
+    }
+    h = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    assert got == {
+        h("2024-01-01T00:00:00"): (2, 20.0),  # last-in-hour wins
+        h("2024-01-01T01:00:00"): (0, 20.0),  # gap: carried forward
+        h("2024-01-01T02:00:00"): (0, 20.0),
+        h("2024-01-01T03:00:00"): (1, 30.0),
+    }
+
+
 def test_outliers_mad_flags_the_planted_outlier(spark):
     from mapreduce_sssp_spark.operators.relational import q_outliers_mad  # noqa: F401
 
