@@ -59,6 +59,7 @@ HEADLINE = [
     "join_inner",
     "grouping_sets_agg",
     "outliers_mad",
+    "regression_trend",
     "tfidf_top_terms",
     "window_moving",
     "topk_orders",

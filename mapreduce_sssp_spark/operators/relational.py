@@ -320,6 +320,55 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TREND_EPOCH = "1995-01-01"  # day-index origin (first o_orderdate)
+
+
+def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority least-squares trend of order value over time,
+    computed the only way that scales: ONE partial-aggregating pass
+    collects the exact sufficient statistics (n, Sx, Sy, Sxy, Sxx) and
+    the closed-form slope/intercept are derived from them — no
+    iteration, no per-group materialization, mergeable across any
+    partitioning (this is how distributed OLS always ships).
+
+    Hash determinism: x is an integer day index and y routes through
+    DECIMAL(18,2), so every statistic is EXACT (integer/decimal sums);
+    the final slope/intercept are doubles computed from identical exact
+    operands with an identical cast-and-operate shape in both engines,
+    so IEEE rounding is bit-identical.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate"), F.lit(TREND_EPOCH).cast("date")
+        ).alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    stats = d.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy_dec"),
+        F.sum(F.expr("CAST(x AS DECIMAL(18,2)) * y")).alias("sxy_dec"),
+        F.sum(F.expr("CAST(x AS BIGINT) * CAST(x AS BIGINT)")).alias("sxx"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy_dec AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy_dec AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return stats.select(
+        "o_orderpriority",
+        "n",
+        F.expr(slope).alias("slope"),
+        F.expr(
+            f"(CAST(sy_dec AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE)"
+        ).alias("intercept"),
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals: rollup(returnflag, linestatus)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1120,6 +1169,7 @@ QUERIES = {
     "distinct_pairs": q_distinct,
     "group_percentiles": q_group_percentiles,
     "outliers_mad": q_outliers_mad,
+    "regression_trend": q_regression_trend,
     "price_histogram": q_price_histogram,
     "map_literal_decode": q_map_literal_decode,
     "collect_set_flags": q_collect_set_flags,
@@ -1302,6 +1352,37 @@ SELECT d.l_returnflag,
        count(*) FILTER (WHERE 0.6745 * d.adev > 3.5 * a.mad) AS n_outliers
 FROM dev d JOIN mad a USING (l_returnflag)
 GROUP BY d.l_returnflag
+""",
+    "regression_trend": f"""
+WITH d AS (
+  SELECT o_orderpriority,
+         date_diff('day', TIMESTAMP '{TREND_EPOCH} 00:00:00',
+                   CAST(o_orderdate AS TIMESTAMP)) AS x,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders
+),
+stats AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(y) AS sy_dec,
+         SUM(CAST(x AS DECIMAL(18,2)) * y) AS sxy_dec,
+         CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT) AS sxx
+  FROM d GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       (CAST(n AS DOUBLE) * CAST(sxy_dec AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy_dec AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy_dec AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy_dec AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy_dec AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept
+FROM stats
 """,
     "rollup_agg": """
 SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -241,18 +241,25 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution by blocking: each part's nearest fuzzy neighbor
-    (Levenshtein distance over names) among parts sharing its blocking
-    key (first name word), (key_a, key_b, dist).
+    """Entity resolution by blocking, on the DISTINCT-value domain: each
+    part's nearest fuzzy name (Levenshtein) among OTHER distinct names
+    sharing its blocking key (first name word) — (key_a, match_name,
+    dist).
 
-    The blocking pattern IS the 100 TB story: all-pairs matching is
-    O(n^2) and dead on arrival; equi-joining on a cheap blocking key
-    first turns it into one shuffle plus per-block quadratic work
-    bounded by block size (pick/compose keys until blocks are bounded —
-    the same reasoning as similarity's LSH bands). Deterministic:
-    Levenshtein is an exact integer metric with identical definition in
-    both engines, ties break on the smallest candidate key, so the
-    driver hash is exact.
+    Two stacked 100 TB patterns:
+
+    * **blocking** — all-pairs matching is O(n^2) and dead on arrival;
+      an equi-join on a cheap key bounds the quadratic work per block
+      (the LSH-banding reasoning); and
+    * **distinct-domain matching** — real catalogs repeat strings
+      massively (here 20k parts share 64 names at sf0.1), so the
+      quadratic stage runs on the distinct-name table (Zipf-small, the
+      BPE-vocab trick: 50s -> ~1s at sf0.1) and per-row results come
+      from a cheap join-back on name.
+
+    Deterministic: Levenshtein is an exact integer metric with the same
+    definition in both engines; ties break on the lexicographically
+    smallest candidate name, so the driver hash is exact.
     """
     parts = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("key"), F.col("p_name").alias("name")
@@ -265,25 +272,30 @@ def fuzzy_nearest(records: DataFrame) -> DataFrame:
     key is the first whitespace-delimited name word."""
     from pyspark.sql import Window
 
-    blocked = records.select(
-        "key", "name", F.substring_index("name", " ", 1).alias("block")
+    names = (
+        records.select("name")
+        .distinct()
+        .withColumn("block", F.substring_index("name", " ", 1))
     )
-    a = blocked.select(
-        "block", F.col("key").alias("key_a"), F.col("name").alias("name_a")
-    )
-    b = blocked.select(
-        "block", F.col("key").alias("key_b"), F.col("name").alias("name_b")
-    )
+    a = names.select("block", F.col("name").alias("name_a"))
+    b = names.select("block", F.col("name").alias("name_b"))
     pairs = (
         a.join(b, "block")
-        .filter(F.col("key_a") != F.col("key_b"))
-        .select("key_a", "key_b", F.levenshtein("name_a", "name_b").alias("dist"))
+        .filter(F.col("name_a") != F.col("name_b"))
+        .select("name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist"))
     )
-    w = Window.partitionBy("key_a").orderBy("dist", "key_b")
-    return (
+    w = Window.partitionBy("name_a").orderBy("dist", "name_b")
+    best = (
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("key_a", "key_b", "dist")
+        .select(
+            F.col("name_a").alias("name"),
+            F.col("name_b").alias("match_name"),
+            "dist",
+        )
+    )
+    return records.join(F.broadcast(best), "name").select(
+        F.col("key").alias("key_a"), "match_name", "dist"
     )
 
 
@@ -334,18 +346,24 @@ WITH deg AS (
 SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
 """,
     "fuzzy_match_parts": """
-WITH blocked AS (
-  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS block FROM part
+WITH names AS (
+  SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 1) AS block
+  FROM part
 ),
 pairs AS (
-  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-  FROM blocked a JOIN blocked b USING (block)
-  WHERE a.p_partkey <> b.p_partkey
+  SELECT a.name AS name_a, b.name AS name_b,
+         CAST(levenshtein(a.name, b.name) AS INT) AS dist
+  FROM names a JOIN names b USING (block)
+  WHERE a.name <> b.name
+),
+best AS (
+  SELECT name_a AS name, name_b AS match_name, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY name_a
+                                 ORDER BY dist, name_b) AS rk
+    FROM pairs
+  ) WHERE rk = 1
 )
-SELECT key_a, key_b, dist FROM (
-  SELECT *, row_number() OVER (PARTITION BY key_a ORDER BY dist, key_b) AS rk
-  FROM pairs
-) WHERE rk = 1
+SELECT p.p_partkey AS key_a, b.match_name, b.dist
+FROM part p JOIN best b ON p.p_name = b.name
 """,
 }

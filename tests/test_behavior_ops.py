@@ -103,31 +103,38 @@ def test_transitions_streams_are_per_user(spark):
     assert got == {("view", "click")}  # never view->click across users
 
 
-def test_fuzzy_nearest_blocks_and_ties(spark):
+def test_fuzzy_nearest_blocks_and_duplicates(spark):
     recs = spark.createDataFrame(
         [
             (1, "azure plum"),
-            (2, "azure plug"),    # dist 1 to key 1 (m->g)
-            (3, "azure slugs"),   # dist 2 to key 2 (p->s, +s); dist 3 to key 1
+            (2, "azure plug"),    # dist 1 to 'azure plum' (m->g)
+            (3, "azure slugs"),   # dist 2 to 'azure plug'; dist 3 to plum
+            (4, "azure plum"),    # duplicate name: same match as key 1
             (10, "beige plum"),   # different block: never matched to azure*
         ],
         "key long, name string",
     )
-    got = {r.key_a: (r.key_b, r.dist) for r in fuzzy_nearest(recs).collect()}
-    assert got[1] == (2, 1)
-    assert got[2] == (1, 1)
-    assert got[3] == (2, 2)
+    got = {r.key_a: (r.match_name, r.dist) for r in fuzzy_nearest(recs).collect()}
+    assert got[1] == ("azure plug", 1)
+    assert got[2] == ("azure plum", 1)
+    assert got[3] == ("azure plug", 2)
+    assert got[4] == got[1]  # matching runs on the distinct-name domain
     assert 10 not in got  # singleton block has no candidates
 
 
-def test_fuzzy_nearest_tie_prefers_smaller_key(spark):
+def test_fuzzy_nearest_tie_prefers_smaller_name(spark):
     recs = spark.createDataFrame(
         [(5, "red cap"), (7, "red cat"), (9, "red car")],
         "key long, name string",
     )
-    got = {r.key_a: (r.key_b, r.dist) for r in fuzzy_nearest(recs).collect()}
-    # All pairwise distances are 1 -> everyone's NN is the smallest other key.
-    assert got == {5: (7, 1), 7: (5, 1), 9: (5, 1)}
+    got = {r.key_a: (r.match_name, r.dist) for r in fuzzy_nearest(recs).collect()}
+    # All pairwise distances are 1 -> ties resolve to the lexicographically
+    # smallest OTHER name.
+    assert got == {
+        5: ("red car", 1),
+        7: ("red cap", 1),
+        9: ("red cap", 1),
+    }
 
 
 def test_resample_ffill_fills_gaps_and_carries_last_value(spark):
