@@ -166,6 +166,43 @@ def test_resample_ffill_fills_gaps_and_carries_last_value(spark):
     }
 
 
+def test_regression_sufficient_stats_recover_exact_line(spark):
+    """Points lying exactly on y = 2x + 5 (DECIMAL-exact) must recover
+    slope 2.0 and intercept 5.0 bit-exactly — the sufficient statistics
+    are integer/decimal sums, so no float error can creep in before the
+    final closed-form division."""
+    from decimal import Decimal
+
+    from mapreduce_sssp_spark.operators.relational import q_regression_trend  # noqa: F401
+
+    xs = [0, 1, 2, 3, 10, 50]
+    df = spark.createDataFrame(
+        [("g", x, Decimal(2 * x + 5)) for x in xs],
+        "grp string, x int, y decimal(18,2)",
+    )
+    stats = df.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy_dec"),
+        F.sum(F.expr("CAST(x AS DECIMAL(18,2)) * y")).alias("sxy_dec"),
+        F.sum(F.expr("CAST(x AS BIGINT) * CAST(x AS BIGINT)")).alias("sxx"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy_dec AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy_dec AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    (r,) = stats.select(
+        F.expr(slope).alias("slope"),
+        F.expr(
+            f"(CAST(sy_dec AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE)"
+        ).alias("intercept"),
+    ).collect()
+    assert r.slope == 2.0 and r.intercept == 5.0
+
+
 def test_outliers_mad_flags_the_planted_outlier(spark):
     from mapreduce_sssp_spark.operators.relational import q_outliers_mad  # noqa: F401
 
