@@ -38,8 +38,14 @@ def canon_spark_dtype(dt) -> str:
         return "bool"
     if isinstance(dt, T.DateType):
         return "date"
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampNTZType):
         return "timestamp"
+    if isinstance(dt, T.TimestampType):
+        # Session-TZ-aware — distinct from naive on purpose: a TZ-aware
+        # Spark column against a naive DuckDB TIMESTAMP is exactly the
+        # drift class the driver hash can fail on (repo invariant:
+        # event timestamps stay TIMESTAMP_NTZ end to end).
+        return "timestamp_tz"
     if isinstance(dt, T.BinaryType):
         return "binary"
     if isinstance(dt, T.DecimalType):
@@ -83,7 +89,7 @@ def canon_arrow_type(t) -> str:
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        return "timestamp_tz" if t.tz is not None else "timestamp"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return "binary"
     if pa.types.is_decimal(t):

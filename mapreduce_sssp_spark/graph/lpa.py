@@ -9,8 +9,9 @@ it cross-engine — the reason for these exact choices):
 * labels start as the node's own id;
 * each round, every node adopts the most frequent label among its
   NEIGHBORS' previous-round labels (its own label does not vote), ties
-  broken by the smallest label — the argmax is ``min(struct(-count,
-  label))``, a plain JVM aggregate with no randomness;
+  broken by the smallest label — implemented as the single-shuffle
+  ``mode(label, true)`` JVM aggregate (deterministic = lowest on ties),
+  with no randomness;
 * a fixed ``rounds`` count (like pagerank's fixed power iterations):
   classic LPA's run-to-convergence is order-dependent and may oscillate
   on bipartite structures under synchronous update, whereas a bounded

@@ -206,10 +206,18 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def retention(ev: DataFrame, cohort_event: str = "signup") -> DataFrame:
     """See q_retention_cohorts. ev needs (user_id, event_type, ts)."""
+    # date_trunc returns session-TZ TimestampType even for NTZ input;
+    # cast back to NTZ (an identity round-trip under any fixed-offset
+    # session TZ) so the output dtype keeps the repo's NTZ invariant
+    # and matches DuckDB's naive TIMESTAMP.
     first = (
         ev.filter(F.col("event_type") == cohort_event)
         .groupBy("user_id")
-        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+        .agg(
+            F.date_trunc("week", F.min("ts"))
+            .cast("timestamp_ntz")
+            .alias("cohort_week")
+        )
     )
     return (
         ev.join(first, "user_id")
@@ -217,7 +225,10 @@ def retention(ev: DataFrame, cohort_event: str = "signup") -> DataFrame:
             "user_id",
             "cohort_week",
             (
-                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("timestamp_ntz"),
+                    F.col("cohort_week"),
+                )
                 / 7
             )
             .cast("int")
@@ -285,9 +296,11 @@ def resample_ffill(ev: DataFrame) -> DataFrame:
     """See q_resample_ffill. ev needs (user_id, ts, event_id, value)."""
     from pyspark.sql import Window
 
+    # .cast("timestamp_ntz"): date_trunc returns session-TZ
+    # TimestampType even for NTZ input (see retention()).
     bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("t0"),
-        F.date_trunc("hour", F.max("ts")).alias("t1"),
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("t0"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("t1"),
     )
     grid = bounds.select(
         "user_id",
@@ -295,7 +308,7 @@ def resample_ffill(ev: DataFrame) -> DataFrame:
     )
     hourly = ev.select(
         "user_id",
-        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour"),
         "ts",
         "event_id",
         "value",

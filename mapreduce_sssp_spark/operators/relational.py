@@ -332,10 +332,17 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (this is how distributed OLS always ships).
 
     Hash determinism: x is an integer day index and y routes through
-    DECIMAL(18,2), so every statistic is EXACT (integer/decimal sums);
-    the final slope/intercept are doubles computed from identical exact
-    operands with an identical cast-and-operate shape in both engines,
-    so IEEE rounding is bit-identical.
+    exact integer CENTS (DECIMAL(18,2) * 100 -> BIGINT), so every
+    statistic is an exact BIGINT sum. Crucially the stats are cast to
+    DOUBLE from *int64*, a conversion both engines correctly round —
+    DuckDB's DECIMAL(38,s)->DOUBLE cast double-rounds (hugeint ->
+    double, then /10^s) and diverges from Spark's correctly-rounded
+    Decimal.toDouble once the integer representation passes 2^53, which
+    is exactly what a decimal-sum formulation hit at sf0.1. From the
+    identical doubles, the identical cast-and-operate expression rounds
+    identically under IEEE. Valid while sum(x * y_cents) fits int64
+    (~sf10 here); beyond that, bucket the day index or re-origin the
+    epoch per partition before summing.
     """
     o = load_table(spark, sf_dir, "orders")
     d = o.select(
@@ -343,27 +350,30 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate"), F.lit(TREND_EPOCH).cast("date")
         ).alias("x"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("yc"),
     )
     stats = d.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum("y").alias("sy_dec"),
-        F.sum(F.expr("CAST(x AS DECIMAL(18,2)) * y")).alias("sxy_dec"),
+        F.sum("yc").alias("syc"),
+        F.sum(F.expr("CAST(x AS BIGINT) * yc")).alias("sxyc"),
         F.sum(F.expr("CAST(x AS BIGINT) * CAST(x AS BIGINT)")).alias("sxx"),
     )
     slope = (
-        "(CAST(n AS DOUBLE) * CAST(sxy_dec AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sy_dec AS DOUBLE))"
+        "((CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE))"
         " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / CAST(100 AS DOUBLE)"
     )
     return stats.select(
         "o_orderpriority",
         "n",
         F.expr(slope).alias("slope"),
         F.expr(
-            f"(CAST(sy_dec AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
+            f"(CAST(syc AS DOUBLE) / CAST(100 AS DOUBLE)"
+            f" - ({slope}) * CAST(sx AS DOUBLE))"
             " / CAST(n AS DOUBLE)"
         ).alias("intercept"),
     )
@@ -1358,28 +1368,32 @@ WITH d AS (
   SELECT o_orderpriority,
          date_diff('day', TIMESTAMP '{TREND_EPOCH} 00:00:00',
                    CAST(o_orderdate AS TIMESTAMP)) AS x,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+         -- exact integer cents: int64 -> double is correctly rounded in
+         -- both engines, unlike DuckDB's double-rounding DECIMAL cast
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
   FROM orders
 ),
 stats AS (
   SELECT o_orderpriority,
          CAST(count(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx,
-         SUM(y) AS sy_dec,
-         SUM(CAST(x AS DECIMAL(18,2)) * y) AS sxy_dec,
+         CAST(SUM(yc) AS BIGINT) AS syc,
+         CAST(SUM(CAST(x AS BIGINT) * yc) AS BIGINT) AS sxyc,
          CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT) AS sxx
   FROM d GROUP BY o_orderpriority
 )
 SELECT o_orderpriority, n,
-       (CAST(n AS DOUBLE) * CAST(sxy_dec AS DOUBLE)
-        - CAST(sx AS DOUBLE) * CAST(sy_dec AS DOUBLE))
-       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-       (CAST(sy_dec AS DOUBLE)
-        - ((CAST(n AS DOUBLE) * CAST(sxy_dec AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy_dec AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       ((CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / CAST(100 AS DOUBLE)
+         AS slope,
+       (CAST(syc AS DOUBLE) / CAST(100 AS DOUBLE)
+        - (((CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           / CAST(100 AS DOUBLE))
           * CAST(sx AS DOUBLE))
        / CAST(n AS DOUBLE) AS intercept
 FROM stats

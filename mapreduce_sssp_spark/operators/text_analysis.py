@@ -306,10 +306,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash determinism: scores involve ln(), whose last-ulp rounding libm
     does not guarantee across engines, so the score ships as
-    ``score_e9 = round(tf * ln(N/df) * 1e9)`` BIGINT (the pagerank
-    rank_e9 device) and — crucially — the top-k rank orders by the
-    ROUNDED integer (desc, then term), never by the raw double, so even
-    a boundary-straddling ulp cannot reorder the two engines' rows.
+    ``score_e6 = round(tf * ln(N/df) * 1e6)`` BIGINT and — crucially —
+    the top-k rank orders by the ROUNDED integer (desc, then term),
+    never by the raw double, so a boundary-straddling ulp can never
+    REORDER the two engines' rows. The emitted integer itself retains a
+    knife-edge class: a score within ~1 ulp (~1e-13) of a half-quantum
+    boundary could round differently if the engines' ln() disagree
+    there — the 1e-6 quantum keeps that per-row probability ~1e-7
+    (1000x safer than an e9 quantum), and distinct (tf, df) ties are
+    impossible since equal inputs produce identical doubles.
     """
     from pyspark.sql import Window
 
@@ -327,16 +332,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf",
         "df",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e9
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6
         )
         .cast("long")
-        .alias("score_e9"),
+        .alias("score_e6"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e9"), "term")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e6"), "term")
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TFIDF_TOPK)
-        .select("doc_id", "term", "tf", "df", "score_e9", "rk")
+        .select("doc_id", "term", "tf", "df", "score_e6", "rk")
     )
 
 
@@ -753,7 +758,7 @@ ORACLE["bpe_merges"] = _bpe_oracle_sql()
 ORACLE["bpe_encode"] = _bpe_oracle_sql(emit="encoded")
 
 # BIGINT/BIGINT division is float division in DuckDB, matching Spark's
-# double(n_docs)/df; ties rank on the ROUNDED score_e9 (never the raw
+# double(n_docs)/df; ties rank on the ROUNDED score_e6 (never the raw
 # double), so libm ln() ulp differences cannot reorder rows.
 ORACLE["tfidf_top_terms"] = f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
@@ -766,13 +771,13 @@ docfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT p.doc_id, p.term, p.tf, d.df,
-         CAST(round(p.tf * ln((SELECT n_docs FROM n) / d.df) * 1e9)
-              AS BIGINT) AS score_e9
+         CAST(round(p.tf * ln((SELECT n_docs FROM n) / d.df) * 1e6)
+              AS BIGINT) AS score_e6
   FROM posting p JOIN docfreq d USING (term)
 )
-SELECT doc_id, term, tf, df, score_e9, rk FROM (
+SELECT doc_id, term, tf, df, score_e6, rk FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY score_e9 DESC, term)
+                                    ORDER BY score_e6 DESC, term)
                  AS INT) AS rk
   FROM scored
 ) WHERE rk <= {TFIDF_TOPK}

@@ -21,7 +21,7 @@ TS = "user_id long, event_type string, ts timestamp_ntz, event_id long"
 def _ev(spark, rows):
     return spark.createDataFrame(
         [(u, t, datetime.fromisoformat(ts), i) for i, (u, t, ts) in enumerate(rows)],
-        TS[: TS.rindex(",")] + ", event_id long",
+        TS,
     )
 
 
