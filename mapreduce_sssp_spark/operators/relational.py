@@ -758,6 +758,12 @@ def q_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_agg_multi; this one proves the SQL surface plans the same partial-
 # aggregate shape. All money math in DECIMAL(18,2), cast to DOUBLE once
 # at the end (bit-exact across engines; float accumulation is not).
+# Decimal->double bound, audited r5: the scale-6 sum_charge is the
+# repo's largest decimal sum (integer representation ~2.8e15 at sf0.1,
+# 3.2x under 2^53). Below 2^53 DuckDB's two-step DECIMAL->DOUBLE cast
+# is exact and matches Spark bit-for-bit; past it (sf1+ here) the cast
+# double-rounds and the twin would need the BIGINT-cents technique used
+# by regression_trend.
 _SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
