@@ -124,10 +124,35 @@ HEADLINE = [
 ]
 
 
+def cpu_calibration() -> float:
+    """Fixed single-thread CPU probe (best of 3: sha256 over 32 MiB in
+    4 KiB chunks), reported as ``calib_sec`` in the payload.
+
+    Bench totals ride on shared-host CPU speed, which drifts between
+    rounds/VMs (round 5 measured the SAME code 85s..117s across an hour
+    of ambient steal). A fixed workload timed in the same process lets
+    a cross-round comparison separate 'the engine got slower' from 'the
+    host got slower': query-time ratios between rounds should be read
+    relative to the calib_sec ratio."""
+    import hashlib
+
+    best = float("inf")
+    chunk = b"\xa5" * 4096
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(8192):  # 32 MiB
+            h.update(chunk)
+        h.digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    calib = cpu_calibration()  # before the JVM competes for cores
 
     import __spark_entry__ as entrymod
     from mapreduce_sssp_spark.session import get_spark
@@ -197,6 +222,9 @@ def main() -> None:
             "query_set": query_set,
             "n_queries": len(queries),
             "passes": passes,
+            # Host-speed probe: compare totals across rounds relative to
+            # the calib_sec ratio (see cpu_calibration).
+            "calib_sec": calib,
         }
 
     def flush_results(timings: dict[str, float]) -> None:
