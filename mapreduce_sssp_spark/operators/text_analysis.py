@@ -295,7 +295,7 @@ TFIDF_TOPK = 3
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: each document's top-3 most characteristic terms,
-    (doc_id, term, tf, df, score_e9, rk).
+    (doc_id, term, tf, df, score_e6, rk).
 
     Classic inverted-index shape: one tokenize pass -> (doc, term)
     term-frequency aggregate -> document-frequency aggregate over the
