@@ -204,20 +204,38 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(load_table(spark, sf_dir, "events"))
 
 
+def _trunc_week_ntz(col):
+    """Week truncation (Monday 00:00) computed purely from NTZ
+    components: cast to date (naive), back up to Monday via weekday(),
+    cast back to NTZ midnight. Unlike ``date_trunc('week', ntz)`` —
+    which converts through session-TZ TimestampType and back — this
+    never leaves the naive domain, so a DST-gap timestamp under a
+    DST-observing session TZ can't shift an hour and diverge from
+    DuckDB's purely naive date_trunc."""
+    d = col.cast("date")
+    return F.date_sub(d, F.weekday(d)).cast("timestamp_ntz")
+
+
+def _trunc_hour_ntz(col):
+    """Hour truncation built with make_timestamp_ntz from naive
+    components — same rationale as _trunc_week_ntz: no session-TZ
+    round-trip, identical to DuckDB's naive date_trunc('hour')."""
+    return F.make_timestamp_ntz(
+        F.year(col),
+        F.month(col),
+        F.dayofmonth(col),
+        F.hour(col),
+        F.lit(0),
+        F.lit(0),
+    )
+
+
 def retention(ev: DataFrame, cohort_event: str = "signup") -> DataFrame:
     """See q_retention_cohorts. ev needs (user_id, event_type, ts)."""
-    # date_trunc returns session-TZ TimestampType even for NTZ input;
-    # cast back to NTZ (an identity round-trip under any fixed-offset
-    # session TZ) so the output dtype keeps the repo's NTZ invariant
-    # and matches DuckDB's naive TIMESTAMP.
     first = (
         ev.filter(F.col("event_type") == cohort_event)
         .groupBy("user_id")
-        .agg(
-            F.date_trunc("week", F.min("ts"))
-            .cast("timestamp_ntz")
-            .alias("cohort_week")
-        )
+        .agg(_trunc_week_ntz(F.min("ts")).alias("cohort_week"))
     )
     return (
         ev.join(first, "user_id")
@@ -226,7 +244,7 @@ def retention(ev: DataFrame, cohort_event: str = "signup") -> DataFrame:
             "cohort_week",
             (
                 F.datediff(
-                    F.date_trunc("week", F.col("ts")).cast("timestamp_ntz"),
+                    _trunc_week_ntz(F.col("ts")),
                     F.col("cohort_week"),
                 )
                 / 7
@@ -296,11 +314,11 @@ def resample_ffill(ev: DataFrame) -> DataFrame:
     """See q_resample_ffill. ev needs (user_id, ts, event_id, value)."""
     from pyspark.sql import Window
 
-    # .cast("timestamp_ntz"): date_trunc returns session-TZ
-    # TimestampType even for NTZ input (see retention()).
+    # _trunc_hour_ntz: naive-component truncation, no session-TZ
+    # round-trip (see _trunc_week_ntz for the DST failure mode).
     bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("t0"),
-        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("t1"),
+        _trunc_hour_ntz(F.min("ts")).alias("t0"),
+        _trunc_hour_ntz(F.max("ts")).alias("t1"),
     )
     grid = bounds.select(
         "user_id",
@@ -308,7 +326,7 @@ def resample_ffill(ev: DataFrame) -> DataFrame:
     )
     hourly = ev.select(
         "user_id",
-        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour"),
+        _trunc_hour_ntz(F.col("ts")).alias("hour"),
         "ts",
         "event_id",
         "value",

@@ -311,7 +311,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle unrolls the 4 rounds as chained CTE stages, each the
     argmax-with-tie-break of the previous stage's neighbor labels
     (row_number ORDER BY count DESC, label — the same (count, label)
-    order as the engine's min(struct(-c, label)) aggregate).
+    order as the engine's single-shuffle ``mode(label, true)`` JVM
+    aggregate, whose deterministic flag breaks count ties toward the
+    lowest label value).
     """
     from ..graph.lpa import label_propagation
 

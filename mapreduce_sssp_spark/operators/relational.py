@@ -579,8 +579,13 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dom"),
         (F.weekday("o_orderdate") + 1).alias("isodow"),
-        # cast to date: DuckDB's date_trunc returns DATE at month granularity
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        # make_date from naive components (= DuckDB date_trunc('month')
+        # cast to DATE) — avoids date_trunc's NTZ->session-TZ->NTZ
+        # round-trip, which is only identity under a fixed-offset TZ
+        # (see event_windows._trunc_week_ntz for the DST failure mode).
+        F.make_date(
+            F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)
+        ).alias("month_start"),
         F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
             "days_to_1999"
         ),
@@ -1102,6 +1107,123 @@ def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q21)
 
 
+# Derived partsupp surrogate: the driver's testdata has no partsupp
+# table (SURVEY.md §8), so Q2/Q11/Q20 synthesize one from the distinct
+# (l_partkey, l_suppkey) pairs actually traded, with availqty and
+# supply cost as deterministic INTEGER functions of the keys — the same
+# device as Q9's derived supply cost, but in whole cents so every
+# comparison, MIN, and SUM below is exact integer arithmetic in BOTH
+# engines (no decimal-scale or float-accumulation drift; cast to DOUBLE
+# only at output). At 100 TB the CTE is one map-side-combined groupBy
+# of the two key columns — Zipf-small output (suppliers x parts), and
+# Catalyst plans each query's joins against it like a real dim table.
+_PARTSUPP_CTE = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey,
+         l_suppkey AS ps_suppkey,
+         (l_partkey * 7 + l_suppkey * 13) % 9999 + 1 AS ps_availqty,
+         (l_partkey * 31 + l_suppkey * 17) % 100000 + 100
+           AS ps_supplycost_cents
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+"""
+
+# TPC-H Q2 (minimum cost supplier): correlated MIN subquery over the
+# surrogate partsupp, decorrelated by Catalyst into an aggregate +
+# join. Output columns restricted to the synthetic schema (no
+# s_address/s_phone/p_mfgr). The ORDER BY is a total order — s_name is
+# unique per supplier, so (s_name, p_partkey) keys each row — making
+# the LIMIT deterministic cross-engine.
+_SQL_Q2 = _PARTSUPP_CTE + """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS supplycost
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size <= 15
+  AND p_type = 'PROMO'
+  AND r_name = 'EUROPE'
+  AND ps_supplycost_cents = (
+    SELECT MIN(ps2.ps_supplycost_cents)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q2)
+
+
+# TPC-H Q11 (important stock identification): per-part stock value in
+# one nation vs a fraction of the national total. The HAVING threshold
+# is kept in the integer domain (value x 10000 > total) so there is no
+# knife-edge double comparison at all; DOUBLE appears only in the
+# output projection of exact integer sums.
+_SQL_Q11 = _PARTSUPP_CTE + """
+SELECT ps_partkey,
+       CAST(SUM(ps_supplycost_cents * ps_availqty) AS DOUBLE) / 100.0
+         AS part_value
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+GROUP BY ps_partkey
+HAVING SUM(ps_supplycost_cents * ps_availqty) * 10000 > (
+  SELECT SUM(ps2.ps_supplycost_cents * ps2.ps_availqty)
+  FROM partsupp ps2
+  JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+  WHERE n2.n_name = 'NATION_1')
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+def q_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q11)
+
+
+# TPC-H Q20 (potential part promotion): suppliers in one nation holding
+# surplus stock (availqty > half the 1996 shipped quantity) of 'small'
+# parts. Nested IN + correlated scalar SUM, both decorrelated by
+# Catalyst. l_quantity is integer-valued double in the testdata, so
+# SUM(l_quantity) is exact under any accumulation order and the 0.5x
+# threshold comparison is deterministic cross-engine; a pair with no
+# 1996 shipments yields a NULL threshold and is excluded identically by
+# both engines.
+_SQL_Q20 = _PARTSUPP_CTE + """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT ps_suppkey
+  FROM partsupp
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND ps_availqty > (
+      SELECT 0.5 * SUM(l_quantity)
+      FROM lineitem
+      WHERE l_partkey = ps_partkey
+        AND l_suppkey = ps_suppkey
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1')
+ORDER BY s_name
+"""
+
+
+def q_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q20)
+
+
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long reshape with ``DataFrame.unpivot`` (ANSI UNPIVOT):
     lineitem's four measure columns to (key, measure, value) rows. The
@@ -1155,7 +1277,10 @@ QUERIES = {
     "join_inner": q_join_inner,
     "json_map_explode": q_json_map_explode,
     "sql_tpch_q1": q_sql_q1,
+    "sql_tpch_q2": q_sql_q2,
     "sql_tpch_q3": q_sql_api,
+    "sql_tpch_q11": q_sql_q11,
+    "sql_tpch_q20": q_sql_q20,
     "sql_tpch_q4": q_sql_q4,
     "sql_tpch_q5": q_sql_q5,
     "sql_tpch_q6": q_sql_q6,
@@ -1210,7 +1335,10 @@ _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.
 
 ORACLE = {
     "sql_tpch_q1": _SQL_Q1,
+    "sql_tpch_q2": _SQL_Q2,
     "sql_tpch_q3": _SQL_Q3,
+    "sql_tpch_q11": _SQL_Q11,
+    "sql_tpch_q20": _SQL_Q20,
     "sql_tpch_q4": _SQL_Q4,
     "sql_tpch_q5": _SQL_Q5,
     "sql_tpch_q6": _SQL_Q6,

@@ -118,14 +118,30 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is THE way to get percentiles: the GK sketch is a
     bounded-size mergeable summary (one per partition, merged on the
     driver side of the agg) — no global sort, no full materialization.
+
+    The three quartiles are projected to scalar q1/median/q3 columns
+    (mirroring ``q_group_percentiles``) rather than shipped as one
+    ArrayType column: the driver's rows-only canonicalizer sorts rows
+    with pandas and dies on unhashable list cells.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10_000).alias(
-            "price_quartiles"
-        ),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75], 10_000
+            ).alias("ps"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("approx_q1"),
+            F.col("ps")[1].alias("approx_median"),
+            F.col("ps")[2].alias("approx_q3"),
+            "min_price",
+            "max_price",
+        )
     )
 
 

@@ -38,26 +38,45 @@ def test_weak_evidence_entries_come_first():
 
 def test_rows_only_entries_with_new_oracle_are_red():
     """A query whose LATEST driver row was rows-only (err=no_oracle) but
-    that now ships an oracle twin must be re-prioritized for a hash
-    verdict.  The candidate set is computed from the history precondition
-    itself — a hard-coded name list encodes one round's state and goes
-    stale the moment the driver upgrades those entries (the r4 lesson)."""
-    latest = qr._latest_rows()
-    if latest is None:
+    that now ships an oracle twin must land in the recheck-first bucket
+    of _registry_order.  Pinned with a SYNTHETIC history fixture
+    (monkeypatched _latest_rows) rather than re-deriving the production
+    predicate from the live CORRECTNESS files — the latter restates the
+    implementation clause and can never fail for the condition it names
+    (the r5 lesson, superseding the r4 hard-coded-name-list lesson)."""
+    names = list(qr.QUERIES)
+    oracle_backed = [n for n in names if n in qr.ORACLE]
+    if len(oracle_backed) < 3:
         return
-    red, checked = qr._driver_history()
-    upgradable = {
-        n for n, row in latest.items()
-        if row.get("err") == "no_oracle" and n in qr.ORACLE
+    upgraded, broken, fine = oracle_backed[:3]
+    green_row = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "err": None,
     }
-    assert upgradable <= red
-    # And conversely: a hash-green latest row with no error must not sit
-    # in the red (re-check-first) set.
-    green = {
-        n for n, row in latest.items()
-        if row.get("hash_match") is True and row.get("err") is None
+    fixture = {n: dict(green_row) for n in names}
+    # `upgraded`: last row was rows-only, but an oracle twin exists now.
+    fixture[upgraded] = {
+        "rows_match": True, "schema_match": None, "hash_match": None,
+        "err": "no_oracle",
     }
-    assert not (green & red)
+    # `broken`: a genuine hash failure — must also be recheck-first.
+    fixture[broken] = {
+        "rows_match": True, "schema_match": True, "hash_match": False,
+        "err": None,
+    }
+    orig = qr._latest_rows
+    qr._latest_rows = lambda: fixture
+    try:
+        red, checked = qr._driver_history()
+        ordered = qr._registry_order(names)
+    finally:
+        qr._latest_rows = orig
+    assert upgraded in red and broken in red
+    assert fine not in red
+    # The red bucket is exactly the front of the ordering.
+    assert set(ordered[: len(red)]) == red
+    assert ordered.index(upgraded) < ordered.index(fine)
+    assert ordered.index(broken) < ordered.index(fine)
 
 
 def test_registry_order_fallback_without_history():

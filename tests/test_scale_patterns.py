@@ -52,9 +52,10 @@ def test_approx_quantiles_error_bound(spark, sf_dir):
         .collect()
     }
     for r in q_approx_quantiles(spark, sf_dir).collect():
-        assert r.min_price <= r.price_quartiles[0] <= r.price_quartiles[1]
-        assert r.price_quartiles[1] <= r.price_quartiles[2] <= r.max_price
-        for got, want in zip(r.price_quartiles, exact[r.l_returnflag]):
+        quartiles = (r.approx_q1, r.approx_median, r.approx_q3)
+        assert r.min_price <= quartiles[0] <= quartiles[1]
+        assert quartiles[1] <= quartiles[2] <= r.max_price
+        for got, want in zip(quartiles, exact[r.l_returnflag]):
             assert got == pytest.approx(want, rel=0.01), r.l_returnflag
 
 

@@ -7,6 +7,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -40,8 +41,15 @@ def _sort_cell(x):
     # Floats are rounded to 9 significant digits in the SORT KEY ONLY, so
     # a sub-tolerance deviation between engines cannot reorder the two row
     # lists differently and produce a spurious mismatch on unrelated rows.
+    # Decimal gets the same canonical form: when a DuckDB column drifts
+    # to DECIMAL/HUGEINT its verbatim str ('5.00') would sort differently
+    # from the float form ('5.000000000e+00'), making genuine dtype drift
+    # surface as a confusing VALUE-MISMATCH on unrelated rows instead of
+    # the intended DTYPE-DRIFT label.
     if isinstance(x, float):
         return f"{x:.9e}"
+    if isinstance(x, decimal.Decimal):
+        return f"{float(x):.9e}"
     return str(x)
 
 
