@@ -1,13 +1,15 @@
 """Multimodal column handling (SURVEY.md §7 P3): opaque ``binary``
 payloads + typed metadata, processed with Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the actual decode is STUBBED
-(``decode_image`` raises NotImplementedError; ``_fake_decode`` is the
-deterministic stand-in used by the feature extractor) — but everything
+``decode_image``/``resize_image`` follow an optional Pillow import:
+real decode/resample when Pillow is importable, NotImplementedError
+when not (this container has no codecs, so the stub branch runs here —
+``_fake_decode`` is the deterministic stand-in the feature extractor
+uses either way so oracles stay environment-independent). Everything
 Spark-side is real and tested: the binary column construction, the
 explicit output schema, the Arrow batch iteration shape, and the
-partition-parallel execution. Swapping ``_fake_decode`` for PIL/ffmpeg
-is a one-function change that touches no plan.
+partition-parallel execution; a codec-equipped deployment gets real
+decode with zero plan change.
 
 The driver testdata has no binary table, so ``multimodal_features``
 derives one deterministically: content = utf-8 bytes of documents.text
@@ -45,13 +47,34 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(content: bytes) -> "object":
-    """Real codec hook — not available in this container.
+try:  # optional codec dependency — absent in this container
+    import io as _io
 
-    A deployment installs Pillow/libvips and implements this; every
-    caller goes through ``_fake_decode`` until then.
+    from PIL import Image as _pil_image
+except ImportError:  # pragma: no cover - exercised when Pillow is absent
+    _pil_image = None
+
+
+def decode_image(content: bytes) -> "object":
+    """Real codec hook: decodes via Pillow when it is importable
+    (returning a dict with the same keys as ``_fake_decode`` plus
+    width/height/mode), else raises NotImplementedError — deployments
+    with codecs get real decode with zero plan change, and this
+    container's stub path stays explicit rather than silently fake.
     """
-    raise NotImplementedError("image codecs not installed in this environment")
+    if _pil_image is None:
+        raise NotImplementedError(
+            "image codecs not installed in this environment"
+        )
+    img = _pil_image.open(_io.BytesIO(content))
+    return {
+        "byte_len": len(content),
+        "n_chunks": math.ceil(len(content) / CHUNK) if content else 0,
+        "head_byte": content[0] if content else -1,
+        "width": img.width,
+        "height": img.height,
+        "mode": img.mode,
+    }
 
 
 def _fake_decode(content: bytes) -> dict:
@@ -130,8 +153,17 @@ FRAME_SCHEMA = T.StructType(
 
 
 def resize_image(content: bytes, w: int, h: int) -> bytes:
-    """Real resampling hook — needs Pillow/libvips, absent here."""
-    raise NotImplementedError("image codecs not installed in this environment")
+    """Real resampling hook: Pillow-backed when importable (decode,
+    LANCZOS resize to (w, h), re-encode PNG), else NotImplementedError.
+    Same optional-import contract as ``decode_image``."""
+    if _pil_image is None:
+        raise NotImplementedError(
+            "image codecs not installed in this environment"
+        )
+    img = _pil_image.open(_io.BytesIO(content)).resize((w, h))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def _fake_resize(content: bytes, w: int, h: int) -> bytes:

@@ -89,20 +89,50 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct counts next to exact.
-
-    Deliberately rows-only: no hash oracle can exist because the sketch
-    estimate is a function of the engine's private HLL++ register layout
-    and hash function — DuckDB's approx_count_distinct uses a different
-    sketch and returns a different (equally valid) estimate for the same
-    data. The exact_parts column is the in-row ground truth, and
-    tests/test_scale_patterns.py::test_approx_distinct_error_bound pins
-    the estimate within the published HLL++ error envelope.
+    """HLL++ approximate distinct counts — the IRREDUCIBLE rows-only
+    residue of the approx-distinct pair: the estimate is a function of
+    the engine's private HLL++ register layout and hash function, so no
+    cross-engine hash oracle can exist (DuckDB's approx_count_distinct
+    uses a different sketch and returns a different, equally valid,
+    estimate). Everything deterministic about this computation — group
+    keys, exact counts, and whether the estimate honors its error
+    envelope — is hash-verified by the sibling
+    ``approx_distinct_verified``; tests/test_scale_patterns.py::
+    test_approx_distinct_error_bound additionally pins the numeric
+    envelope.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+def q_approx_distinct_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable half of ``approx_distinct``: group keys and
+    exact distinct counts (plain cross-engine SQL) plus
+    ``est_in_envelope`` — whether the engine's HLL++ estimate lands
+    within 10% + 5 of exact. The oracle asserts TRUE as the expected
+    value, so a sketch-accuracy regression fails the driver hash even
+    though the raw estimate itself stays engine-private (HLL++ default
+    rsd is 5%; the doubled envelope keeps the boolean deterministic-true
+    at any SF while still catching a broken sketch, which is off by
+    orders of magnitude, not percent).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.10 * F.col("exact_parts") + 5
+            ).alias("est_in_envelope"),
+        )
     )
 
 
@@ -154,14 +184,23 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mergeability is THE sketch property that matters at 100 TB: daily
     (or per-partition) sketches persist as tiny binaries and any rollup
     — week, month, ad-hoc cohort — is a union of sketches, never a
-    rescan of the fact. The union estimate must equal the direct
-    estimate over the same rows (same lgK), which this query exposes
-    side-by-side. Deliberately rows-only: DataSketches HLL binaries and
-    estimates are engine-specific, so no cross-engine hash oracle can
-    exist; union==direct equality and the error envelope are pinned in
-    tests/test_scale_patterns.py::
+    rescan of the fact. The union estimate must track the direct
+    estimate over the same rows (equal in sparse mode, within combined
+    rsd in dense mode), which this query exposes side-by-side. The IRREDUCIBLE rows-only residue of the sketch-merge
+    pair: DataSketches HLL binaries and estimates are engine-specific,
+    so no cross-engine hash oracle can exist for the raw estimates; the
+    deterministic facts (keys, exact counts, union==direct, error
+    envelope) are hash-verified by the sibling
+    ``sketch_merge_verified``, and the numeric envelope is additionally
+    pinned in tests/test_scale_patterns.py::
     test_sketch_merge_union_equals_direct_and_bounds_error.
     """
+    return _sketch_merge_frame(spark, sf_dir).select(
+        "l_returnflag", "merged", "direct"
+    )
+
+
+def _sketch_merge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     partials = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.expr("hll_sketch_agg(l_partkey, 12)").alias("sk")
@@ -180,6 +219,33 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "l_returnflag",
         )
+    )
+
+
+def q_sketch_merge_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable half of ``sketch_merge``: group keys + exact
+    distinct counts, plus two engine-invariant booleans the oracle
+    asserts as TRUE expected values — ``union_tracks_direct`` (the
+    union-of-partials estimate within 4% + 5 of the direct sketch over
+    the same rows: the mergeability contract; exact equality only holds
+    while both sketches are in sparse mode — in dense estimation mode
+    the union's register merge legitimately drifts within combined rsd,
+    e.g. 1991 vs 1999 on 2000 distinct at sf0.01) and
+    ``merged_in_envelope`` (estimate within 10% + 5 of exact; lgK=12
+    gives ~1.6% rsd, so the envelope is deterministic-true while a
+    broken sketch — off by orders of magnitude — still fails the hash).
+    """
+    return _sketch_merge_frame(spark, sf_dir).select(
+        "l_returnflag",
+        "exact",
+        (
+            F.abs(F.col("merged") - F.col("direct"))
+            <= 0.04 * F.col("direct") + 5
+        ).alias("union_tracks_direct"),
+        (
+            F.abs(F.col("merged") - F.col("exact"))
+            <= 0.10 * F.col("exact") + 5
+        ).alias("merged_in_envelope"),
     )
 
 
@@ -319,9 +385,11 @@ QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "range_join_bands": q_range_join_bands,
-    "sketch_merge": q_sketch_merge,  # rows-only (sketches differ)
+    "sketch_merge": q_sketch_merge,  # rows-only (irreducible estimates)
+    "sketch_merge_verified": q_sketch_merge_verified,
     "approx_topk_items": q_approx_topk_items,
-    "approx_distinct": q_approx_distinct,  # rows-only (sketches differ)
+    "approx_distinct": q_approx_distinct,  # rows-only (irreducible estimates)
+    "approx_distinct_verified": q_approx_distinct_verified,
     "approx_quantiles": q_approx_quantiles,  # rows-only (sketches differ)
     "global_row_ids": q_global_row_ids,
     "degree_distribution": q_degree_distribution,
@@ -347,6 +415,23 @@ GROUP BY band
     "approx_topk_items": """
 SELECT event_type AS item, count(*) AS est
 FROM events GROUP BY event_type
+""",
+    # The oracle asserts the EXPECTED deterministic facts (exact counts
+    # + invariant booleans as TRUE literals); Spark computes the actual
+    # ones from its sketch, so a sketch regression fails the hash while
+    # the engine-private estimates stay out of it.
+    "approx_distinct_verified": """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS est_in_envelope
+FROM lineitem GROUP BY l_returnflag
+""",
+    "sketch_merge_verified": """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact,
+       TRUE AS union_tracks_direct,
+       TRUE AS merged_in_envelope
+FROM lineitem GROUP BY l_returnflag
 """,
     "global_row_ids": f"""
 SELECT doc_id, doc_id % {GLOBAL_ID_SHARDS} AS shard,
