@@ -110,6 +110,76 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+# Domain-mixing targets: char-share each listed source should hold in
+# the mixed corpus; unlisted sources split the remaining mass equally.
+# The remainder is computed ONCE in Python and embedded as the same
+# double literal in both engines (repr round-trips exactly), so the
+# share arithmetic is bit-identical.
+_MIX_KEY = "mix:"
+_MIX_TARGETS = {"src0": 0.20, "src1": 0.15}
+_MIX_REMAINDER = 1.0 - sum(_MIX_TARGETS.values())
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to target domain weights — the rate-SETTING twin of
+    ``stratified_sample`` (which applies fixed literal rates): each
+    source's keep-rate is computed FROM THE DATA as
+    ``least(1, share * total_chars / source_chars)`` so the kept corpus
+    approaches the target char-share per source, then applied as the
+    usual md5-bucket threshold so the kept set is deterministic across
+    engines, runs, and incremental appends.
+
+    Cross-engine exactness: char sums are exact integers cast to DOUBLE
+    below 2^53, the share/rate expressions have the same textual shape
+    in both engines (bit-identical doubles), and the bucket compare
+    uses ``floor(rate * 65536)`` as a 4-hex-digit string — with a
+    separate ``rate >= 1`` keep-all disjunct, because 65536 formats to
+    5 chars and would break the lexicographic-magnitude trick.
+
+    Scale shape: one map-side-combined per-source aggregate (Zipf-small
+    output) broadcast back onto the fact scan; the accept predicate is
+    map-side — the corpus itself never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("chars_s")
+    )
+    listed = list(_MIX_TARGETS)
+    totals = docs.select(
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.count_distinct(
+            F.when(~F.col("source").isin(listed), F.col("source"))
+        ).alias("n_unlisted"),
+    )
+    share = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(w))
+            for s, w in _MIX_TARGETS.items()
+        ],
+        F.lit(_MIX_REMAINDER) / F.col("n_unlisted"),
+    )
+    rates = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(1.0), share * F.col("total_chars") / F.col("chars_s")
+        ).alias("rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            (F.col("rate") >= 1.0)
+            | (
+                _bucket(F.col("doc_id"), _MIX_KEY)
+                < F.format_string(
+                    "%04x",
+                    F.floor(F.col("rate") * 65536).cast("int"),
+                )
+            )
+        )
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
 #: Context-window capacity in characters (stand-in for tokens; the cost
 #: column is n_chars so the oracle needs no tokenizer).
 PACK_CAPACITY = 4096
@@ -277,6 +347,7 @@ QUERIES = {
     "split_train_test": q_split_train_test,
     "sample_hash": q_sample_hash,
     "stratified_sample": q_stratified_sample,
+    "domain_mix_sample": q_domain_mix_sample,
     "pack_sequences": q_pack_sequences,
     "export_training_shards": q_export_training_shards,
     "chunk_documents": q_chunk_documents,
@@ -313,6 +384,35 @@ SELECT doc_id, lang, source, n_chars
 FROM documents
 WHERE substr(md5('{_SAMPLE_KEY}' || CAST(doc_id AS VARCHAR)), 1, 4)
       < '{_SAMPLE_HI}'
+""",
+    # The remainder share is embedded from the SAME Python double the
+    # Spark plan uses (repr round-trips exactly), so share arithmetic
+    # is bit-identical in both engines.
+    "domain_mix_sample": f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS chars_s
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(n_chars) AS DOUBLE) AS total_chars,
+         count(DISTINCT CASE WHEN source NOT IN
+               ({", ".join(f"'{s}'" for s in _MIX_TARGETS)})
+               THEN source END) AS n_unlisted
+  FROM documents
+),
+rates AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               (CASE {" ".join(f"WHEN source = '{s}' THEN CAST({w!r} AS DOUBLE)" for s, w in _MIX_TARGETS.items())}
+                     ELSE CAST({_MIX_REMAINDER!r} AS DOUBLE) / n_unlisted END)
+               * total_chars / chars_s) AS rate
+  FROM per_src, totals
+)
+SELECT doc_id, source, lang, n_chars
+FROM documents JOIN rates USING (source)
+WHERE rate >= 1.0
+   OR substr(md5('{_MIX_KEY}' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < printf('%04x', CAST(floor(rate * 65536) AS INT))
 """,
     "stratified_sample": f"""
 SELECT doc_id, lang, n_chars

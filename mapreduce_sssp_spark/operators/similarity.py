@@ -451,8 +451,68 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 16
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment round over the embedding table: every vector
+    assigned to its nearest of K deterministic seed centroids (the first
+    K vectors by vec_id), summarized per cluster as (size, closest
+    member, min/max squared distance).
+
+    The fundamental clustering primitive of corpus curation (IVF
+    coarse quantizers, topic bucketing, dedup pre-clustering) in its
+    distributed shape: seeds broadcast, distances map-side, one K-row
+    aggregate — the corpus never shuffles, so the round costs one scan
+    at any scale and iterating Lloyd is just re-broadcasting K rows.
+
+    Hash-exactness: dist2 expands to three deterministic left-fold dot
+    products combined in one fixed expression shape (bit-identical to
+    DuckDB's list_dot_product — the similarity_topk precedent), argmin
+    ties break on (dist2, seed_id), and the per-cluster summary avoids
+    any row-order-dependent float accumulation: a mean-update column
+    would sum members in partition order, which is exactly the
+    nondeterminism this projection excludes (min/max/count and
+    min-struct election are order-free).
+
+    The argmin is a ``min(struct(dist2, seed_id))`` aggregate, NOT a
+    row_number window: the broadcast join emits all K candidate rows of
+    a vector inside one task, so the partial aggregate collapses them
+    map-side and the exchange carries n compact rows — a window would
+    shuffle and sort the full n*K candidate set (16x the corpus at
+    100 TB) with no partial reduction.
+    """
+    vec = _vectors(spark, sf_dir)
+    seeds = vec.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    dist2 = F.expr(
+        f"{_DOT.format(a='v', b='v')} - 2 * {_DOT.format(a='v', b='sv')}"
+        f" + {_DOT.format(a='sv', b='sv')}"
+    )
+    assigned = (
+        vec.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "seed_id", dist2.alias("dist2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "seed_id")).alias("a"))
+        .select("vec_id", F.col("a.seed_id").alias("seed_id"), F.col("a.dist2").alias("dist2"))
+    )
+    return assigned.groupBy("seed_id").agg(
+        F.count("*").alias("n_members"),
+        F.min(F.struct("dist2", "vec_id")).alias("c"),
+        F.max("dist2").alias("radius2"),
+    ).select(
+        "seed_id",
+        "n_members",
+        F.col("c.vec_id").alias("closest_vec_id"),
+        F.col("c.dist2").alias("min_dist2"),
+        "radius2",
+    )
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
+    "kmeans_assign": q_kmeans_assign,
     "embedding_stats": q_embedding_stats,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ivf": q_similarity_ivf,
@@ -461,6 +521,33 @@ QUERIES = {
 }
 
 ORACLE = {
+    "kmeans_assign": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {KMEANS_K}),
+scored AS (
+  SELECT e.vec_id, s.seed_id,
+         list_dot_product(v, v) - 2 * list_dot_product(v, sv)
+           + list_dot_product(sv, sv) AS dist2
+  FROM e, seeds s
+),
+assigned AS (
+  SELECT vec_id, seed_id, dist2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, seed_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY seed_id
+                               ORDER BY dist2, vec_id) AS rk
+  FROM assigned
+)
+SELECT seed_id, count(*) AS n_members,
+       min(CASE WHEN rk = 1 THEN vec_id END) AS closest_vec_id,
+       min(dist2) AS min_dist2,
+       max(dist2) AS radius2
+FROM ranked GROUP BY seed_id
+""",
     "embedding_stats": """
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim,

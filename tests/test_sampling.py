@@ -148,3 +148,33 @@ def test_chunk_documents_window_grid(spark, tmp_path):
         (2, 1): CHUNK_W + 1 - CHUNK_STRIDE,
         (3, 0): 10,
     }
+
+
+def test_domain_mix_rates_follow_targets(spark, sf_dir):
+    """Listed sources get boosted keep-rates (kept whole when their
+    target share exceeds their natural share); unlisted sources are
+    downsampled toward the remainder share; the whole draw is
+    deterministic."""
+    from mapreduce_sssp_spark.operators.sampling import (
+        _MIX_TARGETS,
+        q_domain_mix_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_by_src = {r.source: r.n for r in docs.groupBy("source").count()
+                .withColumnRenamed("count", "n").collect()}
+    out = q_domain_mix_sample(spark, sf_dir).collect()
+    kept = {}
+    for r in out:
+        kept[r.source] = kept.get(r.source, 0) + 1
+    # Sources uniform in the testdata: a 20% target on a ~5% natural
+    # share means rate >= 1 -> listed sources keep every doc.
+    for s in _MIX_TARGETS:
+        assert kept.get(s) == n_by_src[s], (s, kept.get(s), n_by_src[s])
+    # Unlisted sources must shed mass in aggregate to fund the boost.
+    unlisted_total = sum(n for s, n in n_by_src.items() if s not in _MIX_TARGETS)
+    unlisted_kept = sum(n for s, n in kept.items() if s not in _MIX_TARGETS)
+    assert unlisted_kept < unlisted_total
+    # Determinism: a second run selects the identical doc set.
+    again = {r.doc_id for r in q_domain_mix_sample(spark, sf_dir).collect()}
+    assert again == {r.doc_id for r in out}

@@ -131,3 +131,21 @@ def test_blockpair_neardup_equals_bruteforce(spark):
     got = S.q_embedding_neardup(spark, sf_dir)
     got_pairs = {(r.id_a, r.id_b) for r in got.collect()}
     assert got_pairs == expected, (sorted(got_pairs), sorted(expected))
+
+
+def test_kmeans_assign_invariants(spark, sf_dir):
+    """Every vector lands in exactly one cluster, each seed claims
+    itself (dist 0), and radii bound the min distances."""
+    from mapreduce_sssp_spark.operators.similarity import (
+        KMEANS_K,
+        q_kmeans_assign,
+    )
+
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = q_kmeans_assign(spark, sf_dir).collect()
+    assert sum(r.n_members for r in rows) == total
+    for r in rows:
+        assert 0 <= r.seed_id < KMEANS_K
+        # The seed vector is its own nearest centroid at distance 0.
+        assert r.min_dist2 == 0.0 and r.closest_vec_id == r.seed_id
+        assert r.radius2 >= r.min_dist2
