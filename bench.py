@@ -52,9 +52,12 @@ HEADLINE = [
     "triangle_counts",
     "compat_final_lines",
     # relational / SQL
+    "sql_tpch_q2",
     "sql_tpch_q3",
     "sql_tpch_q5",
+    "sql_tpch_q11",
     "sql_tpch_q18",
+    "sql_tpch_q20",
     "agg_multi",
     "join_inner",
     "grouping_sets_agg",
@@ -93,6 +96,7 @@ HEADLINE = [
     "similarity_ivf",
     "embedding_neardup",
     "embedding_stats",
+    "kmeans_assign",
     # text analysis
     "text_stats",
     "text_quality",
@@ -104,6 +108,7 @@ HEADLINE = [
     "bpe_encode",
     # sampling / packing / python surface
     "sample_hash",
+    "domain_mix_sample",
     "pack_sequences",
     "chunk_documents",
     "export_training_shards",

@@ -329,3 +329,42 @@ def test_dedup_spans_elects_first_via_agg_not_window(spark):
     # as a DataFilter re-evaluating tokenize+chunk per row).
     assert "DataFilters: [(" not in plan, plan
     spark.catalog.clearCache()
+
+
+def test_kmeans_argmin_is_partial_agg_not_window(spark):
+    """The n*K candidate set must collapse map-side (partial_min before
+    the exchange), never sort through a row_number window."""
+    from mapreduce_sssp_spark.operators.similarity import q_kmeans_assign
+
+    plan = plan_of(q_kmeans_assign(spark, SF))
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    # Seeds ride a broadcast: the only join is a broadcast nested loop.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_domain_mix_fact_scan_never_shuffles(spark):
+    """Rates join back to documents via broadcast; the only exchanges in
+    the plan belong to the tiny per-source/total aggregates, never to the
+    kept-documents output path (no exchange between the documents scan
+    and the final filter/project)."""
+    from mapreduce_sssp_spark.operators.sampling import q_domain_mix_sample
+
+    plan = plan_of(q_domain_mix_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_tpch_q2_q20_decorrelate_without_cartesian(spark):
+    """The derived-partsupp correlated subqueries must plan as
+    aggregate+join decorrelations (no cartesian, no per-row subquery)."""
+    from mapreduce_sssp_spark.operators.relational import (
+        q_sql_q2,
+        q_sql_q11,
+        q_sql_q20,
+    )
+
+    for q in (q_sql_q2, q_sql_q11, q_sql_q20):
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
