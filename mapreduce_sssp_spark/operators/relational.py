@@ -320,6 +320,52 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of event values: clip to the exact
+    [p05, p95] band and report clip counts plus the winsorized sum —
+    the standard heavy-tail screen when outliers should be bounded,
+    not dropped (the complement of ``outliers_mad``, which flags).
+
+    Plan shape: one 2-column percentile aggregate (tiny, broadcast
+    back) + one pass over the fact with a map-side clip — the fact
+    table shuffles only for the final per-type aggregate. Hash-exact
+    by the established devices: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` interpolate identically (group_percentiles
+    precedent), the clip compares bit-identical doubles, and the sum
+    goes through integer cents (regression_trend precedent) so no
+    float accumulation order can drift.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pct = (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.05D, 0.95D))").alias("ps"))
+        .select(
+            "event_type",
+            F.col("ps")[0].alias("lo"),
+            F.col("ps")[1].alias("hi"),
+        )
+    )
+    j = ev.join(F.broadcast(pct), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    cents = (clipped.cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_clip_lo"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_clip_hi"),
+            F.sum(cents).alias("cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_clip_lo",
+            "n_clip_hi",
+            (F.col("cents").cast("double") / 100.0).alias("sum_winsorized"),
+        )
+    )
+
+
 TREND_EPOCH = "1995-01-01"  # day-index origin (first o_orderdate)
 
 
@@ -1310,6 +1356,7 @@ QUERIES = {
     "distinct_pairs": q_distinct,
     "group_percentiles": q_group_percentiles,
     "outliers_mad": q_outliers_mad,
+    "winsorize_values": q_winsorize_values,
     "regression_trend": q_regression_trend,
     "price_histogram": q_price_histogram,
     "map_literal_decode": q_map_literal_decode,
@@ -1474,6 +1521,26 @@ SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.75) AS q3,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
+""",
+    "winsorize_values": """
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+),
+j AS (
+  SELECT e.event_type, e.value, p.lo, p.hi,
+         least(greatest(e.value, p.lo), p.hi) AS clipped
+  FROM events e JOIN pct p USING (event_type)
+)
+SELECT event_type,
+       count(*) AS n,
+       count(CASE WHEN value < lo THEN 1 END) AS n_clip_lo,
+       count(CASE WHEN value > hi THEN 1 END) AS n_clip_hi,
+       CAST(SUM(CAST(CAST(clipped AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_winsorized
+FROM j GROUP BY event_type
 """,
     "outliers_mad": """
 WITH med AS (

