@@ -425,6 +425,50 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag Pearson correlation of quantity vs price, via the same
+    one-pass exact-sufficient-statistics device as regression_trend
+    (n, Sx, Sy, Sxy, Sxx, Syy as int64 sums, closed form in DOUBLE) —
+    covering the corr/covar aggregate family without the
+    engine-private float accumulation of built-in ``corr``.
+
+    y is truncated integer DOLLARS (cents div 100), not cents: Syy in
+    cents would pass int64 range near sf1 while dollar-squared sums
+    stay exact int64 through ~sf10, and int64 -> DOUBLE is correctly
+    rounded in BOTH engines at any magnitude (unlike DuckDB's
+    double-rounding DECIMAL -> DOUBLE — the regression_trend lesson).
+    x is the integral-valued l_quantity cast to BIGINT (exact).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 100"
+        ).alias("y"),
+    )
+    stats = d.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    corr = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return stats.select(
+        "l_returnflag", "n", F.expr(corr).alias("corr_qty_price")
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals: rollup(returnflag, linestatus)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1357,6 +1401,7 @@ QUERIES = {
     "group_percentiles": q_group_percentiles,
     "outliers_mad": q_outliers_mad,
     "winsorize_values": q_winsorize_values,
+    "corr_measures": q_corr_measures,
     "regression_trend": q_regression_trend,
     "price_histogram": q_price_histogram,
     "map_literal_decode": q_map_literal_decode,
@@ -1521,6 +1566,34 @@ SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.75) AS q3,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
+""",
+    "corr_measures": """
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+           AS y
+  FROM lineitem
+),
+stats AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM d GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price
+FROM stats
 """,
     "winsorize_values": """
 WITH pct AS (

@@ -253,3 +253,33 @@ def test_winsorize_bounds_and_counts(spark, sf_dir):
         assert 0 <= r.n_clip_lo <= n * 0.05 + 2
         assert 0 <= r.n_clip_hi <= n * 0.05 + 2
         assert r.n_clip_lo + r.n_clip_hi > 0  # tails exist at test SF
+
+
+def test_corr_matches_builtin_within_float_tolerance(spark, sf_dir):
+    """The exact-sufficient-statistics Pearson r agrees with Spark's
+    built-in corr() on the dollar-quantized columns to float tolerance,
+    and sits in [-1, 1]."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.operators.relational import q_corr_measures
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ref = {
+        r.l_returnflag: r.c
+        for r in li.select(
+            "l_returnflag",
+            F.expr("CAST(l_quantity AS BIGINT)").cast("double").alias("x"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " div 100"
+            ).cast("double").alias("y"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.corr("x", "y").alias("c"))
+        .collect()
+    }
+    rows = q_corr_measures(spark, sf_dir).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        assert -1.0 <= r.corr_qty_price <= 1.0
+        assert abs(r.corr_qty_price - ref[r.l_returnflag]) < 1e-9
