@@ -524,8 +524,67 @@ FROM events
 GROUP BY 1, 2
 """
 
+def q_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value`` (TWAP): each
+    observation holds from its event until the next one, weighted by
+    that duration — the standard irregular-sampling average (pricing,
+    sensor states, position exposure) where a plain AVG over-counts
+    bursts.
+
+    One lead() window per user stream (ts, event_id tiebreak — ties get
+    zero weight so tie ORDER cannot change the sums), then a single
+    exact-integer aggregate: durations in int64 MICROSECONDS
+    (timestampdiff on NTZ is naive arithmetic, identical to DuckDB's
+    date_diff), values in int64 cents, weighted sum cents*us bounded by
+    max_cents * total_span_us ~ 1.5e17 << int64. The final division is
+    the only float op, on identical correctly-rounded operands. Users
+    whose events all share one timestamp have zero span and are
+    filtered identically by both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "user_id",
+            "cents",
+            F.expr("timestampdiff(MICROSECOND, ts, next_ts)").alias("dt_us"),
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dt_us").alias("span_us"),
+            F.sum(F.expr("cents * dt_us")).alias("wsum"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            "span_us",
+            (
+                (F.col("wsum").cast("double") / F.col("span_us").cast("double"))
+                / 100.0
+            ).alias("twap"),
+        )
+    )
+
+
 QUERIES = {
     "window_tumbling": q_window_tumbling,
+    "twap_user": q_twap_user,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
     "window_range_trailing": q_window_range_trailing,
@@ -583,6 +642,25 @@ GROUP BY user_id, session_id
 """
 
 ORACLE = {
+    "twap_user": """
+WITH seg AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         date_diff('microsecond', CAST(ts AS TIMESTAMP),
+                   lead(CAST(ts AS TIMESTAMP)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_segments,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       (CAST(SUM(cents * dt_us) AS DOUBLE) / CAST(SUM(dt_us) AS DOUBLE))
+         / 100.0 AS twap
+FROM seg
+WHERE dt_us IS NOT NULL
+GROUP BY user_id
+HAVING SUM(dt_us) > 0
+""",
     "window_tumbling": _TUMBLING_SQL,
     "streaming_tumbling": _TUMBLING_SQL,
     "streaming_incremental": _TUMBLING_SQL,

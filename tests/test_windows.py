@@ -53,3 +53,30 @@ def test_tumbling_and_sliding_assignment(spark):
     # 10:15 -> windows starting 09:30, 10:00; 10:45 -> 10:00, 10:30
     got = {(r.s.time().isoformat(), r.n) for r in slide}
     assert got == {("09:30:00", 1), ("10:00:00", 2), ("10:30:00", 1)}
+
+
+def test_twap_bounded_by_value_range(spark, sf_dir):
+    """TWAP of each user sits inside [min(value), max(value)] of that
+    user's stream, and segment counts are n_events - 1."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.operators.event_windows import q_twap_user
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bounds = {
+        r.user_id: (r.n, r.lo, r.hi)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    rows = q_twap_user(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, lo, hi = bounds[r.user_id]
+        assert r.n_segments == n - 1
+        # cents quantization can nudge the average by at most half a cent
+        assert lo - 0.005 <= r.twap <= hi + 0.005, (r.user_id, r.twap, lo, hi)
