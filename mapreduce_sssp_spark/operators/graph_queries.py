@@ -81,6 +81,29 @@ def q_sssp_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sssp_dag_converged(spark, sf_dir)
 
 
+def q_longest_path_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical path: longest-path distance from the DAG source to every
+    reachable node — scheduling's bottleneck metric, and the max-plus
+    dual of ``sssp_dag``. Runs through the SAME min-relaxation fixpoint
+    engine on NEGATED weights (max-plus and min-plus are isomorphic
+    under negation; safe on a DAG, where no positive cycle can run
+    away), then negates back — one new query, zero new engine code.
+    Unreachable nodes (native NULL mode) drop from the output.
+
+    Exactness: weights are integer-valued doubles, so negation and path
+    sums are exact and min/max elections agree bit-for-bit with the
+    oracle's level-synchronized max-relaxation recursive CTE.
+    """
+    edges = edges_order_chain(spark, sf_dir)
+    # Bounded driver scalar, same source election as _sssp_dag_converged.
+    source = int(edges.agg(F.min("src")).collect()[0][0])
+    neg = edges.withColumn("weight", -F.col("weight"))
+    st = sssp(neg, source, native_nulls=True)
+    return st.filter(F.col("dist").isNotNull()).select(
+        "source", "node", (-F.col("dist")).alias("dist")
+    )
+
+
 def q_reverse_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = reverse_graph(edges_from_lineitem(spark, sf_dir))
     return rev.select(
@@ -353,6 +376,7 @@ def q_compat_reverse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sssp": q_sssp,
     "sssp_dag": q_sssp_dag,
+    "longest_path_dag": q_longest_path_dag,
     "wcc": q_wcc,
     "wcc_cyclic": q_wcc_cyclic,
     "pagerank": q_pagerank,
@@ -427,6 +451,21 @@ SELECT (SELECT s FROM src) AS source,
        coalesce(o.node, b.node) AS node,
        coalesce(b.dist, 65535.0) AS dist
 FROM outn o FULL OUTER JOIN best b ON o.node = b.node
+""",
+    # Max-plus twin of sssp_dag: per-step maxima compose to true longest
+    # paths on a DAG exactly as per-step minima compose to shortest.
+    "longest_path_dag": f"""
+WITH RECURSIVE edges AS ({EDGES_DAG_SQL}),
+src AS (SELECT min(src) AS s FROM edges),
+walk(node, dist) AS (
+    SELECT s, CAST(0.0 AS DOUBLE) FROM src
+    UNION
+    SELECT e.dst, max(w.dist + e.weight)
+    FROM walk w JOIN edges e ON e.src = w.node
+    GROUP BY e.dst
+),
+best AS (SELECT node, max(dist) AS dist FROM walk GROUP BY node)
+SELECT (SELECT s FROM src) AS source, node, dist FROM best
 """,
     "sssp_dag": f"""
 WITH RECURSIVE edges AS ({EDGES_DAG_SQL}),

@@ -59,3 +59,29 @@ def test_b1_converges_well_inside_oracle_round_bound(spark, sf):
             break
         assert rounds < 64, "graph needs >= 64 rounds; raise the oracle bound"
     assert rounds < 32, f"converged in {rounds} rounds, margin shrinking"
+
+
+def test_longest_path_dominates_shortest_on_dag(spark):
+    """On the same DAG, every reachable node's critical-path distance is
+    >= its shortest-path distance, with equality exactly where one path
+    exists; source distance is 0 in both."""
+    from mapreduce_sssp_spark.operators.graph_queries import (
+        q_longest_path_dag,
+        q_sssp_dag,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    longest = {r.node: r.dist for r in q_longest_path_dag(spark, sf).collect()}
+    shortest = {
+        r.node: r.dist
+        for r in q_sssp_dag(spark, sf).collect()
+        if r.dist != 65535.0
+    }
+    assert longest, "DAG must have reachable nodes"
+    assert set(longest) == set(shortest)
+    src = min(longest)
+    assert longest[src] == 0.0 == shortest[src]
+    assert all(longest[n] >= shortest[n] for n in longest)
+    assert any(longest[n] > shortest[n] for n in longest), (
+        "test DAG should contain at least one multi-path node"
+    )
