@@ -48,6 +48,7 @@ HEADLINE = [
     "pagerank",
     "kcore",
     "label_propagation",
+    "longest_path_dag",
     "reverse_graph",
     "triangle_counts",
     "compat_final_lines",
@@ -62,6 +63,9 @@ HEADLINE = [
     "join_inner",
     "grouping_sets_agg",
     "outliers_mad",
+    "profile_columns",
+    "winsorize_values",
+    "corr_measures",
     "regression_trend",
     "tfidf_top_terms",
     "window_moving",
@@ -76,6 +80,9 @@ HEADLINE = [
     "retention_cohorts",
     "event_transitions",
     "resample_ffill",
+    "twap_user",
+    "scd2_intervals",
+    "attribution_last_touch",
     "asof_join",
     "skew_salted_agg",
     "range_join_bands",

@@ -582,9 +582,135 @@ def q_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    collapse each user's consecutive runs of the same ``event_type``
+    into validity intervals — (user_id, state, valid_from, valid_to,
+    n_events, is_current), ``valid_to`` NULL on the open current row.
+
+    The standard CDC/warehouse dimension shape (reference analogue: the
+    state re-scan per round, SingleSourceSP.java:202-260, tracks one
+    evolving state per node; SCD2 is its warehouse-native counterpart
+    keeping the full state history). Classic gaps-and-islands: one
+    user-keyed window pass flags state changes (lag), a running sum
+    numbers the runs, a per-run aggregate shrinks to one row per run,
+    and a second window (same partitioning — Spark reuses the exchange)
+    closes each interval with the next run's start. Output is
+    strings/timestamps/ints only, so the driver hash is exact; ties at
+    one timestamp are totally ordered by event_id in both engines.
+    """
+    return scd2_intervals(load_table(spark, sf_dir, "events"))
+
+
+def scd2_intervals(ev: DataFrame) -> DataFrame:
+    """See q_scd2_intervals. ev needs (user_id, event_type, ts,
+    event_id — deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    runs = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_change")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.any_value("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run_id")
+    return per_run.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w_run).isNull().alias("is_current"),
+    )
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each ``purchase`` is credited
+    to the user's most recent non-purchase event (the "channel") within
+    a 7-day lookback; purchases with no qualifying touch are 'direct'.
+    Output: (channel, n_purchases, revenue) — the canonical channel
+    performance report.
+
+    One user-keyed window pass: an ignore-nulls last() over rows
+    [unbounded, -1) carries the latest touch type and its timestamp to
+    every row, the purchase filter keeps one row per purchase, and the
+    channel aggregate is event-type-sized. Revenue sums exact int64
+    cents and divides by 100 once at the end — the only float op, on
+    identical correctly-rounded operands in both engines. The lookback
+    boundary is inclusive (touch_ts >= purchase_ts - 7 days), pure NTZ
+    arithmetic on both sides; (ts, event_id) totally orders ties.
+    """
+    return attribution_last_touch(load_table(spark, sf_dir, "events"))
+
+
+def attribution_last_touch(ev: DataFrame, lookback_days: int = 7) -> DataFrame:
+    """See q_attribution_last_touch. ev needs (user_id, event_type, ts,
+    event_id, value)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    purchases = touched.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (
+                F.col("touch_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {lookback_days} DAYS")
+            ),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "cents",
+    )
+    return purchases.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+    )
+
+
 QUERIES = {
     "window_tumbling": q_window_tumbling,
     "twap_user": q_twap_user,
+    "scd2_intervals": q_scd2_intervals,
+    "attribution_last_touch": q_attribution_last_touch,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
     "window_range_trailing": q_window_range_trailing,
@@ -642,6 +768,62 @@ GROUP BY user_id, session_id
 """
 
 ORACLE = {
+    "scd2_intervals": """
+WITH ordered AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type
+              THEN 1 ELSE 0 END AS is_change
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+per_run AS (
+  SELECT user_id, run_id,
+         any_value(event_type) AS state,
+         min(ts) AS valid_from,
+         count(*) AS n_events
+  FROM runs
+  GROUP BY user_id, run_id
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       n_events,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM per_run
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+""",
+    "attribution_last_touch": """
+WITH touched AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN CAST(ts AS TIMESTAMP) END
+                    IGNORE NULLS) OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CASE WHEN touch_ts IS NOT NULL
+             AND touch_ts >= ts - INTERVAL 7 DAY
+            THEN touch_type ELSE 'direct' END AS channel,
+       count(*) AS n_purchases,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
     "twap_user": """
 WITH seg AS (
   SELECT user_id,

@@ -1363,8 +1363,59 @@ def q_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of ``orders``: one row per column with
+    (column_name, n_rows, n_nulls, n_distinct) — the first query any
+    ingestion pipeline runs against a new 100 TB drop.
+
+    ONE scan: count(*), a null-counter per column, and an exact
+    count(DISTINCT) per column in a single aggregate. Catalyst plans
+    the multi-distinct as one Expand (x6 rows here, x#cols generally) +
+    two-level partial aggregate — still a single pass over the data and
+    fully map-side combinable, vs 6 separate scans for the naive
+    per-column loop. (At petabyte scale swap the exact distinct for
+    approx_count_distinct and the Expand disappears; exact is kept here
+    because the driver hash-compares values.) The wide 1-row aggregate
+    is unpivoted to the long profile shape with stack() — driver-side
+    cost zero, output is #cols rows. All-integer output: hash-exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, count(*) AS n_rows,"
+    f" count(*) - count({c}) AS n_nulls,"
+    f" count(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES = {
     "join_inner": q_join_inner,
+    "profile_columns": q_profile_columns,
     "json_map_explode": q_json_map_explode,
     "sql_tpch_q1": q_sql_q1,
     "sql_tpch_q2": q_sql_q2,
@@ -1426,6 +1477,7 @@ _SETOP_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUIL
 _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0"
 
 ORACLE = {
+    "profile_columns": _PROFILE_SQL,
     "sql_tpch_q1": _SQL_Q1,
     "sql_tpch_q2": _SQL_Q2,
     "sql_tpch_q3": _SQL_Q3,

@@ -283,3 +283,71 @@ def test_corr_matches_builtin_within_float_tolerance(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r.corr_qty_price <= 1.0
         assert abs(r.corr_qty_price - ref[r.l_returnflag]) < 1e-9
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    from mapreduce_sssp_spark.operators.event_windows import scd2_intervals
+
+    rows = [
+        (1, "view", "2024-01-01T00:00:00"),
+        (1, "view", "2024-01-01T01:00:00"),
+        (1, "click", "2024-01-01T02:00:00"),
+        (1, "view", "2024-01-01T03:00:00"),  # state returns -> NEW run
+    ]
+    got = sorted(
+        scd2_intervals(_ev(spark, rows)).collect(), key=lambda r: r.valid_from
+    )
+    assert [(r.state, r.n_events) for r in got] == [
+        ("view", 2),
+        ("click", 1),
+        ("view", 1),
+    ]
+    # Each interval closes at the NEXT run's start; last one is open.
+    assert got[0].valid_to == got[1].valid_from
+    assert got[1].valid_to == got[2].valid_from
+    assert got[2].valid_to is None and got[2].is_current is True
+    assert got[0].is_current is False
+
+
+def test_scd2_tie_order_is_event_id(spark):
+    """Two different states at the SAME timestamp: event_id (insertion
+    order in _ev) decides run order deterministically."""
+    from mapreduce_sssp_spark.operators.event_windows import scd2_intervals
+
+    rows = [
+        (1, "view", "2024-01-01T00:00:00"),
+        (1, "click", "2024-01-01T00:00:00"),
+    ]
+    got = sorted(scd2_intervals(_ev(spark, rows)).collect(), key=lambda r: not r.is_current)
+    assert [r.state for r in got] == ["click", "view"]  # current first=click
+    assert got[0].is_current and not got[1].is_current
+
+
+def test_attribution_last_touch_and_lookback(spark):
+    from mapreduce_sssp_spark.operators.event_windows import (
+        attribution_last_touch,
+    )
+
+    rows = [
+        # u1: click then purchase inside 7d -> credited to click
+        (1, "click", "2024-01-01T00:00:00"),
+        (1, "purchase", "2024-01-03T00:00:00"),
+        # u2: touch EXACTLY 7 days before -> inclusive boundary, credited
+        (2, "email", "2024-01-01T00:00:00"),
+        (2, "purchase", "2024-01-08T00:00:00"),
+        # u3: touch older than 7d -> direct
+        (3, "view", "2024-01-01T00:00:00"),
+        (3, "purchase", "2024-01-09T00:00:01"),
+        # u4: no touch at all (purchase only) -> direct
+        (4, "purchase", "2024-01-01T00:00:00"),
+        # u5: an earlier PURCHASE must not shadow the latest real touch
+        (5, "email", "2024-01-01T00:00:00"),
+        (5, "purchase", "2024-01-01T01:00:00"),
+        (5, "purchase", "2024-01-01T02:00:00"),
+    ]
+    ev = _ev(spark, rows).withColumn("value", F.lit(10.0))
+    got = {r.channel: r for r in attribution_last_touch(ev).collect()}
+    assert got["click"].n_purchases == 1
+    assert got["email"].n_purchases == 3  # u2 + both u5 purchases
+    assert got["direct"].n_purchases == 2  # u3 (stale) + u4 (none)
+    assert got["email"].revenue == 30.0
