@@ -51,6 +51,7 @@ HEADLINE = [
     "longest_path_dag",
     "reverse_graph",
     "triangle_counts",
+    "edge_jaccard",
     "compat_final_lines",
     # relational / SQL
     "sql_tpch_q2",

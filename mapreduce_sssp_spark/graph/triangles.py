@@ -63,6 +63,77 @@ def canonical_edges(pairs: DataFrame) -> DataFrame:
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over canonical (u < v)
     undirected edges. Returns (node, n_tri), nodes in >=1 triangle."""
+    _, _, tris = _closure_triples(edges)
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+
+
+def edge_tie_strength(edges: DataFrame) -> DataFrame:
+    """Per-edge neighborhood overlap (tie strength / embeddedness) over
+    canonical (u < v) undirected edges: for every edge, the number of
+    common neighbors of its endpoints (== triangles through the edge)
+    and the Jaccard coefficient of the two neighborhoods (endpoints
+    excluded) — the classic Granovetter tie-strength / link-analysis
+    feature. Returns (u, v, n_common, deg_u, deg_v, jaccard).
+
+    Rides the same degree-oriented closure as triangle_counts — each
+    triangle is enumerated once and credited to its three edges, so the
+    per-edge common-neighbor count never probes a hub's full
+    neighborhood pair-wise. jaccard is a single int/int double division
+    (correctly rounded, identical in DuckDB), 0.0 when the union is
+    empty.
+    """
+    edges, deg, tris = _closure_triples(edges)
+
+    def _pair(x, y):
+        return F.struct(
+            F.least(x, y).alias("u"), F.greatest(x, y).alias("v")
+        )
+
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    tri_edges = tris.select(
+        F.explode(F.array(_pair(a, b), _pair(a, c), _pair(b, c))).alias("e")
+    ).select("e.u", "e.v")
+    common = tri_edges.groupBy("u", "v").agg(F.count("*").alias("n_common"))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    out = (
+        edges.join(common, ["u", "v"], "left")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            "deg_u",
+            "deg_v",
+        )
+    )
+    union = F.col("deg_u") + F.col("deg_v") - 2 - F.col("n_common")
+    return out.select(
+        "u",
+        "v",
+        "n_common",
+        "deg_u",
+        "deg_v",
+        F.when(
+            union > 0, F.col("n_common").cast("double") / union.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
+def _closure_triples(
+    edges: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared degree-oriented triangle closure. Returns (edges, deg,
+    tris): the persisted canonical edges, per-node degrees (node, deg),
+    and one row per triangle (a, b, c) with (a, b) the oriented base
+    edge and c the closing corner."""
     spark = edges.sparkSession
     # Build AND materialize the whole cache chain (edges -> degrees ->
     # oriented -> adj) under a data-proportional shuffle-partition
@@ -136,8 +207,4 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.explode(F.array_intersect("nbrs_a", "nbrs_b")).alias("c"),
         )
     )
-    return (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("n_tri"))
-    )
+    return edges, deg, tris

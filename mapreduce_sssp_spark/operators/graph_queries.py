@@ -302,6 +302,24 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(_part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie strength of every part co-occurrence edge: common-neighbor
+    count and neighborhood Jaccard per edge — the link-analysis /
+    community-pre-filter feature set (same graph as triangle_counts,
+    riding its checkpointed edge frame AND its degree-oriented closure,
+    so each triangle is enumerated once and credited to its 3 edges).
+
+    The oracle counts common neighbors directly (adjacency self-join
+    per edge) — a different enumeration order of the identical set.
+    jaccard is one int/int double division in both engines (correctly
+    rounded — hash-exact), 0.0 for edges whose endpoint neighborhoods
+    (endpoints excluded) are disjoint.
+    """
+    from ..graph.triangles import edge_tie_strength
+
+    return edge_tie_strength(_part_cooccurrence_edges(spark, sf_dir))
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80-core of the part co-occurrence graph (same graph as
     ``triangle_counts``): nodes surviving iterative peeling at k=80,
@@ -389,6 +407,7 @@ QUERIES = {
     "text_edges_roundtrip": q_text_edges_roundtrip,
     "tsv_edges_roundtrip": q_tsv_edges_roundtrip,
     "triangle_counts": q_triangle_counts,
+    "edge_jaccard": q_edge_jaccard,
     "kcore": q_kcore,
     "label_propagation": q_label_propagation,
 }
@@ -662,4 +681,29 @@ corners AS (SELECT unnest([a, b, c]) AS node FROM t)
 SELECT node, count(*) AS n_tri FROM corners GROUP BY node
 """,
     "label_propagation": _lpa_oracle_sql(),
+    "edge_jaccard": """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+deg AS (SELECT a AS node, count(*) AS deg FROM adj GROUP BY a),
+common AS (
+  SELECT e.u, e.v, count(*) AS n_common
+  FROM e
+  JOIN adj n1 ON n1.a = e.u
+  JOIN adj n2 ON n2.a = e.v AND n2.b = n1.b
+  GROUP BY e.u, e.v)
+SELECT e.u, e.v,
+       COALESCE(c.n_common, 0) AS n_common,
+       du.deg AS deg_u, dv.deg AS deg_v,
+       CASE WHEN du.deg + dv.deg - 2 - COALESCE(c.n_common, 0) > 0
+            THEN CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+                 / CAST(du.deg + dv.deg - 2 - COALESCE(c.n_common, 0)
+                        AS DOUBLE)
+            ELSE 0.0 END AS jaccard
+FROM e
+LEFT JOIN common c ON c.u = e.u AND c.v = e.v
+JOIN deg du ON du.node = e.u
+JOIN deg dv ON dv.node = e.v
+""",
 }

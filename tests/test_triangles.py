@@ -63,3 +63,34 @@ def test_hub_star_plus_rim(spark):
 )
 def test_random_graphs_match_brute_force(spark, pairs):
     assert _run(spark, pairs) == _brute(pairs)
+
+
+def test_edge_tie_strength_hand_graph(spark):
+    """Kite graph: K3 {1,2,3} plus pendant 4-3. Common neighbors and
+    jaccard per edge, hand-computed."""
+    from mapreduce_sssp_spark.graph.triangles import edge_tie_strength
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+    )
+    got = {
+        (r.u, r.v): r for r in edge_tie_strength(canonical_edges(df)).collect()
+    }
+    assert set(got) == {(1, 2), (2, 3), (1, 3), (3, 4)}
+    # (1,2): common {3}; union = nbrs(1)\{2} u nbrs(2)\{1} = {3} -> 1/1
+    assert got[(1, 2)].n_common == 1 and got[(1, 2)].jaccard == 1.0
+    # (2,3): common {1}; union = {1} u {1,4} = {1,4} -> 1/2
+    assert got[(2, 3)].n_common == 1 and got[(2, 3)].jaccard == 0.5
+    assert got[(1, 3)].n_common == 1 and got[(1, 3)].jaccard == 0.5
+    # (3,4): no common; union = {1,2} -> 0, jaccard 0.0
+    assert got[(3, 4)].n_common == 0 and got[(3, 4)].jaccard == 0.0
+    assert (got[(3, 4)].deg_u, got[(3, 4)].deg_v) == (3, 1)
+
+
+def test_edge_tie_strength_isolated_edge_union_empty(spark):
+    """A lone edge has empty neighborhood union -> jaccard defined 0.0."""
+    from mapreduce_sssp_spark.graph.triangles import edge_tie_strength
+
+    df = spark.createDataFrame([(7, 9)], "u long, v long")
+    (r,) = edge_tie_strength(canonical_edges(df)).collect()
+    assert (r.n_common, r.jaccard) == (0, 0.0)
