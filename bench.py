@@ -82,6 +82,7 @@ HEADLINE = [
     "event_transitions",
     "resample_ffill",
     "twap_user",
+    "ewma_value",
     "scd2_intervals",
     "attribution_last_touch",
     "asof_join",
@@ -114,6 +115,7 @@ HEADLINE = [
     "doc_fingerprint",
     "bpe_merges",
     "bpe_encode",
+    "bigram_lift",
     # sampling / packing / python surface
     "sample_hash",
     "domain_mix_sample",

@@ -706,11 +706,62 @@ def attribution_last_touch(ev: DataFrame, lookback_days: int = 7) -> DataFrame:
     )
 
 
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's last 20
+    observations (alpha = 1/2, newest weighted highest) — the recency
+    smoother feeding alerting/features, companion to the duration
+    weighting of q_twap_user.
+
+    alpha = 1/2 makes every weight an exact power of two, so the whole
+    recursion collapses to EXACT int64 arithmetic: weight = 1 <<
+    (20 - rn) via shiftleft (never pow(), which would round through
+    doubles), weighted sum = Σ cents·2^k ≤ 2^19·Σcents — far inside
+    int64. One row_number window per user + one aggregate; the final
+    two divisions are the only float ops, identical correctly-rounded
+    operand sequences in both engines. Horizon 20 bounds per-row state,
+    so a hyperactive user costs the same as a quiet one downstream.
+    """
+    return ewma_value(load_table(spark, sf_dir, "events"))
+
+
+def ewma_value(ev: DataFrame, horizon: int = 20) -> DataFrame:
+    """See q_ewma_value. ev needs (user_id, ts, event_id, value);
+    horizon <= 62 (weights must stay inside int64)."""
+    assert 1 <= horizon <= 62
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    r = (
+        ev.select(
+            "user_id",
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= horizon)
+        .select(
+            "user_id",
+            F.expr(
+                f"cents * shiftleft(CAST(1 AS BIGINT), {horizon} - rn)"
+            ).alias("wc"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {horizon} - rn)").alias("wt"),
+        )
+    )
+    return r.groupBy("user_id").agg(
+        F.count("*").alias("n_used"),
+        (
+            (F.sum("wc").cast("double") / F.sum("wt").cast("double")) / 100.0
+        ).alias("ewma"),
+    )
+
+
 QUERIES = {
     "window_tumbling": q_window_tumbling,
     "twap_user": q_twap_user,
     "scd2_intervals": q_scd2_intervals,
     "attribution_last_touch": q_attribution_last_touch,
+    "ewma_value": q_ewma_value,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
     "window_range_trailing": q_window_range_trailing,
@@ -768,6 +819,23 @@ GROUP BY user_id, session_id
 """
 
 ORACLE = {
+    "ewma_value": """
+WITH r AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, count(*) AS n_used,
+       (CAST(SUM(cents * (CAST(1 AS BIGINT) << (20 - rn))) AS DOUBLE)
+        / CAST(SUM(CAST(1 AS BIGINT) << (20 - rn)) AS DOUBLE)) / 100.0
+         AS ewma
+FROM r
+WHERE rn <= 20
+GROUP BY user_id
+""",
     "scd2_intervals": """
 WITH ordered AS (
   SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,

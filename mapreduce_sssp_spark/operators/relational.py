@@ -1413,9 +1413,80 @@ _PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def q_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared contingency cells for o_orderpriority ×
+    o_orderstatus: per observed cell, the observed count, marginal
+    totals, expected count and the cell's chi² term — the sufficient
+    per-cell decomposition of the independence test (the analyst sums
+    chi2_term; we ship the cells so the driver hash never depends on a
+    cross-engine float SUM whose accumulation order differs).
+
+    One scan feeds four partial aggregates (cells + two marginals +
+    total); the marginals/total are category-sized, so they broadcast
+    back onto the cell table. Float ops are a fixed per-row sequence
+    (mul-cast-div, sub, mul, div) on exact-integer-derived operands —
+    every IEEE step correctly rounded, bit-identical in DuckDB.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_obs")
+    )
+    rows_t = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_row"))
+    cols_t = o.groupBy("o_orderstatus").agg(F.count("*").alias("n_col"))
+    total = o.agg(F.count("*").alias("n_total"))
+    j = (
+        cells.join(F.broadcast(rows_t), "o_orderpriority")
+        .join(F.broadcast(cols_t), "o_orderstatus")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "expected",
+            (F.col("n_row") * F.col("n_col")).cast("double")
+            / F.col("n_total").cast("double"),
+        )
+    )
+    diff = F.col("n_obs").cast("double") - F.col("expected")
+    return j.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_obs",
+        "n_row",
+        "n_col",
+        "n_total",
+        "expected",
+        (diff * diff / F.col("expected")).alias("chi2_term"),
+    )
+
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n_obs
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT o_orderpriority, count(*) AS n_row FROM orders GROUP BY 1),
+ct AS (SELECT o_orderstatus, count(*) AS n_col FROM orders GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM orders),
+j AS (
+  SELECT c.o_orderpriority, c.o_orderstatus, c.n_obs,
+         rt.n_row, ct.n_col, tot.n_total,
+         CAST(rt.n_row * ct.n_col AS DOUBLE)
+           / CAST(tot.n_total AS DOUBLE) AS expected
+  FROM cells c
+  JOIN rt USING (o_orderpriority)
+  JOIN ct USING (o_orderstatus)
+  CROSS JOIN tot
+)
+SELECT o_orderpriority, o_orderstatus, n_obs, n_row, n_col, n_total,
+       expected,
+       (CAST(n_obs AS DOUBLE) - expected)
+         * (CAST(n_obs AS DOUBLE) - expected) / expected AS chi2_term
+FROM j
+"""
+
+
 QUERIES = {
     "join_inner": q_join_inner,
     "profile_columns": q_profile_columns,
+    "chi2_cells": q_chi2_cells,
     "json_map_explode": q_json_map_explode,
     "sql_tpch_q1": q_sql_q1,
     "sql_tpch_q2": q_sql_q2,
@@ -1478,6 +1549,7 @@ _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.
 
 ORACLE = {
     "profile_columns": _PROFILE_SQL,
+    "chi2_cells": _CHI2_SQL,
     "sql_tpch_q1": _SQL_Q1,
     "sql_tpch_q2": _SQL_Q2,
     "sql_tpch_q3": _SQL_Q3,

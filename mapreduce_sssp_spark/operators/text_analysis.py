@@ -174,6 +174,63 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the 200 most frequent adjacent token pairs
+    with their association *lift* — n(a,b)·N / (n(a)·n(b)), the
+    monotone exponential of PMI. Shipping the exact-integer lift ratio
+    instead of PMI keeps the output hash-portable: no ln() (whose last
+    ulp differs between Java and libm), just one int/int double
+    division per surviving row.
+
+    Plan: one corpus scan emits adjacent pairs map-side (transform over
+    the token array — guarded so 1-token docs emit nothing, since
+    Spark's sequence(0, -1) would count DOWN); pair counts and unigram
+    counts partial-aggregate; the Zipf-small unigram table joins back
+    onto the pair counts; the scalar token total rides a broadcast
+    1-row cross join. Top-200 is orderBy().limit() = per-partition
+    TakeOrdered on the total order (n_ab desc, w1, w2) — never a global
+    sort, identical cut in DuckDB.
+    """
+    return bigram_lift(load_table(spark, sf_dir, "documents"))
+
+
+def bigram_lift(docs: DataFrame, k: int = 200) -> DataFrame:
+    """See q_bigram_lift. docs needs (doc_id, text)."""
+    t = _with_tokens(docs)
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "if(size(toks) >= 2,"
+                " transform(sequence(0, size(toks) - 2),"
+                "   i -> struct(toks[i] AS w1, toks[i+1] AS w2)),"
+                " cast(array() as array<struct<w1:string,w2:string>>))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    uni = t.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("n"))
+    tot = uni.agg(F.count("*").alias("n_tokens"))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .join(uc.select(F.col("w").alias("w1"), F.col("n").alias("n_a")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("n").alias("n_b")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_tokens")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style scrub pass: mask digit runs, collapse whitespace, and
     count the redactions — the normalize-before-training map stage.
@@ -569,11 +626,33 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_freq_top100": q_token_freq,
+    "bigram_lift": q_bigram_lift,
 }
 
 _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 ORACLE = {
+    "bigram_lift": f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+bg AS (
+  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM t, range(1, 10000) r(i)
+  WHERE CAST(i AS INT) + 1 <= len(toks)
+),
+bc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+uni AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
+tot AS (SELECT count(*) AS n_tokens FROM uni)
+SELECT bc.w1, bc.w2, bc.n_ab, a.n AS n_a, b.n AS n_b,
+       CAST(bc.n_ab * tot.n_tokens AS DOUBLE)
+         / CAST(a.n * b.n AS DOUBLE) AS lift
+FROM bc
+CROSS JOIN tot
+JOIN uc a ON a.w = bc.w1
+JOIN uc b ON b.w = bc.w2
+ORDER BY bc.n_ab DESC, bc.w1, bc.w2
+LIMIT 200
+""",
     "text_repetition": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
 base AS (

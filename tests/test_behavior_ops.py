@@ -351,3 +351,45 @@ def test_attribution_last_touch_and_lookback(spark):
     assert got["email"].n_purchases == 3  # u2 + both u5 purchases
     assert got["direct"].n_purchases == 2  # u3 (stale) + u4 (none)
     assert got["email"].revenue == 30.0
+
+
+def test_ewma_halving_weights_hand_values(spark):
+    """3 events, alpha=1/2: weights 4:2:1 newest-first -> (3*4+2*2+1)/7."""
+    from mapreduce_sssp_spark.operators.event_windows import ewma_value
+
+    rows = [
+        (1, "tick", "2024-01-01T00:00:00"),  # value 1.0 (oldest)
+        (1, "tick", "2024-01-01T01:00:00"),  # value 2.0
+        (1, "tick", "2024-01-01T02:00:00"),  # value 3.0 (newest)
+    ]
+    ev = _ev(spark, rows).withColumn(
+        "value", F.col("event_id").cast("double") + 1.0
+    )
+    (r,) = ewma_value(ev, horizon=3).collect()
+    assert r.n_used == 3
+    assert abs(r.ewma - (3 * 4 + 2 * 2 + 1 * 1) / 7) < 1e-12
+
+
+def test_ewma_horizon_drops_old_events(spark):
+    from mapreduce_sssp_spark.operators.event_windows import ewma_value
+
+    rows = [(1, "tick", f"2024-01-01T0{i}:00:00") for i in range(5)]
+    ev = _ev(spark, rows).withColumn("value", F.lit(7.5))
+    (r,) = ewma_value(ev, horizon=2).collect()
+    assert r.n_used == 2 and r.ewma == 7.5
+
+
+def test_bigram_lift_counts_and_guard(spark):
+    """'a b a b' has bigrams ab,ba,ab; a 1-token doc contributes no
+    bigrams but its token still counts toward N and unigrams."""
+    from mapreduce_sssp_spark.operators.text_analysis import bigram_lift
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2): r for r in bigram_lift(docs).collect()}
+    assert got[("a", "b")].n_ab == 2
+    assert got[("b", "a")].n_ab == 1
+    # N=5 tokens, n_a=3, n_b=2 -> lift(ab) = 2*5/(3*2)
+    assert abs(got[("a", "b")].lift - 10 / 6) < 1e-12
+    assert got[("a", "b")].n_a == 3 and got[("a", "b")].n_b == 2
