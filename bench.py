@@ -87,6 +87,7 @@ HEADLINE = [
     "attribution_last_touch",
     "asof_join",
     "skew_salted_agg",
+    "heavy_hitters",
     "range_join_bands",
     "fuzzy_match_parts",
     # dedup family
@@ -118,6 +119,7 @@ HEADLINE = [
     "bigram_lift",
     # sampling / packing / python surface
     "sample_hash",
+    "weighted_sample",
     "domain_mix_sample",
     "pack_sequences",
     "chunk_documents",

@@ -1483,10 +1483,47 @@ FROM j
 """
 
 
+def q_percent_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank (quantile) normalization of l_extendedprice within each
+    l_returnflag group — the distribution-free feature scaling step
+    (maps any skewed distribution onto [0, 1] uniformly). Emits every
+    row with its normalized rank.
+
+    The window orders by (value, orderkey, linenumber) — a TOTAL order,
+    so percent_rank is (row_number-1)/(n-1) with no tie plateaus and
+    both engines cut identically. One shuffle on the group key; the
+    division is int/int on exact operands (correctly rounded, hash-
+    exact). Groups are few and large here — at cluster scale the
+    per-group sort is the textbook use of range partitioning inside a
+    window exchange, and AQE splits any skewed group's sort spill.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+_PR_NORM_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+       percent_rank() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS pr
+FROM lineitem
+"""
+
+
 QUERIES = {
     "join_inner": q_join_inner,
     "profile_columns": q_profile_columns,
     "chi2_cells": q_chi2_cells,
+    "percent_rank_norm": q_percent_rank_norm,
     "json_map_explode": q_json_map_explode,
     "sql_tpch_q1": q_sql_q1,
     "sql_tpch_q2": q_sql_q2,
@@ -1550,6 +1587,7 @@ _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.
 ORACLE = {
     "profile_columns": _PROFILE_SQL,
     "chi2_cells": _CHI2_SQL,
+    "percent_rank_norm": _PR_NORM_SQL,
     "sql_tpch_q1": _SQL_Q1,
     "sql_tpch_q2": _SQL_Q2,
     "sql_tpch_q3": _SQL_Q3,

@@ -343,8 +343,49 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WSAMPLE_KEY = "wsample:"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sampling: each order is kept
+    with probability o_totalprice / max(o_totalprice) — the
+    importance-sampling primitive (sample big-ticket rows more) with
+    the same reproducibility contract as sample_hash: pure function of
+    the key, so re-runs, engines, and incremental loads agree row-for-
+    row.
+
+    The keep test is EXACT integer arithmetic — bucket·max_cents <
+    cents·65536 (both < 2^63) — never a float probability compare, so
+    no boundary row can flip between engines. The max-price scalar is
+    one broadcast row; the filter itself is map-side on the scan, zero
+    shuffle at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    mx = o.agg(F.expr(f"max({cents})").alias("max_cents"))
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat("
+        f"'{_WSAMPLE_KEY}', CAST(o_orderkey AS STRING))), 1, 4), 16, 10)"
+        " AS BIGINT)"
+    )
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            bucket.alias("bucket"),
+            F.expr(cents).alias("cents"),
+            "max_cents",
+        )
+        .filter(F.col("bucket") * F.col("max_cents") < F.col("cents") * 65536)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 QUERIES = {
     "split_train_test": q_split_train_test,
+    "weighted_sample": q_weighted_sample,
     "sample_hash": q_sample_hash,
     "stratified_sample": q_stratified_sample,
     "domain_mix_sample": q_domain_mix_sample,
@@ -354,6 +395,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "weighted_sample": f"""
+WITH mx AS (
+  SELECT max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS max_cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders CROSS JOIN mx
+WHERE CAST(('0x' || substr(md5('{_WSAMPLE_KEY}' || CAST(o_orderkey AS VARCHAR)),
+                           1, 4)) AS BIGINT) * max_cents
+      < CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 65536
+""",
     "export_training_shards": f"""
 WITH assigned AS (
   SELECT doc_id, n_chars,

@@ -17,7 +17,7 @@ deployment leans on, expressed as verifiable queries rather than lore.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table
@@ -381,8 +381,48 @@ def fuzzy_nearest(records: DataFrame) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis: the 20 heaviest part keys in lineitem with their
+    row count, share of all rows, and cumulative share — the report
+    that tells you whether a key needs salting BEFORE the join melts a
+    task (companion to skew_salted_agg, which is the mitigation).
+
+    Partial-aggregated counts, then orderBy().limit(20) = per-partition
+    TakeOrdered + 20-row driver merge — never a global sort. The
+    cumulative window runs on the 20 surviving rows (single tiny
+    partition by construction). Shares are int/int double divisions on
+    exact counts; ordering ties break on the key, so the cut and the
+    running sum are deterministic in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    top = counts.orderBy(F.desc("n"), "l_partkey").limit(20)
+    w = (
+        Window.orderBy(F.desc("n"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "n",
+            F.sum("n").over(w).alias("cum_n"),
+            "n_total",
+            (F.col("n").cast("double") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .withColumn(
+            "cum_share",
+            F.col("cum_n").cast("double") / F.col("n_total").cast("double"),
+        )
+    )
+
+
 QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
+    "heavy_hitters": q_heavy_hitters,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "range_join_bands": q_range_join_bands,
     "sketch_merge": q_sketch_merge,  # rows-only (irreducible estimates)
@@ -400,6 +440,24 @@ _BANDS_SQL = " UNION ALL ".join(
 )
 
 ORACLE = {
+    "heavy_hitters": """
+WITH counts AS (
+  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+top AS (
+  SELECT l_partkey, n FROM counts ORDER BY n DESC, l_partkey LIMIT 20
+)
+SELECT l_partkey, n,
+       CAST(SUM(n) OVER (ORDER BY n DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+       tot.n_total,
+       CAST(n AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS share,
+       CAST(SUM(n) OVER (ORDER BY n DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / CAST(tot.n_total AS DOUBLE) AS cum_share
+FROM top CROSS JOIN tot
+""",
     "skew_salted_agg": """
 SELECT event_type, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -178,3 +178,30 @@ def test_domain_mix_rates_follow_targets(spark, sf_dir):
     # Determinism: a second run selects the identical doc set.
     again = {r.doc_id for r in q_domain_mix_sample(spark, sf_dir).collect()}
     assert again == {r.doc_id for r in out}
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.operators.sampling import q_weighted_sample
+
+    got = q_weighted_sample(spark, sf_dir)
+    a = {r.o_orderkey for r in got.collect()}
+    b = {r.o_orderkey for r in q_weighted_sample(spark, sf_dir).collect()}
+    assert a == b and 0 < len(a)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    assert len(a) < n
+    # Expected keep rate = mean(price)/max(price); binomial tolerance.
+    stats = orders.agg(
+        F.avg("o_totalprice").alias("m"), F.max("o_totalprice").alias("mx")
+    ).collect()[0]
+    expect = stats.m / stats.mx
+    assert abs(len(a) / n - expect) < 0.05
+    # Kept rows skew expensive: mean kept price > corpus mean.
+    kept_mean = (
+        orders.filter(F.col("o_orderkey").isin(list(a)[:5000]))
+        .agg(F.avg("o_totalprice"))
+        .collect()[0][0]
+    )
+    assert kept_mean > stats.m

@@ -123,3 +123,21 @@ def test_sketch_merge_union_equals_direct_and_bounds_error(spark, sf_dir):
             assert r.union_tracks_direct and r.merged_in_envelope, (
                 d, dict(r.asDict()),
             )
+
+
+def test_heavy_hitters_cut_and_cumulative(spark, sf_dir):
+    from mapreduce_sssp_spark.operators.scale_patterns import q_heavy_hitters
+
+    rows = q_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    rows = sorted(rows, key=lambda r: (-r.n, r.l_partkey))
+    cum = 0
+    for r in rows:
+        cum += r.n
+        assert r.cum_n == cum
+        assert abs(r.share - r.n / r.n_total) < 1e-15
+        assert abs(r.cum_share - cum / r.n_total) < 1e-15
+    # descending count order with key tie-break
+    assert all(
+        rows[i].n >= rows[i + 1].n for i in range(len(rows) - 1)
+    )
