@@ -368,3 +368,70 @@ def test_tpch_q2_q20_decorrelate_without_cartesian(spark):
     for q in (q_sql_q2, q_sql_q11, q_sql_q20):
         plan = plan_of(q(spark, SF))
         assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_scd2_plans_one_user_exchange(spark):
+    """Both window passes and the per-run aggregate share the user_id
+    partitioning — Catalyst must plan exactly ONE shuffle."""
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_scd2_intervals,
+    )
+
+    plan = plan_of(q_scd2_intervals(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_percent_rank_norm_single_exchange(spark):
+    from mapreduce_sssp_spark.operators.relational import (
+        q_percent_rank_norm,
+    )
+
+    plan = plan_of(q_percent_rank_norm(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_weighted_sample_no_shuffle_broadcast_scalar(spark):
+    """The keep-test is map-side: the only exchanges are the broadcast
+    of the 1-row max aggregate (and its own single-partition agg)."""
+    from mapreduce_sssp_spark.operators.sampling import q_weighted_sample
+
+    plan = plan_of(q_weighted_sample(spark, SF), "simple")
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_take_ordered_not_global_sort(spark):
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        q_heavy_hitters,
+    )
+
+    plan = plan_of(q_heavy_hitters(spark, SF), "simple")
+    assert "TakeOrdered" in plan
+
+
+def test_bigram_lift_take_ordered_and_broadcast_total(spark):
+    from mapreduce_sssp_spark.operators.text_analysis import q_bigram_lift
+
+    plan = plan_of(q_bigram_lift(spark, SF), "simple")
+    assert "TakeOrdered" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_columns_single_scan_with_expand(spark):
+    """All per-column profiling counters ride ONE parquet scan; the
+    multi-distinct plans as a single Expand."""
+    from mapreduce_sssp_spark.operators.relational import q_profile_columns
+
+    plan = plan_of(q_profile_columns(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_chi2_cells_broadcasts_marginals(spark):
+    from mapreduce_sssp_spark.operators.relational import q_chi2_cells
+
+    plan = plan_of(q_chi2_cells(spark, SF), "simple")
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
