@@ -756,6 +756,162 @@ def ewma_value(ev: DataFrame, horizon: int = 20) -> DataFrame:
     )
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining lite: the 20 most frequent 3-step
+    event-type paths taken INSIDE a session (same 30-minute-gap island
+    definition as q_window_session) — the "what do users do next"
+    navigational summary that funnels can't answer because funnels fix
+    the step types up front.
+
+    Plan: one sort per user (all four window functions — lag for the
+    session boundary, running sum for the island id, two leads for the
+    lookahead — share the (user_id) x (ts, event_id) partition/order,
+    so Catalyst computes them in a single Window exchange+sort), then a
+    map-side-combined triple count and a TakeOrdered top-20 on the
+    total order (n_paths desc, p1, p2, p3) — never a global sort. The
+    same-session guard only needs lead(session_id, 2): island ids are
+    nondecreasing within a user, so s3 = s1 pins s2 too.
+
+    Scale: per-user state bounds the window sort; path cardinality is
+    |event_type|^3 (tiny), so the aggregate collapses map-side at any
+    corpus size.
+    """
+    return session_paths(load_table(spark, sf_dir, "events"))
+
+
+def session_paths(ev: DataFrame, k: int = 20) -> DataFrame:
+    """See q_session_paths. ev needs (user_id, ts, event_id, event_type)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                > F.lag("ts").over(w) + F.expr("INTERVAL 30 minutes")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    trips = islands.select(
+        F.col("event_type").alias("p1"),
+        F.lead("event_type", 1).over(w).alias("p2"),
+        F.lead("event_type", 2).over(w).alias("p3"),
+        "session_id",
+        F.lead("session_id", 2).over(w).alias("s3"),
+    ).filter(F.col("s3") == F.col("session_id"))
+    return (
+        trips.groupBy("p1", "p2", "p3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "p1", "p2", "p3")
+        .limit(k)
+    )
+
+
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: how each type's
+    volume distributes over ISO weekdays (Monday=1 .. Sunday=7) — the
+    calendar-mix diagnostic behind staffing/alerting baselines.
+
+    Hash-exactness: counts are exact int64 and the share is ONE
+    int/int double division with the same operand sequence in both
+    engines (the bigram_lift device). Spark's weekday() (Monday=0) + 1
+    equals DuckDB's isodow() by definition; ts is TIMESTAMP_NTZ so the
+    date is taken naively with no session-TZ round-trip (the ADVICE
+    retention/date_trunc lesson).
+
+    Scale: ONE corpus scan into a map-side-combined (type, dow) count,
+    then the per-type total is a window sum over that |type| x 7
+    aggregate — the window runs on dozens of rows, so re-deriving the
+    total never re-reads the corpus (the naive groupBy-join formulation
+    plans a second full scan; this one is scan-count-pinned in
+    tests/test_plans.py).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (F.weekday(F.col("ts").cast("date")) + F.lit(1)).alias("dow"),
+    )
+    counts = d.groupBy("event_type", "dow").agg(F.count("*").alias("n_events"))
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "dow",
+        "n_events",
+        F.sum("n_events").over(wt).alias("n_type"),
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(wt).cast("double")
+        ).alias("dow_share"),
+    )
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value sits
+    more than 2 population-sigmas from the mean of the user's trailing
+    10-observation window — the streaming-style outlier screen that
+    complements the global per-type screen of q_outliers_mad.
+
+    The entire test is EXACT int64 arithmetic: with cents c, window sum
+    S and sum of squares Q over n=10 rows, |x-mu| > 2*sigma rearranges
+    to (10c - S)^2 > 4*(10Q - S^2) — no division, no sqrt, no float
+    accumulation anywhere, so engine-order differences in the windowed
+    sums (DuckDB's segment-tree sliding aggregates vs Spark's frame
+    scan) cannot move the answer: integer addition commutes where float
+    addition wouldn't.
+
+    Scale: one window sort per user (bounded state), then a scan-level
+    filter; output is the anomalies only (~5% of rows at this
+    threshold).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    scored = base.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.count("*").over(w).alias("n_win"),
+        F.sum("cents").over(w).alias("sum_c"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sumsq_c"),
+    )
+    return scored.filter(
+        "n_win = 10 AND (cents*10 - sum_c)*(cents*10 - sum_c)"
+        " > 4*(10*sumsq_c - sum_c*sum_c)"
+    ).select("user_id", "event_id", "cents", "sum_c", "sumsq_c")
+
+
 QUERIES = {
     "window_tumbling": q_window_tumbling,
     "twap_user": q_twap_user,
@@ -772,6 +928,9 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
     "resample_ffill": q_resample_ffill,
+    "session_paths": q_session_paths,
+    "seasonality_dow": q_seasonality_dow,
+    "anomaly_zscore": q_anomaly_zscore,
 }
 
 _SLIDING_SQL = """
@@ -1019,5 +1178,67 @@ SELECT g.user_id, g.hour,
 FROM grid g
 LEFT JOIN cnt c ON c.user_id = g.user_id AND c.hour = g.hour
 LEFT JOIN lh  l ON l.user_id = g.user_id AND l.hour = g.hour
+""",
+    "session_paths": """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                   OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                      > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+islands AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+trips AS (
+  SELECT event_type AS p1,
+         lead(event_type, 1) OVER w AS p2,
+         lead(event_type, 2) OVER w AS p3,
+         session_id,
+         lead(session_id, 2) OVER w AS s3
+  FROM islands
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p1, p2, p3, count(*) AS n_paths
+FROM trips WHERE s3 = session_id
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, p1, p2, p3
+LIMIT 20
+""",
+    "seasonality_dow": """
+WITH c AS (
+  SELECT event_type, CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_type
+      FROM c GROUP BY 1)
+SELECT c.event_type, c.dow, c.n_events, t.n_type,
+       CAST(c.n_events AS DOUBLE) / CAST(t.n_type AS DOUBLE) AS dow_share
+FROM c JOIN t USING (event_type)
+""",
+    "anomaly_zscore": """
+WITH base AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+scored AS (
+  SELECT user_id, event_id, cents,
+         count(*) OVER w AS n_win,
+         CAST(SUM(cents) OVER w AS BIGINT) AS sum_c,
+         CAST(SUM(cents*cents) OVER w AS BIGINT) AS sumsq_c
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, cents, sum_c, sumsq_c
+FROM scored
+WHERE n_win = 10
+  AND (cents*10 - sum_c)*(cents*10 - sum_c) > 4*(10*sumsq_c - sum_c*sum_c)
 """,
 }

@@ -510,9 +510,66 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of a Lloyd iteration: recompute the K centroids
+    from q_kmeans_assign's nearest-seed assignment, one row per
+    (cluster, dimension). Together the two queries are a complete
+    distributed k-means round — assign is a broadcast+scan, update is
+    this one explode+aggregate.
+
+    Float-sum order is THE portability hazard here (summing members'
+    components in partition order is nondeterministic across engines
+    AND across Spark runs), so each component is quantized map-side to
+    an exact int64 micro-unit — floor(x * 1e6), floor not round because
+    round's half-up tie rule differs in spirit between engines while
+    floor is bit-identical — and the centroid is ONE division of two
+    exact integers at the end. The assignment argmin carries the vector
+    through min(struct(dist2, seed_id, v)): every candidate row of a
+    vec_id holds the same v, so the struct min stays a pure argmin while
+    avoiding a self-join to recover the vector.
+
+    Scale: broadcast K seeds, map-side argmin (the kmeans_assign
+    shape), then posexplode to n*d rows that partial-aggregate to K*d
+    before the only exchange — the corpus shuffles nothing. Iterating
+    Lloyd re-broadcasts K*d ints.
+    """
+    vec = _vectors(spark, sf_dir)
+    seeds = vec.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    dist2 = F.expr(
+        f"{_DOT.format(a='v', b='v')} - 2 * {_DOT.format(a='v', b='sv')}"
+        f" + {_DOT.format(a='sv', b='sv')}"
+    )
+    assigned = (
+        vec.crossJoin(F.broadcast(seeds))
+        .select("vec_id", dist2.alias("dist2"), "seed_id", "v")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "seed_id", "v")).alias("a"))
+        .select(F.col("a.seed_id").alias("seed_id"), F.col("a.v").alias("v"))
+    )
+    comp = assigned.select(
+        "seed_id",
+        F.posexplode("v").alias("pos", "x"),
+    ).select(
+        "seed_id",
+        (F.col("pos") + F.lit(1)).alias("dim"),
+        F.floor(F.col("x") * F.lit(1000000.0)).alias("x_e6"),
+    )
+    return comp.groupBy("seed_id", "dim").agg(
+        F.count("*").alias("n_members"),
+        F.sum("x_e6").alias("sum_e6"),
+        (
+            F.sum("x_e6").cast("double")
+            / (F.count("*") * F.lit(1000000)).cast("double")
+        ).alias("centroid"),
+    )
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "kmeans_assign": q_kmeans_assign,
+    "kmeans_update": q_kmeans_update,
     "embedding_stats": q_embedding_stats,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ivf": q_similarity_ivf,
@@ -521,6 +578,36 @@ QUERIES = {
 }
 
 ORACLE = {
+    "kmeans_update": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {KMEANS_K}),
+scored AS (
+  SELECT e.vec_id, s.seed_id, e.v,
+         list_dot_product(v, v) - 2 * list_dot_product(v, sv)
+           + list_dot_product(sv, sv) AS dist2
+  FROM e, seeds s
+),
+assigned AS (
+  SELECT seed_id, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, seed_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT seed_id,
+         CAST(generate_subscripts(v, 1) AS INT) AS dim,
+         CAST(floor(unnest(v) * 1000000.0) AS BIGINT) AS x_e6
+  FROM assigned
+)
+SELECT seed_id, dim,
+       count(*) AS n_members,
+       CAST(SUM(x_e6) AS BIGINT) AS sum_e6,
+       CAST(SUM(x_e6) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE)
+         AS centroid
+FROM comp
+GROUP BY seed_id, dim
+""",
     "kmeans_assign": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {KMEANS_K}),

@@ -614,6 +614,109 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based trigram language-model head: the 200 most frequent
+    trigrams with their conditional probability P(w3 | w1 w2) =
+    n(w1,w2,w3) / n(w1,w2) — the raw material of n-gram LM pruning,
+    perplexity screens, and boilerplate detection (a trigram with
+    cond_p ~ 1 is a frozen phrase, not language).
+
+    Same exactness contract as q_bigram_lift: exact int64 counts, one
+    int/int double division, TakeOrdered top-200 on the total order
+    (n_abc desc, w1, w2, w3).
+
+    ONE corpus scan serves both n-gram orders: every adjacent pair
+    (i, i+1) emits exactly one record whose w3 is toks[i+2] — or NULL
+    for the document-final pair — so after the (w1, w2, w3) count, the
+    prefix-bigram count is a window SUM over the (w1, w2) partition of
+    the grouped (Zipf-small) domain, NULL rows included. The naive
+    two-branch formulation re-reads the corpus for the bigram table;
+    this shape is scan-count-pinned in tests/test_plans.py.
+    """
+    return trigram_lm(load_table(spark, sf_dir, "documents"))
+
+
+def trigram_lm(docs: DataFrame, k: int = 200) -> DataFrame:
+    """See q_trigram_lm. docs needs (doc_id, text)."""
+    from pyspark.sql import Window
+
+    t = _with_tokens(docs)
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "if(size(toks) >= 2,"
+                " transform(sequence(0, size(toks) - 2),"
+                "   i -> struct(toks[i] AS w1, toks[i+1] AS w2,"
+                "               if(i + 2 < size(toks), toks[i+2],"
+                "                  cast(null as string)) AS w3)),"
+                " cast(array() as"
+                "   array<struct<w1:string,w2:string,w3:string>>))"
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2", "g.w3")
+    g = pairs.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n_abc"))
+    wp = Window.partitionBy("w1", "w2")
+    return (
+        g.select(
+            "w1",
+            "w2",
+            "w3",
+            "n_abc",
+            F.sum("n_abc").over(wp).alias("n_ab"),
+        )
+        .filter(F.col("w3").isNotNull())
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "n_abc",
+            "n_ab",
+            (
+                F.col("n_abc").cast("double") / F.col("n_ab").cast("double")
+            ).alias("cond_p"),
+        )
+        .orderBy(F.col("n_abc").desc(), "w1", "w2", "w3")
+        .limit(k)
+    )
+
+
+FEATURE_HASH_DIMS = 64
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: project each document's unbounded token
+    vocabulary onto a fixed 64-dimensional count vector, one output row
+    per (doc_id, non-zero bucket) — the classic collision-tolerant
+    featurizer (Vowpal Wabbit / HashingVectorizer) that needs NO
+    vocabulary pass, so it maps over a 100 TB corpus in the same single
+    scan as a word count.
+
+    The bucket is the sampling family's md5 device (first 4 hex chars
+    -> int64 % 64): engine-portable where Spark's hash()/xxhash64 and
+    DuckDB's hash() are not, uniform, and stable across runs — feature
+    1000-executor cluster and a laptop must agree on bucket ids or the
+    downstream model is garbage.
+
+    Scale: explode -> map-side partial aggregate onto at most 64
+    buckets per doc; the exchange carries (doc, bucket) pairs, already
+    collapsed. No vocabulary state anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _with_tokens(docs).select(
+        "doc_id", F.explode("toks").alias("w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10)
+        .cast("bigint")
+        % FEATURE_HASH_DIMS
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -627,11 +730,45 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_freq_top100": q_token_freq,
     "bigram_lift": q_bigram_lift,
+    "trigram_lm": q_trigram_lm,
+    "feature_hash": q_feature_hash,
 }
 
 _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 ORACLE = {
+    "trigram_lm": f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+tg AS (
+  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2,
+         toks[CAST(i AS INT) + 2] AS w3
+  FROM t, range(1, 10000) r(i)
+  WHERE CAST(i AS INT) + 2 <= len(toks)
+),
+bg AS (
+  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM t, range(1, 10000) r(i)
+  WHERE CAST(i AS INT) + 1 <= len(toks)
+),
+tc AS (SELECT w1, w2, w3, count(*) AS n_abc FROM tg GROUP BY 1, 2, 3),
+bc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2)
+SELECT tc.w1, tc.w2, tc.w3, tc.n_abc, bc.n_ab,
+       CAST(tc.n_abc AS DOUBLE) / CAST(bc.n_ab AS DOUBLE) AS cond_p
+FROM tc JOIN bc USING (w1, w2)
+ORDER BY tc.n_abc DESC, tc.w1, tc.w2, tc.w3
+LIMIT 200
+""",
+    "feature_hash": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT)
+         % {FEATURE_HASH_DIMS} AS bucket,
+       count(*) AS n
+FROM tok
+GROUP BY 1, 2
+""",
     "bigram_lift": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
 bg AS (

@@ -435,3 +435,69 @@ def test_chi2_cells_broadcasts_marginals(spark):
     plan = plan_of(q_chi2_cells(spark, SF), "simple")
     assert plan.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_session_paths_one_sort_take_ordered(spark):
+    """All four window functions share one (user_id)x(ts,event_id)
+    sort; the top-20 is TakeOrdered, never a global sort."""
+    from mapreduce_sssp_spark.operators.event_windows import q_session_paths
+
+    plan = plan_of(q_session_paths(spark, SF), "simple")
+    assert "TakeOrdered" in plan
+    assert plan.count("Scan parquet") == 1
+    # one exchange for the user window, one for the triple count
+    assert plan.count("Exchange") <= 2
+
+
+def test_seasonality_dow_single_scan_window_total(spark):
+    """Per-type totals come from a window over the tiny (type, dow)
+    aggregate — NOT a second corpus scan."""
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_seasonality_dow,
+    )
+
+    plan = plan_of(q_seasonality_dow(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
+
+
+def test_anomaly_zscore_one_window_one_exchange(spark):
+    from mapreduce_sssp_spark.operators.event_windows import q_anomaly_zscore
+
+    plan = plan_of(q_anomaly_zscore(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_kmeans_update_broadcast_argmin_no_window(spark):
+    """Centroid recompute keeps the kmeans_assign shape: broadcast
+    seeds, map-side argmin aggregate (never a window over the n*K
+    candidate set), posexplode before the only wide exchange."""
+    from mapreduce_sssp_spark.operators.similarity import q_kmeans_update
+
+    plan = plan_of(q_kmeans_update(spark, SF), "simple")
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # posexplode
+
+
+def test_trigram_lm_single_scan_window_prefix(spark):
+    """Trigram AND prefix-bigram counts from ONE corpus scan (the
+    NULL-extended pair emission); prefix totals are a window over the
+    grouped Zipf-small domain; top-200 is TakeOrdered."""
+    from mapreduce_sssp_spark.operators.text_analysis import q_trigram_lm
+
+    plan = plan_of(q_trigram_lm(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrdered" in plan
+    assert "Window" in plan
+
+
+def test_feature_hash_map_side_single_exchange(spark):
+    from mapreduce_sssp_spark.operators.text_analysis import q_feature_hash
+
+    plan = plan_of(q_feature_hash(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
