@@ -843,9 +843,13 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans a second full scan; this one is scan-count-pinned in
     tests/test_plans.py).
     """
+    return seasonality_dow(load_table(spark, sf_dir, "events"))
+
+
+def seasonality_dow(ev: DataFrame) -> DataFrame:
+    """See q_seasonality_dow. ev needs (event_type, ts)."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
     d = ev.select(
         "event_type",
         (F.weekday(F.col("ts").cast("date")) + F.lit(1)).alias("dow"),
@@ -882,7 +886,11 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter; output is the anomalies only (~5% of rows at this
     threshold).
     """
-    ev = load_table(spark, sf_dir, "events")
+    return anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
+def anomaly_zscore(ev: DataFrame) -> DataFrame:
+    """See q_anomaly_zscore. ev needs (user_id, ts, event_id, value)."""
     from pyspark.sql import Window
 
     w = (

@@ -533,8 +533,12 @@ def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the only exchange — the corpus shuffles nothing. Iterating
     Lloyd re-broadcasts K*d ints.
     """
-    vec = _vectors(spark, sf_dir)
-    seeds = vec.filter(F.col("vec_id") < KMEANS_K).select(
+    return kmeans_update(_vectors(spark, sf_dir))
+
+
+def kmeans_update(vec: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """See q_kmeans_update. vec needs (vec_id, v: array<double>)."""
+    seeds = vec.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
     )
     dist2 = F.expr(

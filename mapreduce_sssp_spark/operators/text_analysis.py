@@ -701,7 +701,11 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets per doc; the exchange carries (doc, bucket) pairs, already
     collapsed. No vocabulary state anywhere.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return feature_hash(load_table(spark, sf_dir, "documents"))
+
+
+def feature_hash(docs: DataFrame) -> DataFrame:
+    """See q_feature_hash. docs needs (doc_id, text)."""
     tok = _with_tokens(docs).select(
         "doc_id", F.explode("toks").alias("w")
     )

@@ -393,3 +393,132 @@ def test_bigram_lift_counts_and_guard(spark):
     # N=5 tokens, n_a=3, n_b=2 -> lift(ab) = 2*5/(3*2)
     assert abs(got[("a", "b")].lift - 10 / 6) < 1e-12
     assert got[("a", "b")].n_a == 3 and got[("a", "b")].n_b == 2
+
+
+def test_trigram_lm_counts_and_cond_p(spark):
+    """'a b c b c' pairs: (a,b,c) (b,c,b) (c,b,c) (b,c,NULL); 'a b'
+    adds (a,b,NULL). So n_ab(a,b)=2 with one surviving trigram ->
+    cond_p 1/2; (c,b) has the only extension -> cond_p 1."""
+    from mapreduce_sssp_spark.operators.text_analysis import trigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b c b c"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2, r.w3): r for r in trigram_lm(docs).collect()}
+    assert set(got) == {("a", "b", "c"), ("b", "c", "b"), ("c", "b", "c")}
+    assert got[("a", "b", "c")].n_abc == 1
+    assert got[("a", "b", "c")].n_ab == 2
+    assert got[("a", "b", "c")].cond_p == 0.5
+    assert got[("b", "c", "b")].n_ab == 2  # (b,c,b) and doc-final (b,c)
+    assert got[("c", "b", "c")].cond_p == 1.0
+
+
+def test_session_paths_respects_session_gap(spark):
+    """A>B>C>D with a 40-minute gap before D: only (A,B,C) is an
+    in-session triple; (B,C,D) must NOT appear."""
+    from datetime import datetime
+
+    from mapreduce_sssp_spark.operators.event_windows import session_paths
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0.replace(minute=minutes % 60, hour=12 + minutes // 60)
+
+    rows = [
+        (7, at(0), 1, "A"),
+        (7, at(1), 2, "B"),
+        (7, at(2), 3, "C"),
+        (7, at(42), 4, "D"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    got = [(r.p1, r.p2, r.p3, r.n_paths) for r in session_paths(ev).collect()]
+    assert got == [("A", "B", "C", 1)]
+
+
+def test_anomaly_zscore_flags_planted_spike(spark):
+    """Ten identical values then a spike: the spike's trailing-10
+    window has nonzero variance and a >2-sigma deviation; the flat
+    windows (variance 0, deviation 0) never flag."""
+    from datetime import datetime
+
+    from mapreduce_sssp_spark.operators.event_windows import anomaly_zscore
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, i), i + 1, 1.00) for i in range(10)
+    ] + [(1, datetime(2024, 1, 1, 0, 10), 11, 2.00)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, value double"
+    )
+    got = anomaly_zscore(ev).collect()
+    assert [(r.event_id, r.cents) for r in got] == [(11, 200)]
+    # hand-check the exact window sums: events 2..11 = nine 100s + 200
+    assert got[0].sum_c == 9 * 100 + 200
+    assert got[0].sumsq_c == 9 * 100 * 100 + 200 * 200
+
+
+def test_kmeans_update_centroid_is_exact_e6_mean(spark):
+    """Two seeds in 2-d; the third vector lands in cluster 0, whose
+    per-dim centroid is the exact floor-e6 mean of its two members."""
+    from mapreduce_sssp_spark.operators.similarity import kmeans_update
+
+    vec = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [0.4, 0.4])],
+        "vec_id long, v array<double>",
+    )
+    got = {
+        (r.seed_id, r.dim): r for r in kmeans_update(vec, k=2).collect()
+    }
+    assert got[(0, 1)].n_members == 2
+    assert got[(0, 1)].sum_e6 == 0 + 400000
+    assert got[(0, 1)].centroid == 400000 / 2000000
+    assert got[(1, 1)].n_members == 1
+    assert got[(1, 1)].centroid == 1000000 / 1000000
+
+
+def test_seasonality_dow_iso_mapping_and_share(spark):
+    """2024-01-01 is a Monday (isodow 1); shares are exact n/total."""
+    from datetime import datetime
+
+    from mapreduce_sssp_spark.operators.event_windows import seasonality_dow
+
+    rows = [
+        ("click", datetime(2024, 1, 1, 9)),   # Monday
+        ("click", datetime(2024, 1, 1, 10)),  # Monday
+        ("click", datetime(2024, 1, 7, 9)),   # Sunday
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    got = {r.dow: r for r in seasonality_dow(ev).collect()}
+    assert set(got) == {1, 7}
+    assert got[1].n_events == 2 and got[1].n_type == 3
+    assert got[1].dow_share == 2 / 3
+    assert got[7].dow_share == 1 / 3
+
+
+def test_feature_hash_matches_python_md5_bucket(spark):
+    """Bucket ids reproduce hashlib's md5 exactly; counts collapse
+    repeated tokens."""
+    import hashlib
+
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        FEATURE_HASH_DIMS,
+        feature_hash,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha")], "doc_id long, text string"
+    )
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % (
+            FEATURE_HASH_DIMS
+        )
+
+    got = {(r.doc_id, r.bucket): r.n for r in feature_hash(docs).collect()}
+    expect = {}
+    for w in ["alpha", "beta", "alpha"]:
+        key = (1, bucket(w))
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
