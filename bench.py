@@ -80,6 +80,9 @@ HEADLINE = [
     "funnel_steps",
     "retention_cohorts",
     "event_transitions",
+    "session_paths",
+    "seasonality_dow",
+    "anomaly_zscore",
     "resample_ffill",
     "twap_user",
     "ewma_value",
@@ -107,6 +110,7 @@ HEADLINE = [
     "embedding_neardup",
     "embedding_stats",
     "kmeans_assign",
+    "kmeans_update",
     # text analysis
     "text_stats",
     "text_quality",
@@ -117,6 +121,8 @@ HEADLINE = [
     "bpe_merges",
     "bpe_encode",
     "bigram_lift",
+    "trigram_lm",
+    "feature_hash",
     # sampling / packing / python surface
     "sample_hash",
     "weighted_sample",
