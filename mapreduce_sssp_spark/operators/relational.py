@@ -279,6 +279,111 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_concurrent_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval sweep: how many lineitems are open (order placed, line
+    not yet shipped) on each calendar day — the concurrency-over-time
+    backlog query, and the canonical interval-stabbing problem. The
+    interval is [o_orderdate, l_shipdate] per lineitem, real columns
+    joined on the order key.
+
+    The 100 TB shape is the two-level prefix sum: each interval emits
+    +1 at order day and -1 the day AFTER shipping from ONE pass over
+    the join (a map-side 2-element explode, no self-union that would
+    re-read the corpus), deltas partial-aggregate onto the |days|
+    domain (a few thousand rows at any corpus size), and only that
+    tiny domain pays the running-sum window. Sweeping row-level events
+    through a global ordered window — the textbook formulation — would
+    serialize the corpus through one partition; the day-level
+    aggregate is what makes the sweep O(|days|) past the scan+join.
+
+    Exactness: everything is int64 counts and DATE arithmetic; no
+    floats exist in the query.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_day")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").cast("date").alias("order_day"),
+    )
+    deltas = (
+        li.join(o, "l_orderkey")
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct(order_day AS day, 1 AS delta),"
+                    " struct(date_add(ship_day, 1) AS day, -1 AS delta))"
+                )
+            ).alias("e")
+        )
+        .select("e.day", "e.delta")
+    )
+    per_day = deltas.groupBy("day").agg(
+        F.sum("delta").alias("net_delta"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("n_opened"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy()
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "day",
+        "n_opened",
+        "net_delta",
+        F.sum("net_delta").over(w).alias("n_open"),
+    )
+
+
+def q_gini_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the event value per event type — the
+    inequality/concentration measure of how revenue mass distributes
+    across events (0 = uniform, ->1 = one event carries everything).
+
+    Uses the rank formulation G = (2*sum(i*x_(i)) - (n+1)*sum(x)) /
+    (n*sum(x)) over the per-type total order (cents, event_id): ranks
+    and cents are exact int64, both the numerator and denominator stay
+    exact int64 (bounded by n^2 * max_cents << 2^63 even at 10^7-row
+    types), and the final value is ONE int/int double division — a
+    float-free Gini that hash-matches across engines by construction.
+
+    Scale: one window sort per type (the same shape every per-group
+    rank op here pays), then a 5-row aggregate. Skewed types are a
+    sort-spill concern, not a correctness one.
+    """
+    return gini_value(load_table(spark, sf_dir, "events"))
+
+
+def gini_value(ev: DataFrame) -> DataFrame:
+    """See q_gini_value. ev needs (event_type, event_id, value)."""
+    from pyspark.sql import Window
+
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r = base.select(
+        "event_type", "cents", F.row_number().over(w).alias("rn")
+    )
+    return r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        (
+            (
+                2 * F.sum(F.col("rn") * F.col("cents"))
+                - (F.count("*") + 1) * F.sum("cents")
+            ).cast("double")
+            / (F.count("*") * F.sum("cents")).cast("double")
+        ).alias("gini"),
+    )
+
+
 def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier detection: median absolute deviation
     (MAD) with the Iglewicz-Hoaglin modified z-score (|0.6745 *
@@ -1522,6 +1627,8 @@ FROM lineitem
 QUERIES = {
     "join_inner": q_join_inner,
     "profile_columns": q_profile_columns,
+    "concurrent_shipments": q_concurrent_shipments,
+    "gini_value": q_gini_value,
     "chi2_cells": q_chi2_cells,
     "percent_rank_norm": q_percent_rank_norm,
     "json_map_explode": q_json_map_explode,
@@ -1585,6 +1692,47 @@ _SETOP_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUIL
 _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0"
 
 ORACLE = {
+    "concurrent_shipments": """
+WITH iv AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS order_day,
+         CAST(l.l_shipdate AS DATE) AS ship_day
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT order_day AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT ship_day + 1 AS day, -1 AS delta FROM iv
+),
+per_day AS (
+  SELECT day,
+         CAST(SUM(delta) AS BIGINT) AS net_delta,
+         CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_opened
+  FROM deltas GROUP BY day
+)
+SELECT day, n_opened, net_delta,
+       CAST(SUM(net_delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_open
+FROM per_day
+""",
+    "gini_value": """
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn
+  FROM base
+)
+SELECT event_type, count(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(2*SUM(rn*cents) - (count(*)+1)*SUM(cents) AS DOUBLE)
+         / CAST(count(*)*SUM(cents) AS DOUBLE) AS gini
+FROM r GROUP BY event_type
+""",
     "profile_columns": _PROFILE_SQL,
     "chi2_cells": _CHI2_SQL,
     "percent_rank_norm": _PR_NORM_SQL,

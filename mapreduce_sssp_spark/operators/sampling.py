@@ -383,6 +383,81 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Power-of-two context buckets for dynamic batching, up to the max
+# context length. A literal ladder instead of 2^ceil(log2(n)): log2 of
+# a power of two is exact in libm but Spark computes log2 as
+# log(x)/log(2), whose last ulp can land just below the integer and
+# flip ceil() — the ladder has no float anywhere.
+_LEN_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for length-bucketed batching: assign
+    every document to the smallest power-of-two context bucket that
+    holds it and report, per bucket, the document count, real token
+    mass, padding tokens burned, and utilization — the numbers that
+    decide a dynamic-batching layout before anyone trains on it.
+
+    All columns are exact int64 (bucket from a literal ladder, padding
+    = bucket - n_tokens summed as ints); utilization is ONE int/int
+    double division. One corpus scan, map-side bucket assignment, one
+    aggregate onto ~14 rows.
+    """
+    return length_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def length_buckets(docs: DataFrame) -> DataFrame:
+    """See q_length_buckets. docs needs (doc_id, text)."""
+    from .text_common import TOKENS_EXPR
+
+    ladder = ",".join(str(b) for b in _LEN_BUCKETS)
+    t = docs.select(
+        F.expr(f"size({TOKENS_EXPR})").alias("n_tokens")
+    ).select(
+        "n_tokens",
+        F.expr(
+            f"filter(array({ladder}), b -> b >= n_tokens)[0]"
+        ).alias("bucket"),
+    )
+    return t.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tokens")).alias("sum_padding"),
+        (
+            F.sum("n_tokens").cast("double")
+            / (F.count("*") * F.col("bucket")).cast("double")
+        ).alias("utilization"),
+    )
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights over the language label —
+    sklearn's class_weight='balanced' (w = N / (K * n_class)) as one
+    scan: the reweighting table a loss function or a sampler consumes
+    to undo label skew.
+
+    Totals (N and the class count K) are window aggregates over the
+    already-grouped |lang|-row domain, never a second corpus scan (the
+    seasonality_dow device); the weight is ONE division of exact int64
+    operands.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    return c.select(
+        "lang",
+        "n_docs",
+        F.sum("n_docs").over(w).alias("n_total"),
+        F.count("*").over(w).alias("n_classes"),
+        (
+            F.sum("n_docs").over(w).cast("double")
+            / (F.count("*").over(w) * F.col("n_docs")).cast("double")
+        ).alias("weight"),
+    )
+
+
 QUERIES = {
     "split_train_test": q_split_train_test,
     "weighted_sample": q_weighted_sample,
@@ -392,6 +467,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "export_training_shards": q_export_training_shards,
     "chunk_documents": q_chunk_documents,
+    "length_buckets": q_length_buckets,
+    "class_weights": q_class_weights,
 }
 
 ORACLE = {
@@ -509,4 +586,33 @@ cut AS (
 SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
        md5(array_to_string(ch, ' ')) AS chunk_digest
 FROM cut
+"""
+
+_LADDER_SQL = ", ".join(str(b) for b in _LEN_BUCKETS)
+
+ORACLE["length_buckets"] = f"""
+WITH t AS (
+  SELECT CAST(len({_DUCK_TOKENS}) AS INT) AS n_tokens FROM documents
+),
+b AS (
+  SELECT n_tokens,
+         list_filter([{_LADDER_SQL}], b -> b >= n_tokens)[1] AS bucket
+  FROM t
+)
+SELECT bucket, count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(bucket - n_tokens) AS BIGINT) AS sum_padding,
+       CAST(SUM(n_tokens) AS DOUBLE) / CAST(count(*) * bucket AS DOUBLE)
+         AS utilization
+FROM b GROUP BY bucket
+"""
+
+ORACLE["class_weights"] = """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             count(*) AS n_classes FROM c)
+SELECT c.lang, c.n_docs, t.n_total, t.n_classes,
+       CAST(t.n_total AS DOUBLE)
+         / CAST(t.n_classes * c.n_docs AS DOUBLE) AS weight
+FROM c CROSS JOIN t
 """

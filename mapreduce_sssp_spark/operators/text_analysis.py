@@ -680,6 +680,50 @@ def trigram_lm(docs: DataFrame, k: int = 200) -> DataFrame:
     )
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec training-pair prep: the 200 most frequent (center,
+    context) skip-gram pairs within a ±2 token window — the map stage
+    every embedding-training pipeline runs over the whole corpus.
+
+    Both directions of every co-occurrence emit from ONE pass over the
+    token array (each adjacent-or-distance-2 position pair contributes
+    (a,b) AND (b,a) inside the same map-side transform), so the corpus
+    is scanned once and only Zipf-small pair counts shuffle. Top-200 is
+    TakeOrdered on the total order (n desc, center, context).
+    """
+    return skipgram_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def skipgram_pairs(docs: DataFrame, k: int = 200) -> DataFrame:
+    """See q_skipgram_pairs. docs needs (doc_id, text)."""
+    t = _with_tokens(docs)
+    pair_t = "array<struct<center:string,context:string>>"
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "if(size(toks) >= 2,"
+                " flatten(transform(sequence(0, size(toks) - 2), i ->"
+                "   concat("
+                "     array(struct(toks[i] AS center, toks[i+1] AS context),"
+                "           struct(toks[i+1] AS center, toks[i] AS context)),"
+                "     if(i + 2 < size(toks),"
+                "        array(struct(toks[i] AS center,"
+                "                     toks[i+2] AS context),"
+                "              struct(toks[i+2] AS center,"
+                "                     toks[i] AS context)),"
+                f"        cast(array() as {pair_t})))))"
+                f", cast(array() as {pair_t}))"
+            )
+        ).alias("p")
+    ).select("p.center", "p.context")
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "center", "context")
+        .limit(k)
+    )
+
+
 FEATURE_HASH_DIMS = 64
 
 
@@ -736,11 +780,34 @@ QUERIES = {
     "bigram_lift": q_bigram_lift,
     "trigram_lm": q_trigram_lm,
     "feature_hash": q_feature_hash,
+    "skipgram_pairs": q_skipgram_pairs,
 }
 
 _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 ORACLE = {
+    "skipgram_pairs": f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+rp AS (
+  SELECT toks[CAST(i AS INT)] AS a, toks[CAST(i AS INT) + 1] AS b
+  FROM t, range(1, 10000) r(i)
+  WHERE CAST(i AS INT) + 1 <= len(toks)
+  UNION ALL
+  SELECT toks[CAST(i AS INT)] AS a, toks[CAST(i AS INT) + 2] AS b
+  FROM t, range(1, 10000) r(i)
+  WHERE CAST(i AS INT) + 2 <= len(toks)
+),
+pairs AS (
+  SELECT a AS center, b AS context FROM rp
+  UNION ALL
+  SELECT b AS center, a AS context FROM rp
+)
+SELECT center, context, count(*) AS n
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n DESC, center, context
+LIMIT 200
+""",
     "trigram_lm": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
 tg AS (

@@ -522,3 +522,47 @@ def test_feature_hash_matches_python_md5_bucket(spark):
         key = (1, bucket(w))
         expect[key] = expect.get(key, 0) + 1
     assert got == expect
+
+
+def test_gini_zero_for_uniform_two_thirds_for_point_mass(spark):
+    """All-equal values -> G = 0 exactly; [0, 0, X] -> G = 2/3 exactly
+    (rank formulation, no float accumulation to blur it)."""
+    from mapreduce_sssp_spark.operators.relational import gini_value
+
+    rows = [("u", 1, 5.0), ("u", 2, 5.0), ("u", 3, 5.0),
+            ("p", 1, 0.0), ("p", 2, 0.0), ("p", 3, 9.0)]
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id long, value double"
+    )
+    got = {r.event_type: r for r in gini_value(ev).collect()}
+    assert got["u"].gini == 0.0
+    assert got["p"].gini == 2 / 3
+    assert got["p"].sum_cents == 900
+
+
+def test_length_buckets_power_of_two_and_padding(spark):
+    """3 tokens -> bucket 4 (padding 1); 4 tokens -> bucket 4
+    (padding 0); 5 tokens -> bucket 8 (padding 3)."""
+    from mapreduce_sssp_spark.operators.sampling import length_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {r.bucket: r for r in length_buckets(docs).collect()}
+    assert got[4].n_docs == 2
+    assert got[4].sum_tokens == 7 and got[4].sum_padding == 1
+    assert got[4].utilization == 7 / 8
+    assert got[8].n_docs == 1 and got[8].sum_padding == 3
+
+
+def test_skipgram_window_two_both_directions(spark):
+    """'a b c': pairs within +-2 are ab,ba,bc,cb,ac,ca — each once."""
+    from mapreduce_sssp_spark.operators.text_analysis import skipgram_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    got = {(r.center, r.context): r.n for r in skipgram_pairs(docs).collect()}
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+        ("c", "b"): 1, ("a", "c"): 1, ("c", "a"): 1,
+    }

@@ -501,3 +501,53 @@ def test_feature_hash_map_side_single_exchange(spark):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def test_concurrent_shipments_sweeps_day_domain_only(spark):
+    """The running-sum window runs AFTER the per-day aggregate: the
+    single-partition exchange carries |days| rows, never the corpus."""
+    from mapreduce_sssp_spark.operators.relational import (
+        q_concurrent_shipments,
+    )
+
+    plan = plan_of(q_concurrent_shipments(spark, SF), "simple")
+    assert "Generate" in plan  # map-side 2-element delta explode
+    assert plan.count("Exchange SinglePartition") == 1
+    # the day aggregate (with partial) must appear BEFORE the window's
+    # single-partition exchange in the plan tree (deeper = later line)
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos > win_pos  # window is outermost, agg is inside it
+
+
+def test_gini_one_window_sort_per_type(spark):
+    from mapreduce_sssp_spark.operators.relational import q_gini_value
+
+    plan = plan_of(q_gini_value(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Window") == 1
+
+
+def test_length_buckets_single_scan_map_side_bucket(spark):
+    from mapreduce_sssp_spark.operators.sampling import q_length_buckets
+
+    plan = plan_of(q_length_buckets(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+
+
+def test_class_weights_window_over_aggregate_not_second_scan(spark):
+    from mapreduce_sssp_spark.operators.sampling import q_class_weights
+
+    plan = plan_of(q_class_weights(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
+
+
+def test_skipgram_single_scan_take_ordered(spark):
+    from mapreduce_sssp_spark.operators.text_analysis import q_skipgram_pairs
+
+    plan = plan_of(q_skipgram_pairs(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrdered" in plan
