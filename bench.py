@@ -123,12 +123,15 @@ HEADLINE = [
     "bigram_lift",
     "trigram_lm",
     "feature_hash",
+    "skipgram_pairs",
     # sampling / packing / python surface
     "sample_hash",
     "weighted_sample",
     "domain_mix_sample",
     "pack_sequences",
     "chunk_documents",
+    "length_buckets",
+    "class_weights",
     "export_training_shards",
     "group_percentiles",
     "order_gaps_arrow",
@@ -144,6 +147,8 @@ HEADLINE = [
     "sink_bucketed_join",
     "asof_join_forward",
     "price_histogram",
+    "concurrent_shipments",
+    "gini_value",
 ]
 
 
