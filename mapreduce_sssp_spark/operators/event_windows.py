@@ -756,6 +756,119 @@ def ewma_value(ev: DataFrame, horizon: int = 20) -> DataFrame:
     )
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per calendar day — the
+    product-analytics vital signs.
+
+    The scale trick is to shrink FIRST: distinct (user, day) pairs are
+    the sufficient statistic for every column here, and that table is
+    orders of magnitude smaller than the event stream. Each pair then
+    re-keys to the 7 windows it serves (a map-side sequence(0,6)
+    explode carrying the offset), and ONE aggregate per target day
+    finishes: wau = countDistinct(user), dau = countDistinct(user
+    where offset = 0) — the conditional distinct is what lets DAU ride
+    the WAU aggregate instead of forcing a second scan + distinct of
+    the corpus (plan-pinned to 1 scan). A sliding-window DISTINCT over
+    raw events — the naive formulation — is not even expressible
+    map-side because distinct doesn't decompose; the pair table is
+    what makes it exact AND cheap.
+
+    Stickiness is ONE int/int double division; days with no direct
+    activity (dau = 0) are filtered so no partial-window rows appear.
+    """
+    return active_users(load_table(spark, sf_dir, "events"))
+
+
+def active_users(ev: DataFrame) -> DataFrame:
+    """See q_active_users. ev needs (user_id, ts)."""
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    week = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 6),"
+                " i -> struct(date_add(day, i) AS day, i AS off))"
+            )
+        ).alias("e"),
+    ).select("user_id", "e.day", "e.off")
+    agg = week.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("off") == 0, F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    )
+    return agg.filter(F.col("dau") > 0).select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-revenue LTV triangle: users cohorted by first-signup
+    week (the q_retention_cohorts device), purchase revenue summed per
+    (cohort_week, week_offset) in exact cents, then accumulated along
+    each cohort's age — the curve a payback model reads off.
+
+    Revenue stays exact int64 cents end to end (the DECIMAL(18,2)
+    money device), so the running sum is order-free; the cumulative
+    window runs over the (cohorts x offsets) triangle — dozens of rows
+    regardless of corpus size — after the aggregate, never over raw
+    purchases.
+    """
+    return cohort_ltv(load_table(spark, sf_dir, "events"))
+
+
+def cohort_ltv(ev: DataFrame) -> DataFrame:
+    """See q_cohort_ltv. ev needs (user_id, event_type, ts, value)."""
+    from pyspark.sql import Window
+
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(_trunc_week_ntz(F.min("ts")).alias("cohort_week"))
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(_trunc_week_ntz(F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        "cohort_week",
+        "week_offset",
+        "n_purchases",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
+    )
+
+
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-pattern mining lite: the 20 most frequent 3-step
     event-type paths taken INSIDE a session (same 30-minute-gap island
@@ -939,6 +1052,8 @@ QUERIES = {
     "session_paths": q_session_paths,
     "seasonality_dow": q_seasonality_dow,
     "anomaly_zscore": q_anomaly_zscore,
+    "active_users": q_active_users,
+    "cohort_ltv": q_cohort_ltv,
 }
 
 _SLIDING_SQL = """
@@ -1186,6 +1301,55 @@ SELECT g.user_id, g.hour,
 FROM grid g
 LEFT JOIN cnt c ON c.user_id = g.user_id AND c.hour = g.hour
 LEFT JOIN lh  l ON l.user_id = g.user_id AND l.hour = g.hour
+""",
+    "active_users": """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+week AS (
+  SELECT user_id, day + CAST(i AS INT) AS day, CAST(i AS INT) AS off
+  FROM ud, range(0, 7) r(i)
+),
+agg AS (
+  SELECT day,
+         count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS dau,
+         count(DISTINCT user_id) AS wau
+  FROM week GROUP BY day
+)
+SELECT day, dau, wau,
+       CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+FROM agg WHERE dau > 0
+""",
+    "cohort_ltv": """
+WITH first AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP)))
+              AS TIMESTAMP) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+rev AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP))
+                             AS TIMESTAMP)) / 7
+              AS INT) AS week_offset,
+         CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events e JOIN first f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+),
+agg AS (
+  SELECT cohort_week, week_offset, count(*) AS n_purchases,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM rev WHERE week_offset >= 0
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_purchases, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_week
+                                     ORDER BY week_offset
+                                     ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_revenue_cents
+FROM agg
 """,
     "session_paths": """
 WITH flagged AS (

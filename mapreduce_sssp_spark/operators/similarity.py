@@ -570,10 +570,46 @@ def kmeans_update(vec: DataFrame, k: int = KMEANS_K) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding table — the 4x
+    storage/bandwidth compressor every vector-serving layer applies
+    before shipping embeddings to an index. Per vector: scale = max
+    |component|, q_dim = floor(x * 127 / scale) per dimension.
+
+    Entirely map-side (scale and quantized components are expressions
+    over the row's own array — no shuffle exists in the plan at all),
+    so it runs at scan speed on any corpus. Exactness: max|x| is
+    order-free, the quantizer is ONE multiply + ONE divide + floor in
+    the same textual shape in both engines (floor, not round — round's
+    tie rule is the only nondeterminism in this pipeline and it buys
+    nothing), zero vectors are CASE-guarded to q=0, and the shipped
+    scale is floor(scale * 1e9) int64 so no raw float reaches the
+    driver hash.
+    """
+    vec = _vectors(spark, sf_dir)
+    mx = F.expr("array_max(transform(v, x -> abs(x)))")
+    comp = vec.select(
+        "vec_id",
+        mx.alias("mx"),
+        F.posexplode("v").alias("pos", "x"),
+    )
+    return comp.select(
+        "vec_id",
+        (F.col("pos") + F.lit(1)).alias("dim"),
+        F.when(F.col("mx") == 0.0, F.lit(0))
+        .otherwise(
+            F.floor(F.col("x") * F.lit(127.0) / F.col("mx")).cast("int")
+        )
+        .alias("q"),
+        F.floor(F.col("mx") * F.lit(1000000000.0)).alias("scale_e9"),
+    )
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
+    "embedding_quantize": q_embedding_quantize,
     "embedding_stats": q_embedding_stats,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ivf": q_similarity_ivf,
@@ -582,6 +618,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embedding_quantize": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> abs(x))) AS mx
+  FROM embeddings
+),
+comp AS (
+  SELECT vec_id, mx,
+         CAST(generate_subscripts(v, 1) AS INT) AS dim,
+         unnest(v) AS x
+  FROM e
+)
+SELECT vec_id, dim,
+       CASE WHEN mx = 0.0 THEN 0
+            ELSE CAST(floor(x * 127.0 / mx) AS INT) END AS q,
+       CAST(floor(mx * 1000000000.0) AS BIGINT) AS scale_e9
+FROM comp
+""",
     "kmeans_update": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {KMEANS_K}),

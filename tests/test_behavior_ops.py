@@ -566,3 +566,48 @@ def test_skipgram_window_two_both_directions(spark):
         ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
         ("c", "b"): 1, ("a", "c"): 1, ("c", "a"): 1,
     }
+
+
+def test_active_users_dau_wau_hand_case(spark):
+    """User 1 active Mon+Tue, user 2 active Mon: Mon dau=2 wau=2;
+    Tue dau=1, wau=2 (both users' Monday activity still inside the
+    trailing week); stickiness exact."""
+    from datetime import datetime
+
+    from mapreduce_sssp_spark.operators.event_windows import active_users
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9)),
+        (1, datetime(2024, 1, 1, 10)),  # dup pair collapses
+        (1, datetime(2024, 1, 2, 9)),
+        (2, datetime(2024, 1, 1, 9)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    got = {str(r.day): r for r in active_users(ev).collect()}
+    assert got["2024-01-01"].dau == 2 and got["2024-01-01"].wau == 2
+    assert got["2024-01-02"].dau == 1 and got["2024-01-02"].wau == 2
+    assert got["2024-01-02"].stickiness == 0.5
+    # days with no direct activity never appear
+    assert "2024-01-03" not in got
+
+
+def test_cohort_ltv_accumulates_exact_cents(spark):
+    """One cohort, purchases in weeks 0 and 2: cumulative revenue
+    carries across the gap (no week-1 row is fabricated)."""
+    from datetime import datetime
+
+    from mapreduce_sssp_spark.operators.event_windows import cohort_ltv
+
+    rows = [
+        (1, "signup", datetime(2024, 1, 1, 9), 0.0),
+        (1, "purchase", datetime(2024, 1, 2, 9), 10.50),
+        (1, "purchase", datetime(2024, 1, 16, 9), 5.25),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz, value double"
+    )
+    got = {r.week_offset: r for r in cohort_ltv(ev).collect()}
+    assert set(got) == {0, 2}
+    assert got[0].revenue_cents == 1050
+    assert got[2].revenue_cents == 525
+    assert got[2].cum_revenue_cents == 1575

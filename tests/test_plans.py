@@ -551,3 +551,37 @@ def test_skipgram_single_scan_take_ordered(spark):
     plan = plan_of(q_skipgram_pairs(spark, SF), "simple")
     assert plan.count("Scan parquet") == 1
     assert "TakeOrdered" in plan
+
+
+def test_active_users_single_scan_conditional_distinct(spark):
+    """DAU rides the WAU aggregate via conditional distinct — one
+    corpus scan, not one per metric."""
+    from mapreduce_sssp_spark.operators.event_windows import q_active_users
+
+    plan = plan_of(q_active_users(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # the two-distinct aggregate
+
+
+def test_cohort_ltv_cumsum_after_aggregate(spark):
+    """The running sum windows over the (cohort x offset) triangle,
+    never over raw purchases."""
+    from mapreduce_sssp_spark.operators.event_windows import q_cohort_ltv
+
+    plan = plan_of(q_cohort_ltv(spark, SF), "simple")
+    assert plan.count("Window") == 1
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos > win_pos  # window outermost, aggregate inside
+
+
+def test_embedding_quantize_map_side_no_wide_shuffle(spark):
+    from mapreduce_sssp_spark.operators.similarity import (
+        q_embedding_quantize,
+    )
+
+    plan = plan_of(q_embedding_quantize(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    # only the bounded load_parallel repartition; no hash shuffle
+    assert "hashpartitioning" not in plan
