@@ -80,6 +80,8 @@ HEADLINE = [
     "funnel_steps",
     "retention_cohorts",
     "event_transitions",
+    "active_users",
+    "cohort_ltv",
     "session_paths",
     "seasonality_dow",
     "anomaly_zscore",
@@ -109,6 +111,7 @@ HEADLINE = [
     "similarity_ivf",
     "embedding_neardup",
     "embedding_stats",
+    "embedding_quantize",
     "kmeans_assign",
     "kmeans_update",
     # text analysis
