@@ -391,8 +391,71 @@ def q_compat_reverse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return format_reverse_line(reverse_graph(edges_from_lineitem(spark, sf_dir)))
 
 
+LANDMARKS_K = 4
+_LM_OFF = 1 << 32  # id-space shard stride; must exceed every node id
+
+
+def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source shortest paths from the 4 smallest source nodes
+    (landmarks) — the precompute behind landmark/ALT distance oracles,
+    closeness estimates, and graph embeddings.
+
+    The k-source amortization runs through the SINGLE hardened sssp
+    fixpoint (graph/sssp.py) rather than k sequential fixpoints: node
+    ids are sharded into k disjoint ranges (idx * 2^32 + node), the
+    edge set replicates per shard off a broadcast landmark table, and
+    one virtual super-source (-1) connects to each shard's landmark
+    with a weight-0 edge. One fixpoint then relaxes all k frontiers
+    simultaneously — rounds are shared, the loop's checkpoint cadence,
+    AQE clamp, and frontier gating apply once, and per-landmark
+    distances decode back with shiftright/mask (exact int ops, no
+    float division). At cluster scale this is k times the edge state
+    but 1/k the scheduling and convergence overhead of sequential
+    runs, and the bipartite-ish frontier dies at the same round for
+    every shard.
+
+    The landmark election is a bounded driver scalar (k smallest
+    distinct srcs — the q_sssp min-src device, k rows not data).
+    """
+    return landmark_distances(edges_from_lineitem(spark, sf_dir))
+
+
+def landmark_distances(edges: DataFrame, k: int = LANDMARKS_K) -> DataFrame:
+    """See q_landmark_distances. edges needs (src, dst, weight)."""
+    spark = edges.sparkSession
+    lms = [
+        r[0]
+        for r in edges.select("src").distinct().orderBy("src").limit(k).collect()
+    ]
+    lm_df = spark.createDataFrame(
+        [(i, int(l)) for i, l in enumerate(lms)], "idx long, landmark long"
+    )
+    rep = edges.crossJoin(F.broadcast(lm_df)).select(
+        (F.col("idx") * _LM_OFF + F.col("src")).alias("src"),
+        (F.col("idx") * _LM_OFF + F.col("dst")).alias("dst"),
+        "weight",
+    )
+    super_edges = lm_df.select(
+        F.lit(-1).cast("long").alias("src"),
+        (F.col("idx") * _LM_OFF + F.col("landmark")).alias("dst"),
+        F.lit(0.0).alias("weight"),
+    )
+    st = sssp(rep.unionByName(super_edges), -1, native_nulls=True)
+    return (
+        st.filter((F.col("node") >= 0) & F.col("dist").isNotNull())
+        .select(
+            F.expr("shiftright(node, 32)").alias("idx"),
+            F.expr(f"node & {_LM_OFF - 1}").alias("node"),
+            "dist",
+        )
+        .join(F.broadcast(lm_df), "idx")
+        .select("landmark", "node", "dist")
+    )
+
+
 QUERIES = {
     "sssp": q_sssp,
+    "landmark_distances": q_landmark_distances,
     "sssp_dag": q_sssp_dag,
     "longest_path_dag": q_longest_path_dag,
     "wcc": q_wcc,
@@ -451,6 +514,25 @@ ORACLE = {
     # counter is what makes the recursion terminate on a CYCLIC graph:
     # plain UNION dedup never would (cycles mint fresh dist values
     # forever) — same device as wcc_cyclic's finite label lattice.
+    "landmark_distances": f"""
+WITH RECURSIVE edges AS (
+  SELECT src, dst, min(weight) AS weight FROM
+    (SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight
+     FROM lineitem) GROUP BY src, dst
+),
+lms AS (SELECT DISTINCT src AS landmark FROM edges
+        ORDER BY src LIMIT {LANDMARKS_K}),
+walk(r, landmark, node, dist) AS (
+    SELECT 0, landmark, landmark, CAST(0.0 AS DOUBLE) FROM lms
+    UNION
+    SELECT w.r + 1, w.landmark, e.dst, min(w.dist + e.weight)
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.r < 64
+    GROUP BY w.r + 1, w.landmark, e.dst
+)
+SELECT landmark, node, min(dist) AS dist
+FROM walk GROUP BY landmark, node
+""",
     "sssp": f"""
 WITH RECURSIVE edges AS (
   SELECT src, dst, min(weight) AS weight FROM ({EDGES_SQL}) GROUP BY src, dst

@@ -384,6 +384,73 @@ def gini_value(ev: DataFrame) -> DataFrame:
     )
 
 
+#: RFM recency anchor — a fixed literal so the score is reproducible
+#: (max(o_orderdate) in the testdata is 2001-08-01; any date at or
+#: after the corpus end works and a literal keeps both engines and
+#: every re-run on the same number).
+RFM_ANCHOR = "2001-12-31"
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: quintile ranks of Recency / Frequency /
+    Monetary per customer, combined into the classic 3-digit segment
+    code — the warehouse-native customer-value segmentation.
+
+    Quintile BOUNDARIES come from one exact-percentile aggregate over
+    the (already tiny) per-customer rollup and broadcast back; the
+    scores are then CASE ladders evaluated map-side. That is the scale
+    shape: a global ntile(5) — the textbook formulation — would drag
+    every customer row through ONE partition's sort, while boundary
+    thresholds cost a single-reduce aggregate and the scoring scan
+    stays embarrassingly parallel. Monetary is exact int64 cents;
+    recency is an exact day diff against a literal anchor; the only
+    floats are the five interpolated thresholds, identical in both
+    engines (the group_percentiles precedent), and int-vs-double
+    comparisons are exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).alias("monetary_cents"),
+    )
+    qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    thr = cust.agg(
+        F.expr(f"percentile(recency_days, {qs})").alias("rt"),
+        F.expr(f"percentile(frequency, {qs})").alias("ft"),
+        F.expr(f"percentile(monetary_cents, {qs})").alias("mt"),
+    )
+
+    def ladder(col, t, invert=False):
+        up = sum(
+            F.when(F.col(col) > F.col(t)[i], 1).otherwise(0)
+            for i in range(4)
+        )
+        return (F.lit(5) - up if invert else F.lit(1) + up).cast("int")
+
+    return cust.crossJoin(F.broadcast(thr)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        ladder("recency_days", "rt", invert=True).alias("r_score"),
+        ladder("frequency", "ft").alias("f_score"),
+        ladder("monetary_cents", "mt").alias("m_score"),
+        (
+            ladder("recency_days", "rt", invert=True) * 100
+            + ladder("frequency", "ft") * 10
+            + ladder("monetary_cents", "mt")
+        )
+        .cast("int")
+        .alias("rfm_code"),
+    )
+
+
 def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier detection: median absolute deviation
     (MAD) with the Iglewicz-Hoaglin modified z-score (|0.6745 *
@@ -1629,6 +1696,7 @@ QUERIES = {
     "profile_columns": q_profile_columns,
     "concurrent_shipments": q_concurrent_shipments,
     "gini_value": q_gini_value,
+    "rfm_segments": q_rfm_segments,
     "chi2_cells": q_chi2_cells,
     "percent_rank_norm": q_percent_rank_norm,
     "json_map_explode": q_json_map_explode,
@@ -1732,6 +1800,41 @@ SELECT event_type, count(*) AS n,
        CAST(2*SUM(rn*cents) - (count(*)+1)*SUM(cents) AS DOUBLE)
          / CAST(count(*)*SUM(cents) AS DOUBLE) AS gini
 FROM r GROUP BY event_type
+""",
+    "rfm_segments": f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+                        CAST(max(CAST(o_orderdate AS TIMESTAMP)) AS DATE),
+                        DATE '{RFM_ANCHOR}') AS INT) AS recency_days,
+         count(*) AS frequency,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+thr AS (
+  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rt,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS ft,
+         quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mt
+  FROM cust
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary_cents,
+         CAST(5 - ((recency_days > rt[1])::INT + (recency_days > rt[2])::INT
+                 + (recency_days > rt[3])::INT + (recency_days > rt[4])::INT)
+              AS INT) AS r_score,
+         CAST(1 + ((frequency > ft[1])::INT + (frequency > ft[2])::INT
+                 + (frequency > ft[3])::INT + (frequency > ft[4])::INT)
+              AS INT) AS f_score,
+         CAST(1 + ((monetary_cents > mt[1])::INT + (monetary_cents > mt[2])::INT
+                 + (monetary_cents > mt[3])::INT + (monetary_cents > mt[4])::INT)
+              AS INT) AS m_score
+  FROM cust CROSS JOIN thr
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code
+FROM scored
 """,
     "profile_columns": _PROFILE_SQL,
     "chi2_cells": _CHI2_SQL,

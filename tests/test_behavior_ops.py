@@ -611,3 +611,28 @@ def test_cohort_ltv_accumulates_exact_cents(spark):
     assert got[0].revenue_cents == 1050
     assert got[2].revenue_cents == 525
     assert got[2].cum_revenue_cents == 1575
+
+
+def test_landmark_distances_match_per_source_sssp(spark):
+    """The sharded multi-source fixpoint must equal k independent
+    single-source runs on a hand graph (incl. not emitting rows for
+    nodes unreachable within a shard)."""
+    from mapreduce_sssp_spark.operators.graph_queries import (
+        landmark_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (5, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    got = {
+        (r.landmark, r.node): r.dist
+        for r in landmark_distances(edges, k=2).collect()
+    }
+    assert got == {
+        (1, 1): 0.0,
+        (1, 2): 1.0,
+        (1, 3): 3.0,
+        (2, 2): 0.0,
+        (2, 3): 2.0,
+    }

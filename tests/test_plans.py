@@ -585,3 +585,14 @@ def test_embedding_quantize_map_side_no_wide_shuffle(spark):
     assert "Window" not in plan
     # only the bounded load_parallel repartition; no hash shuffle
     assert "hashpartitioning" not in plan
+
+
+def test_rfm_no_global_sort_broadcast_thresholds(spark):
+    """RFM scoring must broadcast the 1-row threshold frame and keep
+    the customer scan parallel — no ntile-style global sort."""
+    from mapreduce_sssp_spark.operators.relational import q_rfm_segments
+
+    plan = plan_of(q_rfm_segments(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Window" not in plan
