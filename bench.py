@@ -49,6 +49,7 @@ HEADLINE = [
     "kcore",
     "label_propagation",
     "longest_path_dag",
+    "landmark_distances",
     "reverse_graph",
     "triangle_counts",
     "edge_jaccard",
@@ -152,6 +153,7 @@ HEADLINE = [
     "price_histogram",
     "concurrent_shipments",
     "gini_value",
+    "rfm_segments",
 ]
 
 
