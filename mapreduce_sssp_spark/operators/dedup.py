@@ -124,6 +124,53 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: directed pairs where >= 90% of
+    doc_a's 3-gram shingles appear in doc_b — the quote/excerpt/
+    boilerplate-superset relation that symmetric Jaccard misses (a
+    short doc fully contained in a long one scores low Jaccard but
+    containment 1.0). The standard second screen of corpus dedup after
+    the Jaccard pass.
+
+    Same inverted-index shape as q_ngram_jaccard_pairs (one
+    shingle-keyed self-join, never all-pairs; candidate pairs exist
+    only where shingles actually collide), but the join keeps BOTH
+    orientations (a != b, not a < b) because containment is directed.
+    Division is the same single int/int double op the Jaccard twin
+    uses.
+    """
+    post = _cache(_shingle_postings(spark, sf_dir))
+    sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = post.alias("a")
+    b = post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    return (
+        inter.join(sa, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "na",
+            (F.col("inter") / F.col("na")).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig: array<bigint> of k min-hashes over shingles).
 
@@ -400,6 +447,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "dedup_spans": q_dedup_spans,
+    "shingle_containment": q_shingle_containment,
 }
 
 _EXACT_JACCARD_SQL = f"""
@@ -415,6 +463,17 @@ HAVING count(*) / (sa.n + sb.n - count(*)) >= {JACCARD_THRESHOLD}
 """
 
 ORACLE = {
+    "shingle_containment": f"""
+WITH sh AS ({DUCK_SHINGLES_REL}),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS inter, sa.n AS na,
+       count(*) / sa.n AS containment
+FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+JOIN sz sa ON sa.doc_id = a.doc_id
+GROUP BY a.doc_id, b.doc_id, sa.n
+HAVING count(*) / sa.n >= {CONTAINMENT_THRESHOLD}
+""",
     "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY text
