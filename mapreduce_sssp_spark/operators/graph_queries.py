@@ -92,7 +92,11 @@ def q_longest_path_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: weights are integer-valued doubles, so negation and path
     sums are exact and min/max elections agree bit-for-bit with the
-    oracle's level-synchronized max-relaxation recursive CTE.
+    oracle's level-synchronized max-relaxation recursive CTE. The
+    final un-negation uses ``0.0 - dist`` rather than unary ``-dist``:
+    IEEE negation of the source node's 0.0 yields -0.0, which compares
+    equal but stringifies differently from DuckDB's +0.0 and fails the
+    driver's representation-sensitive hash.
     """
     edges = edges_order_chain(spark, sf_dir)
     # Bounded driver scalar, same source election as _sssp_dag_converged.
@@ -100,7 +104,7 @@ def q_longest_path_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = edges.withColumn("weight", -F.col("weight"))
     st = sssp(neg, source, native_nulls=True)
     return st.filter(F.col("dist").isNotNull()).select(
-        "source", "node", (-F.col("dist")).alias("dist")
+        "source", "node", (F.lit(0.0) - F.col("dist")).alias("dist")
     )
 
 

@@ -143,7 +143,10 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_quantile returns a different equally-valid estimate; the
     min/max columns pin the sketch outputs inside the data range, and
     tests/test_scale_patterns.py::test_approx_quantiles_error_bound
-    holds the quartiles within 1% of exact).
+    holds the quartiles within 1% of exact; everything deterministic —
+    keys, min/max/count, and whether each quartile estimate honors its
+    error envelope — is hash-verified by the sibling
+    ``approx_quantiles_verified``).
 
     At 100 TB this is THE way to get percentiles: the GK sketch is a
     bounded-size mergeable summary (one per partition, merged on the
@@ -172,6 +175,48 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price",
             "max_price",
         )
+    )
+
+
+def q_approx_quantiles_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable half of ``approx_quantiles`` (the exact device
+    of ``approx_distinct_verified`` / ``sketch_merge_verified``): group
+    keys, exact min/max/count (plain cross-engine SQL), and one boolean
+    per quartile — whether the GK estimate lands within 2% + 1 of the
+    EXACT interpolated percentile (Spark's sort-based ``percentile``).
+    The oracle asserts TRUE as the expected value, so a sketch-accuracy
+    regression fails the driver hash while the engine-private GK
+    compaction stays out of the comparison (accuracy=10000 gives 0.01%
+    rank error; tests pin the quartiles within 1% of exact, so the
+    doubled envelope is deterministic-true at any SF and a broken
+    sketch — off by orders of magnitude — still goes red).
+
+    The exact ``percentile`` here is the verification twin only; the
+    production percentile path at 100 TB remains the mergeable GK
+    sketch in ``approx_quantiles``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75], 10_000
+        ).alias("aps"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("eps"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+    def in_env(i: int):
+        a, e = F.col("aps")[i], F.col("eps")[i]
+        return (F.abs(a - e) <= 0.02 * F.abs(e) + 1).alias(
+            ["q1", "median", "q3"][i] + "_in_envelope"
+        )
+
+    return qs.select(
+        "l_returnflag", "min_price", "max_price", "n_rows",
+        in_env(0), in_env(1), in_env(2),
     )
 
 
@@ -431,6 +476,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,  # rows-only (irreducible estimates)
     "approx_distinct_verified": q_approx_distinct_verified,
     "approx_quantiles": q_approx_quantiles,  # rows-only (sketches differ)
+    "approx_quantiles_verified": q_approx_quantiles_verified,
     "global_row_ids": q_global_row_ids,
     "degree_distribution": q_degree_distribution,
 }
@@ -489,6 +535,16 @@ SELECT l_returnflag,
        count(DISTINCT l_partkey) AS exact,
        TRUE AS union_tracks_direct,
        TRUE AS merged_in_envelope
+FROM lineitem GROUP BY l_returnflag
+""",
+    "approx_quantiles_verified": """
+SELECT l_returnflag,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       count(*) AS n_rows,
+       TRUE AS q1_in_envelope,
+       TRUE AS median_in_envelope,
+       TRUE AS q3_in_envelope
 FROM lineitem GROUP BY l_returnflag
 """,
     "global_row_ids": f"""

@@ -63,6 +63,11 @@ def canon_rows(cols, rows):
 def approx_equal(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if a == b:
+            # -0.0 == 0.0 in IEEE, but the driver's stringified hash sees
+            # '-0.0' vs '0.0' — the exact false-negative that shipped a
+            # red longest_path_dag row in round 6. Surface it as drift.
+            if a == 0.0 and math.copysign(1.0, a) != math.copysign(1.0, b):
+                return True, "reprdrift"
             return True, 0.0
         d = abs(a - b) / max(abs(a), abs(b), 1e-12)
         return d < 1e-9, d
@@ -166,15 +171,24 @@ def compare(name, scols, srows, dcols, drows):
     _, dc = canon_rows(dcols, drows)
     max_float_dev = 0.0
     type_drift = False
+    repr_drift = False
     for i, (a, b) in enumerate(zip(sc, dc)):
         for x, y in zip(a, b):
             eq, dev = approx_equal(x, y)
             if dev == "typedrift":
                 type_drift = True
+            elif dev == "reprdrift":
+                repr_drift = True
             elif dev:
                 max_float_dev = max(max_float_dev, dev)
             if not eq:
                 return "VALUE-MISMATCH", f"row {i}: {a} != {b}"
+    if repr_drift:
+        return (
+            "REPR-DRIFT",
+            "(sign-of-zero differs: -0.0 vs 0.0 — driver hash WILL fail; "
+            "use F.lit(0.0) - col instead of unary negation)",
+        )
     if type_drift:
         return "OK", "(TYPE DRIFT — values equal, dtypes differ; driver hash may fail)"
     if max_float_dev > 0:
