@@ -570,6 +570,86 @@ def kmeans_update(vec: DataFrame, k: int = KMEANS_K) -> DataFrame:
     )
 
 
+KMEANS_TRAIN_ROUNDS = 3
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round Lloyd k-means — the 8th fixpoint pattern: the
+    assign/update round of ``kmeans_assign``/``kmeans_update`` iterated
+    ``KMEANS_TRAIN_ROUNDS`` times under ``static_rounds`` (the same
+    AQE-off + shuffle-clamp loop discipline as sssp/wcc/pagerank).
+    Output is the round-N centroid table, one row per (cluster, dim).
+
+    Per round: K centroids broadcast, distances map-side, the argmin
+    collapses in the partial aggregate (n compact rows cross the
+    exchange, never the n*K candidate set), components quantize to
+    exact int64 micro-units map-side, and the new centroid is ONE
+    IEEE division of two exact integers — exactly rounded, hence
+    bit-identical across engines, so round r+1's distance arithmetic
+    starts from the same doubles in Spark and DuckDB and the whole
+    N-round chain stays hash-checkable (the kmeans_update device,
+    iterated). Each round's K-row centroid table is persisted and
+    forced so round plans stay flat; at 100 TB iterating Lloyd
+    re-broadcasts K*d doubles per round and the corpus never shuffles.
+
+    Empty clusters drop (no members -> no centroid) identically in
+    both engines; the oracle is the same three rounds unrolled as
+    chained CTE stages (the label_propagation / bpe_merges device).
+    """
+    from ..graph.sssp import static_rounds
+
+    vec = _vectors(spark, sf_dir)
+    cents = vec.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("cv")
+    )
+    dist2 = F.expr(
+        f"{_DOT.format(a='v', b='v')} - 2 * {_DOT.format(a='v', b='cv')}"
+        f" + {_DOT.format(a='cv', b='cv')}"
+    )
+    with static_rounds(spark):
+        for r in range(KMEANS_TRAIN_ROUNDS):
+            assigned = (
+                vec.crossJoin(F.broadcast(cents))
+                .select("vec_id", dist2.alias("dist2"), "seed_id", "v")
+                .groupBy("vec_id")
+                .agg(F.min(F.struct("dist2", "seed_id", "v")).alias("a"))
+                .select(
+                    F.col("a.seed_id").alias("seed_id"),
+                    F.col("a.v").alias("v"),
+                )
+            )
+            comp = assigned.select(
+                "seed_id", F.posexplode("v").alias("pos", "x")
+            ).select(
+                "seed_id",
+                (F.col("pos") + F.lit(1)).alias("dim"),
+                F.floor(F.col("x") * F.lit(1000000.0)).alias("x_e6"),
+            )
+            sums = comp.groupBy("seed_id", "dim").agg(
+                F.count("*").alias("n_members"),
+                F.sum("x_e6").alias("sum_e6"),
+                (
+                    F.sum("x_e6").cast("double")
+                    / (F.count("*") * F.lit(1000000)).cast("double")
+                ).alias("centroid"),
+            )
+            if r == KMEANS_TRAIN_ROUNDS - 1:
+                return sums
+            cents = (
+                sums.groupBy("seed_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("dim", "centroid"))
+                        ),
+                        lambda s: s["centroid"],
+                    ).alias("cv")
+                )
+                .persist()
+            )
+            cents.count()  # force this round before the next one plans
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding table — the 4x
     storage/bandwidth compressor every vector-serving layer applies
@@ -609,6 +689,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
+    "kmeans_train": q_kmeans_train,
     "embedding_quantize": q_embedding_quantize,
     "embedding_stats": q_embedding_stats,
     "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -776,6 +857,52 @@ SELECT {cols} FROM (
 
 ORACLE["similarity_ivf"] = _ivf_oracle(1, with_rank=False)
 ORACLE["similarity_ivf_topk"] = _ivf_oracle(3, with_rank=True)
+
+
+def _kmeans_train_oracle(rounds: int) -> str:
+    """DuckDB twin of :func:`q_kmeans_train` — the N Lloyd rounds
+    unrolled as chained CTE stages (the label_propagation device).
+    Round r's centroids are the exact int64 sums divided once, so both
+    engines enter round r+1 with bit-identical doubles."""
+    stages = []
+    for r in range(1, rounds + 1):
+        prev = "c0" if r == 1 else f"c{r - 1}"
+        stages.append(f"""
+s{r} AS (
+  SELECT seed_id,
+         CAST(generate_subscripts(v, 1) AS INT) AS dim,
+         CAST(floor(unnest(v) * 1000000.0) AS BIGINT) AS x_e6
+  FROM (
+    SELECT seed_id, v FROM (
+      SELECT e.vec_id, c.seed_id, e.v,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.seed_id) AS rn
+      FROM e, {prev} c
+    ) WHERE rn = 1
+  )
+),
+g{r} AS (
+  SELECT seed_id, dim, count(*) AS n_members,
+         CAST(SUM(x_e6) AS BIGINT) AS sum_e6,
+         CAST(SUM(x_e6) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE)
+           AS centroid
+  FROM s{r} GROUP BY seed_id, dim
+),
+c{r} AS (
+  SELECT seed_id, list(centroid ORDER BY dim) AS cv FROM g{r}
+  GROUP BY seed_id
+)""")
+    body = ",".join(stages)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS seed_id, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
+{body}
+SELECT seed_id, dim, n_members, sum_e6, centroid FROM g{rounds}
+"""
+
+
+ORACLE["kmeans_train"] = _kmeans_train_oracle(KMEANS_TRAIN_ROUNDS)
 
 # The LSH twin re-derives the SAME buckets from the SAME literal plane
 # matrix (sliced to the data's dim), joins within (table, bucket), and

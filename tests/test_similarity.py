@@ -149,3 +149,60 @@ def test_kmeans_assign_invariants(spark, sf_dir):
         # The seed vector is its own nearest centroid at distance 0.
         assert r.min_dist2 == 0.0 and r.closest_vec_id == r.seed_id
         assert r.radius2 >= r.min_dist2
+
+
+def test_kmeans_train_monotone_objective(spark, sf_dir):
+    """Lloyd's guarantee: the within-cluster sum of squares is
+    non-increasing round over round.  We recover each round's objective
+    by re-running the train loop truncated to r rounds and scoring the
+    assignment against that round's centroids (numpy, exact enough for
+    a monotonicity assertion with real-valued data)."""
+    import numpy as np
+
+    import mapreduce_sssp_spark.operators.similarity as S
+
+    vecs = {
+        r.vec_id: np.asarray(r.v, dtype=np.float64)
+        for r in S._vectors(spark, sf_dir).collect()
+    }
+
+    def sse(cent_rows):
+        cents = {}
+        for r in cent_rows:
+            cents.setdefault(r.seed_id, {})[r.dim] = r.centroid
+        cmat = {
+            sid: np.array([d[k] for k in sorted(d)]) for sid, d in cents.items()
+        }
+        return sum(
+            min(float(((v - c) ** 2).sum()) for c in cmat.values())
+            for v in vecs.values()
+        )
+
+    orig = S.KMEANS_TRAIN_ROUNDS
+    objs = []
+    try:
+        for rounds in (1, 2, 3):
+            S.KMEANS_TRAIN_ROUNDS = rounds
+            objs.append(sse(S.q_kmeans_train(spark, sf_dir).collect()))
+            spark.catalog.clearCache()
+    finally:
+        S.KMEANS_TRAIN_ROUNDS = orig
+    # Tiny slack for the e6 centroid quantization, which can nudge the
+    # objective by at most d * 1e-6-ish per vector.
+    assert objs[1] <= objs[0] * (1 + 1e-9) and objs[2] <= objs[1] * (1 + 1e-9), objs
+
+
+def test_kmeans_train_round3_differs_from_round1(spark, sf_dir):
+    """The loop genuinely iterates: round-3 centroids move away from the
+    single-round update (otherwise the fixpoint collapsed trivially)."""
+    import mapreduce_sssp_spark.operators.similarity as S
+
+    r3 = {
+        (r.seed_id, r.dim): r.centroid
+        for r in S.q_kmeans_train(spark, sf_dir).collect()
+    }
+    r1 = {
+        (r.seed_id, r.dim): r.centroid
+        for r in S.q_kmeans_update(spark, sf_dir).collect()
+    }
+    assert r3 != r1
