@@ -88,6 +88,48 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle JOIN — the companion to ``skew_salted_agg`` for the
+    case the hot key sits on a JOIN, not a GROUP BY, and the dim side is
+    too large to broadcast: the fact side gets a content-derived salt in
+    [0, N), the dim side is replicated N ways (an exact N-row multiply of
+    the SMALL side only), and the equi-join runs on (key, salt) — so a
+    key that would funnel one reducer now spreads over N. The join is
+    forced to a shuffle hash join (``hint("shuffle_hash")``) precisely
+    because a broadcast would make the demonstration vacuous.
+
+    The salt is xxhash64 of the fact row's identity columns — any
+    deterministic bucket works because the salt NEVER reaches the
+    output: after the join the per-supplier rollup merges the N
+    sub-streams, and the result is bit-identical to the plain join
+    (the oracle), counts and int64 cents being associative. That
+    bit-equality is the safety proof that makes the technique
+    deployable; AQE's skew-join split does this adaptively, the static
+    salt is the insurance for the pathological key you already know.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    fact = li.select(
+        "l_suppkey",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("cents"),
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"), F.lit(N_SALT)
+        ).alias("_salt"),
+    )
+    dim = sup.select("s_suppkey", "s_name").crossJoin(
+        spark.range(N_SALT).select(F.col("id").alias("_salt"))
+    )
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (fact.l_suppkey == dim.s_suppkey) & (fact._salt == dim._salt),
+    )
+    return joined.groupBy("s_suppkey", "s_name").agg(
+        F.count("*").alias("n_items"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct counts — the IRREDUCIBLE rows-only
     residue of the approx-distinct pair: the estimate is a function of
@@ -467,6 +509,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
+    "join_skew_salted": q_join_skew_salted,
     "heavy_hitters": q_heavy_hitters,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "range_join_bands": q_range_join_bands,
@@ -508,6 +551,13 @@ FROM top CROSS JOIN tot
 SELECT event_type, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
+""",
+    "join_skew_salted": """
+SELECT s_suppkey, s_name, count(*) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
 """,
     "range_join_bands": f"""
 WITH bands AS ({_BANDS_SQL})

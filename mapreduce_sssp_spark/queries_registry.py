@@ -8,6 +8,7 @@ from __future__ import annotations
 from .io import python_datasource, sinks
 from .operators import (
     asof,
+    cdc,
     dedup,
     event_windows,
     graph_queries,
@@ -26,6 +27,7 @@ from .streaming import foreach_sink, joins, stateful
 _MODULES = [
     graph_queries,
     relational,
+    cdc,
     dedup,
     similarity,
     text_analysis,

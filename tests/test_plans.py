@@ -596,3 +596,17 @@ def test_rfm_no_global_sort_broadcast_thresholds(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "rangepartitioning" not in plan.lower()
     assert "Window" not in plan
+
+
+def test_join_skew_salted_is_a_shuffle_join_with_partial_agg(spark):
+    """The salted join must NOT broadcast (a broadcast would make the
+    demonstration vacuous) and the rollup must partial-aggregate."""
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        q_join_skew_salted,
+    )
+
+    plan = plan_of(q_join_skew_salted(spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
