@@ -516,6 +516,122 @@ def q_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics — the one streaming behavior
+    the other queries can't show (complete mode never drops state or
+    rows): the events table is split by ``event_id % 3`` into three
+    single-file micro-batches (file order pinned by name AND fixed
+    mtimes), streamed in APPEND mode with a 1-hour watermark.
+
+    The drop/emission rules were decoded EMPIRICALLY on this Spark
+    (4.1.x file source + availableNow + append aggregation) with
+    boundary probes, because the global watermark lags one batch behind
+    the docs' naive reading:
+
+    * the late filter for micro-batch k uses the watermark computed
+      from data through batch k-2 (epoch for k < 2) — so batch 1's
+      rows always merge, and batch 2's rows drop iff their window END
+      <= max(ts | batch 0) - 1h (boundary verified: <=, drop at
+      equality);
+    * the final no-data batch emits exactly the windows whose END <=
+      max(ts | ALL rows) - 1h (availableNow does run that finalization
+      batch, and a late row's timestamp does advance the final
+      watermark — the event-time stats sit above the drop).
+
+    Both rules are deterministic functions of the %3 split, so the
+    DuckDB oracle replays them exactly and the query hash-checks:
+    late-data handling verified end-to-end, not just asserted.
+    In-query asserts additionally pin that >= 3 micro-batches ran and
+    that rows really dropped (a silently-vacuous watermark would fail
+    them).
+
+    At 100 TB the same plan is the production ingest: the watermark
+    bounds state size (without it, a month of windows stays resident),
+    and append mode is what lets the sink receive each window exactly
+    once.
+    """
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-stream-late3-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    marker = os.path.join(src, "_BUILT")
+    source_file = f"{sf_dir}/events.parquet"
+    if not os.path.exists(marker) or os.path.getmtime(
+        marker
+    ) < os.path.getmtime(source_file):
+        import glob
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        ev = spark.read.parquet(source_file)
+        for i in range(3):
+            tmp = os.path.join(src, "_tmp_part")
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            assert len(part) == 1, part
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(part[0], dst)
+            shutil.rmtree(tmp)
+            # Fixed epoch mtimes: file ORDER is the whole experiment,
+            # so both orderings the file source may use — name and
+            # modification time — agree.
+            mtime = 1_000_000_000 + 60 * i
+            os.utime(dst, (mtime, mtime))
+        with open(marker, "w") as f:
+            f.write("ok")
+    batch_schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .format("parquet")
+        .load(src)
+    )
+    ev = normalize_event_ts(raw, as_ntz=False)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    with _stream_seq:
+        _stream_n[0] += 1
+        sink = f"streaming_late_sink_{_stream_n[0]}"
+    with bounded_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 3, (
+        f"expected a 3+-batch run, got {n_batches} micro-batch(es)"
+    )
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p["stateOperators"]
+    )
+    assert dropped > 0, (
+        "no late rows were dropped — the watermark demonstration is vacuous"
+    )
+    return spark.table(sink)
+
+
 _TUMBLING_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type, count(*) AS n,
@@ -1045,6 +1161,7 @@ QUERIES = {
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
     "streaming_incremental": q_streaming_incremental,
+    "streaming_late_data": q_streaming_late_data,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
@@ -1196,6 +1313,35 @@ HAVING SUM(dt_us) > 0
     "window_tumbling": _TUMBLING_SQL,
     "streaming_tumbling": _TUMBLING_SQL,
     "streaming_incremental": _TUMBLING_SQL,
+    # Replays the empirically-decoded micro-batch watermark rules (see
+    # q_streaming_late_data): batch 2's rows drop when their window end
+    # <= max(batch-0 ts) - 1h; the final batch emits windows with end
+    # <= max(all ts) - 1h.
+    "streaming_late_data": """
+WITH wm2 AS (
+  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS wm
+  FROM events WHERE event_id % 3 = 0
+),
+wmf AS (
+  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS wm FROM events
+),
+kept AS (
+  SELECT * FROM events WHERE event_id % 3 IN (0, 1)
+  UNION ALL
+  SELECT e.* FROM events e, wm2
+  WHERE e.event_id % 3 = 2
+    AND time_bucket(INTERVAL '1 hour', CAST(e.ts AS TIMESTAMP))
+          + INTERVAL 1 HOUR > wm2.wm
+)
+SELECT window_start, event_type, n, sum_value FROM (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+           AS window_start,
+         event_type, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM kept GROUP BY 1, 2
+) g, wmf
+WHERE g.window_start + INTERVAL 1 HOUR <= wmf.wm
+""",
     "window_sliding": _SLIDING_SQL,
     "streaming_sliding": _SLIDING_SQL,
     "window_session": _SESSION_SQL,

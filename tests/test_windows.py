@@ -80,3 +80,22 @@ def test_twap_bounded_by_value_range(spark, sf_dir):
         assert r.n_segments == n - 1
         # cents quantization can nudge the average by at most half a cent
         assert lo - 0.005 <= r.twap <= hi + 0.005, (r.user_id, r.twap, lo, hi)
+
+
+def test_streaming_late_data_drops_and_is_deterministic(spark, sf_dir):
+    """Late rows must actually be dropped (emitted total < input total)
+    and the whole micro-batch replay must be deterministic (two runs,
+    identical results) — the property the hash oracle stands on."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_streaming_late_data,
+    )
+
+    out1 = q_streaming_late_data(spark, sf_dir)
+    rows1 = {tuple(r) for r in out1.collect()}
+    emitted = out1.agg(F.sum("n")).collect()[0][0]
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert emitted < total  # drops + unfinalized tail windows
+    out2 = q_streaming_late_data(spark, sf_dir)
+    assert {tuple(r) for r in out2.collect()} == rows1
