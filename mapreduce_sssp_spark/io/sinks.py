@@ -262,8 +262,56 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance job every
+    streaming/CDC ingest eventually needs (a 100 TB table fed by
+    per-trigger appends accumulates millions of KB-sized files whose
+    open/footer cost dominates scans): deliberately fragment lineitem
+    into 64 shards, compact with ``coalesce`` to a byte-targeted file
+    count, and verify the rewrite byte-losslessly via the aggregate
+    hash against the SOURCE table.
+
+    ``coalesce`` (merge partitions in place), NOT ``repartition``:
+    compaction is an IO rewrite and must not pay a shuffle — the plan
+    has no Exchange. The target count is ceil(input_bytes / 32 MiB)
+    clamped to >= 1, the same arithmetic a table service (OPTIMIZE /
+    rewrite_data_files) applies. In-query asserts pin that the file
+    count really shrank.
+    """
+    frag = _scratch(sf_dir, "lineitem_fragmented")
+    compact = _scratch(sf_dir, "lineitem_compacted")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+
+    def parquet_files(path):
+        return [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+
+    before = parquet_files(frag)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    target = max(1, -(-total_bytes // (32 * 1024 * 1024)))  # ceil div
+    spark.read.parquet(frag).coalesce(int(target)).write.mode(
+        "overwrite"
+    ).parquet(compact)
+    after = parquet_files(compact)
+    assert len(before) > len(after), (len(before), len(after))
+    back = spark.read.parquet(compact)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias(
+            "total_price"
+        ),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
 QUERIES = {
     "csv_malformed_handling": q_csv_malformed_handling,
+    "sink_compaction_roundtrip": q_sink_compaction_roundtrip,
     "schema_evolution_merge": q_schema_evolution_merge,
     "sink_partitioned_roundtrip": q_sink_roundtrip,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
@@ -296,6 +344,16 @@ SELECT o_orderstatus,
        max(o_orderkey) AS max_key
 FROM orders
 GROUP BY o_orderstatus
+""",
+    "sink_compaction_roundtrip": """
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       min(l_orderkey) AS min_key,
+       max(l_orderkey) AS max_key
+FROM lineitem
+GROUP BY l_returnflag
 """,
     "sink_csv_roundtrip": """
 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer

@@ -174,6 +174,51 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage by the corpus top-100 vocabulary: the
+    quality screen that flags OOV-heavy documents (boilerplate, wrong
+    language, binary spill) before they reach tokenizer training — the
+    share of a doc's tokens that are vocabulary hits.
+
+    Plan: ONE corpus tokenize/explode feeds both sides — the top-100
+    election (partial-agg + TakeOrdered on the (freq desc, token) total
+    order, never a global sort) and the per-doc rollup; the 100-row
+    vocab comes back as a BROADCAST left join, so the corpus shuffles
+    once (the doc_id aggregate). n_in_vocab is count(marker), not
+    SUM(CASE) — DuckDB widens SUM(int) to HUGEINT, the r4 drift class.
+    Coverage is one int/int double division; zero-token docs drop on
+    both engines (no exploded rows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _with_tokens(docs).select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(100)
+        .select("token", F.lit(1).alias("hit"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count("hit").alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            (
+                F.col("n_in_vocab").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
 def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: the 200 most frequent adjacent token pairs
     with their association *lift* — n(a,b)·N / (n(a)·n(b)), the
@@ -777,6 +822,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_freq_top100": q_token_freq,
+    "vocab_coverage": q_vocab_coverage,
     "bigram_lift": q_bigram_lift,
     "trigram_lm": q_trigram_lm,
     "feature_hash": q_feature_hash,
@@ -937,6 +983,21 @@ FROM (SELECT unnest(toks) AS token FROM t)
 GROUP BY token
 ORDER BY freq DESC, token
 LIMIT 100
+""",
+    "vocab_coverage": f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+vocab AS (
+  SELECT token, 1 AS hit FROM (
+    SELECT token, count(*) AS freq FROM tok GROUP BY token
+    ORDER BY freq DESC, token LIMIT 100
+  )
+)
+SELECT doc_id, count(*) AS n_tokens,
+       count(v.hit) AS n_in_vocab,
+       CAST(count(v.hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+FROM tok LEFT JOIN vocab v USING (token)
+GROUP BY doc_id
 """,
     "rolling_fingerprint": f"""
 SELECT doc_id,

@@ -123,3 +123,23 @@ def test_foreach_upsert_matches_batch_groupby(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_sink_compaction_preserves_rows_and_shrinks_files(spark, sf_dir):
+    """Compaction must be byte-lossless (row count identical) and the
+    in-query assert already pins that files shrank; here we also check
+    the compacted copy's file count hit the byte-derived target."""
+    import os
+
+    from mapreduce_sssp_spark.io.sinks import (
+        _scratch,
+        q_sink_compaction_roundtrip,
+    )
+
+    out = q_sink_compaction_roundtrip(spark, sf_dir)
+    n_out = sum(r.n for r in out.collect())
+    n_src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert n_out == n_src
+    compact = _scratch(sf_dir, "lineitem_compacted")
+    files = [f for f in os.listdir(compact) if f.endswith(".parquet")]
+    assert 1 <= len(files) < 64
