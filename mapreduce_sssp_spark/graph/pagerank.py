@@ -40,12 +40,20 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_every: int = 5,
+    source: int | None = None,
 ) -> DataFrame:
     """Ranks after ``iterations`` synchronous power-iteration rounds.
 
     edges: DataFrame with (src, dst) columns; parallel edges collapse to
     one link (standard PageRank on the simple digraph).
     Returns (node BIGINT, rank DOUBLE); ranks sum to 1 up to float error.
+
+    ``source`` switches to PERSONALIZED PageRank: the teleport vector is
+    the indicator of that node instead of uniform — initial rank 1 at
+    the source, the (1-d) restart and the dangling mass both land
+    entirely on the source. Same loop, same per-round physics; only the
+    three occurrences of the teleport distribution change, which is the
+    whole definition of PPR.
     """
     spark = edges.sparkSession
     _ensure_checkpoint_dir(spark)
@@ -80,11 +88,21 @@ def pagerank(
         )
         e.unpersist()
 
-        ranks = nodes.select(
-            "node", F.lit(1.0 / n_nodes).alias("rank")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if source is None:
+            init_rank = F.lit(1.0 / n_nodes)
+            base_col = F.lit((1.0 - damping) / n_nodes)
+            dangling_share = F.col("dangling") / F.lit(float(n_nodes))
+        else:
+            ind = F.when(F.col("node") == source, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+            init_rank = ind
+            base_col = F.lit(1.0 - damping) * ind
+            dangling_share = F.col("dangling") * ind
+        ranks = nodes.select("node", init_rank.alias("rank")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
-        base = (1.0 - damping) / n_nodes
         has_out = deg.select(F.col("src").alias("node")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -114,12 +132,9 @@ def pagerank(
                 .select(
                     "node",
                     (
-                        F.lit(base)
+                        base_col
                         + F.lit(damping)
-                        * (
-                            F.coalesce("contrib", F.lit(0.0))
-                            + F.col("dangling") / F.lit(float(n_nodes))
-                        )
+                        * (F.coalesce("contrib", F.lit(0.0)) + dangling_share)
                     ).alias("rank"),
                 )
             )

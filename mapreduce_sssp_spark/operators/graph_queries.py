@@ -193,6 +193,29 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the min-src seed node — the
+    random-walk-with-restart relevance score behind related-item
+    recommendation and graph-based retrieval, and the 9th run of the
+    fixpoint engine: the SAME power-iteration loop as ``pagerank`` with
+    the teleport vector switched from uniform to the source indicator
+    (restart mass and dangling mass both land on the seed).
+
+    Hash-exactness: identical fixed-iteration recurrence both engines
+    (the pagerank device — ~1e-15 cross-engine divergence vs the 1e-9
+    rounding quantum of rank_e9); the indicator arithmetic multiplies
+    by exact 0.0/1.0, so personalization adds no new float surface.
+    """
+    from ..graph.pagerank import pagerank
+
+    edges = edges_from_lineitem(spark, sf_dir)
+    source = int(edges.agg(F.min("src")).collect()[0][0])
+    ranks = pagerank(edges.select("src", "dst"), iterations=6, source=source)
+    return ranks.select(
+        "node", F.round(F.col("rank") * 1e9, 0).cast("long").alias("rank_e9")
+    )
+
+
 def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components over per-order lineitem chains.
 
@@ -465,6 +488,7 @@ QUERIES = {
     "wcc": q_wcc,
     "wcc_cyclic": q_wcc_cyclic,
     "pagerank": q_pagerank,
+    "personalized_pagerank": q_personalized_pagerank,
     "compat_state_lines": q_compat_state_lines,
     "compat_final_lines": q_compat_final_lines,
     "compat_reverse_lines": q_compat_reverse_lines,
@@ -623,6 +647,47 @@ pr(it, node, rank) AS (
              sum(p.rank * l.w)
              + (SELECT coalesce(sum(rank), 0.0) FROM pr
                 WHERE node IN (SELECT node FROM dang)) / (SELECT n FROM nn)
+           )
+  FROM pr p JOIN links l ON l.src = p.node
+  WHERE p.it < 6
+  GROUP BY p.it + 1, l.dst
+)
+SELECT node, CAST(round(rank * 1e9) AS BIGINT) AS rank_e9
+FROM pr WHERE it = 6
+""",
+    # The pagerank twin with the teleport switched to the min-src
+    # indicator: restart and dangling mass land on the seed; the
+    # 0-weight self-link keeps every node in the recursion as before.
+    "personalized_pagerank": f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
+s0 AS (SELECT min(src) AS s FROM e),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+links AS (
+  SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.deg AS w
+  FROM e JOIN deg ON deg.src = e.src
+  UNION ALL
+  SELECT node, node, CAST(0.0 AS DOUBLE) FROM nodes
+),
+dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e)),
+pr(it, node, rank) AS (
+  SELECT 0, node,
+         CASE WHEN node = (SELECT s FROM s0)
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+  FROM nodes
+  UNION ALL
+  SELECT p.it + 1, l.dst,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           * (CASE WHEN l.dst = (SELECT s FROM s0)
+                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         + CAST(0.85 AS DOUBLE) * (
+             sum(p.rank * l.w)
+             + (SELECT coalesce(sum(rank), 0.0) FROM pr
+                WHERE node IN (SELECT node FROM dang))
+               * (CASE WHEN l.dst = (SELECT s FROM s0)
+                       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
            )
   FROM pr p JOIN links l ON l.src = p.node
   WHERE p.it < 6

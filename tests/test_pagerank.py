@@ -48,3 +48,47 @@ def test_pagerank_matches_numpy(spark, name):
     for node in want:
         assert got[node] == pytest.approx(want[node], rel=1e-9), node
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def _numpy_ppr(edges, source, *, damping=0.85, iterations=10):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    r = np.zeros(n)
+    r[idx[source]] = 1.0
+    for _ in range(iterations):
+        dangling = sum(r[idx[u]] for u in nodes if u not in out)
+        nxt = np.zeros(n)
+        nxt[idx[source]] = (1.0 - damping) + damping * dangling
+        for s, ds in out.items():
+            share = r[idx[s]] / len(ds)
+            for d in ds:
+                nxt[idx[d]] += damping * share
+        r = nxt
+    return {n_: r[idx[n_]] for n_ in nodes}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_personalized_pagerank_matches_numpy(spark, name):
+    from mapreduce_sssp_spark.graph.pagerank import pagerank
+
+    edges = GRAPHS[name]
+    source = min(s for s, _ in edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=10, source=source).collect()
+    }
+    want = _numpy_ppr(edges, source, iterations=10)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], rel=1e-9, abs=1e-12), node
+    # Mass conservation: restarts keep total mass at 1.
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # Personalization really biases towards the seed's neighborhood:
+    # the seed outranks its global-pagerank self.
+    uniform = _numpy_pagerank(edges, iterations=10)
+    assert want[source] >= uniform[source] - 1e-12
