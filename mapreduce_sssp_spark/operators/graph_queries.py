@@ -193,6 +193,46 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the B1 graph: the Pearson correlation of
+    (out-degree of src, in-degree of dst) over directed edges — THE
+    one-number summary of hub wiring (negative = hubs feed leaves,
+    the skew-planning signal for join salting and frontier batching).
+
+    Same exact-sufficient-statistics device as ``corr_measures``:
+    degrees are int64 counts, the five power sums accumulate exactly
+    (deg <= ~1e3 here; at web scale the sums move to DECIMAL(38,0)
+    with the same plan), and the closed-form correlation is one float
+    chain of exactly-rounded ops evaluated on identical operands in
+    both engines. Two degree aggregates + two joins back onto the edge
+    list — each join keyed on an endpoint, so the edge table shuffles
+    twice and nothing else moves.
+    """
+    e = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    outd = e.groupBy("src").agg(F.count("*").alias("x"))
+    ind = e.groupBy("dst").agg(F.count("*").alias("y"))
+    pairs = e.join(outd, "src").join(ind, "dst")
+    stats = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    corr = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return stats.select(
+        F.col("n").alias("n_edges"), F.expr(corr).alias("assortativity")
+    )
+
+
 def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank from the min-src seed node — the
     random-walk-with-restart relevance score behind related-item
@@ -489,6 +529,7 @@ QUERIES = {
     "wcc_cyclic": q_wcc_cyclic,
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
+    "degree_assortativity": q_degree_assortativity,
     "compat_state_lines": q_compat_state_lines,
     "compat_final_lines": q_compat_final_lines,
     "compat_reverse_lines": q_compat_reverse_lines,
@@ -654,6 +695,29 @@ pr(it, node, rank) AS (
 )
 SELECT node, CAST(round(rank * 1e9) AS BIGINT) AS rank_e9
 FROM pr WHERE it = 6
+""",
+    "degree_assortativity": f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY src),
+ind  AS (SELECT dst, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY dst),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM e JOIN outd USING (src) JOIN ind USING (dst)
+)
+SELECT n AS n_edges,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS assortativity
+FROM stats
 """,
     # The pagerank twin with the teleport switched to the min-src
     # indicator: restart and dangling mass land on the seed; the

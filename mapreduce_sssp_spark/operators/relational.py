@@ -641,6 +641,75 @@ def q_corr_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared float chain for q_moments_value and its oracle: ONE textual
+# expression evaluated by both engines on identical exact-int64 inputs.
+# Every op in it is IEEE exactly-rounded (+ - * / sqrt; pow/ln banned —
+# libm ulps differ between JVM and DuckDB), so the doubles match
+# bit-for-bit. m2 <= 0 (degenerate group) guards to NULL on both sides.
+_MOMENTS_EXPRS = {
+    "mean": "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)",
+    "m2": (
+        "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    ),
+}
+_MOMENTS_EXPRS["skewness"] = (
+    "CASE WHEN ({m2}) <= 0.0 THEN NULL ELSE"
+    " (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    "  - 3.0 * ({mean}) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    "  + 2.0 * ({mean}) * ({mean}) * ({mean}))"
+    " / (({m2}) * sqrt({m2})) END"
+).format(**_MOMENTS_EXPRS)
+_MOMENTS_EXPRS["kurtosis"] = (
+    "CASE WHEN ({m2}) <= 0.0 THEN NULL ELSE"
+    " (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    "  - 4.0 * ({mean}) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    "  + 6.0 * ({mean}) * ({mean}) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    "  - 3.0 * ({mean}) * ({mean}) * ({mean}) * ({mean}))"
+    " / (({m2}) * ({m2})) - 3.0 END"
+).format(**_MOMENTS_EXPRS)
+
+
+def q_moments_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed skewness and excess kurtosis per event type — the
+    distribution-shape profile (heavy tails, asymmetry) a feature-
+    quality monitor computes at ingest, via ONE pass of exact integer
+    power sums: values quantize to integer dollars (floor), s1..s4
+    accumulate as int64 (d <= ~561 here, so d^4 <= 1e11 and even
+    billion-row groups stay under int64; beyond that the same plan
+    swaps the accumulators to DECIMAL(38,0)), and the closed-form
+    float chain runs ONCE per group on identical operands in both
+    engines (exactly-rounded ops only — see _MOMENTS_EXPRS).
+
+    This is the moment-sketch pattern: power sums are associative and
+    mergeable, so partial aggregation collapses map-side and a rollup
+    of shards is a sum of tiny vectors — never a rescan. The exact
+    int64 sums ship alongside the derived moments as the hash anchor.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", F.expr("CAST(floor(value) AS BIGINT)").alias("d")
+    )
+    stats = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.expr("d * d")).alias("s2"),
+        F.sum(F.expr("d * d * d")).alias("s3"),
+        F.sum(F.expr("d * d * d * d")).alias("s4"),
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        F.expr(_MOMENTS_EXPRS["skewness"]).alias("skewness"),
+        F.expr(_MOMENTS_EXPRS["kurtosis"]).alias("kurtosis"),
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals: rollup(returnflag, linestatus)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1736,6 +1805,7 @@ QUERIES = {
     "outliers_mad": q_outliers_mad,
     "winsorize_values": q_winsorize_values,
     "corr_measures": q_corr_measures,
+    "moments_value": q_moments_value,
     "regression_trend": q_regression_trend,
     "price_histogram": q_price_histogram,
     "map_literal_decode": q_map_literal_decode,
@@ -1979,6 +2049,24 @@ SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.75) AS q3,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
+""",
+    "moments_value": f"""
+WITH d AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS d FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS s1,
+         CAST(SUM(d * d) AS BIGINT) AS s2,
+         CAST(SUM(d * d * d) AS BIGINT) AS s3,
+         CAST(SUM(d * d * d * d) AS BIGINT) AS s4
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n, s1, s2, s3, s4,
+       {_MOMENTS_EXPRS["skewness"]} AS skewness,
+       {_MOMENTS_EXPRS["kurtosis"]} AS kurtosis
+FROM stats
 """,
     "corr_measures": """
 WITH d AS (

@@ -335,6 +335,62 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_vectors(spark, sf_dir), 3)
 
 
+def q_pipeline_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN index build as ONE composed plan — the job a
+    vector-serving layer runs nightly: per-vector quantization scale
+    (the embedding_quantize device), IVF list assignment (broadcast
+    centroids, argmax-aggregate election), and the per-list index
+    MANIFEST (sizes, id ranges, exact scale sums) a serving node uses
+    to mmap its shard.
+
+    The centroid election is ``max(struct(c_cos, c_id))`` — the
+    latest_per_key argmax shape, chosen over ivf_topk's row_number
+    window because an index build touches EVERY vector: the aggregate
+    collapses the N x C candidate rows map-side (the broadcast join
+    emits them inside one task) where a window would shuffle and sort
+    all of them. Ties on cosine break to the LARGEST c_id, mirrored by
+    the oracle's ORDER BY c_cos DESC, c_id DESC. sum_scale_e9 is a sum
+    of exact int64s, so the whole manifest hash-checks.
+    """
+    vec = _vectors(spark, sf_dir)
+    comp = vec.select(
+        "vec_id",
+        "v",
+        F.sqrt(_dot("v", "v")).alias("nrm"),
+        F.expr(
+            "CAST(floor(array_max(transform(v, x -> abs(x))) * 1000000000.0)"
+            " AS BIGINT)"
+        ).alias("scale_e9"),
+    )
+    cents = comp.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    assigned = (
+        comp.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "scale_e9",
+            F.struct(
+                (_dot("v", "cv") / (F.col("nrm") * F.col("cn"))).alias(
+                    "c_cos"
+                ),
+                "c_id",
+            ).alias("cand"),
+        )
+        .groupBy("vec_id", "scale_e9")
+        .agg(F.max("cand").alias("a"))
+        .select("vec_id", "scale_e9", F.col("a.c_id").alias("bucket"))
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+        F.sum("scale_e9").alias("sum_scale_e9"),
+    )
+
+
 NEARDUP_THRESHOLD = 0.4
 NEARDUP_LABELS = 3  # restrict to labels < 3: the candidate "shard"
 NEARDUP_BLOCKS = 8  # B: block-pair decomposition fan-out
@@ -696,6 +752,7 @@ QUERIES = {
     "similarity_ivf": q_similarity_ivf,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
+    "pipeline_embedding_index": q_pipeline_embedding_index,
 }
 
 ORACLE = {
@@ -903,6 +960,31 @@ SELECT seed_id, dim, n_members, sum_e6, centroid FROM g{rounds}
 
 
 ORACLE["kmeans_train"] = _kmeans_train_oracle(KMEANS_TRAIN_ROUNDS)
+
+ORACLE["pipeline_embedding_index"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         CAST(floor(list_max(list_transform(v, x -> abs(x)))
+                    * 1000000000.0) AS BIGINT) AS scale_e9
+  FROM e
+),
+cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM comp
+          WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+assigned AS (
+  SELECT vec_id, scale_e9, c_id AS bucket FROM (
+    SELECT comp.vec_id, comp.scale_e9, c.c_id,
+           row_number() OVER (PARTITION BY comp.vec_id ORDER BY
+             list_dot_product(comp.v, c.cv) / (comp.nrm * c.cn) DESC,
+             c.c_id DESC) AS rn
+    FROM comp, cents c
+  ) WHERE rn = 1
+)
+SELECT bucket, count(*) AS n_vectors,
+       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
+       CAST(SUM(scale_e9) AS BIGINT) AS sum_scale_e9
+FROM assigned GROUP BY bucket
+"""
 
 # The LSH twin re-derives the SAME buckets from the SAME literal plane
 # matrix (sliced to the data's dim), joins within (table, bucket), and

@@ -174,6 +174,42 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct word
+    trigrams that appear NOWHERE else in the corpus (document
+    frequency 1) — the memorization/boilerplate screen dual to
+    ``shingle_containment``: low novelty means the doc is assembled
+    from corpus-common phrasing (template spam, duplicated boilerplate)
+    and is a dedup/downsample candidate before training.
+
+    Same inverted shingle index as the dedup family: one explode, one
+    df aggregate keyed by shingle, one join back (both shuffles keyed
+    by the shingle — never all-pairs), then a per-doc rollup.
+    n_unique is count(CASE), not SUM — the HUGEINT drift guard — and
+    novelty is one int/int double division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    post = shingle_postings(docs)
+    dfreq = post.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        post.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("df") == 1, F.lit(1))).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            (
+                F.col("n_unique").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document coverage by the corpus top-100 vocabulary: the
     quality screen that flags OOV-heavy documents (boilerplate, wrong
@@ -823,6 +859,7 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_freq_top100": q_token_freq,
     "vocab_coverage": q_vocab_coverage,
+    "trigram_novelty": q_trigram_novelty,
     "bigram_lift": q_bigram_lift,
     "trigram_lm": q_trigram_lm,
     "feature_hash": q_feature_hash,
@@ -983,6 +1020,17 @@ FROM (SELECT unnest(toks) AS token FROM t)
 GROUP BY token
 ORDER BY freq DESC, token
 LIMIT 100
+""",
+    "trigram_novelty": f"""
+WITH sh AS ({DUCK_SHINGLES_REL}),
+dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       count(CASE WHEN df = 1 THEN 1 END) AS n_unique,
+       CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+FROM sh JOIN dfreq USING (s)
+GROUP BY doc_id
 """,
     "vocab_coverage": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),

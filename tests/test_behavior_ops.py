@@ -636,3 +636,29 @@ def test_landmark_distances_match_per_source_sssp(spark):
         (2, 2): 0.0,
         (2, 3): 2.0,
     }
+
+
+def test_moments_value_matches_numpy(spark, sf_dir):
+    """The closed-form power-sum moments must equal numpy's definition
+    of skewness / excess kurtosis on the dollar-quantized values."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from mapreduce_sssp_spark.operators.relational import q_moments_value
+
+    got = {r.event_type: r for r in q_moments_value(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_type = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(math.floor(e.value))
+    for t, vals in by_type.items():
+        a = np.asarray(vals, dtype=np.float64)
+        m2 = a.var()  # population
+        skew = ((a - a.mean()) ** 3).mean() / m2**1.5
+        kurt = ((a - a.mean()) ** 4).mean() / m2**2 - 3.0
+        r = got[t]
+        assert r.n == len(vals) and r.s1 == sum(vals)
+        assert r.skewness == pytest.approx(skew, rel=1e-9)
+        assert r.kurtosis == pytest.approx(kurt, rel=1e-9)

@@ -206,3 +206,17 @@ def test_kmeans_train_round3_differs_from_round1(spark, sf_dir):
         for r in S.q_kmeans_update(spark, sf_dir).collect()
     }
     assert r3 != r1
+
+
+def test_pipeline_embedding_index_manifest_covers_all_vectors(spark, sf_dir):
+    """Every vector lands in exactly one list; list sizes sum to N and
+    id ranges bound their members."""
+    import mapreduce_sssp_spark.operators.similarity as S
+
+    rows = S.q_pipeline_embedding_index(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_vectors for r in rows) == n
+    for r in rows:
+        assert r.min_vec_id <= r.max_vec_id
+        assert r.bucket % S.IVF_CENTROID_MOD == 0
+        assert r.sum_scale_e9 > 0
