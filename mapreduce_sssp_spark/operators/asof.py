@@ -187,7 +187,101 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"asof_join": q_asof_join, "asof_join_forward": q_asof_join_forward}
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of: each 'error' matched to the same user's
+    CLOSEST 'click' in either direction (ties to the preceding one) —
+    the sensor-alignment/entity-timeline variant the backward/forward
+    pair can't express alone.
+
+    ONE union + ONE exchange + ONE sort: both carries ride the same
+    sorted pass (backward = last non-null over the preceding frame,
+    forward = first non-null over the following frame — same partition
+    and order, different frames, so Spark plans one Sort under two
+    Window operators and never re-shuffles). Equal-timestamp clicks
+    sort before the error row, so they surface as gap-0 backward
+    matches; tie clicks at one timestamp resolve by id (max backward,
+    min forward), mirrored exactly in the oracle's two LATERAL probes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("_r_id"),
+        F.col("ts").alias("_r_ts"),
+    )
+    lu = errors.select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast("long").alias("_r_id"),
+        F.lit(None).cast(clicks.schema["_r_ts"].dataType).alias("_r_ts"),
+        "event_id",
+        "ts",
+    )
+    ru = clicks.select(
+        "user_id",
+        F.col("_r_ts").alias("_t"),
+        F.lit(0).alias("_is_left"),
+        "_r_id",
+        "_r_ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast(errors.schema["ts"].dataType).alias("ts"),
+    )
+    u = lu.unionByName(ru)
+    order = [
+        F.col("_t"),
+        F.col("_is_left"),  # rights (0) before lefts (1) at tie ts
+        F.col("_r_id").asc_nulls_first(),
+    ]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "*",
+        F.last("_r_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.last("_r_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.first("_r_id", ignorenulls=True).over(wf).alias("f_id"),
+        F.first("_r_ts", ignorenulls=True).over(wf).alias("f_ts"),
+    ).filter(F.col("_is_left") == 1)
+    gap_b = F.expr("timestampdiff(MICROSECOND, b_ts, ts)")
+    gap_f = F.expr("timestampdiff(MICROSECOND, ts, f_ts)")
+    pick_b = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (gap_b <= gap_f)
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "click_id"
+        ),
+        F.when(pick_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+            "click_ts"
+        ),
+        F.when(pick_b, gap_b).otherwise(gap_f).alias("gap_us"),
+        F.when(
+            F.col("b_ts").isNull() & F.col("f_ts").isNull(), F.lit(None)
+        )
+        .when(pick_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
+QUERIES = {
+    "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
+    "asof_join_nearest": q_asof_join_nearest,
+}
 
 ORACLE = {
     "asof_join": """
@@ -203,6 +297,46 @@ SELECT e.event_id, e.user_id, e.ts, c.click_id, c.click_ts,
        date_diff('microsecond', c.click_ts, e.ts) AS gap_us
 FROM errors e ASOF LEFT JOIN clicks c
   ON e.user_id = c.user_id AND e.ts >= c.click_ts
+""",
+    "asof_join_nearest": """
+WITH errors AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+both_sides AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         b.click_id AS b_id, b.click_ts AS b_ts,
+         f.click_id AS f_id, f.click_ts AS f_ts
+  FROM errors e
+  LEFT JOIN LATERAL (
+    SELECT click_id, click_ts FROM clicks c
+    WHERE c.user_id = e.user_id AND c.click_ts <= e.ts
+    ORDER BY c.click_ts DESC, c.click_id DESC LIMIT 1
+  ) b ON true
+  LEFT JOIN LATERAL (
+    SELECT click_id, click_ts FROM clicks c
+    WHERE c.user_id = e.user_id AND c.click_ts > e.ts
+    ORDER BY c.click_ts, c.click_id LIMIT 1
+  ) f ON true
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN pick_b THEN b_id ELSE f_id END AS click_id,
+       CASE WHEN pick_b THEN b_ts ELSE f_ts END AS click_ts,
+       CASE WHEN pick_b THEN date_diff('microsecond', b_ts, ts)
+            ELSE date_diff('microsecond', ts, f_ts) END AS gap_us,
+       CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+            WHEN pick_b THEN 'backward' ELSE 'forward' END AS direction
+FROM (
+  SELECT *,
+         (f_ts IS NULL OR (b_ts IS NOT NULL
+          AND date_diff('microsecond', b_ts, ts)
+              <= date_diff('microsecond', ts, f_ts))) AS pick_b
+  FROM both_sides
+)
 """,
     "asof_join_forward": """
 WITH errors AS (

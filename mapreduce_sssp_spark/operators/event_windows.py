@@ -632,6 +632,86 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def q_streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RESTART recovery — the exactly-once property the
+    single-run streaming queries never prove: a stateful aggregation
+    runs over two source files to completion, the query STOPS, a third
+    file lands, and a NEW query object restarts from the same
+    checkpoint. The restored run must (a) process ONLY the new file
+    (offset log replay — asserted against the file's row count) and
+    (b) produce the aggregate of ALL THREE files (state store recovery
+    — the hash oracle is the batch aggregate over the full table).
+    Either a lost offset (reprocessing = double counting) or a lost
+    state store (undercounting) fails the hash.
+
+    Complete-mode memory sink: the restored state re-emits in full, so
+    the result is checkable without a durable sink. Checkpoint and
+    source dirs are rebuilt per call — the restart being verified is
+    the in-run one, not one across driver processes (that is what the
+    durable checkpoint of ``streaming_parquet_sink`` covers).
+    """
+    import shutil
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-stream-restart-" + sf_dir.strip("/").replace("/", "_"),
+    )
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def write_split(i: int) -> int:
+        import glob
+
+        tmp = os.path.join(base, "_tmp_split")
+        part = ev.filter(F.col("event_id") % 3 == i)
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        files = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        assert len(files) == 1, files
+        shutil.move(files[0], os.path.join(src, f"batch{i}.parquet"))
+        shutil.rmtree(tmp)
+        return part.count()
+
+    write_split(0)
+    write_split(1)
+    schema = ev.schema
+    agg_of = lambda raw: (  # noqa: E731 - tiny local plan builder
+        raw.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+    def run(sink: str) -> object:
+        raw = spark.readStream.schema(schema).format("parquet").load(src)
+        q = (
+            agg_of(raw)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+    with _stream_seq:
+        _stream_n[0] += 1
+        s1 = f"streaming_restart_run1_{_stream_n[0]}"
+        s2 = f"streaming_restart_run2_{_stream_n[0]}"
+    with bounded_state_partitions(spark):
+        run(s1)
+        n_new = write_split(2)  # lands AFTER run 1 committed
+        q2 = run(s2)
+    processed = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert processed == n_new, (
+        f"restart replayed {processed} rows, expected only the new file's "
+        f"{n_new} — offset recovery failed (or double-processed)"
+    )
+    return spark.table(s2)
+
+
 _TUMBLING_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type, count(*) AS n,
@@ -1162,6 +1242,7 @@ QUERIES = {
     "streaming_sliding": q_streaming_sliding,
     "streaming_incremental": q_streaming_incremental,
     "streaming_late_data": q_streaming_late_data,
+    "streaming_restart_recovery": q_streaming_restart_recovery,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
@@ -1313,6 +1394,13 @@ HAVING SUM(dt_us) > 0
     "window_tumbling": _TUMBLING_SQL,
     "streaming_tumbling": _TUMBLING_SQL,
     "streaming_incremental": _TUMBLING_SQL,
+    # Restart recovery: the restored complete-mode state over all three
+    # file splits IS the plain batch aggregate of the full table.
+    "streaming_restart_recovery": """
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
     # Replays the empirically-decoded micro-batch watermark rules (see
     # q_streaming_late_data): batch 2's rows drop when their window end
     # <= max(batch-0 ts) - 1h; the final batch emits windows with end
