@@ -309,9 +309,51 @@ def q_sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered (range-partitioned + sorted) table write — the layout
+    maintenance that makes parquet min/max statistics actually PRUNE:
+    ``repartitionByRange`` on the cluster key gives each output file a
+    disjoint key range, ``sortWithinPartitions`` orders rows inside, so
+    a date-predicate scan skips every file whose range misses (zone-map
+    / Z-order-lite, the single biggest scan saver on time-filtered
+    100 TB facts).
+
+    The clustering property is ASSERTED in-query: per-file [min, max]
+    date ranges, read back via input_file_name(), must be pairwise
+    non-overlapping (range-partitioner sampling may place boundaries
+    differently run to run — the disjointness contract holds
+    regardless, and content is what the hash verifies against the
+    source table).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "orders_clustered")
+    (
+        orders.repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    ranges = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )  # bounded: one row per output file (4 here)
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, (
+            f"file ranges overlap ({hi_prev} > {lo_next}) — clustering lost"
+        )
+    return back.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+
+
 QUERIES = {
     "csv_malformed_handling": q_csv_malformed_handling,
     "sink_compaction_roundtrip": q_sink_compaction_roundtrip,
+    "sink_clustered_write": q_sink_clustered_write,
     "schema_evolution_merge": q_schema_evolution_merge,
     "sink_partitioned_roundtrip": q_sink_roundtrip,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
@@ -344,6 +386,10 @@ SELECT o_orderstatus,
        max(o_orderkey) AS max_key
 FROM orders
 GROUP BY o_orderstatus
+""",
+    "sink_clustered_write": """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
 """,
     "sink_compaction_roundtrip": """
 SELECT l_returnflag,

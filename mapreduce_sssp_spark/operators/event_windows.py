@@ -632,6 +632,87 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — THE feature-store correctness
+    primitive: each 'purchase' probe gets the user's SCD2 state as it
+    was STRICTLY BEFORE the probe timestamp. Strict is the whole point:
+    an inclusive match would leak the probe's own state transition into
+    its features (training-serving skew / label leakage).
+
+    Scale shape: because SCD2 intervals partition time per key, the
+    interval containing t is simply the latest valid_from < t — so the
+    range predicate collapses to a backward as-of carry: ONE union of
+    probes and interval starts, ONE user-keyed exchange, ONE sort. No
+    interval range join, no per-probe probing. Strictness falls out of
+    the tie order (probes sort BEFORE interval starts at equal ts, so a
+    same-instant transition is invisible to the probe); ties among runs
+    starting at one instant resolve to the highest run_id, mirrored by
+    the oracle's LATERAL ORDER BY.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    intervals = runs.groupBy("user_id", "run_id").agg(
+        F.any_value("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    lu = probes.select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast("string").alias("_state"),
+        F.lit(None).cast("long").alias("_run"),
+        F.lit(None).cast(intervals.schema["valid_from"].dataType).alias("_vf"),
+        "event_id",
+        "ts",
+    )
+    ru = intervals.select(
+        "user_id",
+        F.col("valid_from").alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.col("state").alias("_state"),
+        F.col("run_id").alias("_run"),
+        F.col("valid_from").alias("_vf"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast(probes.schema["ts"].dataType).alias("ts"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("_t"),
+            F.col("_is_left").desc(),  # probes BEFORE tie interval starts
+            F.col("_run").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lu.unionByName(ru).select(
+        "*",
+        F.last("_state", ignorenulls=True).over(wc).alias("state_asof"),
+        F.last("_vf", ignorenulls=True).over(wc).alias("state_since"),
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        "event_id", "user_id", "ts", "state_asof", "state_since"
+    )
+
+
 def q_streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint RESTART recovery — the exactly-once property the
     single-run streaming queries never prove: a stateful aggregation
@@ -1243,6 +1324,7 @@ QUERIES = {
     "streaming_incremental": q_streaming_incremental,
     "streaming_late_data": q_streaming_late_data,
     "streaming_restart_recovery": q_streaming_restart_recovery,
+    "point_in_time_join": q_point_in_time_join,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
@@ -1394,6 +1476,38 @@ HAVING SUM(dt_us) > 0
     "window_tumbling": _TUMBLING_SQL,
     "streaming_tumbling": _TUMBLING_SQL,
     "streaming_incremental": _TUMBLING_SQL,
+    "point_in_time_join": """
+WITH ordered AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM ordered
+),
+intervals AS (
+  SELECT user_id, run_id, any_value(event_type) AS state,
+         min(ts) AS valid_from
+  FROM runs GROUP BY user_id, run_id
+),
+probes AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       s.state AS state_asof, s.valid_from AS state_since
+FROM probes p LEFT JOIN LATERAL (
+  SELECT state, valid_from FROM intervals r
+  WHERE r.user_id = p.user_id AND r.valid_from < p.ts
+  ORDER BY r.valid_from DESC, r.run_id DESC LIMIT 1
+) s ON true
+""",
     # Restart recovery: the restored complete-mode state over all three
     # file splits IS the plain batch aggregate of the full table.
     "streaming_restart_recovery": """
