@@ -50,6 +50,8 @@ HEADLINE = [
     "label_propagation",
     "longest_path_dag",
     "landmark_distances",
+    "personalized_pagerank",
+    "degree_assortativity",
     "reverse_graph",
     "triangle_counts",
     "edge_jaccard",
@@ -91,7 +93,13 @@ HEADLINE = [
     "ewma_value",
     "scd2_intervals",
     "attribution_last_touch",
+    "merge_cdc",
+    "latest_per_key",
+    "point_in_time_join",
+    "moments_value",
     "asof_join",
+    "asof_join_nearest",
+    "join_skew_salted",
     "skew_salted_agg",
     "heavy_hitters",
     "range_join_bands",
@@ -116,6 +124,7 @@ HEADLINE = [
     "kmeans_assign",
     "kmeans_update",
     "kmeans_train",
+    "pipeline_embedding_index",
     # text analysis
     "text_stats",
     "text_quality",
@@ -129,6 +138,8 @@ HEADLINE = [
     "trigram_lm",
     "feature_hash",
     "skipgram_pairs",
+    "vocab_coverage",
+    "trigram_novelty",
     # sampling / packing / python surface
     "sample_hash",
     "weighted_sample",
@@ -146,10 +157,14 @@ HEADLINE = [
     "streaming_stateful_sessions",
     "streaming_static_enrich",
     "streaming_parquet_sink",
+    "streaming_late_data",
+    "streaming_restart_recovery",
     "multimodal_features",
     "pipeline_clean_corpus",
     "pipeline_training_data",
     "sink_bucketed_join",
+    "sink_compaction_roundtrip",
+    "sink_clustered_write",
     "asof_join_forward",
     "price_histogram",
     "concurrent_shipments",
@@ -180,6 +195,7 @@ FIXPOINT_QUERIES = [
     "label_propagation",
     "longest_path_dag",
     "landmark_distances",
+    "personalized_pagerank",
 ]
 
 # Round-6 record (BENCH_r06 / that round's BENCH_RESULTS.json): the
