@@ -193,6 +193,94 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node 2-hop reach: number of length-2 directed paths and the
+    distinct friend-of-friend set size (2-hop endpoints that are neither
+    the node itself nor a direct neighbor) — the candidate-generation
+    stage of link prediction / recommendation.
+
+    Plan: one self-join keyed on the RELAY node (the only join key that
+    exists for path assembly — both hops shuffle once on mid), then a
+    left anti lookup of (src, endpoint) against the direct edge set,
+    then one aggregate. All counts exact int64. Scale caveat, stated
+    because it is THE cost driver: a relay of degree d contributes d_in
+    x d_out pairs, so hub relays go quadratic — production caps relay
+    degree first (drop relays above the 99.9th-percentile degree, the
+    standard FoF truncation) and AQE skew-split handles the rest; the
+    uncapped version here is the exact semantics the oracle can check.
+    """
+    e = (
+        edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    paths = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("src"),
+        F.col("b.dst").alias("end"),
+    )
+    direct = e.select("src", F.col("dst").alias("end"), F.lit(1).alias("is_direct"))
+    return (
+        paths.join(direct, ["src", "end"], "left")
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n_paths2"),
+            F.count_distinct(
+                F.when(
+                    (F.col("end") != F.col("src"))
+                    & F.col("is_direct").isNull(),
+                    F.col("end"),
+                )
+            ).alias("n_fof"),
+        )
+    )
+
+
+def q_graph_sample_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style k-hop neighbor sampling — the minibatch
+    subgraph extraction every distributed GNN trainer runs: from a
+    deterministic ~1/16 seed set, keep at most K=3 out-edges per node
+    (ranked by the portable md5 of the edge — the engine's standard
+    reproducible-sampling device), then repeat from the sampled
+    frontier for hop 2. Output is the tagged sampled edge list.
+
+    The per-node top-K is a row_number window over (node, md5) — NOT a
+    collect_list truncation, because a hub's edge list must never
+    materialize in one task's memory; the window sorts within the
+    node's partition slice and keeps K. Fan-out is bounded by K per
+    hop, so the sampled subgraph is O(|seeds| * K^2) regardless of
+    graph skew — which is the entire point of sampled neighborhoods at
+    100 TB. Determinism: seeds and ranks both derive from md5 hex
+    (identical strings in both engines), ties impossible on the
+    distinct edge set.
+    """
+    from pyspark.sql import Window
+
+    K = 3
+    e = (
+        edges_from_lineitem(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+        .withColumn(
+            "rk", F.md5(F.concat_ws("|", F.col("src"), F.col("dst")))
+        )
+    )
+    w = Window.partitionBy("src").orderBy("rk")
+    ranked = e.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= K
+    )
+    seeds = (
+        e.select("src")
+        .union(e.select(F.col("dst").alias("src")))
+        .distinct()
+        .filter(F.md5(F.col("src").cast("string")) < "4")
+    )
+    hop1 = ranked.join(seeds, "src").select("src", "dst")
+    frontier = hop1.select(F.col("dst").alias("src")).distinct()
+    hop2 = ranked.join(frontier, "src").select("src", "dst")
+    return hop1.select(F.lit(1).alias("hop"), "src", "dst").unionByName(
+        hop2.select(F.lit(2).alias("hop"), "src", "dst")
+    )
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the B1 graph: the Pearson correlation of
     (out-degree of src, in-degree of dst) over directed edges — THE
@@ -530,6 +618,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
     "degree_assortativity": q_degree_assortativity,
+    "two_hop_paths": q_two_hop_paths,
+    "graph_sample_khop": q_graph_sample_khop,
     "compat_state_lines": q_compat_state_lines,
     "compat_final_lines": q_compat_final_lines,
     "compat_reverse_lines": q_compat_reverse_lines,
@@ -695,6 +785,44 @@ pr(it, node, rank) AS (
 )
 SELECT node, CAST(round(rank * 1e9) AS BIGINT) AS rank_e9
 FROM pr WHERE it = 6
+""",
+    "two_hop_paths": f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
+paths AS (
+  SELECT a.src, b.dst AS "end" FROM e a JOIN e b ON a.dst = b.src
+),
+flagged AS (
+  SELECT p.src, p."end",
+         CASE WHEN d.src IS NOT NULL THEN 1 END AS is_direct
+  FROM paths p LEFT JOIN e d ON d.src = p.src AND d.dst = p."end"
+)
+SELECT src, count(*) AS n_paths2,
+       count(DISTINCT CASE WHEN "end" <> src AND is_direct IS NULL
+                           THEN "end" END) AS n_fof
+FROM flagged GROUP BY src
+""",
+    "graph_sample_khop": f"""
+WITH e AS (
+  SELECT src, dst,
+         md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) AS rk
+  FROM (SELECT DISTINCT src, dst FROM ({EDGES_SQL}))
+),
+ranked AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY rk) AS rn
+    FROM e
+  ) WHERE rn <= 3
+),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+seeds AS (SELECT node AS src FROM nodes
+          WHERE md5(CAST(node AS VARCHAR)) < '4'),
+hop1 AS (SELECT r.src, r.dst FROM ranked r JOIN seeds USING (src)),
+frontier AS (SELECT DISTINCT dst AS src FROM hop1),
+hop2 AS (SELECT r.src, r.dst FROM ranked r JOIN frontier USING (src))
+SELECT 1 AS hop, src, dst FROM hop1
+UNION ALL
+SELECT 2 AS hop, src, dst FROM hop2
 """,
     "degree_assortativity": f"""
 WITH e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),

@@ -94,3 +94,56 @@ def test_edge_tie_strength_isolated_edge_union_empty(spark):
     df = spark.createDataFrame([(7, 9)], "u long, v long")
     (r,) = edge_tie_strength(canonical_edges(df)).collect()
     assert (r.n_common, r.jaccard) == (0, 0.0)
+
+
+def test_graph_sample_khop_bounded_fanout(spark, sf_dir):
+    """No node contributes more than K=3 edges per hop, every hop-1
+    source is a seed-derived node, and hop-2 sources come from hop-1
+    destinations."""
+    from collections import Counter
+
+    from mapreduce_sssp_spark.operators.graph_queries import (
+        q_graph_sample_khop,
+    )
+
+    rows = q_graph_sample_khop(spark, sf_dir).collect()
+    per = Counter((r.hop, r.src) for r in rows)
+    assert per and max(per.values()) <= 3
+    h1_dst = {r.dst for r in rows if r.hop == 1}
+    h2_src = {r.src for r in rows if r.hop == 2}
+    assert h2_src <= h1_dst
+
+
+def test_two_hop_paths_matches_python(spark, sf_dir):
+    """FoF counts cross-checked against a pure-Python enumeration."""
+    from collections import defaultdict
+
+    from mapreduce_sssp_spark.io.sources import edges_from_lineitem
+    from mapreduce_sssp_spark.operators.graph_queries import q_two_hop_paths
+
+    edges = {
+        (r.src, r.dst)
+        for r in edges_from_lineitem(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    }
+    out = defaultdict(set)
+    for s, d in edges:
+        out[s].add(d)
+    want = {}
+    for s in out:
+        n_paths = sum(len(out.get(m, ())) for m in out[s])
+        fof = {
+            e
+            for m in out[s]
+            for e in out.get(m, ())
+            if e != s and (s, e) not in edges
+        }
+        if n_paths:
+            want[s] = (n_paths, len(fof))
+    got = {
+        r.src: (r.n_paths2, r.n_fof)
+        for r in q_two_hop_paths(spark, sf_dir).collect()
+    }
+    assert got == want
