@@ -281,6 +281,59 @@ def q_graph_sample_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction negative sampling — the other half of every edge
+    classifier / GNN / word2vec-style training set: for each positive
+    edge (u, v), a deterministic corrupted partner (u, v') with v'
+    pseudo-uniform over the node set and (u, v') NOT a real edge.
+
+    Device chain, all exact and portable: nodes get dense ranks
+    (row_number over the node id — the node table is |V|, tiny next to
+    edges), each edge derives idx = md5(u|v) mod |V| (the engine's
+    md5-bucket sampling device, here as an index map), idx joins back
+    to the rank table for the candidate v', and an anti join against
+    the real edge set discards accidental positives (the standard
+    rejection step — a second hash round would re-admit them
+    probabilistically; one rejection round keeps the oracle exact).
+    Scale: two broadcast-sized joins (rank table) + one edge-keyed
+    anti join; nothing quadratic, nothing random at run time.
+    """
+    from pyspark.sql import Window
+
+    e = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranked = nodes.select(
+        "node",
+        (F.row_number().over(Window.orderBy("node")) - 1).alias("idx"),
+    )
+    n_nodes = ranked.count()  # bounded driver scalar (|V|)
+    cand = e.select(
+        "src",
+        "dst",
+        F.expr(
+            f"CAST(conv(substring(md5(concat_ws('|', src, dst)), 1, 15),"
+            f" 16, 10) AS BIGINT) % {n_nodes}"
+        ).alias("idx"),
+    )
+    neg = (
+        cand.join(F.broadcast(ranked), "idx")
+        .select("src", "dst", F.col("node").alias("neg_dst"))
+        .join(
+            e.select(
+                F.col("src").alias("src"), F.col("dst").alias("neg_dst")
+            ),
+            ["src", "neg_dst"],
+            "left_anti",
+        )
+        .filter(F.col("neg_dst") != F.col("src"))
+    )
+    return neg.select("src", "dst", "neg_dst")
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the B1 graph: the Pearson correlation of
     (out-degree of src, in-degree of dst) over directed edges — THE
@@ -620,6 +673,7 @@ QUERIES = {
     "degree_assortativity": q_degree_assortativity,
     "two_hop_paths": q_two_hop_paths,
     "graph_sample_khop": q_graph_sample_khop,
+    "negative_sampling": q_negative_sampling,
     "compat_state_lines": q_compat_state_lines,
     "compat_final_lines": q_compat_final_lines,
     "compat_reverse_lines": q_compat_reverse_lines,
@@ -785,6 +839,28 @@ pr(it, node, rank) AS (
 )
 SELECT node, CAST(round(rank * 1e9) AS BIGINT) AS rank_e9
 FROM pr WHERE it = 6
+""",
+    "negative_sampling": f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+ranked AS (
+  SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS idx
+  FROM nodes
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+cand AS (
+  SELECT src, dst,
+         CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '|'
+                                     || CAST(dst AS VARCHAR)), 1, 15))
+              AS BIGINT) % (SELECT n FROM nn) AS idx
+  FROM e
+)
+SELECT c.src, c.dst, r.node AS neg_dst
+FROM cand c JOIN ranked r USING (idx)
+WHERE r.node <> c.src
+  AND NOT EXISTS (SELECT 1 FROM e x
+                  WHERE x.src = c.src AND x.dst = r.node)
 """,
     "two_hop_paths": f"""
 WITH e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),

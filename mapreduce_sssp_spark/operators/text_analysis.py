@@ -174,6 +174,70 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPARSE_COS_MAX_DF = 400  # df-prune: drop terms in > this many docs
+SPARSE_COS_THRESHOLD = 0.9
+
+
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs document cosine similarity over sparse TF vectors —
+    the classic term-partitioned similarity join (Bayardo et al.'s
+    all-pairs shape): documents meet ONLY where a term collides, so
+    the join is keyed by the term and never all-pairs. High-df terms
+    are pruned first (df > SPARSE_COS_MAX_DF) — the standard max-df
+    cut that removes the quadratic heavy posting lists while barely
+    moving cosine (ubiquitous terms carry no discrimination); the
+    production upgrade is prefix filtering on the same index.
+
+    Exactness: TF counts and the dot products are exact int64; each
+    norm is ONE sqrt of an exact integer and the cosine ONE division —
+    all exactly-rounded, identical in both engines (the similarity_topk
+    argument on integer vectors). Threshold filter compares identical
+    doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _with_tokens(docs).select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    norm2 = tf.groupBy("doc_id").agg(F.sum(F.expr("tf * tf")).alias("n2"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    kept = tf.join(
+        dfreq.filter(F.col("df") <= SPARSE_COS_MAX_DF), "token"
+    ).select("doc_id", "token", "tf")
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.expr("a.tf * b.tf")).alias("dot"))
+    )
+    na = norm2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norm2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("n2b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SPARSE_COS_THRESHOLD)
+    )
+
+
 def q_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: the share of a doc's distinct word
     trigrams that appear NOWHERE else in the corpus (document
@@ -860,6 +924,7 @@ QUERIES = {
     "token_freq_top100": q_token_freq,
     "vocab_coverage": q_vocab_coverage,
     "trigram_novelty": q_trigram_novelty,
+    "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "bigram_lift": q_bigram_lift,
     "trigram_lm": q_trigram_lm,
     "feature_hash": q_feature_hash,
@@ -1020,6 +1085,35 @@ FROM (SELECT unnest(toks) AS token FROM t)
 GROUP BY token
 ORDER BY freq DESC, token
 LIMIT 100
+""",
+    "sparse_cosine_pairs": f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+norm2 AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf
+          GROUP BY doc_id),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+kept AS (
+  SELECT tf.doc_id, tf.token, tf.tf
+  FROM tf JOIN dfreq USING (token) WHERE df <= {SPARSE_COS_MAX_DF}
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM kept a JOIN kept b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, dot,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         AS cosine
+FROM dots
+JOIN norm2 na ON na.doc_id = doc_a
+JOIN norm2 nb ON nb.doc_id = doc_b
+WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+      >= {SPARSE_COS_THRESHOLD}
 """,
     "trigram_novelty": f"""
 WITH sh AS ({DUCK_SHINGLES_REL}),
