@@ -52,6 +52,9 @@ HEADLINE = [
     "landmark_distances",
     "personalized_pagerank",
     "degree_assortativity",
+    "two_hop_paths",
+    "graph_sample_khop",
+    "negative_sampling",
     "reverse_graph",
     "triangle_counts",
     "edge_jaccard",
@@ -140,6 +143,7 @@ HEADLINE = [
     "skipgram_pairs",
     "vocab_coverage",
     "trigram_novelty",
+    "sparse_cosine_pairs",
     # sampling / packing / python surface
     "sample_hash",
     "weighted_sample",
