@@ -211,6 +211,12 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("_r_id"),
         F.col("ts").alias("_r_ts"),
     )
+    return nearest_join(errors, clicks)
+
+
+def nearest_join(errors: DataFrame, clicks: DataFrame) -> DataFrame:
+    """See q_asof_join_nearest. errors: (event_id, user_id, ts);
+    clicks: (user_id, _r_id, _r_ts)."""
     lu = errors.select(
         "user_id",
         F.col("ts").alias("_t"),

@@ -53,6 +53,20 @@ def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.expr(_CENTS.format(col="l_extendedprice")).alias("cents"),
     )
+    snap = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 != 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.expr(_CENTS.format(col="o_totalprice")).alias("base_cents"),
+        )
+    )
+    return merge_apply(snap, log)
+
+
+def merge_apply(snap: DataFrame, log: DataFrame) -> DataFrame:
+    """See q_merge_cdc. snap: (key, base_cents); log: (key, seq, op,
+    cents) with op in ('U', 'D')."""
     latest = (
         log.groupBy("key")
         .agg(F.max(F.struct("seq", "op", "cents")).alias("e"))
@@ -60,14 +74,6 @@ def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key",
             F.col("e.op").alias("op"),
             F.col("e.cents").alias("new_cents"),
-        )
-    )
-    snap = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 4 != 0)
-        .select(
-            F.col("o_orderkey").alias("key"),
-            F.expr(_CENTS.format(col="o_totalprice")).alias("base_cents"),
         )
     )
     merged = snap.join(latest, "key", "full_outer")

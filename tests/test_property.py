@@ -148,3 +148,121 @@ def test_bpe_merges_match_pure_python(spark, words):
     merges, vocab = _learn_bpe(docs, 3)
     vocab.unpersist()
     assert merges == _ref_bpe(words, 3)
+
+
+NEAREST_TIMES = st.integers(min_value=0, max_value=15)
+probe_rows = st.lists(
+    st.tuples(st.integers(0, 1), NEAREST_TIMES), min_size=1, max_size=10
+)
+click_rows = st.lists(
+    st.tuples(st.integers(0, 1), NEAREST_TIMES), max_size=10
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(probes=probe_rows, clicks=click_rows)
+def test_nearest_join_matches_bruteforce(spark, probes, clicks):
+    """asof_join_nearest core vs a brute-force referee implementing the
+    documented spec: closest |gap| wins, tie -> backward; backward
+    includes equal timestamps, forward is strictly later; tie clicks at
+    one timestamp -> max id backward, min id forward."""
+    import datetime
+
+    from mapreduce_sssp_spark.operators.asof import nearest_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(t):
+        return t0 + datetime.timedelta(hours=t)
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(probes)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, 100 + i, ts(t)) for i, (k, t) in enumerate(clicks)],
+        "user_id long, _r_id long, _r_ts timestamp",
+    )
+    got = {
+        r.event_id: (r.click_id, r.direction)
+        for r in nearest_join(ldf, rdf).collect()
+    }
+
+    want = {}
+    for i, (k, t) in enumerate(probes):
+        back = [
+            (ct, cid)
+            for cid, (ck, ct) in [
+                (100 + j, c) for j, c in enumerate(clicks)
+            ]
+            if ck == k and ct <= t
+        ]
+        fwd = [
+            (ct, cid)
+            for cid, (ck, ct) in [
+                (100 + j, c) for j, c in enumerate(clicks)
+            ]
+            if ck == k and ct > t
+        ]
+        b = max(back) if back else None  # max (ts, id): latest, max id
+        f = min(fwd) if fwd else None    # min (ts, id): earliest, min id
+        if b is None and f is None:
+            want[i] = (None, None)
+        elif f is None or (b is not None and (t - b[0]) <= (f[0] - t)):
+            want[i] = (b[1], "backward")
+        else:
+            want[i] = (f[1], "forward")
+    assert got == want
+
+
+cdc_snap = st.lists(st.tuples(st.integers(0, 5), st.integers(0, 999)),
+                    max_size=6, unique_by=lambda r: r[0])
+cdc_log = st.lists(
+    st.tuples(
+        st.integers(0, 7),          # key (some outside the snapshot)
+        st.integers(0, 4),          # seq (ties possible)
+        st.sampled_from(["U", "D"]),
+        st.integers(0, 999),
+    ),
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(snap=cdc_snap, log=cdc_log)
+def test_merge_apply_matches_bruteforce(spark, snap, log):
+    """merge_apply vs a referee implementing last-write-wins with the
+    (seq, op, cents) total-order election and MERGE semantics."""
+    from mapreduce_sssp_spark.operators.cdc import merge_apply
+
+    sdf = spark.createDataFrame(
+        snap or [], "key long, base_cents long"
+    ) if snap else spark.createDataFrame([], "key long, base_cents long")
+    ldf = spark.createDataFrame(
+        log or [], "key long, seq long, op string, cents long"
+    ) if log else spark.createDataFrame([], "key long, seq long, op string, cents long")
+    got = {r.key: (r.cents, r.action) for r in merge_apply(sdf, ldf).collect()}
+
+    latest = {}
+    for k, seq, op, cents in log:
+        cand = (seq, op, cents)
+        if k not in latest or cand > latest[k]:
+            latest[k] = cand
+    base = dict(snap)
+    want = {}
+    for k, v in base.items():
+        if k not in latest:
+            want[k] = (v, "base")
+    for k, (seq, op, cents) in latest.items():
+        if op == "D":
+            continue
+        want[k] = (cents, "updated" if k in base else "inserted")
+    assert got == want
