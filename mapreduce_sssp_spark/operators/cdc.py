@@ -127,9 +127,62 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset reconciliation — the regression gate every pipeline
+    migration runs: full-outer compare of two table versions on the
+    primary key, classifying every key as added / removed / changed /
+    same and totaling the absolute value drift. Version 2 is derived
+    deterministically from orders (keys %17==0 removed, %5==0
+    repriced +1.00, a %13 slice re-keyed into a new id range as
+    inserts), so the report is hash-checkable end to end.
+
+    ONE full-outer join on the key (both sides bucket-able for an
+    exchange-free compare at scale) and one 4-row aggregate; values
+    compare as exact int64 cents, the drift total is a sum of int64
+    absolute deltas. This aggregate REPORT is the production shape —
+    the per-row diff stays distributed and never reaches the driver.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.expr(_CENTS.format(col="o_totalprice")).alias("cents"),
+    )
+    v2 = (
+        base.filter(F.col("key") % 17 != 0)
+        .select(
+            "key",
+            F.when(F.col("key") % 5 == 0, F.col("cents") + 100)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            base.filter(F.col("key") % 13 == 0).select(
+                (F.col("key") + 10_000_000).alias("key"), "cents"
+            )
+        )
+    )
+    a = base.select("key", F.col("cents").alias("cents_a"))
+    b = v2.select("key", F.col("cents").alias("cents_b"))
+    classified = a.join(b, "key", "full_outer").select(
+        F.when(F.col("cents_a").isNull(), F.lit("added"))
+        .when(F.col("cents_b").isNull(), F.lit("removed"))
+        .when(F.col("cents_a") != F.col("cents_b"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("status"),
+        F.abs(
+            F.coalesce("cents_b", F.lit(0)) - F.coalesce("cents_a", F.lit(0))
+        ).alias("abs_delta"),
+    )
+    return classified.groupBy("status").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("abs_delta").alias("sum_abs_delta_cents"),
+    )
+
+
 QUERIES = {
     "merge_cdc": q_merge_cdc,
     "latest_per_key": q_latest_per_key,
+    "table_diff": q_table_diff,
 }
 
 ORACLE = {
@@ -164,6 +217,32 @@ SELECT key,
             ELSE 'updated' END AS action
 FROM snap FULL OUTER JOIN latest USING (key)
 WHERE op IS NULL OR op <> 'D'
+""",
+    "table_diff": """
+WITH base AS (
+  SELECT o_orderkey AS key,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT key,
+         CASE WHEN key % 5 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM base WHERE key % 17 <> 0
+  UNION ALL
+  SELECT key + 10000000 AS key, cents FROM base WHERE key % 13 = 0
+),
+classified AS (
+  SELECT CASE WHEN a.cents IS NULL THEN 'added'
+              WHEN b.cents IS NULL THEN 'removed'
+              WHEN a.cents <> b.cents THEN 'changed'
+              ELSE 'same' END AS status,
+         abs(COALESCE(b.cents, 0) - COALESCE(a.cents, 0)) AS abs_delta
+  FROM (SELECT key, cents FROM base) a
+  FULL OUTER JOIN (SELECT key, cents FROM v2) b USING (key)
+)
+SELECT status, count(*) AS n_keys,
+       CAST(SUM(abs_delta) AS BIGINT) AS sum_abs_delta_cents
+FROM classified GROUP BY status
 """,
     "latest_per_key": """
 SELECT o_custkey AS custkey,

@@ -632,6 +632,61 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def q_state_dwell_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted state distribution per user: what fraction of
+    their observed timeline each SCD2 state occupied — the
+    time-in-state feature (exposure share, device-mode mix) a plain
+    event COUNT misrepresents whenever dwell times are irregular (the
+    same argument as TWAP, applied to the categorical dimension).
+
+    Rides the scd2_intervals machinery: each interval closes at the
+    next run's start, the open current interval at the user's last
+    event. Dwell times are exact int64 MICROSECONDS (naive NTZ
+    arithmetic, identical to DuckDB's date_diff), per-user totals come
+    from a window over the already-aggregated (user, state) frame —
+    same partitioning, so Spark reuses the exchange — and the share is
+    ONE int/int double division. Single-event users (zero observed
+    span) drop on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = scd2_intervals(normalize_event_ts(ev))
+    from pyspark.sql import Window
+
+    last_seen = (
+        normalize_event_ts(ev)
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+    )
+    dwell = (
+        iv.join(last_seen, "user_id")
+        .select(
+            "user_id",
+            "state",
+            F.expr(
+                "timestampdiff(MICROSECOND, valid_from,"
+                " coalesce(valid_to, last_ts))"
+            ).alias("dwell_us"),
+        )
+        .groupBy("user_id", "state")
+        .agg(F.sum("dwell_us").alias("state_us"))
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        dwell.withColumn("total_us", F.sum("state_us").over(w))
+        .filter(F.col("total_us") > 0)
+        .select(
+            "user_id",
+            "state",
+            "state_us",
+            "total_us",
+            (
+                F.col("state_us").cast("double")
+                / F.col("total_us").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
 def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (temporal) join — THE feature-store correctness
     primitive: each 'purchase' probe gets the user's SCD2 state as it
@@ -1325,6 +1380,7 @@ QUERIES = {
     "streaming_late_data": q_streaming_late_data,
     "streaming_restart_recovery": q_streaming_restart_recovery,
     "point_in_time_join": q_point_in_time_join,
+    "state_dwell_share": q_state_dwell_share,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
@@ -1476,6 +1532,53 @@ HAVING SUM(dt_us) > 0
     "window_tumbling": _TUMBLING_SQL,
     "streaming_tumbling": _TUMBLING_SQL,
     "streaming_incremental": _TUMBLING_SQL,
+    "state_dwell_share": """
+WITH ordered AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM ordered
+),
+intervals AS (
+  SELECT user_id, run_id, any_value(event_type) AS state,
+         min(ts) AS valid_from
+  FROM runs GROUP BY user_id, run_id
+),
+closed AS (
+  SELECT user_id, run_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+           AS valid_to
+  FROM intervals
+),
+last_seen AS (
+  SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts
+  FROM events GROUP BY user_id
+),
+dwell AS (
+  SELECT c.user_id, c.state,
+         CAST(SUM(date_diff('microsecond', c.valid_from,
+                            COALESCE(c.valid_to, l.last_ts))) AS BIGINT)
+           AS state_us
+  FROM closed c JOIN last_seen l USING (user_id)
+  GROUP BY c.user_id, c.state
+)
+SELECT user_id, state, state_us,
+       CAST(SUM(state_us) OVER (PARTITION BY user_id) AS BIGINT)
+         AS total_us,
+       CAST(state_us AS DOUBLE)
+         / CAST(SUM(state_us) OVER (PARTITION BY user_id) AS DOUBLE)
+         AS share
+FROM dwell
+QUALIFY SUM(state_us) OVER (PARTITION BY user_id) > 0
+""",
     "point_in_time_join": """
 WITH ordered AS (
   SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -99,3 +99,41 @@ def test_streaming_late_data_drops_and_is_deterministic(spark, sf_dir):
     assert emitted < total  # drops + unfinalized tail windows
     out2 = q_streaming_late_data(spark, sf_dir)
     assert {tuple(r) for r in out2.collect()} == rows1
+
+
+def test_state_dwell_share_sums_to_one(spark, sf_dir):
+    """Per-user shares partition the observed timeline."""
+    from collections import defaultdict
+
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_state_dwell_share,
+    )
+
+    rows = q_state_dwell_share(spark, sf_dir).collect()
+    assert rows
+    per_user = defaultdict(float)
+    for r in rows:
+        assert 0.0 <= r.share <= 1.0
+        assert r.state_us <= r.total_us
+        per_user[r.user_id] += r.share
+    for u, s in per_user.items():
+        assert abs(s - 1.0) < 1e-9, (u, s)
+
+
+def test_table_diff_counts_reconcile(spark, sf_dir):
+    """added/removed/changed/same must tie out to the derivation rules."""
+    from mapreduce_sssp_spark.operators.cdc import q_table_diff
+
+    got = {r.status: r.n_keys for r in q_table_diff(spark, sf_dir).collect()}
+    keys = [
+        r.o_orderkey
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    ]
+    removed = sum(1 for k in keys if k % 17 == 0)
+    added = sum(1 for k in keys if k % 13 == 0)
+    changed = sum(1 for k in keys if k % 17 != 0 and k % 5 == 0)
+    same = sum(1 for k in keys if k % 17 != 0 and k % 5 != 0)
+    assert got.get("removed", 0) == removed
+    assert got.get("added", 0) == added
+    assert got.get("changed", 0) == changed
+    assert got.get("same", 0) == same
