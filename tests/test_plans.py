@@ -610,3 +610,32 @@ def test_join_skew_salted_is_a_shuffle_join_with_partial_agg(spark):
     assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def _tree(plan: str) -> str:
+    """The physical-plan tree section only (the per-node detail below
+    repeats operator names and would double-count them)."""
+    return plan.split("\n\n(")[0]
+
+
+def test_nearest_join_single_exchange_sort_window(spark):
+    """Both direction carries must ride ONE union + exchange + sort +
+    Window operator — the whole point of the formulation (composing the
+    backward and forward joins would triple the exchanges)."""
+    from mapreduce_sssp_spark.operators.asof import q_asof_join_nearest
+
+    plan = plan_of(q_asof_join_nearest(spark, SF))
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 1
+    assert tree.count("Sort") == 1
+    assert tree.count("Window") == 1
+    assert "EqualTo(event_type,error)" in plan  # filters reach the scans
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_two_hop_paths_no_cartesian_no_bnlj(spark):
+    from mapreduce_sssp_spark.operators.graph_queries import q_two_hop_paths
+
+    plan = plan_of(q_two_hop_paths(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
