@@ -458,7 +458,46 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSEUDO_SALT = "salt-v1"
+
+
+def q_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving pseudonymization — the GDPR/CCPA prep step
+    before analytics data leaves its enclave: user ids map to salted
+    sha-256 tokens (16 hex chars kept), which destroys re-identification
+    while PRESERVING join consistency (same user -> same token, so
+    per-user aggregation, retention, and cross-table joins still work
+    on the pseudonymized output). The aggregate per token — event
+    count, distinct active days, distinct event types — is exactly the
+    rollup a downstream consumer would compute, proving the token is a
+    working join key.
+
+    Map-side hash + one aggregate; sha2 hex output is identical across
+    engines (lowercase hex of the same UTF-8 input). The salt is a
+    pipeline constant — rotating it is the documented re-keying story
+    (tokens change, linkage within one salt epoch remains).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tok = ev.select(
+        F.substring(
+            F.sha2(
+                F.concat_ws("|", F.lit(PSEUDO_SALT), F.col("user_id")), 256
+            ),
+            1,
+            16,
+        ).alias("user_token"),
+        F.to_date(F.col("ts").cast("timestamp_ntz")).alias("day"),
+        "event_type",
+    )
+    return tok.groupBy("user_token").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("day").alias("n_active_days"),
+        F.count_distinct("event_type").alias("n_event_types"),
+    )
+
+
 QUERIES = {
+    "pseudonymize_users": q_pseudonymize_users,
     "split_train_test": q_split_train_test,
     "weighted_sample": q_weighted_sample,
     "sample_hash": q_sample_hash,
@@ -472,6 +511,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pseudonymize_users": f"""
+SELECT substr(sha256('{PSEUDO_SALT}' || '|' || CAST(user_id AS VARCHAR)),
+              1, 16) AS user_token,
+       count(*) AS n_events,
+       count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_active_days,
+       count(DISTINCT event_type) AS n_event_types
+FROM events GROUP BY 1
+""",
     "weighted_sample": f"""
 WITH mx AS (
   SELECT max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))

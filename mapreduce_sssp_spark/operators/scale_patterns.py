@@ -130,6 +130,45 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_null_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key skew bypass on an outer join — the single most common
+    real-world skew: a nullable foreign key (here 1/3 of lineitem rows,
+    simulating unmatched/late-arriving references) can never match, yet
+    a naive LEFT JOIN still ships every null row through the shuffle,
+    where they all hash to ONE reducer. The pattern: split the fact on
+    key nullability, join ONLY the matchable branch, union the null
+    branch back with null-extended dim columns — null rows never enter
+    the join exchange at all.
+
+    Result is bit-identical to the plain left join (nulls match nothing
+    either way — the safety proof), verified by the oracle; the plan
+    shape (one join under a Union) is pinned in test_plans. Output
+    rolls up per brand with the null branch surfacing as 'UNMATCHED'.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_partkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("l_partkey"))
+        .alias("key"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("cents"),
+    )
+    dim = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"), "p_brand"
+    )
+    matchable = fact.filter(F.col("key").isNotNull()).join(
+        dim, "key", "left"
+    )
+    nulls = fact.filter(F.col("key").isNull()).withColumn(
+        "p_brand", F.lit(None).cast("string")
+    )
+    return (
+        matchable.unionByName(nulls)
+        .groupBy(F.coalesce("p_brand", F.lit("UNMATCHED")).alias("brand"))
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct counts — the IRREDUCIBLE rows-only
     residue of the approx-distinct pair: the estimate is a function of
@@ -510,6 +549,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
     "join_skew_salted": q_join_skew_salted,
+    "join_null_skew": q_join_null_skew,
     "heavy_hitters": q_heavy_hitters,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "range_join_bands": q_range_join_bands,
@@ -551,6 +591,19 @@ FROM top CROSS JOIN tot
 SELECT event_type, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
+""",
+    "join_null_skew": """
+WITH fact AS (
+  SELECT CASE WHEN l_partkey % 3 = 0 THEN NULL ELSE l_partkey END AS key,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem
+)
+SELECT COALESCE(p.p_brand, 'UNMATCHED') AS brand,
+       count(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM fact f LEFT JOIN part p ON f.key = p.p_partkey
+GROUP BY 1
 """,
     "join_skew_salted": """
 SELECT s_suppkey, s_name, count(*) AS n_items,

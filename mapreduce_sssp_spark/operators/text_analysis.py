@@ -145,6 +145,42 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation confusion matrix: the stopword-voting language
+    ID (``lang_id``) scored against the documents table's ground-truth
+    ``lang`` label — per (truth, predicted) counts plus each cell's
+    share of its truth row (recall decomposition). The evaluation-
+    harness primitive every classifier in the pipeline needs, run
+    distributed: one join of predictions back to labels on doc_id, one
+    (truth, pred) aggregate, row totals via a window over the already-
+    aggregated (|labels| x |labels|) frame — same grouping key prefix,
+    so the window rides the aggregate's exchange.
+
+    Counts are exact ints; the share is one int/int double division.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    cells = (
+        docs.select("doc_id", F.col("lang").alias("truth"))
+        .join(pred, "doc_id")
+        .groupBy("truth", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("truth")
+    return cells.select(
+        "truth",
+        "pred_lang",
+        "n",
+        F.sum("n").over(w).alias("n_truth"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w).cast("double")
+        ).alias("row_share"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min 64-bit md5 over 3-gram shingles.
 
@@ -919,6 +955,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "lang_id": q_lang_id,
+    "lang_confusion": q_lang_confusion,
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_freq_top100": q_token_freq,
@@ -1177,6 +1214,27 @@ m AS (SELECT doc_id, max(hits) AS mh FROM s GROUP BY doc_id)
 SELECT s.doc_id, min(s.lang) AS pred_lang, CAST(m.mh AS INT) AS hits
 FROM s JOIN m ON s.doc_id = m.doc_id AND s.hits = m.mh
 GROUP BY s.doc_id, m.mh
+"""
+
+ORACLE["lang_confusion"] = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+s AS ({_LANG_UNION}),
+m AS (SELECT doc_id, max(hits) AS mh FROM s GROUP BY doc_id),
+pred AS (
+  SELECT s.doc_id, min(s.lang) AS pred_lang
+  FROM s JOIN m ON s.doc_id = m.doc_id AND s.hits = m.mh
+  GROUP BY s.doc_id
+),
+cells AS (
+  SELECT d.lang AS truth, p.pred_lang, count(*) AS n
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+  GROUP BY d.lang, p.pred_lang
+)
+SELECT truth, pred_lang, n,
+       CAST(SUM(n) OVER (PARTITION BY truth) AS BIGINT) AS n_truth,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY truth) AS DOUBLE) AS row_share
+FROM cells
 """
 
 

@@ -639,3 +639,17 @@ def test_two_hop_paths_no_cartesian_no_bnlj(spark):
     plan = plan_of(q_two_hop_paths(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_join_null_skew_bypasses_join_for_null_keys(spark):
+    """Exactly one join under a Union: the null branch must reach the
+    aggregate without entering any join."""
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        q_join_null_skew,
+    )
+
+    plan = plan_of(q_join_null_skew(spark, SF))
+    tree = _tree(plan)
+    assert "Union" in tree
+    assert tree.count("Join") == 1
+    assert "CartesianProduct" not in plan
