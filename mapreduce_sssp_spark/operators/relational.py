@@ -710,6 +710,58 @@ def q_moments_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nested_order_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-record construction — the denormalization every
+    training-example builder runs (one row per entity, details as an
+    ordered array of structs, ready for JSON/proto serialization):
+    each order becomes a record with its lineitems as an array sorted
+    by (linenumber, partkey, cents), built with ONE
+    ``sort_array(collect_list(struct(...)))`` aggregate — a single
+    order-keyed exchange, no window, no self-join; array size is
+    bounded by the entity's own fan-out (<= 7 here), which is the
+    condition that makes collect_list safe.
+
+    For the hash, the nested payload is serialized to a canonical
+    string (the driver's canonicalizer can't hash raw list cells):
+    item triplets joined ``lineno:partkey:cents`` — so the check
+    covers CONTENT AND ORDER of the nested array, not just summary
+    stats. Exact ints end to end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("lineno"),
+            F.col("l_partkey").alias("partkey"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        ).alias("item"),
+    )
+    nested = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("item")).alias("items")
+    )
+    return nested.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.size("items").alias("n_items"),
+        F.expr("aggregate(items, 0L, (acc, x) -> acc + x.cents)").alias(
+            "total_cents"
+        ),
+        F.array_join(
+            F.transform(
+                "items",
+                lambda x: F.concat_ws(
+                    ":",
+                    x["lineno"].cast("string"),
+                    x["partkey"].cast("string"),
+                    x["cents"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("items_csv"),
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals: rollup(returnflag, linestatus)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1806,6 +1858,7 @@ QUERIES = {
     "winsorize_values": q_winsorize_values,
     "corr_measures": q_corr_measures,
     "moments_value": q_moments_value,
+    "nested_order_records": q_nested_order_records,
     "regression_trend": q_regression_trend,
     "price_histogram": q_price_histogram,
     "map_literal_decode": q_map_literal_decode,
@@ -2049,6 +2102,32 @@ SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.75) AS q3,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
+""",
+    "nested_order_records": """
+WITH items AS (
+  SELECT l_orderkey,
+         l_linenumber AS lineno, l_partkey AS partkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+nested AS (
+  SELECT l_orderkey,
+         list((lineno, partkey, cents)
+              ORDER BY lineno, partkey, cents) AS items,
+         count(*) AS n_items,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM items GROUP BY l_orderkey
+)
+SELECT l_orderkey AS orderkey,
+       CAST(n_items AS INT) AS n_items,
+       total_cents,
+       list_aggregate(
+         list_transform(items, x ->
+           CAST(x[1] AS VARCHAR) || ':' || CAST(x[2] AS VARCHAR)
+             || ':' || CAST(x[3] AS VARCHAR)),
+         'string_agg', ',') AS items_csv
+FROM nested
 """,
     "moments_value": f"""
 WITH d AS (

@@ -256,6 +256,45 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_top1(_vectors(spark, sf_dir))
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a VERIFIED number, not a test assertion: recall@1
+    and candidate coverage of the LSH index against the exact top-1
+    referee, as one report row — the eval harness an index owner runs
+    after every rebuild (the lang_confusion pattern, applied to
+    retrieval).
+
+    The exact referee is the brute-force crossJoin — acceptable HERE
+    because this is the evaluation job, typically run on a sampled
+    query slab, not the serving path (the production-scale referee is
+    the block-pair decomposition of embedding_neardup). Both sides are
+    deterministic (literal LSH planes, id tie-breaks), so recall itself
+    is deterministic and the row hash-checks cross-engine.
+    """
+    vec = _vectors(spark, sf_dir)
+    exact = exact_top1(vec).select("q_id", F.col("nn_id").alias("true_nn"))
+    ann = ann_top1(vec).select("q_id", F.col("nn_id").alias("ann_nn"))
+    joined = exact.join(ann, "q_id", "left")
+    return joined.agg(
+        F.count("*").alias("n_vectors"),
+        F.count("ann_nn").alias("n_with_candidate"),
+        F.count(F.when(F.col("ann_nn") == F.col("true_nn"), F.lit(1))).alias(
+            "n_correct"
+        ),
+    ).select(
+        "n_vectors",
+        "n_with_candidate",
+        "n_correct",
+        (
+            F.col("n_correct").cast("double")
+            / F.col("n_vectors").cast("double")
+        ).alias("recall_at_1"),
+        (
+            F.col("n_with_candidate").cast("double")
+            / F.col("n_vectors").cast("double")
+        ).alias("coverage"),
+    )
+
+
 IVF_CENTROID_MOD = 50  # centroid set = vec_id % MOD == 0 (a stand-in for k-means)
 IVF_NPROBE = 2
 
@@ -753,6 +792,7 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "pipeline_embedding_index": q_pipeline_embedding_index,
+    "ann_recall_report": q_ann_recall_report,
 }
 
 ORACLE = {
@@ -961,6 +1001,36 @@ SELECT seed_id, dim, n_members, sum_e6, centroid FROM g{rounds}
 
 ORACLE["kmeans_train"] = _kmeans_train_oracle(KMEANS_TRAIN_ROUNDS)
 
+
+def _ann_recall_oracle() -> str:
+    """Composes the (hash-green) LSH twin with a brute-force exact
+    referee; the report is deterministic because both sides are."""
+    return f"""
+WITH ann AS ({{ann_sql}}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+ex AS (
+  SELECT q_id, nn_id AS true_nn FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id)
+             AS rn
+    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+  ) WHERE rn = 1
+),
+joined AS (
+  SELECT ex.q_id, ex.true_nn, ann.nn_id AS ann_nn
+  FROM ex LEFT JOIN ann ON ann.q_id = ex.q_id
+)
+SELECT count(*) AS n_vectors,
+       count(ann_nn) AS n_with_candidate,
+       count(CASE WHEN ann_nn = true_nn THEN 1 END) AS n_correct,
+       CAST(count(CASE WHEN ann_nn = true_nn THEN 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall_at_1,
+       CAST(count(ann_nn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+FROM joined
+"""
+
 ORACLE["pipeline_embedding_index"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 comp AS (
@@ -1018,3 +1088,7 @@ SELECT q_id, nn_id, cosine FROM (
   FROM scored
 ) WHERE rn = 1
 """
+
+ORACLE["ann_recall_report"] = _ann_recall_oracle().format(
+    ann_sql=ORACLE["similarity_ann_lsh"]
+)

@@ -220,3 +220,15 @@ def test_pipeline_embedding_index_manifest_covers_all_vectors(spark, sf_dir):
         assert r.min_vec_id <= r.max_vec_id
         assert r.bucket % S.IVF_CENTROID_MOD == 0
         assert r.sum_scale_e9 > 0
+
+
+def test_ann_recall_report_consistent(spark, sf_dir):
+    import mapreduce_sssp_spark.operators.similarity as S
+
+    r = S.q_ann_recall_report(spark, sf_dir).collect()[0]
+    assert r.n_correct <= r.n_with_candidate <= r.n_vectors
+    assert 0.0 <= r.recall_at_1 <= r.coverage <= 1.0
+    # The LSH index must find SOME true neighbors even on this
+    # unclustered random data (high recall is only expected on planted
+    # clusters — pinned separately in test_ann_recall_on_planted_*).
+    assert r.n_correct > 0
