@@ -98,11 +98,17 @@ HEADLINE = [
     "attribution_last_touch",
     "merge_cdc",
     "latest_per_key",
+    "table_diff",
     "point_in_time_join",
+    "state_dwell_share",
+    "funnel_time_to_convert",
     "moments_value",
+    "nested_order_records",
+    "pseudonymize_users",
     "asof_join",
     "asof_join_nearest",
     "join_skew_salted",
+    "join_null_skew",
     "skew_salted_agg",
     "heavy_hitters",
     "range_join_bands",
@@ -128,6 +134,7 @@ HEADLINE = [
     "kmeans_update",
     "kmeans_train",
     "pipeline_embedding_index",
+    "ann_recall_report",
     # text analysis
     "text_stats",
     "text_quality",
@@ -144,6 +151,7 @@ HEADLINE = [
     "vocab_coverage",
     "trigram_novelty",
     "sparse_cosine_pairs",
+    "lang_confusion",
     # sampling / packing / python surface
     "sample_hash",
     "weighted_sample",
