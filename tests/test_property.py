@@ -266,3 +266,87 @@ def test_merge_apply_matches_bruteforce(spark, snap, log):
             continue
         want[k] = (cents, "updated" if k in base else "inserted")
     assert got == want
+
+
+pit_events = st.lists(
+    st.tuples(
+        st.integers(0, 1),               # user
+        st.integers(0, 8),               # hour
+        st.sampled_from(["a", "b", "purchase"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=pit_events)
+def test_point_in_time_join_matches_bruteforce(spark, events):
+    """The leakage-safe temporal join vs a referee implementing the
+    documented spec: SCD2 runs ordered by (ts, event_id); a probe sees
+    the state of the latest interval with valid_from STRICTLY before
+    its timestamp; run starts tying with the probe instant are
+    invisible; ties among run starts resolve to the highest run_id."""
+    import datetime
+    import tempfile
+
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_point_in_time_join,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = [
+        (i, ts(h), u, typ, 0.0, None)
+        for i, (u, h, typ) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="pit-prop-")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {
+        r.event_id: (r.state_asof, r.state_since)
+        for r in q_point_in_time_join(spark, d).collect()
+    }
+
+    # Referee: build runs per user, then probe.
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for i, (u, h, typ) in enumerate(events):
+        by_user[u].append((ts(h), i, typ))
+    intervals = defaultdict(list)  # user -> [(valid_from, run_id, state)]
+    for u, evs in by_user.items():
+        evs.sort()
+        run_id = 0
+        prev = None
+        for t, i, typ in evs:
+            if prev is None or typ != prev:
+                run_id += 1
+                intervals[u].append((t, run_id, typ))
+            prev = typ
+    want = {}
+    for i, (u, h, typ) in enumerate(events):
+        if typ != "purchase":
+            continue
+        cands = [
+            (vf, rid, state)
+            for vf, rid, state in intervals[u]
+            if vf < ts(h)
+        ]
+        if cands:
+            vf, rid, state = max(cands, key=lambda c: (c[0], c[1]))
+            want[i] = (state, vf)
+        else:
+            want[i] = (None, None)
+    assert got == want
