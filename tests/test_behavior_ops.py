@@ -662,3 +662,35 @@ def test_moments_value_matches_numpy(spark, sf_dir):
         assert r.n == len(vals) and r.s1 == sum(vals)
         assert r.skewness == pytest.approx(skew, rel=1e-9)
         assert r.kurtosis == pytest.approx(kurt, rel=1e-9)
+
+
+def test_source_classifier_eval_structure(spark, sf_dir):
+    """Structural contract of the in-engine train/eval loop: output
+    covers exactly the held-out (md5 >= '8') docs, predictions stay in
+    the source domain, correctness ties out to pred==truth, and the
+    whole loop is deterministic across runs. (Accuracy itself is NOT
+    asserted — this synthetic corpus carries only a weak text->source
+    signal, and the operator's docstring documents why; a flaky
+    above-chance assertion would be noise.)"""
+    import hashlib
+
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        q_source_classifier_eval,
+    )
+
+    rows = q_source_classifier_eval(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    test_ids = {
+        d.doc_id
+        for d in docs
+        if hashlib.md5(str(d.doc_id).encode()).hexdigest() >= "8"
+    }
+    sources = {d.source for d in docs}
+    assert {r.doc_id for r in rows} == test_ids
+    truth = {d.doc_id: d.source for d in docs}
+    for r in rows:
+        assert r.pred_source in sources | {"unk"}
+        assert r.truth == truth[r.doc_id]
+        assert r.correct == (r.pred_source == r.truth)
+    rows2 = q_source_classifier_eval(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows2)) == sorted(map(tuple, rows))
