@@ -169,6 +169,71 @@ def q_join_null_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BAND_DAYS = 7
+
+
+def q_interval_self_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big temporal self-join via BAND DECOMPOSITION — the pattern
+    for "pairs within a time window" when BOTH sides are fact-sized
+    (reorder detection, burst analysis, dedup-within-window) and
+    neither broadcasts: each order maps to a 7-day band; one side
+    explodes to its band ±1 (a 3x replication of one side — the entire
+    cost, stated up front); pairs meet through a plain EQUI-join on
+    (customer, band) — never a shuffle theta-join — and one exact
+    |gap| <= 7d refinement drops the band-edge false candidates.
+    Every qualifying pair meets exactly once: bands of two dates within
+    7 days differ by at most 1, so exactly one of the three emitted
+    bands equals the partner's.
+
+    Output is the per-customer reorder report (pair count, max gap —
+    exact ints); the oracle is the naive inequality join, which DuckDB
+    executes as an IEJoin — an independent algorithm agreeing on the
+    result is the strongest check a rewrite like this can get.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("key"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .alias("day"),
+    )
+    left = o.select(
+        "cust",
+        F.col("key").alias("key_a"),
+        F.col("day").alias("day_a"),
+        F.explode(
+            F.array(
+                F.expr(f"CAST(day DIV {BAND_DAYS} AS BIGINT) - 1"),
+                F.expr(f"CAST(day DIV {BAND_DAYS} AS BIGINT)"),
+                F.expr(f"CAST(day DIV {BAND_DAYS} AS BIGINT) + 1"),
+            )
+        ).alias("band"),
+    )
+    right = o.select(
+        "cust",
+        F.col("key").alias("key_b"),
+        F.col("day").alias("day_b"),
+        F.expr(f"CAST(day DIV {BAND_DAYS} AS BIGINT)").alias("band"),
+    )
+    pairs = (
+        left.join(right, ["cust", "band"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("day_a") - F.col("day_b")) <= BAND_DAYS)
+        )
+        .select(
+            "cust",
+            "key_a",
+            "key_b",
+            F.abs(F.col("day_a") - F.col("day_b")).cast("long").alias("gap"),
+        )
+    )
+    return pairs.groupBy("cust").agg(
+        F.count("*").alias("n_pairs"),
+        F.max("gap").alias("max_gap_days"),
+        F.min("gap").alias("min_gap_days"),
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct counts — the IRREDUCIBLE rows-only
     residue of the approx-distinct pair: the estimate is a function of
@@ -550,6 +615,7 @@ QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
     "join_skew_salted": q_join_skew_salted,
     "join_null_skew": q_join_null_skew,
+    "interval_self_join_banded": q_interval_self_join_banded,
     "heavy_hitters": q_heavy_hitters,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "range_join_bands": q_range_join_bands,
@@ -591,6 +657,23 @@ FROM top CROSS JOIN tot
 SELECT event_type, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
+""",
+    "interval_self_join_banded": f"""
+WITH o AS (
+  SELECT o_custkey AS cust, o_orderkey AS key,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS day
+  FROM orders
+),
+pairs AS (
+  SELECT a.cust, a.key AS key_a, b.key AS key_b,
+         abs(a.day - b.day) AS gap
+  FROM o a JOIN o b
+    ON a.cust = b.cust AND a.key < b.key
+   AND abs(a.day - b.day) <= {BAND_DAYS}
+)
+SELECT cust, count(*) AS n_pairs,
+       max(gap) AS max_gap_days, min(gap) AS min_gap_days
+FROM pairs GROUP BY cust
 """,
     "join_null_skew": """
 WITH fact AS (

@@ -141,3 +141,36 @@ def test_heavy_hitters_cut_and_cumulative(spark, sf_dir):
     assert all(
         rows[i].n >= rows[i + 1].n for i in range(len(rows) - 1)
     )
+
+
+def test_interval_self_join_banded_matches_naive(spark, sf_dir):
+    """The band decomposition must produce the EXACT naive theta-join
+    pair set (every qualifying pair found exactly once, no band-edge
+    duplicates or misses)."""
+    import itertools
+    from collections import defaultdict
+
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        BAND_DAYS,
+        q_interval_self_join_banded,
+    )
+
+    got = {
+        r.cust: (r.n_pairs, r.max_gap_days, r.min_gap_days)
+        for r in q_interval_self_join_banded(spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    by_cust = defaultdict(list)
+    epoch = None
+    for o in orders:
+        by_cust[o.o_custkey].append((o.o_orderkey, o.o_orderdate.toordinal()))
+    want = {}
+    for cust, rows in by_cust.items():
+        gaps = [
+            abs(da - db)
+            for (ka, da), (kb, db) in itertools.combinations(rows, 2)
+            if abs(da - db) <= BAND_DAYS
+        ]
+        if gaps:
+            want[cust] = (len(gaps), max(gaps), min(gaps))
+    assert got == want
