@@ -31,7 +31,13 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 DEFAULT_SPLIT_BYTES = 32 << 20
 
@@ -49,6 +55,9 @@ class EdgeListDataSource(DataSource):
 
     def reader(self, schema) -> "EdgeListReader":
         return EdgeListReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "EdgeListWriter":
+        return EdgeListWriter(self.options, overwrite)
 
 
 class _SplitPartition(InputPartition):
@@ -122,6 +131,69 @@ class EdgeListReader(DataSourceReader):
                 yield int(edge_id), int(src), int(dst), float(weight)
 
 
+class _WroteFile(WriterCommitMessage):
+    """Picklable per-task message: the staged file this task produced."""
+
+    def __init__(self, staged: str):
+        self.staged = staged
+
+
+class EdgeListWriter(DataSourceWriter):
+    """The WRITE half of the custom source — the sink contract of the
+    reference's text format through the same Python DataSource API:
+    ``df.write.format("edgelist").mode(...).save(dir)``.
+
+    Tasks stage ``_staged-*`` part files and report them in their
+    commit message; visibility is COMMIT-TIME RENAME on the driver —
+    the two-phase pattern every production sink uses, so a failed or
+    speculated task's staged output is never observable and abort()
+    can discard it. Each task writes its own file (no driver funnel);
+    local-FS rename semantics here, an object-store commit protocol at
+    cluster scale.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("edgelist sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _WroteFile:
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path, f"_staged-{uuid.uuid4().hex}.txt"
+        )
+        with open(staged, "w", encoding="utf-8") as out:
+            for row in iterator:
+                # repr-shortest float: the reader's float() parse
+                # roundtrips the weight exactly.
+                out.write(
+                    f"{row.edge_id} {row.src} {row.dst} {row.weight!r}\n"
+                )
+        return _WroteFile(staged)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if not f.startswith("_staged-") and not f.startswith("."):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            final = os.path.join(
+                self.path,
+                os.path.basename(m.staged).replace("_staged-", "part-"),
+            )
+            os.replace(m.staged, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except OSError:
+                pass
+
+
 def register(spark: SparkSession) -> None:
     """Idempotently register the source on a session. Registration is
     attempted every call — an id()-keyed cache would go stale when a
@@ -165,11 +237,45 @@ def q_pyds_edges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("src", "dst", "weight")
 
 
-QUERIES = {"pyds_edges_roundtrip": q_pyds_edges_roundtrip}
+def q_pyds_edges_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full custom-source cycle, BOTH halves Python API: write the
+    B1 edges through the custom DataSourceWriter (two-phase staged
+    commit), read them back through the custom DataSourceReader, prove
+    byte-level losslessness against the source table — the reference's
+    complete text I/O contract re-expressed as one Spark format."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources import edges_from_lineitem
+
+    register(spark)
+    e = edges_from_lineitem(spark, sf_dir).withColumn(
+        "edge_id", F.monotonically_increasing_id()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-pyds-" + sf_dir.strip("/").replace("/", "_"),
+        "edges_written",
+    )
+    e.select("edge_id", "src", "dst", "weight").write.format(
+        "edgelist"
+    ).mode("overwrite").save(path)
+    back = spark.read.format("edgelist").load(path)
+    return back.select("src", "dst", "weight")
+
+
+QUERIES = {
+    "pyds_edges_roundtrip": q_pyds_edges_roundtrip,
+    "pyds_edges_writer_roundtrip": q_pyds_edges_writer_roundtrip,
+}
+
+_B1_SQL = (
+    "SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight"
+    " FROM lineitem"
+)
 
 ORACLE = {
-    "pyds_edges_roundtrip": (
-        "SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight"
-        " FROM lineitem"
-    ),
+    "pyds_edges_roundtrip": _B1_SQL,
+    "pyds_edges_writer_roundtrip": _B1_SQL,
 }

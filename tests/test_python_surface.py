@@ -82,3 +82,25 @@ def test_udtf_query_entry_runs_on_testdata(spark, sf_dir):
     pdf: pd.DataFrame = df.limit(50).toPandas()
     assert {"doc_id", "n_chars", "n_words"} == set(pdf.columns)
     assert (pdf["n_words"] >= 1).all()
+
+
+def test_pyds_writer_two_phase_commit(spark, sf_dir):
+    """The custom writer's staged files must all be renamed at commit
+    (no _staged- leftovers) and the directory readable by the custom
+    reader with exactly the written row count."""
+    import os
+    import tempfile
+
+    from mapreduce_sssp_spark.io.python_datasource import (
+        q_pyds_edges_writer_roundtrip,
+    )
+
+    n = q_pyds_edges_writer_roundtrip(spark, sf_dir).count()
+    assert n == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-pyds-" + sf_dir.strip("/").replace("/", "_"),
+        "edges_written",
+    )
+    names = os.listdir(path)
+    assert names and all(f.startswith("part-") for f in names)
