@@ -109,6 +109,7 @@ HEADLINE = [
     "asof_join_nearest",
     "join_skew_salted",
     "join_null_skew",
+    "interval_self_join_banded",
     "skew_salted_agg",
     "heavy_hitters",
     "range_join_bands",
@@ -152,6 +153,7 @@ HEADLINE = [
     "trigram_novelty",
     "sparse_cosine_pairs",
     "lang_confusion",
+    "source_classifier_eval",
     # sampling / packing / python surface
     "sample_hash",
     "weighted_sample",
@@ -177,6 +179,7 @@ HEADLINE = [
     "sink_bucketed_join",
     "sink_compaction_roundtrip",
     "sink_clustered_write",
+    "pyds_edges_writer_roundtrip",
     "asof_join_forward",
     "price_histogram",
     "concurrent_shipments",
