@@ -710,6 +710,76 @@ def q_moments_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample distribution drift report — the monitor a feature
+    pipeline runs between yesterday's and today's snapshot before a
+    model retrains on silently-shifted data. Baseline = even order
+    keys, candidate = odd keys (a deterministic stand-in for two time
+    snapshots); the baseline's exact deciles become shared bucket
+    edges (ONE aggregate, broadcast back — the rfm_segments threshold
+    device, no global sort), both samples bucket map-side via an
+    order-free indicator sum, and each bucket reports counts, shares,
+    and its
+    chi-squared drift term ((share_b - share_a)^2 / share_a — the
+    exact-arithmetic PSI surrogate: PSI's ln() is banned by the
+    cross-engine ulp rule, and the chi-square term ranks drift
+    identically).
+
+    Counts are exact; shares and terms are divisions of identical
+    operands. At 100 TB: two scans + one decile aggregate + one
+    20-row rollup; the snapshots never join row-to-row.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2 == 0).alias("is_base"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("cents"),
+    )
+    probs = [i / 10.0 for i in range(1, 10)]
+    edges = o.filter("is_base").agg(
+        F.expr(
+            "percentile(cents, array({}))".format(
+                ", ".join(f"{p}D" for p in probs)
+            )
+        ).alias("es")
+    )
+    # Bucket id = number of decile edges strictly below the value (an
+    # indicator SUM, order-free — a CASE ladder would have to nest in
+    # descending edge order to be correct).
+    bucket = sum(
+        (F.col("cents") > F.expr(f"es[{i}]")).cast("int") for i in range(9)
+    )
+    counts = (
+        o.crossJoin(F.broadcast(edges))
+        .select("is_base", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("is_base"), 1)).alias("n_base"),
+            F.count(F.when(~F.col("is_base"), 1)).alias("n_cand"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cand").alias("tc")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_base",
+            "n_cand",
+            (F.col("n_base").cast("double") / F.col("tb").cast("double"))
+            .alias("share_base"),
+            (F.col("n_cand").cast("double") / F.col("tc").cast("double"))
+            .alias("share_cand"),
+        )
+        .withColumn(
+            "chi2_term",
+            (F.col("share_cand") - F.col("share_base"))
+            * (F.col("share_cand") - F.col("share_base"))
+            / F.col("share_base"),
+        )
+    )
+
+
 def q_nested_order_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-record construction — the denormalization every
     training-example builder runs (one row per entity, details as an
@@ -1859,6 +1929,7 @@ QUERIES = {
     "corr_measures": q_corr_measures,
     "moments_value": q_moments_value,
     "nested_order_records": q_nested_order_records,
+    "distribution_drift": q_distribution_drift,
     "regression_trend": q_regression_trend,
     "price_histogram": q_price_histogram,
     "map_literal_decode": q_map_literal_decode,
@@ -2102,6 +2173,52 @@ SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.75) AS q3,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
+""",
+    "distribution_drift": """
+WITH o AS (
+  SELECT (o_orderkey % 2 = 0) AS is_base,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+edges AS (
+  SELECT [quantile_cont(CAST(cents AS DOUBLE), 0.1),
+          quantile_cont(CAST(cents AS DOUBLE), 0.2),
+          quantile_cont(CAST(cents AS DOUBLE), 0.3),
+          quantile_cont(CAST(cents AS DOUBLE), 0.4),
+          quantile_cont(CAST(cents AS DOUBLE), 0.5),
+          quantile_cont(CAST(cents AS DOUBLE), 0.6),
+          quantile_cont(CAST(cents AS DOUBLE), 0.7),
+          quantile_cont(CAST(cents AS DOUBLE), 0.8),
+          quantile_cont(CAST(cents AS DOUBLE), 0.9)] AS es
+  FROM o WHERE is_base
+),
+bucketed AS (
+  SELECT is_base,
+         CAST(list_sum(list_transform(es, e ->
+           CASE WHEN CAST(cents AS DOUBLE) > e THEN 1 ELSE 0 END))
+           AS INT) AS bucket
+  FROM o, edges
+),
+counts AS (
+  SELECT bucket,
+         count(CASE WHEN is_base THEN 1 END) AS n_base,
+         count(CASE WHEN NOT is_base THEN 1 END) AS n_cand
+  FROM bucketed GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+         CAST(SUM(n_cand) AS BIGINT) AS tc
+  FROM counts
+)
+SELECT bucket, n_base, n_cand,
+       CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE) AS share_base,
+       CAST(n_cand AS DOUBLE) / CAST(tc AS DOUBLE) AS share_cand,
+       (CAST(n_cand AS DOUBLE) / CAST(tc AS DOUBLE)
+        - CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE))
+       * (CAST(n_cand AS DOUBLE) / CAST(tc AS DOUBLE)
+          - CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE))
+       / (CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE)) AS chi2_term
+FROM counts, tot
 """,
     "nested_order_records": """
 WITH items AS (

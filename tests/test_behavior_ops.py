@@ -694,3 +694,18 @@ def test_source_classifier_eval_structure(spark, sf_dir):
         assert r.correct == (r.pred_source == r.truth)
     rows2 = q_source_classifier_eval(spark, sf_dir).collect()
     assert sorted(map(tuple, rows2)) == sorted(map(tuple, rows))
+
+
+def test_distribution_drift_shares_sum_to_one(spark, sf_dir):
+    from mapreduce_sssp_spark.operators.relational import (
+        q_distribution_drift,
+    )
+
+    rows = q_distribution_drift(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share_base for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.share_cand for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0 <= r.bucket <= 9 and r.chi2_term >= 0.0
+    # Even/odd halves of the same table: drift should be small but the
+    # report structure must hold for any magnitude.
