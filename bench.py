@@ -73,6 +73,7 @@ HEADLINE = [
     "profile_columns",
     "winsorize_values",
     "corr_measures",
+    "distribution_drift",
     "regression_trend",
     "tfidf_top_terms",
     "window_moving",
@@ -174,6 +175,7 @@ HEADLINE = [
     "streaming_late_data",
     "streaming_restart_recovery",
     "multimodal_features",
+    "multimodal_dedup",
     "pipeline_clean_corpus",
     "pipeline_training_data",
     "sink_bucketed_join",

@@ -233,13 +233,60 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(binary_table(spark, sf_dir))
 
 
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup — the image/audio dedup shape: digest
+    the BYTES (md5 over the binary column, not the decoded text — the
+    production hash runs on the payload a decoder never touched), group
+    by digest, elect the min-id canonical, report groups with copies.
+    The corpus is the binary table plus a deterministic re-keyed
+    duplicate slab (every 7th doc again under doc_id + 100000), so the
+    query provably FINDS duplicates instead of vacuously reporting
+    singletons (the r6 lesson about demonstrations that cannot fail).
+
+    Same 32-hex-digest shuffle shape as dedup_exact: the exchange
+    carries (digest, id) pairs, never the payload bytes.
+    """
+    base = binary_table(spark, sf_dir)
+    dupes = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "content", "meta"
+    )
+    corpus = base.unionByName(dupes)
+    return (
+        corpus.groupBy(F.md5("content").alias("digest"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_dedup": q_multimodal_dedup,
 }
 
 ORACLE = {
+    "multimodal_dedup": """
+WITH base AS (
+  SELECT doc_id, text, strlen(text) AS n_bytes FROM documents
+),
+corpus AS (
+  SELECT doc_id, text, n_bytes FROM base
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, n_bytes
+  FROM base WHERE doc_id % 7 = 0
+)
+SELECT md5(text) AS digest,
+       count(*) AS n_copies,
+       min(doc_id) AS canonical_doc_id,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+FROM corpus GROUP BY 1
+HAVING count(*) > 1
+""",
     "multimodal_features": f"""
 SELECT doc_id,
        strlen(text) AS byte_len,

@@ -114,3 +114,16 @@ def test_frame_sampling_explodes_one_to_n(spark):
     assert (f9.frame_off, f9.frame_len, f9.frame_head) == (36, 4, 36)
     assert 2 not in by_doc  # empty payload -> zero frames
     assert [(r.frame_idx, r.frame_len) for r in by_doc[3]] == [(0, 3)]
+
+
+def test_multimodal_dedup_finds_exactly_the_planted_copies(spark, sf_dir):
+    from mapreduce_sssp_spark.operators.multimodal import q_multimodal_dedup
+
+    rows = q_multimodal_dedup(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    planted = sum(1 for d in docs if d.doc_id % 7 == 0)
+    # Texts are unique in the corpus, so every duplicate group is one
+    # planted pair; canonical is always the original id.
+    assert len(rows) == planted
+    for r in rows:
+        assert r.n_copies == 2 and r.canonical_doc_id < 100_000
