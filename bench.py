@@ -51,6 +51,7 @@ HEADLINE = [
     "longest_path_dag",
     "landmark_distances",
     "personalized_pagerank",
+    "scc",
     "degree_assortativity",
     "two_hop_paths",
     "graph_sample_khop",
@@ -213,6 +214,7 @@ FIXPOINT_QUERIES = [
     "longest_path_dag",
     "landmark_distances",
     "personalized_pagerank",
+    "scc",
 ]
 
 # Round-6 record (BENCH_r06 / that round's BENCH_RESULTS.json): the

@@ -334,6 +334,24 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neg.select("src", "dst", "neg_dst")
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the B1 digraph — the 10th
+    fixpoint pattern and the first NESTED one (trim peel + min-coloring
+    + color-constrained backward reach per outer round; see
+    graph/scc.py). On B1 the cyclic 0-99 supplier/part core collapses
+    to one SCC and every pure-part node is a singleton — the structure
+    the trim phase resolves for free, which is exactly the published
+    algorithms' claim about real graphs.
+
+    The oracle is a genuinely independent FORMULATION, not a replay:
+    mutual reachability via one recursive closure, scc = min over
+    {v : u <-> v}. Exact integer labels, so the hash is trivial."""
+    from ..graph.scc import scc
+
+    edges = edges_from_lineitem(spark, sf_dir)
+    return scc(edges.select("src", "dst"))
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the B1 graph: the Pearson correlation of
     (out-degree of src, in-degree of dst) over directed edges — THE
@@ -674,6 +692,7 @@ QUERIES = {
     "two_hop_paths": q_two_hop_paths,
     "graph_sample_khop": q_graph_sample_khop,
     "negative_sampling": q_negative_sampling,
+    "scc": q_scc,
     "compat_state_lines": q_compat_state_lines,
     "compat_final_lines": q_compat_final_lines,
     "compat_reverse_lines": q_compat_reverse_lines,
@@ -839,6 +858,25 @@ pr(it, node, rank) AS (
 )
 SELECT node, CAST(round(rank * 1e9) AS BIGINT) AS rank_e9
 FROM pr WHERE it = 6
+""",
+    "scc": f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL}) WHERE src <> dst),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM ({EDGES_SQL})
+                UNION ALL SELECT dst FROM ({EDGES_SQL}))),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+),
+mutual AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT n.node, least(n.node, coalesce(min(m.v), n.node)) AS scc
+FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+GROUP BY n.node
 """,
     "negative_sampling": f"""
 WITH e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
