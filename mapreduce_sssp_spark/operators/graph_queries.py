@@ -352,6 +352,38 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc(edges.select("src", "dst"))
 
 
+def q_condensation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCC condensation — collapse every strongly connected
+    component to one super-node and keep the distinct between-component
+    edges with multiplicities: the cycle-free summary graph scheduling
+    and reachability analyses actually run on (it is a DAG by
+    construction). One run of the scc fixpoint + two label joins onto
+    the edge list + one aggregate; the edge table shuffles once per
+    endpoint join.
+    """
+    from ..graph.scc import scc
+
+    edges = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    labels = scc(edges)
+    return (
+        edges.join(
+            labels.select(
+                F.col("node").alias("src"), F.col("scc").alias("scc_src")
+            ),
+            "src",
+        )
+        .join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("scc").alias("scc_dst")
+            ),
+            "dst",
+        )
+        .filter(F.col("scc_src") != F.col("scc_dst"))
+        .groupBy("scc_src", "scc_dst")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the B1 graph: the Pearson correlation of
     (out-degree of src, in-degree of dst) over directed edges — THE
@@ -693,6 +725,7 @@ QUERIES = {
     "graph_sample_khop": q_graph_sample_khop,
     "negative_sampling": q_negative_sampling,
     "scc": q_scc,
+    "condensation_dag": q_condensation_dag,
     "compat_state_lines": q_compat_state_lines,
     "compat_final_lines": q_compat_final_lines,
     "compat_reverse_lines": q_compat_reverse_lines,
@@ -858,6 +891,34 @@ pr(it, node, rank) AS (
 )
 SELECT node, CAST(round(rank * 1e9) AS BIGINT) AS rank_e9
 FROM pr WHERE it = 6
+""",
+    "condensation_dag": f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL}) WHERE src <> dst),
+e_all AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM ({EDGES_SQL})
+                UNION ALL SELECT dst FROM ({EDGES_SQL}))),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+),
+mutual AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+),
+labels AS (
+  SELECT n.node, least(n.node, coalesce(min(m.v), n.node)) AS scc
+  FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+  GROUP BY n.node
+)
+SELECT ls.scc AS scc_src, ld.scc AS scc_dst, count(*) AS n_edges
+FROM e_all
+JOIN labels ls ON ls.node = e_all.src
+JOIN labels ld ON ld.node = e_all.dst
+WHERE ls.scc <> ld.scc
+GROUP BY ls.scc, ld.scc
 """,
     "scc": f"""
 WITH RECURSIVE

@@ -103,3 +103,36 @@ def test_scc_matches_tarjan_on_random_graph(spark):
     got = {r.node: r.scc for r in scc(df).collect()}
     want = _tarjan(edges)
     assert got == want
+
+
+def test_condensation_is_acyclic(spark, sf_dir):
+    """The condensation must be a DAG (cycle would mean two SCCs are
+    mutually reachable — a contradiction)."""
+    from mapreduce_sssp_spark.operators.graph_queries import (
+        q_condensation_dag,
+    )
+
+    edges = [
+        (r.scc_src, r.scc_dst)
+        for r in q_condensation_dag(spark, sf_dir).collect()
+    ]
+    # Kahn's algorithm: a DAG fully empties.
+    from collections import defaultdict, deque
+
+    indeg = defaultdict(int)
+    adj = defaultdict(list)
+    nodes = set()
+    for u, v in edges:
+        adj[u].append(v)
+        indeg[v] += 1
+        nodes.update((u, v))
+    q = deque(n for n in nodes if indeg[n] == 0)
+    seen = 0
+    while q:
+        u = q.popleft()
+        seen += 1
+        for v in adj[u]:
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                q.append(v)
+    assert seen == len(nodes), "condensation contains a cycle"
