@@ -58,6 +58,9 @@ HEADLINE = [
     "negative_sampling",
     "reverse_graph",
     "triangle_counts",
+    "clustering_coefficient",
+    "mis_greedy",
+    "graph_reciprocity",
     "edge_jaccard",
     "compat_final_lines",
     # relational / SQL
@@ -71,12 +74,14 @@ HEADLINE = [
     "join_inner",
     "grouping_sets_agg",
     "outliers_mad",
+    "changepoint_cusum",
     "profile_columns",
     "winsorize_values",
     "corr_measures",
     "distribution_drift",
     "regression_trend",
     "tfidf_top_terms",
+    "token_source_pmi",
     "window_moving",
     "topk_orders",
     "json_extract",
@@ -229,7 +234,13 @@ ENVELOPE_REF = {"round": 6, "value_norm": 133.899, "n_queries": 105}
 # to whichever consumer happens to run first (round 5's triangle_counts
 # absorbed its two siblings' one-time checkpoint and read as a 1.6x
 # "regression").
-COOC_CONSUMERS = {"triangle_counts", "kcore", "label_propagation"}
+COOC_CONSUMERS = {
+    "triangle_counts",
+    "kcore",
+    "label_propagation",
+    "clustering_coefficient",
+    "mis_greedy",
+}
 
 
 def cpu_calibration() -> float:

@@ -1,0 +1,178 @@
+"""Greedy maximal independent set — Luby-style symmetry breaking, the
+engine's eleventh fixpoint pattern and the first whose convergence is
+driven by *priorities* rather than values (sssp relaxes distances, wcc
+propagates labels, kcore peels degrees; MIS breaks ties).
+
+Algorithm (deterministic parallel greedy, Luby 1986 / Blelloch et al.
+2012): give every node a fixed pseudorandom priority; each round, every
+still-undecided node that is a strict local minimum among its undecided
+neighbors joins the MIS, and its undecided neighbors are removed.
+With distinct priorities this converges to exactly the sequential
+greedy MIS in priority order (Blelloch's "deterministic parallelism"
+result), in O(log n) rounds with high probability — which is what makes
+it hash-checkable: the result is a pure function of the priority map,
+not of scheduling.
+
+Priorities are the Knuth multiplicative hash ``(node * 2654435761) mod
+2^32`` — odd multiplier, so the map is injective mod 2^64 and no two
+nodes can tie (strict-minimum is then well-defined). Both engines
+evaluate it in exact BIGINT arithmetic; node ids up to ~3.4e9 stay
+within int64 in the product (doc'd bound, far above any SF here).
+
+Round shape (kcore's discipline, sssp.py's loop hardening): the
+undirected edge list is static — partitioned once on the message key,
+persisted, never re-shuffled; per-round work is one join of edges
+against the shrinking undecided set (messages = undecided neighbors'
+priorities), a min-combine, and a left-join state update; one count()
+action per round doubles as the convergence test; reliable checkpoints
+every ``checkpoint_every`` rounds truncate lineage. Winners are
+broadcast for the removal join (a vertex subset, orders smaller than
+edges); if a first round's winner set outgrew a broadcast at some
+extreme scale, dropping the hint falls back to a shuffle join with the
+same round shape.
+
+At 100 TB: per-round shuffle volume is proportional to edges incident
+to *undecided* nodes, which shrinks geometrically (each round decides
+an expected constant fraction); the static edge list never moves after
+its one partitioning.
+
+No recursive-CTE oracle exists (rounds delete state — same class as
+kcore), but unlike kcore the round count is small and bounded, so the
+DuckDB twin UNROLLS the rounds exactly (graph_queries._mis_oracle_sql),
+making this the first removal-based fixpoint with a full value-hash
+check. tests/test_mis.py additionally referees independence +
+maximality + greedy equivalence against pure Python on random graphs.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
+
+#: Knuth multiplicative-hash constants, shared verbatim by the DuckDB
+#: twin (both engines evaluate the identical exact-integer expression).
+MIS_PRI_MULT = 2654435761
+MIS_PRI_MOD = 4294967296  # 2^32
+_PRI_INF = (1 << 63) - 1  # > any priority; stands in for "no neighbor"
+
+
+def mis_priority(node: Column) -> Column:
+    """Deterministic distinct priority for a node id (exact BIGINT)."""
+    return (node * F.lit(MIS_PRI_MULT)) % F.lit(MIS_PRI_MOD)
+
+
+def mis_greedy(
+    edges: DataFrame,
+    *,
+    max_rounds: int = 64,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Greedy MIS over canonical (u < v) distinct undirected edges.
+
+    Returns one row per node: (node, in_mis, decided_round) —
+    ``in_mis`` true for MIS members, ``decided_round`` the 1-based
+    round in which the node was selected (winners) or eliminated
+    (neighbors of winners).
+    """
+    spark = edges.sparkSession
+    _ensure_checkpoint_dir(spark)
+    n_part = loop_partitions(spark, edges)
+
+    n_undec = -1
+    with static_rounds(spark, parts=n_part):
+        # Both directions so each endpoint sees the edge; partitioned
+        # once on u (the message-send key), never re-shuffled.
+        und = (
+            edges.select("u", "v")
+            .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition(n_part, "u")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        state = (
+            und.select(F.col("u").alias("node"))
+            .distinct()
+            .select(
+                "node",
+                mis_priority(F.col("node")).alias("pri"),
+                F.lit(None).cast("boolean").alias("in_mis"),
+                F.lit(None).cast("int").alias("decided_round"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        for rnd in range(1, max_rounds + 1):
+            undecided = state.filter(F.col("in_mis").isNull()).select(
+                "node", "pri"
+            )
+            # The one action per round: materializes state AND tests
+            # the fixed point.
+            n_undec = undecided.count()
+            if n_undec == 0:
+                break
+            # Messages: every edge whose SOURCE is undecided carries
+            # that source's priority to its neighbor; min-combine per
+            # receiver. (Decided receivers get messages too — harmless,
+            # the winner join below only consults undecided nodes.)
+            msgs = (
+                und.join(
+                    undecided.select(
+                        F.col("node").alias("u"), F.col("pri").alias("nbr_pri")
+                    ),
+                    "u",
+                )
+                .groupBy("v")
+                .agg(F.min("nbr_pri").alias("min_nbr"))
+                .select(F.col("v").alias("node"), "min_nbr")
+            )
+            winners = (
+                undecided.join(msgs, "node", "left")
+                .filter(
+                    F.col("pri")
+                    < F.coalesce("min_nbr", F.lit(_PRI_INF))
+                )
+                .select("node")
+            )
+            losers = (
+                und.join(
+                    F.broadcast(winners.withColumnRenamed("node", "u")), "u"
+                )
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(undecided.select("node"), "node", "semi")
+            )
+            decisions = winners.select(
+                "node", F.lit(True).alias("new_mis")
+            ).unionByName(losers.select("node", F.lit(False).alias("new_mis")))
+            new_state = state.join(decisions, "node", "left").select(
+                "node",
+                "pri",
+                F.coalesce("in_mis", "new_mis").alias("in_mis"),
+                F.coalesce(
+                    "decided_round",
+                    F.when(F.col("new_mis").isNotNull(), F.lit(rnd)),
+                ).alias("decided_round"),
+            )
+            cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+            if rnd % checkpoint_every == 0:
+                new_state = cached.checkpoint()
+                cached.unpersist()
+            else:
+                new_state = cached
+            state.unpersist()
+            state = new_state
+        else:
+            warnings.warn(
+                f"mis_greedy: max_rounds={max_rounds} exhausted with "
+                f"{n_undec} nodes undecided; result is an independent set "
+                "but may not be maximal",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    out = state.select("node", "in_mis", "decided_round")
+    und.unpersist()
+    return out

@@ -208,3 +208,43 @@ def _closure_triples(
         )
     )
     return edges, deg, tris
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over canonical (u < v)
+    undirected edges: lcc = 2*n_tri / (deg*(deg-1)), the fraction of a
+    node's neighbor pairs that are themselves adjacent (Watts-Strogatz).
+    Returns (node, deg, n_tri, lcc) for EVERY node — zero-triangle and
+    degree-1 nodes included (lcc 0.0), which is what a feature pipeline
+    joins back onto the node table.
+
+    Rides the same degree-oriented closure as triangle_counts, so the
+    incremental cost over a triangle count is one left join against the
+    degree table. Hash determinism: n_tri and deg*(deg-1) are exact
+    BIGINTs and lcc is a SINGLE int/int double division — IEEE-correctly
+    rounded, so Spark and DuckDB agree bit-for-bit (same device as
+    edge_jaccard above).
+    """
+    _, deg, tris = _closure_triples(edges)
+    n_tri = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    out = deg.join(n_tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+    )
+    pairs = F.col("deg") * (F.col("deg") - F.lit(1))
+    return out.select(
+        "node",
+        "deg",
+        "n_tri",
+        F.when(
+            F.col("deg") >= 2,
+            (F.lit(2) * F.col("n_tri")).cast("double") / pairs.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )

@@ -1402,8 +1402,83 @@ def anomaly_zscore(ev: DataFrame) -> DataFrame:
     ).select("user_id", "event_id", "cents", "sum_c", "sumsq_c")
 
 
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event_type: the point k
+    maximizing |S_k - k*mean| (the classic cumulative-sum deviation
+    statistic) over the (ts, event_id)-ordered value series — where the
+    series' level most decisively shifts. Output one row per
+    event_type: the changepoint's position, event, signed scaled
+    deviation, and the deviation in value units.
+
+    Exactness: values go through the int64-cents projection; the
+    mean division is ELIMINATED by scaling the statistic by n
+    (D_k = n*S_k - k*T, all exact BIGINT — cumulative cents ~2e9 at
+    sf0.1 and n*S ~2e14, far under int64; the oracle CASTs its window
+    SUM back from DuckDB's HUGEINT), so argmax and tie-breaks compare
+    integers; the only float op is one int/int division at the end.
+    (ts, event_id) totally orders ties; the argmax ties to the earliest
+    row.
+
+    At 100 TB: one window pass partitioned by event_type (the known
+    skew: few types -> salt or sub-partition by day if a type outgrows
+    an executor — same note as window_session), one tiny groupBy, one
+    broadcast-sized join back. Shuffle O(rows) once.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cum = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("t")
+    )
+    dev = cum.join(tot, "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "k",
+        "n",
+        (F.col("n") * F.col("s") - F.col("k") * F.col("t")).alias("d"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("d")).desc(), "ts", "event_id"
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(rw))
+        .filter("rn = 1")
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("k").alias("cp_k"),
+            F.col("event_id").alias("cp_event_id"),
+            F.col("ts").alias("cp_ts"),
+            F.col("d").alias("dev_scaled"),
+            (
+                F.abs(F.col("d")).cast("double")
+                / (F.col("n") * F.lit(100)).cast("double")
+            ).alias("cusum_value"),
+        )
+    )
+
+
 QUERIES = {
     "window_tumbling": q_window_tumbling,
+    "changepoint_cusum": q_changepoint_cusum,
     "twap_user": q_twap_user,
     "scd2_intervals": q_scd2_intervals,
     "attribution_last_touch": q_attribution_last_touch,
@@ -1475,6 +1550,36 @@ GROUP BY user_id, session_id
 """
 
 ORACLE = {
+    "changepoint_cusum": """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events),
+cum AS (
+  SELECT event_type, ts, event_id,
+         CAST(SUM(cents) OVER (
+              PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS s,
+         ROW_NUMBER() OVER (
+              PARTITION BY event_type ORDER BY ts, event_id) AS k
+  FROM base),
+tot AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS t
+  FROM base GROUP BY event_type),
+dev AS (
+  SELECT c.event_type, c.ts, c.event_id, c.k, t.n,
+         t.n * c.s - c.k * t.t AS d
+  FROM cum c JOIN tot t USING (event_type)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+       PARTITION BY event_type ORDER BY ABS(d) DESC, ts, event_id) AS rn
+  FROM dev)
+SELECT event_type, n AS n_events, k AS cp_k, event_id AS cp_event_id,
+       ts AS cp_ts, d AS dev_scaled,
+       CAST(ABS(d) AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS cusum_value
+FROM ranked WHERE rn = 1
+""",
     "ewma_value": """
 WITH r AS (
   SELECT user_id,

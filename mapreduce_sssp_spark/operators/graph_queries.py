@@ -547,6 +547,88 @@ def _part_cooccurrence_edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame
     return canonical_edges(pairs)
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the part
+    co-occurrence graph — the canonical consumer of a triangle count
+    (lcc = 2*tri / deg*(deg-1)), emitted for every node including the
+    triangle-free ones. Shares the memoized co-occurrence edges and the
+    degree-oriented closure with triangle_counts; see
+    graph/triangles.py:clustering_coefficients for the exactness note
+    (single int/int double division, bit-stable across engines).
+    """
+    from ..graph.triangles import clustering_coefficients
+
+    return clustering_coefficients(_part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_mis_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal independent set over the part co-occurrence
+    graph — the engine's 11th fixpoint (graph/mis.py): Luby-style
+    priority symmetry breaking, deterministic because priorities are a
+    fixed multiplicative hash, so the result equals the sequential
+    greedy MIS in priority order. The DuckDB twin unrolls the rounds
+    exactly (_mis_oracle_sql), giving the removal-based fixpoint family
+    its first full value-hash check (kcore is rows-only).
+    """
+    from ..graph.mis import mis_greedy
+
+    return mis_greedy(
+        _part_cooccurrence_edges(spark, sf_dir), max_rounds=_MIS_ORACLE_ROUNDS
+    )
+
+
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed part *sequence* graph (p_i ->
+    p_{i+1} in l_linenumber order within each order — the market-basket
+    sequence digraph, where reverse pairs genuinely occur across
+    orders): the fraction of directed edges whose reverse edge also
+    exists, the standard digraph symmetry measure.
+
+    One window (lead over the order's line sequence), one distinct, one
+    self-join on the reversed key, two scalar counts combined by a
+    literal-on-literal crossJoin. At 100 TB: the window partitions by
+    orderkey (basket-sized groups, no skew), the reciprocity self-join
+    is an equi-join on (src, dst) — shuffle O(edges); the output is one
+    row. reciprocity is a single BIGINT/BIGINT double division.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("p"),
+    )
+    # The synthetic lineitem carries duplicate (orderkey, linenumber)
+    # pairs (11k groups at sf0.01), so ln alone is not a total order —
+    # p joins the sort key to make the within-order p-sequence
+    # deterministic (rows tying on (ln, p) are exact duplicates, whose
+    # relative order cannot change the sequence of p values).
+    w = Window.partitionBy("o").orderBy("ln", "p")
+    seq = li.select(
+        F.col("p").alias("src"), F.lead("p").over(w).alias("dst")
+    )
+    edges = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .persist()
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_recip = edges.join(rev, ["src", "dst"], "semi").agg(
+        F.count("*").alias("n_reciprocal")
+    )
+    return n_edges.crossJoin(n_recip).select(
+        "n_edges",
+        "n_reciprocal",
+        (
+            F.col("n_reciprocal").cast("double")
+            / F.col("n_edges").cast("double")
+        ).alias("reciprocity"),
+    )
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the part co-occurrence graph.
 
@@ -711,6 +793,74 @@ def landmark_distances(edges: DataFrame, k: int = LANDMARKS_K) -> DataFrame:
     )
 
 
+# Unroll depth for the MIS oracle; the Spark side passes the same bound
+# as max_rounds so both engines compute the identical round-indexed
+# result. Greedy MIS decides an expected constant fraction per round
+# (O(log n) w.h.p.); tests/test_mis.py pins convergence well under this
+# at sf0.01, and an unconverged oracle surfaces as a row-count mismatch
+# (undecided nodes simply miss from the decided union), never a silent
+# wrong value.
+_MIS_ORACLE_ROUNDS = 24
+
+
+def _mis_oracle_sql(rounds: int = _MIS_ORACLE_ROUNDS) -> str:
+    """Unrolled DuckDB twin of q_mis_greedy. Round k: winners w{k} are
+    the remaining nodes strictly below every remaining neighbor's
+    priority (the Knuth hash, exact BIGINT in both engines); losers
+    l{k} are remaining neighbors of winners; rem{k} drops both. The
+    final result unions every round's decisions with the round index —
+    byte-identical to the Spark fixpoint's (node, in_mis,
+    decided_round).
+    """
+    from ..graph.mis import MIS_PRI_MOD, MIS_PRI_MULT, _PRI_INF
+
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v\n"
+        "      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+        "und AS MATERIALIZED (SELECT u AS src, v AS dst FROM e"
+        " UNION ALL SELECT v AS src, u AS dst FROM e)",
+        "rem0 AS MATERIALIZED (SELECT DISTINCT src AS node,\n"
+        f"         (src * {MIS_PRI_MULT}) % {MIS_PRI_MOD} AS pri FROM und)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT u.dst AS node, MIN(r.pri) AS mn\n"
+            f"  FROM und u JOIN rem{p} r ON r.node = u.src\n"
+            f"  GROUP BY u.dst)"
+        )
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT r.node FROM rem{p} r\n"
+            f"  LEFT JOIN m{k} m ON m.node = r.node\n"
+            f"  WHERE r.pri < COALESCE(m.mn, {_PRI_INF}))"
+        )
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT DISTINCT u.dst AS node\n"
+            f"  FROM und u JOIN w{k} w ON w.node = u.src\n"
+            f"  JOIN rem{p} rr ON rr.node = u.dst)"
+        )
+        ctes.append(
+            f"rem{k} AS MATERIALIZED (SELECT r.node, r.pri FROM rem{p} r\n"
+            f"  WHERE r.node NOT IN (SELECT node FROM w{k})\n"
+            f"    AND r.node NOT IN (SELECT node FROM l{k}))"
+        )
+    decided = "\nUNION ALL\n".join(
+        f"SELECT node, TRUE AS in_mis, CAST({k} AS INTEGER) AS decided_round"
+        f" FROM w{k}\nUNION ALL\n"
+        f"SELECT node, FALSE AS in_mis, CAST({k} AS INTEGER) AS decided_round"
+        f" FROM l{k}"
+        for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT node, in_mis, decided_round FROM (\n"
+        + decided
+        + "\n)"
+    )
+
+
 QUERIES = {
     "sssp": q_sssp,
     "landmark_distances": q_landmark_distances,
@@ -735,6 +885,9 @@ QUERIES = {
     "text_edges_roundtrip": q_text_edges_roundtrip,
     "tsv_edges_roundtrip": q_tsv_edges_roundtrip,
     "triangle_counts": q_triangle_counts,
+    "clustering_coefficient": q_clustering_coefficient,
+    "mis_greedy": q_mis_greedy,
+    "graph_reciprocity": q_graph_reciprocity,
     "edge_jaccard": q_edge_jaccard,
     "kcore": q_kcore,
     "label_propagation": q_label_propagation,
@@ -1199,6 +1352,44 @@ corners AS (SELECT unnest([a, b, c]) AS node FROM t)
 SELECT node, count(*) AS n_tri FROM corners GROUP BY node
 """,
     "label_propagation": _lpa_oracle_sql(),
+    "mis_greedy": _mis_oracle_sql(),
+    "clustering_coefficient": """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+und AS (SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v AS src, u AS dst FROM e),
+deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (SELECT unnest([a, b, c]) AS node FROM t),
+nt AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node)
+SELECT d.node, d.deg,
+       COALESCE(nt.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2 * COALESCE(nt.n_tri, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN nt ON nt.node = d.node
+""",
+    "graph_reciprocity": """
+WITH seq AS (SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p
+             FROM lineitem),
+nxt AS (SELECT p AS src,
+               LEAD(p) OVER (PARTITION BY o ORDER BY ln, p) AS dst
+        FROM seq),
+e AS (SELECT DISTINCT src, dst FROM nxt
+      WHERE dst IS NOT NULL AND src <> dst),
+r AS (SELECT count(*) AS n_reciprocal
+      FROM e e1 JOIN e e2 ON e2.src = e1.dst AND e2.dst = e1.src),
+n AS (SELECT count(*) AS n_edges FROM e)
+SELECT n.n_edges, r.n_reciprocal,
+       CAST(r.n_reciprocal AS DOUBLE) / CAST(n.n_edges AS DOUBLE)
+         AS reciprocity
+FROM n, r
+""",
     "edge_jaccard": """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (SELECT DISTINCT a.p AS u, b.p AS v

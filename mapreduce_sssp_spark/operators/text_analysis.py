@@ -607,6 +607,77 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_TOPK = 3
 
 
+#: token_source_pmi keeps the top-K terms by document frequency — the
+#: feature-selection shortlist; K is shared verbatim with the oracle.
+PMI_TOP_TERMS = 50
+
+
+def q_token_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between token presence and source
+    label, the classic feature-selection score (which tokens are
+    over-represented in which corpus source): for the top-K
+    document-frequency terms, pmi(t, s) = ln(P(t,s) / P(t)P(s)) over
+    doc-level presence. Output (term, source, n_ts, n_t, n_s, pmi_e6),
+    one row per co-occurring (term, source) cell.
+
+    Shape: one tokenize pass with per-doc array_distinct (so presence
+    needs NO distinct shuffle), one vocab-sized aggregate, a top-K
+    cut, then counts joined back — the term shortlist and the source
+    totals are broadcast-tiny. At 100 TB the only O(corpus) shuffle is
+    the (term, source) count, keyed by a Zipf-damped composite (doc
+    presence caps any document's contribution at 1).
+
+    Hash determinism (tfidf's device): (n_ts*N) and (n_t*n_s) are
+    exact BIGINT products, their single double division is correctly
+    rounded, and the score ships as round(ln(x)*1e6) BIGINT — identical
+    operands to libm on both engines, with the 1e-6 quantum keeping the
+    knife-edge probability ~1e-7 per row.
+    """
+    docs = load_parallel(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver scalar, one row
+    present = docs.select(
+        "source",
+        F.explode(F.array_distinct(F.expr(TOKENS_EXPR))).alias("term"),
+    )
+    n_t = present.groupBy("term").agg(F.count("*").alias("n_t"))
+    from pyspark.sql import Window
+
+    top = (
+        n_t.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_t"), "term")
+            ),
+        )
+        .filter(F.col("rk") <= PMI_TOP_TERMS)
+        .drop("rk")
+    )
+    n_s = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_ts = present.groupBy("term", "source").agg(
+        F.count("*").alias("n_ts")
+    )
+    return (
+        n_ts.join(F.broadcast(top), "term")
+        .join(F.broadcast(n_s), "source")
+        .select(
+            "term",
+            "source",
+            "n_ts",
+            "n_t",
+            "n_s",
+            F.round(
+                F.log(
+                    (F.col("n_ts") * F.lit(int(n_docs))).cast("double")
+                    / (F.col("n_t") * F.col("n_s")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pmi_e6"),
+        )
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: each document's top-3 most characteristic terms,
     (doc_id, term, tf, df, score_e6, rk).
@@ -1026,6 +1097,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "token_source_pmi": q_token_source_pmi,
     "text_stats": q_text_stats,
     "text_scrub": q_text_scrub,
     "text_quality": q_text_quality,
@@ -1428,6 +1500,30 @@ ORACLE["bpe_encode"] = _bpe_oracle_sql(emit="encoded")
 # BIGINT/BIGINT division is float division in DuckDB, matching Spark's
 # double(n_docs)/df; ties rank on the ROUNDED score_e6 (never the raw
 # double), so libm ln() ulp differences cannot reorder rows.
+# Same ln()-quantization contract as tfidf below: exact BIGINT
+# products, one double division, round(ln*1e6) BIGINT.
+ORACLE["token_source_pmi"] = f"""
+WITH t AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
+present AS (
+  SELECT DISTINCT doc_id, source, term
+  FROM (SELECT doc_id, source, unnest(toks) AS term FROM t)
+),
+nt AS (SELECT term, count(*) AS n_t FROM present GROUP BY term),
+top AS (SELECT term, n_t FROM (
+  SELECT term, n_t,
+         row_number() OVER (ORDER BY n_t DESC, term) AS rk FROM nt
+) WHERE rk <= {PMI_TOP_TERMS}),
+ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+nts AS (SELECT term, source, count(*) AS n_ts
+        FROM present GROUP BY term, source),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT c.term, c.source, c.n_ts, top.n_t, ns.n_s,
+       CAST(round(ln(CAST(c.n_ts * (SELECT n_docs FROM n) AS DOUBLE)
+                     / CAST(top.n_t * ns.n_s AS DOUBLE)) * 1e6)
+            AS BIGINT) AS pmi_e6
+FROM nts c JOIN top USING (term) JOIN ns USING (source)
+"""
+
 ORACLE["tfidf_top_terms"] = f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
 posting AS (

@@ -709,3 +709,64 @@ def test_distribution_drift_shares_sum_to_one(spark, sf_dir):
         assert 0 <= r.bucket <= 9 and r.chi2_term >= 0.0
     # Even/odd halves of the same table: drift should be small but the
     # report structure must hold for any magnitude.
+
+
+def test_changepoint_cusum_finds_planted_level_shift(spark, tmp_path):
+    """A series that jumps from level 10.0 to 50.0 at row 8 (of 12) must
+    report its changepoint at the last low-level row (k=8), where
+    |S_k - k*mean| peaks for a single level shift."""
+    from datetime import datetime, timedelta
+
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_changepoint_cusum,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "load", 10.0 if i < 8 else 50.0, "{}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = q_changepoint_cusum(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 12 and r.cp_k == 8 and r.cp_event_id == 7
+    # mean = (8*10 + 4*50)/12; |S_8 - 8*mean| = |80 - 8*23.33..| = 106.66..
+    assert abs(r.cusum_value - (8 * (4 * 50 + 8 * 10) / 12 - 80)) < 1e-9
+    # dev is signed: the low-level prefix sits BELOW the mean line
+    assert r.dev_scaled < 0
+
+
+def test_token_source_pmi_signs_and_marginals(spark, tmp_path):
+    """'aa' appears only in src0 docs -> positive PMI there; 'cc' is in
+    every doc -> PMI exactly 0 in both sources (independence)."""
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        q_token_source_pmi,
+    )
+
+    rows = [
+        (0, "aa cc", "en", "src0", 5),
+        (1, "aa cc", "en", "src0", 5),
+        (2, "bb cc", "en", "src1", 5),
+        (3, "bb cc", "en", "src1", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.term, r.source): r
+        for r in q_token_source_pmi(spark, str(tmp_path)).collect()
+    }
+    assert ("aa", "src1") not in out  # zero co-occurrence cells absent
+    aa = out[("aa", "src0")]
+    assert aa.n_ts == 2 and aa.n_t == 2 and aa.n_s == 2
+    assert aa.pmi_e6 == round(__import__("math").log(2.0) * 1e6)
+    assert out[("cc", "src0")].pmi_e6 == 0
+    assert out[("cc", "src1")].pmi_e6 == 0

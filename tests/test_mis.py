@@ -1,0 +1,151 @@
+"""Greedy MIS: hand graphs with known results plus randomized
+cross-checks against a pure-Python sequential greedy (the trusted
+reference — Luby local-minima with distinct priorities converges to
+exactly the sequential greedy MIS in priority order), and the
+clustering-coefficient consumer of the triangle closure."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mapreduce_sssp_spark.graph.mis import (
+    MIS_PRI_MOD,
+    MIS_PRI_MULT,
+    mis_greedy,
+)
+from mapreduce_sssp_spark.graph.triangles import (
+    canonical_edges,
+    clustering_coefficients,
+)
+
+
+def _pri(n: int) -> int:
+    return (n * MIS_PRI_MULT) % MIS_PRI_MOD
+
+
+def _run(spark, pairs):
+    df = spark.createDataFrame(pairs, "u long, v long")
+    rows = mis_greedy(canonical_edges(df)).collect()
+    return {r.node: (r.in_mis, r.decided_round) for r in rows}
+
+
+def _greedy_ref(pairs):
+    """Sequential greedy MIS in priority order (the trusted model)."""
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    mis: set[int] = set()
+    blocked: set[int] = set()
+    for n in sorted(adj, key=_pri):
+        if n not in blocked:
+            mis.add(n)
+            blocked |= adj[n]
+    return mis
+
+
+def test_triangle_selects_exactly_one(spark):
+    out = _run(spark, [(1, 2), (2, 3), (1, 3)])
+    winners = {n for n, (m, _) in out.items() if m}
+    assert len(winners) == 1
+    assert winners == {min((1, 2, 3), key=_pri)}
+    # everything decided in round 1: one winner, two eliminated
+    assert {r for _, (_, r) in out.items()} == {1}
+
+
+def test_path_alternation_and_rounds(spark):
+    # Path 1-2-3-4-5: result must be independent and maximal; rounds
+    # must be consistent (a loser's round equals some adjacent winner's
+    # round).
+    pairs = [(i, i + 1) for i in range(1, 5)]
+    out = _run(spark, pairs)
+    mis = {n for n, (m, _) in out.items() if m}
+    assert mis == _greedy_ref(pairs)
+    for u, v in pairs:
+        assert not (u in mis and v in mis)
+
+
+def test_star_center_or_all_leaves(spark):
+    star = [(10, i) for i in range(11, 19)]
+    out = _run(spark, star)
+    mis = {n for n, (m, _) in out.items() if m}
+    assert mis == _greedy_ref(star)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),
+            st.integers(min_value=0, max_value=23),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_matches_sequential_greedy(spark, raw):
+    pairs = [(u, v) for u, v in raw if u != v]
+    if not pairs:
+        return
+    out = _run(spark, pairs)
+    mis = {n for n, (m, _) in out.items() if m}
+    assert mis == _greedy_ref(pairs)
+    # independence
+    nbr = {(min(u, v), max(u, v)) for u, v in pairs}
+    for u, v in nbr:
+        assert not (u in mis and v in mis)
+    # maximality: every non-member has a member neighbor
+    adj: dict[int, set[int]] = {}
+    for u, v in nbr:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for n in adj:
+        if n not in mis:
+            assert adj[n] & mis
+    # totality: every node decided
+    assert all(m is not None for m, _ in out.values())
+
+
+def test_mis_converges_within_oracle_unroll_at_sf001(spark):
+    """The driver's oracle unrolls _MIS_ORACLE_ROUNDS rounds; the Spark
+    fixpoint must converge (max decided_round) comfortably inside that
+    bound on the real co-occurrence graph."""
+    from mapreduce_sssp_spark.operators.graph_queries import (
+        _MIS_ORACLE_ROUNDS,
+        q_mis_greedy,
+    )
+
+    out = q_mis_greedy(spark, "/root/testdata/sf0.001").collect()
+    assert all(r.in_mis is not None for r in out)
+    max_round = max(r.decided_round for r in out)
+    assert max_round <= _MIS_ORACLE_ROUNDS - 4  # safety margin
+
+
+def test_clustering_coefficient_known_values(spark):
+    # Triangle 1-2-3 with pendant 4 on node 3:
+    #   nodes 1,2: deg 2, one closed pair -> lcc 1.0
+    #   node 3: deg 3, pairs 3, one closed -> 1/3
+    #   node 4: deg 1 -> 0.0 (and present in the output)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+    )
+    rows = {
+        r.node: r for r in clustering_coefficients(canonical_edges(df)).collect()
+    }
+    assert rows[1].lcc == 1.0 and rows[2].lcc == 1.0
+    assert abs(rows[3].lcc - 1 / 3) < 1e-15
+    assert rows[4].lcc == 0.0 and rows[4].n_tri == 0 and rows[4].deg == 1
+    k4 = list(combinations(range(10, 14), 2))
+    out = clustering_coefficients(
+        canonical_edges(spark.createDataFrame(k4, "u long, v long"))
+    ).collect()
+    assert all(r.lcc == 1.0 and r.n_tri == 3 for r in out)
