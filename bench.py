@@ -50,6 +50,7 @@ HEADLINE = [
     "label_propagation",
     "longest_path_dag",
     "landmark_distances",
+    "closeness_landmark",
     "personalized_pagerank",
     "scc",
     "degree_assortativity",
@@ -60,6 +61,7 @@ HEADLINE = [
     "triangle_counts",
     "clustering_coefficient",
     "mis_greedy",
+    "random_walks",
     "graph_reciprocity",
     "edge_jaccard",
     "compat_final_lines",
@@ -88,6 +90,9 @@ HEADLINE = [
     "variant_extract",
     # event-time windows + as-of + skew
     "window_tumbling",
+    "ohlc_bars",
+    "seq_pattern_pairs",
+    "ab_test_proportions",
     "window_session",
     "window_range_trailing",
     "funnel_steps",
@@ -127,6 +132,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "dedup_minhash",
     "dedup_minhash_clusters",
+    "dedup_keep_best",
     "dedup_simhash",
     "decontaminate_ngrams",
     "dedup_spans",
@@ -240,6 +246,7 @@ COOC_CONSUMERS = {
     "label_propagation",
     "clustering_coefficient",
     "mis_greedy",
+    "random_walks",
 }
 
 

@@ -291,6 +291,53 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivor election per near-dup cluster — the
+    production refinement of min-id canonicalization: within each
+    minhash cluster keep the HIGHEST-QUALITY member (longest text,
+    doc_id tiebreak), which is what corpus pipelines actually ship
+    (near-dups differ — truncations, boilerplate-stripped variants —
+    and min-id throws the best copy away half the time). Output one row
+    per cluster: (canon_id, keep_id, kept_n_chars, n_members).
+
+    Same reduced-graph scale shape as dedup_minhash_clusters (the wcc
+    closure runs on the pair graph, never the corpus); the election is
+    one max-of-struct aggregate — map-side combinable, no window over
+    the corpus. (n_chars, -doc_id) is strict-ordered per doc, so the
+    argmax is deterministic; all-integer comparisons.
+    """
+    from ..graph.wcc import wcc
+
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    comp = wcc(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    docs = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    member = comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canon_id")
+    ).join(docs, "doc_id")
+    return (
+        member.groupBy("canon_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "canon_id",
+            (-F.col("best.nid")).alias("keep_id"),
+            F.col("best.nc").alias("kept_n_chars"),
+            "n_members",
+        )
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document over distinct tokens, one JVM pass.
 
@@ -443,6 +490,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
     "dedup_incremental": q_dedup_incremental,
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -510,6 +558,31 @@ reach(node, label) AS (
 SELECT node AS doc_id, min(label) AS canon_id,
        (node = min(label)) AS kept
 FROM reach GROUP BY node
+""",
+    # Same recursive closure as dedup_minhash_clusters, then the
+    # quality argmax per cluster (n_chars DESC, doc_id ASC).
+    "dedup_keep_best": f"""
+WITH RECURSIVE pairs AS ({_EXACT_JACCARD_SQL}),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM und)
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(label) AS canon_id
+         FROM reach GROUP BY node),
+m AS (SELECT c.canon_id, c.doc_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id))
+SELECT canon_id, keep_id, kept_n_chars, n_members FROM (
+  SELECT canon_id, doc_id AS keep_id, n_chars AS kept_n_chars,
+         count(*) OVER (PARTITION BY canon_id) AS n_members,
+         row_number() OVER (PARTITION BY canon_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM m) WHERE rn = 1
 """,
     "dedup_simhash": f"""
 WITH toks AS (

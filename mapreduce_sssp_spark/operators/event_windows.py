@@ -1476,9 +1476,159 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type — the canonical time-series
+    rollup (open/high/low/close/volume per bucket). Open and close are
+    elected by the total (ts, event_id) order via one window pass; both
+    window functions and the final aggregate share the (event_type,
+    hour) partitioning, so the whole query is ONE shuffle.
+
+    Exactness: open/high/low/close are pass-through doubles (no
+    arithmetic); volume sums exact int64 cents and divides by 100
+    once — the attribution_last_touch device.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        _trunc_hour_ntz(F.col("ts")).alias("bar_ts"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    w = Window.partitionBy("event_type", "bar_ts")
+    asc = w.orderBy("ts", "event_id")
+    desc = w.orderBy(F.desc("ts"), F.desc("event_id"))
+    marked = ev.select(
+        "event_type",
+        "bar_ts",
+        "value",
+        "cents",
+        F.row_number().over(asc).alias("rn_a"),
+        F.row_number().over(desc).alias("rn_d"),
+    )
+    return marked.groupBy("event_type", "bar_ts").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+        (F.sum("cents").cast("double") / 100.0).alias("volume"),
+    )
+
+
+def q_seq_pattern_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, 2-item patterns: for every ordered
+    pair of event types (a, b), how many distinct users perform a
+    BEFORE b (any occurrence of a strictly before any occurrence of b —
+    not merely adjacent transitions, which is event_transitions'
+    narrower statistic). The support table behind "users who viewed
+    then purchased" style rules.
+
+    Shape: per (user, type) first/last occurrence (one groupBy — the
+    only O(rows) shuffle), then a user-keyed self-join whose fan-out is
+    bounded by |types|^2 = 25 rows per user, then a type-pair-sized
+    count. "a before b" <=> first(a) < last(b) under the total
+    (ts, event_id) order, compared as struct/row values — pure integer
+    and timestamp comparisons, no floats anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    occ = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id")).alias("first_occ"),
+        F.max(F.struct("ts", "event_id")).alias("last_occ"),
+    )
+    a = occ.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("first_occ").alias("fa"),
+    )
+    b = occ.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("last_occ").alias("lb"),
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("type_a") != F.col("type_b")) & (F.col("fa") < F.col("lb"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test harness: split users into variants by
+    user_id parity, conversion = user has >= 1 purchase event, and emit
+    the counts, rates, and the pooled z statistic — the standard A/B
+    readout computed entirely in-engine.
+
+    Exactness without quantization: unlike ln() (libm, not IEEE-
+    pinned), every op here — int/int division, multiply, add/subtract,
+    sqrt — is IEEE-754 correctly rounded, so identical operands through
+    the IDENTICAL expression tree produce bit-equal doubles in Spark
+    and DuckDB. The expression is written with explicit association in
+    both engines so the trees match.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    per_variant = (
+        users.select(
+            (F.col("user_id") % 2).alias("variant"), "converted"
+        )
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("converted").alias("conv"),
+        )
+    )
+    a = per_variant.filter("variant = 0").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = per_variant.filter("variant = 1").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(b)  # two scalar rows — literal-on-literal
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        (p_pool * (F.lit(1.0) - p_pool))
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        # se = 0 iff the pooled rate is degenerate (0 or 1 — everyone
+        # or no one converts): no variance, z undefined -> NULL.
+        F.when(se > 0, (p_a - p_b) / se).alias("z"),
+    )
+
+
 QUERIES = {
     "window_tumbling": q_window_tumbling,
     "changepoint_cusum": q_changepoint_cusum,
+    "ohlc_bars": q_ohlc_bars,
+    "seq_pattern_pairs": q_seq_pattern_pairs,
+    "ab_test_proportions": q_ab_test_proportions,
     "twap_user": q_twap_user,
     "scd2_intervals": q_scd2_intervals,
     "attribution_last_touch": q_attribution_last_touch,
@@ -1550,6 +1700,71 @@ GROUP BY user_id, session_id
 """
 
 ORACLE = {
+    "ohlc_bars": """
+WITH base AS (
+  SELECT event_type, ts, event_id, value,
+         date_trunc('hour', ts) AS bar_ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events),
+marked AS (
+  SELECT event_type, bar_ts, value, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bar_ts
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bar_ts
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM base)
+SELECT event_type, bar_ts,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS volume
+FROM marked GROUP BY event_type, bar_ts
+""",
+    "seq_pattern_pairs": """
+WITH occ AS (
+  SELECT user_id, event_type,
+         MIN(ROW(ts, event_id)) AS first_occ,
+         MAX(ROW(ts, event_id)) AS last_occ
+  FROM events GROUP BY user_id, event_type)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_users
+FROM occ a JOIN occ b ON a.user_id = b.user_id
+WHERE a.event_type <> b.event_type AND a.first_occ < b.last_occ
+GROUP BY a.event_type, b.event_type
+""",
+    "ab_test_proportions": """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id),
+pv AS (
+  SELECT user_id % 2 AS variant, COUNT(*) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM users GROUP BY user_id % 2),
+a AS (SELECT n AS n_a, conv AS conv_a FROM pv WHERE variant = 0),
+b AS (SELECT n AS n_b, conv AS conv_b FROM pv WHERE variant = 1),
+j AS (SELECT * FROM a, b),
+s AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+         CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+           AS p_pool
+  FROM j)
+SELECT n_a, conv_a, n_b, conv_b, p_a, p_b,
+       CASE WHEN sqrt((p_pool * (1.0 - p_pool))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))) > 0
+            THEN (p_a - p_b)
+                 / sqrt((p_pool * (1.0 - p_pool))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE)))
+       END AS z
+FROM s
+""",
     "changepoint_cusum": """
 WITH base AS (
   SELECT event_type, ts, event_id,

@@ -62,6 +62,7 @@ def clear_convergence_memo() -> None:
     sssp_dag measures a dict lookup, not the fixpoint."""
     _DAG_STATE_MEMO.clear()
     _COOC_EDGES_MEMO.clear()
+    _LANDMARK_MEMO.clear()
 
 
 def _sssp_dag_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,6 +630,115 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# random_walks: walk length (steps beyond the start node) and the
+# exact-BIGINT step-hash constants, shared verbatim by the oracle.
+WALK_STEPS = 4
+_WALK_A1 = 2654435761  # Knuth multiplicative constants
+_WALK_A2 = 2246822519
+_WALK_A3 = 3266489917
+_WALK_M = 4294967296  # 2^32
+
+
+def _walk_hash(cur, step: int, nbr):
+    """Deterministic per-(cur, step, neighbor) score — each term
+    reduced mod 2^32 BEFORE the sum so the arithmetic stays exact
+    int64 for node ids up to 2^32 (documented bound)."""
+    return (
+        (cur * F.lit(_WALK_A1)) % F.lit(_WALK_M)
+        + (F.lit(step) * F.lit(_WALK_A2)) % F.lit(_WALK_M)
+        + (nbr * F.lit(_WALK_A3)) % F.lit(_WALK_M)
+    ) % F.lit(_WALK_M)
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus over the part co-occurrence graph:
+    one walk of WALK_STEPS steps from EVERY node, each step moving to
+    the neighbor minimizing a fixed per-(node, step, neighbor) hash —
+    the derandomized analogue of uniform sampling (node2vec/DeepWalk's
+    corpus generation), which is what makes the corpus hash-checkable.
+    Output (start, step, node): step 0 is the start itself.
+
+    Shape: WALK_STEPS bounded join rounds (NOT a convergence fixpoint —
+    the trip count is a constant), each one equi-join of the static
+    undirected edge list against the walk frontier (one row per start)
+    followed by a min-struct argmin — map-side combinable, so the
+    per-step shuffle is frontier-sized, never edge-sized. At 100 TB a
+    production corpus samples its start set and replicates walks per
+    start via an id-shard (the landmark_distances device); the
+    per-step plan is unchanged.
+
+    Determinism: the hash is exact int64 arithmetic (each product
+    reduced mod 2^32 before summing), argmin ties break on the
+    smaller neighbor id via the (hash, node) struct ordering —
+    identical in DuckDB's row_number twin. Every node of this graph
+    has degree >= 1, so walks never strand.
+    """
+    edges = _part_cooccurrence_edges(spark, sf_dir)
+    und = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    walk = nodes.select(
+        F.col("node").alias("start"), F.col("node").alias("cur")
+    )
+    out = walk.select(
+        "start", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    for t in range(1, WALK_STEPS + 1):
+        nxt = (
+            walk.join(und, walk["cur"] == und["u"])
+            .select(
+                "start",
+                F.struct(
+                    _walk_hash(F.col("cur"), t, F.col("v")).alias("h"),
+                    F.col("v").alias("node"),
+                ).alias("hv"),
+            )
+            .groupBy("start")
+            .agg(F.min("hv").alias("best"))
+            .select("start", F.col("best.node").alias("cur"))
+        )
+        out = out.unionByName(
+            nxt.select(
+                "start", F.lit(t).alias("step"), F.col("cur").alias("node")
+            )
+        )
+        walk = nxt
+    return out
+
+
+def _random_walks_oracle_sql(steps: int = WALK_STEPS) -> str:
+    """Unrolled DuckDB twin of q_random_walks (MATERIALIZED per step —
+    same inlining hazard as the MIS oracle)."""
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem)",
+        "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v\n"
+        "      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+        "und AS MATERIALIZED (SELECT u AS src, v AS dst FROM e"
+        " UNION ALL SELECT v AS src, u AS dst FROM e)",
+        "w0 AS MATERIALIZED (SELECT DISTINCT src AS start, src AS cur"
+        " FROM und)",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT start, dst AS cur FROM (\n"
+            f"  SELECT w.start, n.dst,\n"
+            f"         row_number() OVER (PARTITION BY w.start ORDER BY\n"
+            f"           ((w.cur * {_WALK_A1}) % {_WALK_M}\n"
+            f"            + ({t} * {_WALK_A2}) % {_WALK_M}\n"
+            f"            + (n.dst * {_WALK_A3}) % {_WALK_M}) % {_WALK_M},\n"
+            f"           n.dst) AS rn\n"
+            f"  FROM w{t - 1} w JOIN und n ON n.src = w.cur\n"
+            f") WHERE rn = 1)"
+        )
+    steps_union = "\nUNION ALL\n".join(
+        f"SELECT start, CAST({t} AS INTEGER) AS step, cur AS node FROM w{t}"
+        for t in range(0, steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + steps_union
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the part co-occurrence graph.
 
@@ -757,7 +867,60 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     The landmark election is a bounded driver scalar (k smallest
     distinct srcs — the q_sssp min-src device, k rows not data).
     """
-    return landmark_distances(edges_from_lineitem(spark, sf_dir))
+    return _landmark_state(spark, sf_dir)
+
+
+# Converged landmark distances shared with q_closeness_landmark — the
+# centrality estimate is a projection over the SAME converged state, so
+# it must not re-run the k-source fixpoint (same device and cadence as
+# _DAG_STATE_MEMO above; cleared per bench pass by
+# clear_convergence_memo so timings stay honest).
+_LANDMARK_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _landmark_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _LANDMARK_MEMO.get(key)
+    if df is None:
+        df = landmark_distances(edges_from_lineitem(spark, sf_dir)).checkpoint()
+        if len(_LANDMARK_MEMO) > 8:  # bound growth across many sessions
+            _LANDMARK_MEMO.clear()
+        _LANDMARK_MEMO[key] = df
+    return df
+
+
+def q_closeness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-based closeness centrality estimate: for every node,
+    how many of the k landmarks reach it and the total distance from
+    those that do — closeness = n_reach / sum_dist (Potamias et al.'s
+    landmark approximation of closeness; exact closeness is a k=V
+    all-pairs run, which is the thing landmarks exist to avoid).
+
+    Pure projection over the memoized converged landmark state (one
+    groupBy on node) — at 100 TB this is the read path of a landmark
+    index, not a new fixpoint. Exactness: distances are sums of
+    integer-valued weights (exact doubles), so their agg-order-free sum
+    is exact and the one closing division is IEEE-identical in both
+    engines; landmark self-rows (dist 0) are excluded so sum_dist > 0
+    whenever n_reach > 0.
+    """
+    st = _landmark_state(spark, sf_dir)
+    reach = st.filter(F.col("node") != F.col("landmark"))
+    return (
+        reach.groupBy("node")
+        .agg(
+            F.count("*").alias("n_reach"),
+            F.sum("dist").alias("sum_dist"),
+        )
+        .select(
+            "node",
+            "n_reach",
+            "sum_dist",
+            (
+                F.col("n_reach").cast("double") / F.col("sum_dist")
+            ).alias("closeness"),
+        )
+    )
 
 
 def landmark_distances(edges: DataFrame, k: int = LANDMARKS_K) -> DataFrame:
@@ -864,6 +1027,7 @@ def _mis_oracle_sql(rounds: int = _MIS_ORACLE_ROUNDS) -> str:
 QUERIES = {
     "sssp": q_sssp,
     "landmark_distances": q_landmark_distances,
+    "closeness_landmark": q_closeness_landmark,
     "sssp_dag": q_sssp_dag,
     "longest_path_dag": q_longest_path_dag,
     "wcc": q_wcc,
@@ -886,6 +1050,7 @@ QUERIES = {
     "tsv_edges_roundtrip": q_tsv_edges_roundtrip,
     "triangle_counts": q_triangle_counts,
     "clustering_coefficient": q_clustering_coefficient,
+    "random_walks": q_random_walks,
     "mis_greedy": q_mis_greedy,
     "graph_reciprocity": q_graph_reciprocity,
     "edge_jaccard": q_edge_jaccard,
@@ -950,6 +1115,31 @@ walk(r, landmark, node, dist) AS (
 )
 SELECT landmark, node, min(dist) AS dist
 FROM walk GROUP BY landmark, node
+""",
+    # Same round-bounded multi-source walk, aggregated to the
+    # landmark-closeness estimate (self rows excluded; distances are
+    # exact integer-valued doubles, so the sum is agg-order-free).
+    "closeness_landmark": f"""
+WITH RECURSIVE edges AS (
+  SELECT src, dst, min(weight) AS weight FROM
+    (SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight
+     FROM lineitem) GROUP BY src, dst
+),
+lms AS (SELECT DISTINCT src AS landmark FROM edges
+        ORDER BY src LIMIT {LANDMARKS_K}),
+walk(r, landmark, node, dist) AS (
+    SELECT 0, landmark, landmark, CAST(0.0 AS DOUBLE) FROM lms
+    UNION
+    SELECT w.r + 1, w.landmark, e.dst, min(w.dist + e.weight)
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.r < 64
+    GROUP BY w.r + 1, w.landmark, e.dst
+),
+d AS (SELECT landmark, node, min(dist) AS dist
+      FROM walk GROUP BY landmark, node)
+SELECT node, count(*) AS n_reach, sum(dist) AS sum_dist,
+       CAST(count(*) AS DOUBLE) / sum(dist) AS closeness
+FROM d WHERE node <> landmark GROUP BY node
 """,
     "sssp": f"""
 WITH RECURSIVE edges AS (
@@ -1353,6 +1543,7 @@ SELECT node, count(*) AS n_tri FROM corners GROUP BY node
 """,
     "label_propagation": _lpa_oracle_sql(),
     "mis_greedy": _mis_oracle_sql(),
+    "random_walks": _random_walks_oracle_sql(),
     "clustering_coefficient": """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (SELECT DISTINCT a.p AS u, b.p AS v

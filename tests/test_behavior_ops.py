@@ -770,3 +770,122 @@ def test_token_source_pmi_signs_and_marginals(spark, tmp_path):
     assert aa.pmi_e6 == round(__import__("math").log(2.0) * 1e6)
     assert out[("cc", "src0")].pmi_e6 == 0
     assert out[("cc", "src1")].pmi_e6 == 0
+
+
+def test_ohlc_bars_hand_case(spark, tmp_path):
+    from datetime import datetime
+
+    from mapreduce_sssp_spark.operators.event_windows import q_ohlc_bars
+
+    rows = [
+        # one hour bucket, deliberate out-of-order insert: open is the
+        # EARLIEST ts (7.0), close the latest (9.0), not min/max
+        (0, datetime(2024, 1, 1, 10, 30), 1, "t", 50.0, "{}"),
+        (1, datetime(2024, 1, 1, 10, 5), 1, "t", 7.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 55), 1, "t", 9.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 40), 1, "t", 3.0, "{}"),
+        # second bucket
+        (4, datetime(2024, 1, 1, 11, 1), 1, "t", 2.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.bar_ts: r for r in q_ohlc_bars(spark, str(tmp_path)).collect()}
+    b1 = out[datetime(2024, 1, 1, 10, 0)]
+    assert (b1.open, b1.high, b1.low, b1.close) == (7.0, 50.0, 3.0, 9.0)
+    assert b1.n_events == 4 and b1.volume == 69.0
+    b2 = out[datetime(2024, 1, 1, 11, 0)]
+    assert (b2.open, b2.close, b2.volume) == (2.5, 2.5, 2.5)
+
+
+def test_seq_pattern_counts_any_before_not_adjacent(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_seq_pattern_pairs,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    mk = lambda i, u, t, m: (i, t0 + timedelta(minutes=m), u, t, 1.0, "{}")
+    rows = [
+        # u1: view .. click .. view — (view, click) and (click, view)
+        # both hold (any-before, unlike adjacent-only transitions)
+        mk(0, 1, "view", 0),
+        mk(1, 1, "click", 5),
+        mk(2, 1, "view", 9),
+        # u2: click only once, after its view
+        mk(3, 2, "view", 0),
+        mk(4, 2, "click", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r.type_a, r.type_b): r.n_users
+        for r in q_seq_pattern_pairs(spark, str(tmp_path)).collect()
+    }
+    assert out[("view", "click")] == 2
+    assert out[("click", "view")] == 1  # only u1 has a view after click
+
+
+def test_ab_test_z_matches_textbook_formula(spark, tmp_path):
+    import math
+    from datetime import datetime, timedelta
+
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_ab_test_proportions,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 4 even users (variant 0): 3 convert; 4 odd users (variant 1): 1
+    for u in range(8):
+        rows.append((eid, t0 + timedelta(minutes=eid), u, "view", 1.0, "{}"))
+        eid += 1
+        converted = (u % 2 == 0 and u < 6) or u == 1
+        if converted:
+            rows.append(
+                (eid, t0 + timedelta(minutes=eid), u, "purchase", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = q_ab_test_proportions(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (4, 3, 4, 1)
+    p, q_ = 0.75, 0.25
+    pp = 0.5
+    z = (p - q_) / math.sqrt(pp * (1 - pp) * (1 / 4 + 1 / 4))
+    assert abs(r.z - z) < 1e-12
+
+
+def test_closeness_landmark_consistent_with_distances(spark):
+    from mapreduce_sssp_spark.operators.graph_queries import (
+        q_closeness_landmark,
+        q_landmark_distances,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dists = q_landmark_distances(spark, sf).collect()
+    agg = {}
+    for r in dists:
+        if r.node == r.landmark:
+            continue
+        n, s = agg.get(r.node, (0, 0.0))
+        agg[r.node] = (n + 1, s + r.dist)
+    out = {r.node: r for r in q_closeness_landmark(spark, sf).collect()}
+    assert set(out) == set(agg)
+    for node, (n, s) in agg.items():
+        assert out[node].n_reach == n
+        assert abs(out[node].sum_dist - s) < 1e-9
+        assert abs(out[node].closeness - n / s) < 1e-12

@@ -149,3 +149,73 @@ def test_clustering_coefficient_known_values(spark):
         canonical_edges(spark.createDataFrame(k4, "u long, v long"))
     ).collect()
     assert all(r.lcc == 1.0 and r.n_tri == 3 for r in out)
+
+
+def test_random_walks_are_valid_edge_paths(spark):
+    """Every consecutive (step t -> t+1) pair of a walk must be an edge
+    of the graph, every start walks exactly WALK_STEPS steps, and the
+    chosen successor is the argmin of the step hash over cur's
+    neighbors (checked in pure Python)."""
+    from mapreduce_sssp_spark.operators.graph_queries import (
+        WALK_STEPS,
+        _WALK_A1,
+        _WALK_A2,
+        _WALK_A3,
+        _WALK_M,
+        _part_cooccurrence_edges,
+        q_random_walks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = {
+        (r.u, r.v)
+        for r in _part_cooccurrence_edges(spark, sf).collect()
+    }
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    rows = q_random_walks(spark, sf).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r.start, {})[r.step] = r.node
+    assert set(walks) == set(adj)
+    h = lambda c, t, n: (
+        (c * _WALK_A1) % _WALK_M
+        + (t * _WALK_A2) % _WALK_M
+        + (n * _WALK_A3) % _WALK_M
+    ) % _WALK_M
+    for start, steps in walks.items():
+        assert sorted(steps) == list(range(WALK_STEPS + 1))
+        assert steps[0] == start
+        for t in range(1, WALK_STEPS + 1):
+            cur, nxt = steps[t - 1], steps[t]
+            assert nxt in adj[cur]  # a real edge
+            assert nxt == min(adj[cur], key=lambda n: (h(cur, t, n), n))
+
+
+def test_dedup_keep_best_elects_longest_member(spark):
+    from mapreduce_sssp_spark.operators.dedup import (
+        q_dedup_keep_best,
+        q_dedup_minhash_clusters,
+    )
+    from mapreduce_sssp_spark.operators.text_analysis import load_parallel
+
+    sf = "/root/testdata/sf0.001"
+    clusters = {}
+    for r in q_dedup_minhash_clusters(spark, sf).collect():
+        clusters.setdefault(r.canon_id, []).append(r.doc_id)
+    nchars = {
+        r.doc_id: r.n_chars
+        for r in load_parallel(spark, sf, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    best = {r.canon_id: r for r in q_dedup_keep_best(spark, sf).collect()}
+    assert set(best) == set(clusters)
+    for canon, members in clusters.items():
+        want = min(members, key=lambda d: (-nchars[d], d))
+        r = best[canon]
+        assert r.keep_id == want
+        assert r.kept_n_chars == nchars[want]
+        assert r.n_members == len(members)
