@@ -62,6 +62,7 @@ HEADLINE = [
     "clustering_coefficient",
     "mis_greedy",
     "random_walks",
+    "ktruss",
     "graph_reciprocity",
     "edge_jaccard",
     "compat_final_lines",
@@ -77,6 +78,7 @@ HEADLINE = [
     "grouping_sets_agg",
     "outliers_mad",
     "changepoint_cusum",
+    "histogram_equidepth",
     "profile_columns",
     "winsorize_values",
     "corr_measures",
@@ -108,6 +110,7 @@ HEADLINE = [
     "ewma_value",
     "scd2_intervals",
     "attribution_last_touch",
+    "attribution_position_based",
     "merge_cdc",
     "latest_per_key",
     "table_diff",
@@ -134,6 +137,7 @@ HEADLINE = [
     "dedup_minhash_clusters",
     "dedup_keep_best",
     "dedup_simhash",
+    "simhash_hamming_pairs",
     "decontaminate_ngrams",
     "dedup_spans",
     "sketch_merge",
@@ -247,6 +251,7 @@ COOC_CONSUMERS = {
     "clustering_coefficient",
     "mis_greedy",
     "random_walks",
+    "ktruss",
 }
 
 

@@ -485,12 +485,89 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({DUCK_TOKENS})) AS tok FROM documents
+),
+th AS (
+  SELECT doc_id, tok,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, CAST(j AS INT) AS j,
+         SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM th, range(0, 32) r(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+SIMHASH_HAMMING_MAX = 3
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (Manku et al., WWW'07): docs whose 32-bit
+    SimHashes differ in <= SIMHASH_HAMMING_MAX bits. Candidates come
+    from 4 bands of 8 bits — by pigeonhole, any pair within Hamming
+    distance 3 agrees exactly on at least one band, so the band-bucket
+    equi-join finds every qualifying pair with NO all-pairs comparison
+    anywhere (the engine-side discipline the brute-force oracle doesn't
+    need). Output (doc_a, doc_b, hamming).
+
+    At 100 TB: the only shuffle is the (band, key) exchange — 4 rows
+    per doc, 8-bit keys spread by band id; verification touches only
+    band-colliding candidates, and the xor/bit_count verify is a
+    codegen'd integer expression. Hot buckets (a common band value)
+    are the documented LSH skew case: AQE splits them, and widening to
+    6 bands of 6 bits is the standard rebalance if a corpus
+    concentrates.
+    """
+    sig = _cache(q_dedup_simhash(spark, sf_dir))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b AS band,"
+                " shiftright(simhash, b * 8) & 255 AS key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "dedup_keep_best": q_dedup_keep_best,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_incremental": q_dedup_incremental,
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -584,25 +661,18 @@ SELECT canon_id, keep_id, kept_n_chars, n_members FROM (
                             ORDER BY n_chars DESC, doc_id) AS rn
   FROM m) WHERE rn = 1
 """,
-    "dedup_simhash": f"""
-WITH toks AS (
-  SELECT doc_id, unnest(list_distinct({DUCK_TOKENS})) AS tok FROM documents
-),
-th AS (
-  SELECT doc_id, tok,
-         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
-  FROM toks
-),
-bits AS (
-  SELECT doc_id, CAST(j AS INT) AS j,
-         SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
-  FROM th, range(0, 32) r(j)
-  GROUP BY doc_id, j
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-            AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
+    "dedup_simhash": _SIMHASH_SQL,
+    # Brute-force verify twin: at oracle scale (sf0.01) the all-pairs
+    # xor/bit_count over the 2000-row simhash table is trivial for
+    # DuckDB; the ENGINE side must never do this (banded candidates
+    # only) — asymmetry by design, same as dedup_minhash vs its exact
+    # oracle.
+    "simhash_hamming_pairs": f"""
+WITH sh AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 """,
     "decontaminate_ngrams": f"""
 WITH sh AS ({DUCK_SHINGLES_REL}),

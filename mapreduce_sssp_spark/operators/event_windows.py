@@ -1476,6 +1476,82 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    industry-standard refinement of last-touch: each purchase's credit
+    splits 40% / 20% / 40% across first touch / middles / last touch
+    within the 7-day lookback. Credit is EXACT INTEGER basis points
+    (first 4000, last 4000, middles 2000 div (n-2) each with the
+    remainder going to the earliest middles; n=1 -> 10000, n=2 ->
+    5000/5000), so the per-channel sums are order-free exact int64 —
+    no fractional credit, no float summation anywhere. Touchless
+    purchases credit 'direct' 10000. Output (channel, n_touchpoints,
+    credit_bps).
+
+    Shape: a per-user range join pairs each purchase with its lookback
+    touches (fan-out bounded by per-user history; at 100 TB band it by
+    day exactly like interval_self_join_banded), then ONE window over
+    the pair table ranks touches per purchase, then a channel-sized
+    aggregate. Boundary conventions match attribution_last_touch:
+    lookback inclusive, strict (ts, event_id) order.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_eid"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_eid"),
+    )
+    pairs = purchases.join(touches, "user_id").filter(
+        (
+            F.struct(F.col("t_ts"), F.col("t_eid"))
+            < F.struct(F.col("p_ts"), F.col("p_eid"))
+        )
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w = Window.partitionBy("p_eid")
+    ranked = pairs.select(
+        "p_eid",
+        "channel",
+        F.row_number().over(w.orderBy("t_ts", "t_eid")).alias("r"),
+        F.count("*").over(w).alias("n"),
+    )
+    credit = ranked.select(
+        "channel",
+        F.expr(
+            "CAST(CASE WHEN n = 1 THEN 10000"
+            " WHEN n = 2 THEN 5000"
+            " WHEN r = 1 OR r = n THEN 4000"
+            " ELSE (2000 div (n - 2))"
+            "      + (CASE WHEN r - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)"
+            " END AS BIGINT)"
+        ).alias("bps"),
+    )
+    direct = (
+        purchases.join(
+            pairs.select("p_eid").distinct(), "p_eid", "anti"
+        ).select(
+            F.lit("direct").alias("channel"),
+            F.lit(10000).cast("bigint").alias("bps"),
+        )
+    )
+    return (
+        credit.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touchpoints"),
+            F.sum("bps").alias("credit_bps"),
+        )
+    )
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event_type — the canonical time-series
     rollup (open/high/low/close/volume per bucket). Open and close are
@@ -1626,6 +1702,7 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "window_tumbling": q_window_tumbling,
     "changepoint_cusum": q_changepoint_cusum,
+    "attribution_position_based": q_attribution_position_based,
     "ohlc_bars": q_ohlc_bars,
     "seq_pattern_pairs": q_seq_pattern_pairs,
     "ab_test_proportions": q_ab_test_proportions,
@@ -1700,6 +1777,41 @@ GROUP BY user_id, session_id
 """
 
 ORACLE = {
+    "attribution_position_based": """
+WITH p AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_eid
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, event_type AS channel, ts AS t_ts, event_id AS t_eid
+  FROM events WHERE event_type <> 'purchase'),
+pairs AS (
+  SELECT p.p_eid, t.channel, t.t_ts, t.t_eid
+  FROM p JOIN t ON t.user_id = p.user_id
+  WHERE ROW(t.t_ts, t.t_eid) < ROW(p.p_ts, p.p_eid)
+    AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+ranked AS (
+  SELECT p_eid, channel,
+         ROW_NUMBER() OVER (PARTITION BY p_eid
+                            ORDER BY t_ts, t_eid) AS r,
+         COUNT(*) OVER (PARTITION BY p_eid) AS n
+  FROM pairs),
+credit AS (
+  SELECT channel,
+         CAST(CASE WHEN n = 1 THEN 10000
+                   WHEN n = 2 THEN 5000
+                   WHEN r = 1 OR r = n THEN 4000
+                   ELSE (2000 // (n - 2))
+                        + (CASE WHEN r - 1 <= 2000 % (n - 2)
+                                THEN 1 ELSE 0 END)
+              END AS BIGINT) AS bps
+  FROM ranked
+  UNION ALL
+  SELECT 'direct' AS channel, CAST(10000 AS BIGINT) AS bps
+  FROM p WHERE p_eid NOT IN (SELECT DISTINCT p_eid FROM pairs))
+SELECT channel, COUNT(*) AS n_touchpoints,
+       CAST(SUM(bps) AS BIGINT) AS credit_bps
+FROM credit GROUP BY channel
+""",
     "ohlc_bars": """
 WITH base AS (
   SELECT event_type, ts, event_id, value,

@@ -630,6 +630,72 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KTRUSS_K = 10
+_KTRUSS_ORACLE_ROUNDS = 16
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=10) of the part co-occurrence graph — the
+    edge-peeling fixpoint (graph/ktruss.py): maximal subgraph where
+    every edge closes >= k-2 triangles within the subgraph. Output the
+    surviving edges with their within-truss supports. The DuckDB twin
+    unrolls the support-recount rounds (_ktruss_oracle_sql), making
+    this the second removal fixpoint with a full value-hash check.
+    """
+    from ..graph.ktruss import ktruss
+
+    return ktruss(
+        _part_cooccurrence_edges(spark, sf_dir),
+        KTRUSS_K,
+        max_rounds=_KTRUSS_ORACLE_ROUNDS,
+    )
+
+
+def _ktruss_oracle_sql(
+    k: int = KTRUSS_K, rounds: int = _KTRUSS_ORACLE_ROUNDS
+) -> str:
+    """Unrolled DuckDB twin of q_ktruss: each round recomputes per-edge
+    support over the remaining set (the edge_jaccard common-neighbor
+    join) and drops edges under k-2; rounds after convergence are
+    no-ops, so the final support CTE is the fixpoint. MATERIALIZED per
+    round (the MIS oracle's inlining hazard)."""
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v\n"
+        "      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"und{r} AS MATERIALIZED (SELECT u AS a, v AS b FROM e{p}"
+            f" UNION ALL SELECT v AS a, u AS b FROM e{p})"
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (\n"
+            f"  SELECT e.u, e.v, count(*) AS c\n"
+            f"  FROM e{p} e\n"
+            f"  JOIN und{r} n1 ON n1.a = e.u\n"
+            f"  JOIN und{r} n2 ON n2.a = e.v AND n2.b = n1.b\n"
+            f"  GROUP BY e.u, e.v)"
+        )
+        ctes.append(
+            f"sup{r} AS MATERIALIZED (\n"
+            f"  SELECT e.u, e.v, COALESCE(c.c, 0) AS support\n"
+            f"  FROM e{p} e LEFT JOIN c{r} c ON c.u = e.u AND c.v = e.v)"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT u, v FROM sup{r}"
+            f" WHERE support >= {k - 2})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT u, v, CAST(support AS INTEGER) AS support"
+        f" FROM sup{rounds} WHERE support >= {k - 2}"
+    )
+
+
 # random_walks: walk length (steps beyond the start node) and the
 # exact-BIGINT step-hash constants, shared verbatim by the oracle.
 WALK_STEPS = 4
@@ -1051,6 +1117,7 @@ QUERIES = {
     "triangle_counts": q_triangle_counts,
     "clustering_coefficient": q_clustering_coefficient,
     "random_walks": q_random_walks,
+    "ktruss": q_ktruss,
     "mis_greedy": q_mis_greedy,
     "graph_reciprocity": q_graph_reciprocity,
     "edge_jaccard": q_edge_jaccard,
@@ -1544,6 +1611,7 @@ SELECT node, count(*) AS n_tri FROM corners GROUP BY node
     "label_propagation": _lpa_oracle_sql(),
     "mis_greedy": _mis_oracle_sql(),
     "random_walks": _random_walks_oracle_sql(),
+    "ktruss": _ktruss_oracle_sql(),
     "clustering_coefficient": """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (SELECT DISTINCT a.p AS u, b.p AS v

@@ -247,6 +247,47 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQUIDEPTH_BINS = 10
+
+
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of l_extendedprice — the
+    profiling complement of q_price_histogram's equi-WIDTH bins:
+    boundaries adapt to the distribution, so every bin carries ~10% of
+    rows and heavy tails can't empty out the view. Output per bin:
+    (bin, n, lo, hi).
+
+    Two passes, both scale-safe: (1) ONE array-argument exact
+    percentile aggregate computes all 9 interior boundaries (the
+    group_percentiles device — buffers once, probes 9 ranks; swap in
+    approx_percentile when a 100 TB column outgrows the sort buffer,
+    same documented trade as group_percentiles); (2) the broadcast
+    1-row boundary array bins every row MAP-SIDE via a
+    size(filter(...)) expression, and the count/min/max aggregate is
+    partial. Binning is by strict boundary comparison (not ntile), so
+    no global sort or single-partition window exists anywhere.
+    Exactness: both engines interpolate percentiles identically on
+    doubles; bin assignment compares identical doubles; lo/hi are
+    pass-through.
+    """
+    ps = ", ".join(
+        f"{i / EQUIDEPTH_BINS}D" for i in range(1, EQUIDEPTH_BINS)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({ps}))").alias("bs")
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.expr("size(filter(bs, b -> l_extendedprice > b))").alias("bin"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )
+
+
 def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT grouped percentiles (``percentile``, linear interpolation)
     — the deterministic counterpart of ``approx_quantiles``: both
@@ -1924,6 +1965,7 @@ QUERIES = {
     "agg_multi": q_agg_multi,
     "distinct_pairs": q_distinct,
     "group_percentiles": q_group_percentiles,
+    "histogram_equidepth": q_histogram_equidepth,
     "outliers_mad": q_outliers_mad,
     "winsorize_values": q_winsorize_values,
     "corr_measures": q_corr_measures,
@@ -2165,6 +2207,17 @@ SELECT l_suppkey,
          AS flags_csv,
        CAST(count(DISTINCT l_returnflag) AS INT) AS n_flags
 FROM lineitem GROUP BY l_suppkey
+""",
+    "histogram_equidepth": """
+WITH bs AS (
+  SELECT quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b FROM lineitem),
+binned AS (
+  SELECT CAST(len(list_filter((SELECT b FROM bs),
+                              x -> l_extendedprice > x)) AS INTEGER) AS bin,
+         l_extendedprice AS x
+  FROM lineitem)
+SELECT bin, count(*) AS n, min(x) AS lo, max(x) AS hi
+FROM binned GROUP BY bin
 """,
     "group_percentiles": """
 SELECT l_returnflag,

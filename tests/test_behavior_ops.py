@@ -889,3 +889,105 @@ def test_closeness_landmark_consistent_with_distances(spark):
         assert out[node].n_reach == n
         assert abs(out[node].sum_dist - s) < 1e-9
         assert abs(out[node].closeness - n / s) < 1e-12
+
+
+def test_histogram_equidepth_bins_balance(spark):
+    from mapreduce_sssp_spark.operators.relational import (
+        EQUIDEPTH_BINS,
+        q_histogram_equidepth,
+    )
+
+    rows = q_histogram_equidepth(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == EQUIDEPTH_BINS
+    total = sum(r.n for r in rows)
+    # every bin within a few percent of total/bins (ties can shift rows)
+    for r in rows:
+        assert abs(r.n - total / EQUIDEPTH_BINS) <= total * 0.02
+    # bins tile the range in order: hi of bin b <= lo of bin b+1
+    ordered = sorted(rows, key=lambda r: r.bin)
+    assert [r.bin for r in ordered] == list(range(EQUIDEPTH_BINS))
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.hi <= b.lo
+
+
+def test_attribution_position_based_hand_case(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_attribution_position_based,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    mk = lambda i, u, t, m: (i, t0 + timedelta(minutes=m), u, t, 1.0, "{}")
+    rows = [
+        # u1: view, click, view, error then purchase -> n=4:
+        #   first view 4000, middles click/view split 2000 -> 1000 each,
+        #   last error 4000
+        mk(0, 1, "view", 0),
+        mk(1, 1, "click", 1),
+        mk(2, 1, "view", 2),
+        mk(3, 1, "error", 3),
+        mk(4, 1, "purchase", 4),
+        # u2: lone touch then purchase -> 10000 to signup
+        mk(5, 2, "signup", 0),
+        mk(6, 2, "purchase", 1),
+        # u3: purchase with no touches -> direct 10000
+        mk(7, 3, "purchase", 0),
+        # u4: n=5 -> middles split 2000 div 3 = 666 rem 2; earliest two
+        # middles get 667
+        mk(8, 4, "click", 0),
+        mk(9, 4, "view", 1),
+        mk(10, 4, "click", 2),
+        mk(11, 4, "view", 3),
+        mk(12, 4, "signup", 4),
+        mk(13, 4, "purchase", 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.channel: r.credit_bps
+        for r in q_attribution_position_based(spark, str(tmp_path)).collect()
+    }
+    # u1: view 4000+1000, click 1000, error 4000
+    # u2: signup 10000; u3: direct 10000
+    # u4: click 4000(first)+667(middle r=3? middles are r=2..4:
+    #     view(r=2):667, click(r=3):667, view(r=4):666), signup 4000(last)
+    assert out["direct"] == 10000
+    assert out["signup"] == 10000 + 4000
+    assert out["error"] == 4000
+    assert out["click"] == 1000 + 4000 + 667
+    assert out["view"] == 4000 + 1000 + 667 + 666
+    assert sum(out.values()) == 10000 * 4  # credit conserves per purchase
+
+
+def test_simhash_hamming_pairs_no_crossjoin_and_symmetric_truth(spark):
+    """The banded candidate generation must find exactly the pairs a
+    brute-force over collected simhashes finds."""
+    from mapreduce_sssp_spark.operators.dedup import (
+        SIMHASH_HAMMING_MAX,
+        q_dedup_simhash,
+        q_simhash_hamming_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sigs = {
+        r.doc_id: r.simhash for r in q_dedup_simhash(spark, sf).collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_HAMMING_MAX
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in q_simhash_hamming_pairs(spark, sf).collect()
+    }
+    assert got == want
+    plan = q_simhash_hamming_pairs(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

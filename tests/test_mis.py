@@ -219,3 +219,62 @@ def test_dedup_keep_best_elects_longest_member(spark):
         assert r.keep_id == want
         assert r.kept_n_chars == nchars[want]
         assert r.n_members == len(members)
+
+
+def _ktruss_ref(pairs, k):
+    """Pure-Python synchronous k-truss peel (the trusted model)."""
+    es = set()
+    adj = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        e = (min(u, v), max(u, v))
+        es.add(e)
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    while True:
+        doomed = [(u, v) for (u, v) in es if len(adj[u] & adj[v]) < k - 2]
+        if not doomed:
+            break
+        for u, v in doomed:
+            es.discard((u, v))
+            adj[u].discard(v)
+            adj[v].discard(u)
+    return {(u, v): len(adj[u] & adj[v]) for u, v in es}
+
+
+def test_ktruss_hand_and_random(spark):
+    from itertools import combinations
+
+    from mapreduce_sssp_spark.graph.ktruss import ktruss
+
+    def run(pairs, k):
+        df = spark.createDataFrame(pairs, "u long, v long")
+        return {
+            (r.u, r.v): r.support
+            for r in ktruss(canonical_edges(df), k).collect()
+        }
+
+    # K5 with a pendant triangle: 4-truss keeps exactly the K5 (every
+    # K5 edge has 3 common neighbors; the pendant triangle's edges have
+    # only 1 and peel, cascading nothing else).
+    k5 = list(combinations(range(5), 2))
+    g = k5 + [(4, 10), (4, 11), (10, 11)]
+    out = run(g, 4)
+    assert out == {(u, v): 3 for u, v in k5}
+    # the same graph at k=3 keeps everything (triangle edges have 1 >= 1)
+    assert set(run(g, 3)) == {(min(u, v), max(u, v)) for u, v in g}
+    # cascade case: two triangles sharing an edge, k=4 kills all
+    g2 = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]
+    assert run(g2, 4) == {}
+    assert run(g2, 4) == _ktruss_ref(g2, 4)
+    # randomized referee
+    import random
+
+    rng = random.Random(7)
+    pairs = {
+        (rng.randrange(16), rng.randrange(16)) for _ in range(60)
+    }
+    pairs = [(u, v) for u, v in pairs if u != v]
+    for k in (3, 4, 5):
+        assert run(pairs, k) == _ktruss_ref(pairs, k)
