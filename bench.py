@@ -51,6 +51,7 @@ HEADLINE = [
     "longest_path_dag",
     "landmark_distances",
     "closeness_landmark",
+    "graph_diameter_estimate",
     "personalized_pagerank",
     "scc",
     "degree_assortativity",
@@ -151,6 +152,7 @@ HEADLINE = [
     "kmeans_assign",
     "kmeans_update",
     "kmeans_train",
+    "pca_power_iteration",
     "pipeline_embedding_index",
     "ann_recall_report",
     # text analysis

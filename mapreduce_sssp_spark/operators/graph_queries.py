@@ -630,6 +630,46 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter lower bound by the classic DOUBLE SWEEP: BFS (the sssp
+    fixpoint with unit weights) from the min node, then a second BFS
+    from the farthest node found; the second eccentricity is the
+    estimate (exact on trees, and empirically near-tight on real
+    graphs — Magnien/Latapy/Habib's standard bound). Runs on the
+    undirected unit-weight view of the B1 graph. Output one row:
+    (sweep_start, far_a, far_b, est_diameter).
+
+    Two sequential runs of the SAME hardened fixpoint engine — the
+    double sweep is scheduling-wise just 2x sssp, against the
+    all-pairs alternative that is |V| of them. The intermediate argmax
+    is a 1-row driver scalar (dist DESC, node tiebreak — the min-src
+    election device); unreachable nodes are naturally absent from the
+    converged state.
+    """
+    base = edges_from_lineitem(spark, sf_dir)
+    und = (
+        base.select("src", "dst")
+        .union(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    src0 = int(und.agg(F.min("src")).collect()[0][0])
+    # native_nulls + isNotNull: unreachable nodes must not win the
+    # argmax (the compat 65535.0 sentinel would).
+    d1 = sssp(und, src0, native_nulls=True).filter(F.col("dist").isNotNull())
+    far_a = d1.orderBy(F.col("dist").desc(), "node").limit(1).collect()[0]
+    d2 = sssp(und, int(far_a.node), native_nulls=True).filter(
+        F.col("dist").isNotNull()
+    )
+    far_b = d2.orderBy(F.col("dist").desc(), "node").limit(1).collect()[0]
+    return spark.createDataFrame(
+        [(src0, int(far_a.node), int(far_b.node), float(far_b.dist))],
+        "sweep_start long, far_a long, far_b long, est_diameter double",
+    )
+
+
 KTRUSS_K = 10
 _KTRUSS_ORACLE_ROUNDS = 16
 
@@ -1094,6 +1134,7 @@ QUERIES = {
     "sssp": q_sssp,
     "landmark_distances": q_landmark_distances,
     "closeness_landmark": q_closeness_landmark,
+    "graph_diameter_estimate": q_graph_diameter_estimate,
     "sssp_dag": q_sssp_dag,
     "longest_path_dag": q_longest_path_dag,
     "wcc": q_wcc,
@@ -1186,6 +1227,39 @@ FROM walk GROUP BY landmark, node
     # Same round-bounded multi-source walk, aggregated to the
     # landmark-closeness estimate (self rows excluded; distances are
     # exact integer-valued doubles, so the sum is agg-order-free).
+    "graph_diameter_estimate": """
+WITH RECURSIVE und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
+    UNION ALL
+    SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem)
+),
+s0 AS (SELECT min(src) AS n FROM und),
+walk1(r, node, dist) AS (
+    SELECT 0, (SELECT n FROM s0), CAST(0.0 AS DOUBLE)
+    UNION
+    SELECT w.r + 1, e.dst, min(w.dist + 1.0)
+    FROM walk1 w JOIN und e ON e.src = w.node
+    WHERE w.r < 64
+    GROUP BY w.r + 1, e.dst
+),
+d1 AS (SELECT node, min(dist) AS dist FROM walk1 GROUP BY node),
+fa AS (SELECT node, dist FROM d1 ORDER BY dist DESC, node LIMIT 1),
+walk2(r, node, dist) AS (
+    SELECT 0, (SELECT node FROM fa), CAST(0.0 AS DOUBLE)
+    UNION
+    SELECT w.r + 1, e.dst, min(w.dist + 1.0)
+    FROM walk2 w JOIN und e ON e.src = w.node
+    WHERE w.r < 64
+    GROUP BY w.r + 1, e.dst
+),
+d2 AS (SELECT node, min(dist) AS dist FROM walk2 GROUP BY node),
+fb AS (SELECT node, dist FROM d2 ORDER BY dist DESC, node LIMIT 1)
+SELECT (SELECT n FROM s0) AS sweep_start,
+       (SELECT node FROM fa) AS far_a,
+       (SELECT node FROM fb) AS far_b,
+       (SELECT dist FROM fb) AS est_diameter
+""",
     "closeness_landmark": f"""
 WITH RECURSIVE edges AS (
   SELECT src, dst, min(weight) AS weight FROM

@@ -780,7 +780,90 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_ROUNDS = 3
+PCA_Q = 1e6  # per-row contribution quantum (the tfidf e6 device)
+
+
+def _pca_iterate(vec: DataFrame, v: list) -> list:
+    """One quantized power-iteration round: returns the 64 exact-int64
+    accumulator values w_j = sum_i round(x_ij * <x_i, v> * PCA_Q)."""
+    lit_v = F.array(*[F.lit(float(x)) for x in v])
+    dot = F.expr(
+        "aggregate(zip_with(v, vlit, (x, y) -> x * y),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    contrib = (
+        vec.withColumn("vlit", lit_v)
+        .withColumn("dot", dot)
+        .select(F.posexplode("v").alias("j", "x"), "dot")
+        .select("j", F.round(F.col("x") * F.col("dot") * PCA_Q).cast("long").alias("c"))
+    )
+    rows = (
+        contrib.groupBy("j")
+        .agg(F.sum("c").alias("w"))
+        .collect()  # dim rows — bounded driver scalar (the BPE device)
+    )
+    w = [0] * len(v)
+    for r in rows:
+        w[r.j] = r.w
+    return w
+
+
+def _pca_normalize(w: list) -> list:
+    """w / ||w|| with the EXACT arithmetic the oracle replays in SQL:
+    left-fold sum of squares in index order, one sqrt, one division per
+    component — all IEEE-pinned on identical operands."""
+    acc = 0.0
+    for x in w:
+        acc = acc + float(x) * float(x)
+    nrm = acc**0.5
+    return [float(x) / nrm for x in w]
+
+
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix by
+    PCA_ROUNDS rounds of power iteration on the Gram matrix — the
+    linear-algebra fixpoint next to kmeans_train (clustering) and
+    pagerank (graphs). Each round computes X^T(X v) without ever
+    materializing the d x d Gram: one map pass for the per-row dot
+    <x_i, v> (broadcast literal v, the left-fold accumulation
+    list_dot_product mirrors exactly), then per-row contributions
+    x_ij * dot_i QUANTIZED to int64 (round(.. * 1e6), the tfidf
+    device) so the cross-row reduction is an order-free exact integer
+    sum — the step that makes a floating-point matrix product
+    hash-checkable at all. Normalization replays bit-identically in
+    both engines (index-order fold, sqrt, one division). Output one
+    row per dimension: (j, w_q, loading).
+
+    At 100 TB: per round ONE scan of the embeddings, shuffle = d
+    partial-summed rows per task (map-side combine over j), driver
+    state = the d-vector (the bounded-scalar loop device shared with
+    bpe_merges/kmeans_train). Fixed rounds, no convergence action.
+
+    Fixed rounds are the CONTRACT (kmeans_train's posture);
+    convergence toward the exact SVD direction goes as (s1/s2)^(2R)
+    and is therefore a property of the data's spectral gap — on the
+    near-isotropic synthetic embeddings (s1/s2 = 1.04) no small R
+    lands near the SVD axis, which tests/test_similarity.py documents
+    by refereeing a bit-exact numpy REPLAY of the same quantized
+    rounds plus the Rayleigh-quotient improvement power iteration
+    guarantees unconditionally.
+    """
+    vec = _vectors(spark, sf_dir)
+    dim = len(vec.select("v").first()[0])
+    v = [1.0] * dim
+    w = None
+    for _ in range(PCA_ROUNDS):
+        w = _pca_iterate(vec, v)
+        v = _pca_normalize(w)
+    out = [(j, int(w[j]), float(v[j])) for j in range(dim)]
+    return vec.sparkSession.createDataFrame(
+        out, "j int, w_q long, loading double"
+    )
+
+
 QUERIES = {
+    "pca_power_iteration": q_pca_power_iteration,
     "similarity_topk": q_similarity_topk,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
@@ -795,7 +878,54 @@ QUERIES = {
     "ann_recall_report": q_ann_recall_report,
 }
 
+PCA_DIM = 64  # oracle-side dimension constant (engine derives at runtime)
+
+
+def _pca_oracle_sql(dim: int = PCA_DIM, rounds: int = PCA_ROUNDS) -> str:
+    """Unrolled DuckDB twin of q_pca_power_iteration: per round, the
+    per-row dot rides list_dot_product (bit-identical to Spark's
+    zip_with left fold — the similarity_topk precedent), contributions
+    quantize to BIGINT, the cross-row sum is exact, and the normalize
+    replays the engine's index-order fold/sqrt/division."""
+    ones = "[" + ", ".join(["1.0"] * dim) + "]"
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id,"
+        " embedding::DOUBLE[] AS v FROM embeddings)"
+    ]
+    prev_vec = ones
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT vec_id, v,"
+            f" list_dot_product(v, {prev_vec}) AS dot FROM e)"
+        )
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT unnest(range(len(v))) AS j,\n"
+            f"  CAST(round(unnest(v) * dot * 1e6) AS BIGINT) AS c FROM d{t})"
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT j, CAST(SUM(c) AS BIGINT) AS w"
+            f" FROM c{t} GROUP BY j)"
+        )
+        ctes.append(
+            f"n{t} AS MATERIALIZED (SELECT sqrt(list_dot_product(wl, wl))"
+            f" AS nrm FROM (SELECT list(CAST(w AS DOUBLE) ORDER BY j) AS wl"
+            f" FROM w{t}))"
+        )
+        prev_vec = (
+            f"(SELECT list(CAST(w AS DOUBLE) / (SELECT nrm FROM n{t})"
+            f" ORDER BY j) FROM w{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(j AS INTEGER) AS j, w AS w_q,"
+        f" CAST(w AS DOUBLE) / (SELECT nrm FROM n{rounds}) AS loading"
+        f" FROM w{rounds}"
+    )
+
+
 ORACLE = {
+    "pca_power_iteration": _pca_oracle_sql(),
     "embedding_quantize": """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -232,3 +232,46 @@ def test_ann_recall_report_consistent(spark, sf_dir):
     # unclustered random data (high recall is only expected on planted
     # clusters — pinned separately in test_ann_recall_on_planted_*).
     assert r.n_correct > 0
+
+
+def test_pca_power_iteration_matches_numpy_replay(spark):
+    """The distributed rounds must reproduce BIT-FOR-BIT a numpy replay
+    of the same quantized iteration (same start, same quantum), and the
+    Rayleigh quotient ||Xv|| must improve monotonically over the
+    uniform start — the guarantee power iteration gives regardless of
+    the spectral gap. (On this near-isotropic synthetic data
+    (s1/s2 = 1.04) no small fixed round count lands near the exact SVD
+    direction — the fixed-round contract is the operator, convergence
+    speed is the data's property.)"""
+    import math
+
+    import numpy as np
+
+    from mapreduce_sssp_spark.operators.similarity import (
+        PCA_ROUNDS,
+        q_pca_power_iteration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    X = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    v = np.ones(X.shape[1])
+    w = None
+    for _ in range(PCA_ROUNDS):
+        dot = X @ v
+        w = np.round(X * dot[:, None] * 1e6).sum(axis=0)
+        v = w / math.sqrt(float((w * w).sum()))
+    rows = sorted(
+        q_pca_power_iteration(spark, sf).collect(), key=lambda r: r.j
+    )
+    assert [r.w_q for r in rows] == [int(x) for x in w]
+    got = np.array([r.loading for r in rows])
+    assert np.array_equal(got, v)
+    # Rayleigh quotient monotonicity vs the normalized uniform start
+    start = np.ones(X.shape[1]) / math.sqrt(X.shape[1])
+    assert np.linalg.norm(X @ got) > np.linalg.norm(X @ start)
