@@ -87,13 +87,20 @@ def kcore(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
+        prev_state = None  # parent cache pending unpersist (mis.py's device)
         for rnd in range(1, max_rounds + 1):
             doomed = state.filter(F.col("alive") & (F.col("deg") < k)).select(
                 "node"
             )
             # The one action per round: materializes state AND tests the
-            # fixed point.
+            # fixed point. Only after it fills this round's cache can
+            # the parent drop — unpersisting earlier forces the fill to
+            # replay lineage back to the last checkpoint (the deferred-
+            # unpersist lesson from mis.py, measured ~2x on its loop).
             n_doomed = doomed.count()
+            if prev_state is not None:
+                prev_state.unpersist()
+                prev_state = None
             if n_doomed == 0:
                 break
             msgs = (
@@ -111,11 +118,13 @@ def kcore(
             )
             cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
             if rnd % checkpoint_every == 0:
+                # eager checkpoint: child durable, parent can drop now
                 new_state = cached.checkpoint()
                 cached.unpersist()
+                state.unpersist()
             else:
                 new_state = cached
-            state.unpersist()
+                prev_state = state  # drop only after the child's fill
             state = new_state
         else:
             warnings.warn(

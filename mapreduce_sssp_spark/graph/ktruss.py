@@ -64,6 +64,7 @@ def ktruss(
     sup = None
     with static_rounds(spark, parts=n_part):
         cur = edges.select("u", "v").persist(StorageLevel.MEMORY_AND_DISK)
+        pending = []  # parent caches pending unpersist (mis.py's device)
         for rnd in range(1, max_rounds + 1):
             und = cur.union(
                 cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -91,20 +92,29 @@ def ktruss(
                 )
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            # The one action per round: convergence test + barrier.
+            # The one action per round: convergence test + barrier —
+            # it fills THIS round's sup cache, so only now can the
+            # previous round's caches drop (unpersisting them earlier
+            # forces the fill to replay lineage back to the last
+            # checkpoint — the deferred-unpersist lesson from mis.py).
             n_doomed = sup.filter(F.col("support") < k - 2).count()
+            for df in pending:
+                df.unpersist()
+            pending = []
             if n_doomed == 0:
                 cur.unpersist()
                 break
             new_cur = sup.filter(F.col("support") >= k - 2).select("u", "v")
             cached = new_cur.persist(StorageLevel.MEMORY_AND_DISK)
             if rnd % checkpoint_every == 0:
+                # eager checkpoint: child durable, parents can drop now
                 new_cur = cached.checkpoint()
                 cached.unpersist()
+                cur.unpersist()
+                sup.unpersist()
             else:
                 new_cur = cached
-            cur.unpersist()
-            sup.unpersist()
+                pending = [cur, sup]
             cur = new_cur
         else:
             warnings.warn(

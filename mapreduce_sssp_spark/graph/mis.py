@@ -105,6 +105,7 @@ def mis_greedy(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
+        prev_state = None  # parent cache pending unpersist (see below)
         for rnd in range(1, max_rounds + 1):
             undecided = state.filter(F.col("in_mis").isNull()).select(
                 "node", "pri"
@@ -112,19 +113,34 @@ def mis_greedy(
             # The one action per round: materializes state AND tests
             # the fixed point.
             n_undec = undecided.count()
+            # Only NOW is this round's state cache actually filled —
+            # unpersisting the parent before this point would force the
+            # fill to recompute the whole lineage back to the last
+            # checkpoint (measured: the deferred unpersist cut the
+            # sf0.1 loop ~2x; the eager variant re-ran up to
+            # checkpoint_every rounds of joins inside every count).
+            if prev_state is not None:
+                prev_state.unpersist()
+                prev_state = None
             if n_undec == 0:
                 break
             # Messages: every edge whose SOURCE is undecided carries
             # that source's priority to its neighbor; min-combine per
             # receiver. (Decided receivers get messages too — harmless,
             # the winner join below only consults undecided nodes.)
+            # The undecided set shrinks geometrically, and n_undec is
+            # already in hand from the convergence action — once it
+            # fits a broadcast, hint it so the edge side of this join
+            # never moves (map-side probe of the persisted partitioning
+            # instead of a shuffle; AQE is off inside the loop by
+            # design, so the static planner needs the hint).
+            undec_u = undecided.select(
+                F.col("node").alias("u"), F.col("pri").alias("nbr_pri")
+            )
+            if n_undec <= 2_000_000:  # vertex rows: (long, long)
+                undec_u = F.broadcast(undec_u)
             msgs = (
-                und.join(
-                    undecided.select(
-                        F.col("node").alias("u"), F.col("pri").alias("nbr_pri")
-                    ),
-                    "u",
-                )
+                und.join(undec_u, "u")
                 .groupBy("v")
                 .agg(F.min("nbr_pri").alias("min_nbr"))
                 .select(F.col("v").alias("node"), "min_nbr")
@@ -167,11 +183,14 @@ def mis_greedy(
             )
             cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
             if rnd % checkpoint_every == 0:
+                # checkpoint() is eager: the child is durable before the
+                # parent cache drops, so the immediate unpersist is safe.
                 new_state = cached.checkpoint()
                 cached.unpersist()
+                state.unpersist()
             else:
                 new_state = cached
-            state.unpersist()
+                prev_state = state  # drop only after the child's fill
             state = new_state
         else:
             warnings.warn(
