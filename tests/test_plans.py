@@ -653,3 +653,49 @@ def test_join_null_skew_bypasses_join_for_null_keys(spark):
     assert "Union" in tree
     assert tree.count("Join") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_bars_single_exchange(spark):
+    """Both window passes and the final aggregate share the
+    (event_type, hour) key — the plan must contain exactly ONE
+    shuffle exchange."""
+    from mapreduce_sssp_spark.operators.event_windows import q_ohlc_bars
+
+    plan = plan_of(q_ohlc_bars(spark, SF))
+    assert plan.count(") Exchange") == 1
+    assert "partial_max" in plan  # final agg is map-side partial
+
+
+def test_histogram_equidepth_broadcasts_boundaries(spark):
+    """The 1-row boundary array must broadcast (map-side binning) and
+    the bin aggregate must be partial; the scan reads one column."""
+    from mapreduce_sssp_spark.operators.relational import (
+        q_histogram_equidepth,
+    )
+
+    plan = plan_of(q_histogram_equidepth(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_count" in plan or "partial_min" in plan
+    assert "ReadSchema: struct<l_extendedprice:double>" in plan
+
+
+def test_token_source_pmi_broadcasts_shortlist_and_marginals(spark):
+    """The term shortlist and source marginals must both broadcast —
+    the corpus-sized (term, source) count is the only shuffle of
+    corpus-proportional rows."""
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        q_token_source_pmi,
+    )
+
+    plan = plan_of(q_token_source_pmi(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_position_based_no_cartesian(spark):
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_attribution_position_based,
+    )
+
+    plan = plan_of(q_attribution_position_based(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
