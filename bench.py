@@ -232,6 +232,9 @@ FIXPOINT_QUERIES = [
     "landmark_distances",
     "personalized_pagerank",
     "scc",
+    "mis_greedy",
+    "ktruss",
+    "graph_diameter_estimate",
 ]
 
 # Round-6 record (BENCH_r06 / that round's BENCH_RESULTS.json): the
