@@ -128,6 +128,7 @@ HEADLINE = [
     "interval_self_join_banded",
     "skew_salted_agg",
     "heavy_hitters",
+    "kmv_set_overlap",
     "range_join_bands",
     "fuzzy_match_parts",
     # dedup family

@@ -611,7 +611,116 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64
+
+
+def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch set-INTERSECTION estimation between
+    event-type audiences — the order-statistics sketch family next to
+    HLL (approx_distinct) and GK (approx_quantiles), and the one whose
+    estimate is a PURE FUNCTION of a portable hash, so unlike the HLL
+    register blob it hash-checks across engines exactly. For every
+    ordered pair of event types: the KMV Jaccard estimate (share of
+    the union's K smallest hashes present in both sets) next to the
+    EXACT Jaccard — each row self-reports its sketch error, the
+    approx_distinct_verified posture without a second query.
+
+    Hash = first 15 hex chars of md5(user_id) as a 60-bit int (the
+    portable-hash device of dedup_simhash/feature_hash). At 100 TB:
+    per-type K-min sets are K rows each after one distinct
+    (type, hash) aggregate — the pair stage joins 10 x 2K rows, nothing
+    corpus-sized; the exact-Jaccard half is the expensive one (a
+    distinct-pair self-join) and exists to verify the sketch, which is
+    the half a production pipeline would drop.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+        "user_id",
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmv = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    ka = kmv.select(F.col("event_type").alias("type_a"), "h")
+    kb = kmv.select(F.col("event_type").alias("type_b"), "h")
+    merged = ka.crossJoin(kb.select("type_b").distinct()).select(
+        "type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionByName(
+        kb.crossJoin(ka.select("type_a").distinct()).select(
+            "type_a",
+            "type_b",
+            "h",
+            F.lit(0).alias("in_a"),
+            F.lit(1).alias("in_b"),
+        )
+    )
+    union_kmv = (
+        merged.filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w2 = Window.partitionBy("type_a", "type_b").orderBy("h")
+    est = (
+        union_kmv.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+            F.count("*").alias("k_used"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double") / F.col("k_used").cast("double")
+            ).alias("est_jaccard"),
+        )
+    )
+    users = ev.distinct()
+    sizes = users.groupBy("event_type").agg(F.count("*").alias("n"))
+    inter = (
+        users.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            users.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    exact = (
+        inter.join(
+            sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na")),
+            "type_a",
+        )
+        .join(
+            sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a", "type_b", "n_both", "est_jaccard", "exact_jaccard"
+    )
+
+
 QUERIES = {
+    "kmv_set_overlap": q_kmv_set_overlap,
     "skew_salted_agg": q_skew_salted_agg,
     "join_skew_salted": q_join_skew_salted,
     "join_null_skew": q_join_null_skew,
@@ -635,6 +744,60 @@ _BANDS_SQL = " UNION ALL ".join(
 )
 
 ORACLE = {
+    # Portable 60-bit md5 hash (the simhash device); the union's K
+    # smallest re-ranked per pair; exact Jaccard via the distinct-pair
+    # self-join with inclusion-exclusion union size.
+    "kmv_set_overlap": f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h,
+         user_id
+  FROM events),
+kmv AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed) WHERE rn <= {KMV_K}),
+types AS (SELECT DISTINCT event_type FROM events),
+merged AS (
+  SELECT a.event_type AS type_a, tb.event_type AS type_b, a.h,
+         1 AS in_a, 0 AS in_b
+  FROM kmv a CROSS JOIN types tb
+  UNION ALL
+  SELECT ta.event_type AS type_a, b.event_type AS type_b, b.h,
+         0 AS in_a, 1 AS in_b
+  FROM kmv b CROSS JOIN types ta),
+union_kmv AS (
+  SELECT type_a, type_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM merged WHERE type_a < type_b
+  GROUP BY type_a, type_b, h),
+est AS (
+  SELECT type_a, type_b,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+         CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS est_jaccard
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                 ORDER BY h) AS rn
+    FROM union_kmv) WHERE rn <= {KMV_K}
+  GROUP BY type_a, type_b),
+users AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM users GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_inter
+  FROM users a JOIN users b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT e.type_a, e.type_b, e.n_both, e.est_jaccard,
+       CAST(i.n_inter AS DOUBLE)
+       / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS exact_jaccard
+FROM est e
+JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+JOIN sizes sa ON sa.event_type = e.type_a
+JOIN sizes sb ON sb.event_type = e.type_b
+""",
     "heavy_hitters": """
 WITH counts AS (
   SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey

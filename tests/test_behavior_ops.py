@@ -991,3 +991,18 @@ def test_simhash_hamming_pairs_no_crossjoin_and_symmetric_truth(spark):
     assert got == want
     plan = q_simhash_hamming_pairs(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_set_overlap_estimates_within_sketch_error(spark):
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        KMV_K,
+        q_kmv_set_overlap,
+    )
+
+    rows = q_kmv_set_overlap(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 10  # C(5,2) ordered type pairs
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        # KMV std error ~ sqrt(J(1-J)/K) ~ 0.06 at K=64; allow 4 sigma
+        assert abs(r.est_jaccard - r.exact_jaccard) < 4 * (0.25 / KMV_K**0.5)
