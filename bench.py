@@ -258,6 +258,7 @@ COOC_CONSUMERS = {
     "mis_greedy",
     "random_walks",
     "ktruss",
+    "community_modularity",
 }
 
 

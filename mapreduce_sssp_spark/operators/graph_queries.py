@@ -917,6 +917,74 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_part_cooccurrence_edges(spark, sf_dir), rounds=4)
 
 
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition, per community — the
+    quality metric that tells you whether label_propagation found
+    structure or noise: q_contrib = e_in/m - (d_tot/2m)^2 per
+    community (sum over communities = the global Q; emitted per
+    community so the output is a ranking of community quality AND the
+    sum stays order-free for the caller — a global float sum over an
+    arbitrary row order would not hash cross-engine).
+
+    Composition: the 4-round LPA labels + two integer aggregates over
+    the same co-occurrence edges (internal-edge count per community,
+    degree mass per community). All inputs to the float expression are
+    exact BIGINTs; the expression is two exact divisions, one multiply,
+    one subtract — IEEE-pinned, same tree both engines.
+    """
+    from ..graph.lpa import label_propagation
+
+    edges = _part_cooccurrence_edges(spark, sf_dir)
+    lab = label_propagation(edges, rounds=4).select(
+        "node", "community"
+    )
+    m_df = edges.agg(F.count("*").alias("m"))
+    la = lab.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lb = lab.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    internal = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    und = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    dsum = (
+        deg.join(lab, "node")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("d_tot"), F.count("*").alias("n_nodes"))
+    )
+    joined = (
+        dsum.join(internal, "community", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "d_tot",
+            "m",
+        )
+    )
+    half = F.col("d_tot").cast("double") / (
+        F.lit(2) * F.col("m")
+    ).cast("double")
+    return joined.select(
+        "community",
+        "n_nodes",
+        "e_in",
+        "d_tot",
+        (
+            F.col("e_in").cast("double") / F.col("m").cast("double")
+            - half * half
+        ).alias("q_contrib"),
+    )
+
+
 def q_compat_state_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-compat node-state records for the format job's initial state
     (grammar ``nodeId<SP>dist|dst:w,...|Y-or-N``, SingleSourceSP.java:114-121,
@@ -1164,6 +1232,7 @@ QUERIES = {
     "edge_jaccard": q_edge_jaccard,
     "kcore": q_kcore,
     "label_propagation": q_label_propagation,
+    "community_modularity": q_community_modularity,
 }
 
 
@@ -1683,6 +1752,34 @@ corners AS (SELECT unnest([a, b, c]) AS node FROM t)
 SELECT node, count(*) AS n_tri FROM corners GROUP BY node
 """,
     "label_propagation": _lpa_oracle_sql(),
+    "community_modularity": f"""
+WITH lab AS ({_lpa_oracle_sql()}),
+ee AS (SELECT DISTINCT a.p AS u, b.p AS v
+       FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+       JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+         ON a.o = b.o AND a.p < b.p),
+m AS (SELECT count(*) AS m FROM ee),
+internal AS (
+  SELECT la.community, count(*) AS e_in
+  FROM ee
+  JOIN lab la ON la.node = ee.u
+  JOIN lab lb ON lb.node = ee.v AND lb.community = la.community
+  GROUP BY la.community),
+undd AS (SELECT u AS node FROM ee UNION ALL SELECT v AS node FROM ee),
+deg AS (SELECT node, count(*) AS deg FROM undd GROUP BY node),
+dsum AS (
+  SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS d_tot,
+         COUNT(*) AS n_nodes
+  FROM deg d JOIN lab l ON l.node = d.node
+  GROUP BY l.community)
+SELECT s.community, s.n_nodes, COALESCE(i.e_in, 0) AS e_in, s.d_tot,
+       CAST(COALESCE(i.e_in, 0) AS DOUBLE)
+         / CAST((SELECT m FROM m) AS DOUBLE)
+       - (CAST(s.d_tot AS DOUBLE) / CAST(2 * (SELECT m FROM m) AS DOUBLE))
+         * (CAST(s.d_tot AS DOUBLE) / CAST(2 * (SELECT m FROM m) AS DOUBLE))
+         AS q_contrib
+FROM dsum s LEFT JOIN internal i USING (community)
+""",
     "mis_greedy": _mis_oracle_sql(),
     "random_walks": _random_walks_oracle_sql(),
     "ktruss": _ktruss_oracle_sql(),

@@ -1006,3 +1006,24 @@ def test_kmv_set_overlap_estimates_within_sketch_error(spark):
         assert 0.0 <= r.exact_jaccard <= 1.0
         # KMV std error ~ sqrt(J(1-J)/K) ~ 0.06 at K=64; allow 4 sigma
         assert abs(r.est_jaccard - r.exact_jaccard) < 4 * (0.25 / KMV_K**0.5)
+
+
+def test_community_modularity_marginals_and_formula(spark):
+    from mapreduce_sssp_spark.operators.graph_queries import (
+        _part_cooccurrence_edges,
+        q_community_modularity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    m = _part_cooccurrence_edges(spark, sf).count()
+    rows = q_community_modularity(spark, sf).collect()
+    # degree mass partitions 2m exactly; internal edges can't exceed m
+    assert sum(r.d_tot for r in rows) == 2 * m
+    assert sum(r.e_in for r in rows) <= m
+    for r in rows:
+        half = r.d_tot / (2 * m)
+        assert r.q_contrib == r.e_in / m - half * half
+        assert r.n_nodes >= 1
+    # global Q is bounded by [-0.5, 1]
+    q = sum(r.q_contrib for r in rows)
+    assert -0.5 <= q <= 1.0
