@@ -177,6 +177,7 @@ HEADLINE = [
     # sampling / packing / python surface
     "sample_hash",
     "weighted_sample",
+    "priority_sample_topk",
     "domain_mix_sample",
     "pack_sequences",
     "chunk_documents",

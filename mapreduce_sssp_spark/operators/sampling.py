@@ -344,6 +344,53 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WSAMPLE_KEY = "wsample:"
+_PSAMPLE_KEY = "psample:"
+PSAMPLE_K = 100
+_PSAMPLE_DENOM = float(1 << 60)
+
+
+def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHOUT-replacement weighted sampling by PRIORITY SAMPLING
+    (Duffield-Lund-Thorup): each order gets priority w/u with w its
+    value in exact cents and u a deterministic md5 uniform in (0,1];
+    the sample is the top-k priorities. The estimation-grade
+    complement of q_weighted_sample's Bernoulli keep (that one is
+    with-replacement in expectation and size-unbounded; this one is
+    exactly k rows, and thresholding by the (k+1)-th priority yields
+    the published unbiased subset-sum estimator).
+
+    Chosen over Efraimidis-Spirakis u^(1/w) keys deliberately: the
+    priority is TWO IEEE-exact divisions on exact operands (cents,
+    60-bit hash+1) — no pow()/ln(), so no transcendental knife-edge
+    and no quantization needed; ties are impossible (md5 keys are
+    distinct per order, and (priority, o_orderkey) totally orders
+    regardless). Top-k plans as TakeOrderedAndProject — per-task heap
+    + driver merge of tasks x k rows, never a global sort, the same
+    scale shape as topk_orders.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    h = (
+        "CAST(conv(substring(md5(concat("
+        f"'{_PSAMPLE_KEY}', CAST(o_orderkey AS STRING))), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    scored = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(cents).alias("cents"),
+        (
+            (F.expr(h) + F.lit(1)).cast("double") / F.lit(_PSAMPLE_DENOM)
+        ).alias("u"),
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        "cents",
+        (F.col("cents").cast("double") / F.col("u")).alias("priority"),
+    )
+    return scored.orderBy(
+        F.col("priority").desc(), "o_orderkey"
+    ).limit(PSAMPLE_K)
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +547,7 @@ QUERIES = {
     "pseudonymize_users": q_pseudonymize_users,
     "split_train_test": q_split_train_test,
     "weighted_sample": q_weighted_sample,
+    "priority_sample_topk": q_priority_sample_topk,
     "sample_hash": q_sample_hash,
     "stratified_sample": q_stratified_sample,
     "domain_mix_sample": q_domain_mix_sample,
@@ -511,6 +559,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "priority_sample_topk": f"""
+SELECT o_orderkey, o_totalprice, cents,
+       CAST(cents AS DOUBLE) / u AS priority
+FROM (
+  SELECT o_orderkey, o_totalprice,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(('0x' || substr(md5('{_PSAMPLE_KEY}'
+                    || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) + 1
+              AS DOUBLE) / {_PSAMPLE_DENOM} AS u
+  FROM orders)
+ORDER BY priority DESC, o_orderkey
+LIMIT {PSAMPLE_K}
+""",
     "pseudonymize_users": f"""
 SELECT substr(sha256('{PSEUDO_SALT}' || '|' || CAST(user_id AS VARCHAR)),
               1, 16) AS user_token,

@@ -205,3 +205,39 @@ def test_weighted_sample_is_deterministic_and_weight_biased(spark, sf_dir):
         .collect()[0][0]
     )
     assert kept_mean > stats.m
+
+
+def test_priority_sample_topk_python_replay(spark):
+    """The k selected orders must equal a pure-Python replay of the
+    priority formula (md5 uniform, cents/u, top-k with id tiebreak)."""
+    import hashlib
+    from decimal import Decimal
+
+    from mapreduce_sssp_spark.operators.sampling import (
+        PSAMPLE_K,
+        _PSAMPLE_DENOM,
+        _PSAMPLE_KEY,
+        q_priority_sample_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    scored = []
+    for r in orders:
+        cents = int(
+            Decimal(str(r.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        h = int(
+            hashlib.md5(
+                f"{_PSAMPLE_KEY}{r.o_orderkey}".encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        u = float(h + 1) / _PSAMPLE_DENOM
+        scored.append((float(cents) / u, r.o_orderkey))
+    want = sorted(scored, key=lambda t: (-t[0], t[1]))[:PSAMPLE_K]
+    got = q_priority_sample_topk(spark, sf).collect()
+    assert len(got) == min(PSAMPLE_K, len(orders))
+    assert [(r.priority, r.o_orderkey) for r in got] == want
