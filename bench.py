@@ -80,6 +80,7 @@ HEADLINE = [
     "outliers_mad",
     "changepoint_cusum",
     "histogram_equidepth",
+    "dq_audit",
     "profile_columns",
     "winsorize_values",
     "corr_measures",

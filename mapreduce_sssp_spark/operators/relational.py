@@ -247,6 +247,106 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the warehouse contract check run
+    before anything downstream trusts a load: one row per declared
+    constraint with its violation count and the rows checked.
+    Constraints exercised here: PK uniqueness (orders, lineitem
+    composite), FK integrity (lineitem->orders, lineitem->part,
+    orders->customer), NOT NULL (l_orderkey), and a domain rule
+    (l_quantity > 0). Output (constraint, n_checked, n_violations).
+
+    Shapes, per class: uniqueness is a groupBy-count-filter (partial
+    agg, shuffle keyed on the PK); FK integrity is a LEFT ANTI join
+    against the distinct parent key set (the parent side is the small
+    one — broadcast; violations ship, matches don't); NOT NULL and
+    domain rules are scan-level conditional counts (one pass, zero
+    shuffle, all such rules fused into ONE aggregate). At 100 TB each
+    constraint stays in its cheapest class instead of a generic
+    rule-engine join; the union of 7 one-row frames is driver-trivial.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name, n_checked, n_viol):
+        return n_checked.crossJoin(n_viol).select(
+            F.lit(name).alias("constraint"),
+            F.col("n_checked"),
+            F.col("n_violations"),
+        )
+
+    def scalar(df, alias):
+        return df.agg(F.count("*").alias(alias))
+
+    def dup_pk(df, cols, name):
+        dups = (
+            df.groupBy(*cols)
+            .agg(F.count("*").alias("c"))
+            .filter("c > 1")
+            .agg(
+                F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias(
+                    "n_violations"
+                )
+            )
+        )
+        return one(name, scalar(df, "n_checked"), dups)
+
+    def dangling(child, key, parent, pkey, name):
+        # Standard FK semantics: a NULL child key is NOT a violation
+        # (nullable FKs are legal; nullness is its own constraint) —
+        # and the null filter is also what keeps the anti join aligned
+        # with the oracle's NOT IN, which silently drops NULLs.
+        viol = (
+            child.select(F.col(key).alias("k"))
+            .filter(F.col(key).isNotNull())
+            .join(
+                F.broadcast(parent.select(F.col(pkey).alias("k")).distinct()),
+                "k",
+                "anti",
+            )
+            .agg(F.count("*").alias("n_violations"))
+        )
+        return one(name, scalar(child, "n_checked"), viol)
+
+    # scan-level rules fused into one aggregate over lineitem
+    scan_rules = li.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)
+        ).alias("v_null"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias(
+            "v_domain"
+        ),
+    )
+    nulls = scan_rules.select(
+        F.lit("lineitem.l_orderkey NOT NULL").alias("constraint"),
+        "n_checked",
+        F.col("v_null").cast("bigint").alias("n_violations"),
+    )
+    domain = scan_rules.select(
+        F.lit("lineitem.l_quantity > 0").alias("constraint"),
+        "n_checked",
+        F.col("v_domain").cast("bigint").alias("n_violations"),
+    )
+    return (
+        dup_pk(o, ["o_orderkey"], "orders PK unique")
+        .unionByName(
+            dup_pk(
+                li,
+                ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+                "lineitem PK unique",
+            )
+        )
+        .unionByName(dangling(li, "l_orderkey", o, "o_orderkey", "lineitem->orders FK"))
+        .unionByName(dangling(li, "l_partkey", part, "p_partkey", "lineitem->part FK"))
+        .unionByName(dangling(o, "o_custkey", cust, "c_custkey", "orders->customer FK"))
+        .unionByName(nulls)
+        .unionByName(domain)
+    )
+
+
 EQUIDEPTH_BINS = 10
 
 
@@ -1966,6 +2066,7 @@ QUERIES = {
     "distinct_pairs": q_distinct,
     "group_percentiles": q_group_percentiles,
     "histogram_equidepth": q_histogram_equidepth,
+    "dq_audit": q_dq_audit,
     "outliers_mad": q_outliers_mad,
     "winsorize_values": q_winsorize_values,
     "corr_measures": q_corr_measures,
@@ -2207,6 +2308,53 @@ SELECT l_suppkey,
          AS flags_csv,
        CAST(count(DISTINCT l_returnflag) AS INT) AS n_flags
 FROM lineitem GROUP BY l_suppkey
+""",
+    "dq_audit": """
+WITH o_dup AS (
+  SELECT COALESCE(SUM(c - 1), 0) AS v FROM (
+    SELECT count(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1),
+li_dup AS (
+  SELECT COALESCE(SUM(c - 1), 0) AS v FROM (
+    SELECT count(*) AS c FROM lineitem
+    GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey) WHERE c > 1),
+li_n AS (SELECT count(*) AS n FROM lineitem),
+o_n AS (SELECT count(*) AS n FROM orders),
+fk_lo AS (SELECT count(*) AS v FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+fk_lp AS (SELECT count(*) AS v FROM lineitem l
+          WHERE l.l_partkey IS NOT NULL
+            AND l.l_partkey NOT IN (SELECT p_partkey FROM part)),
+fk_oc AS (SELECT count(*) AS v FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)),
+scan AS (
+  SELECT count(*) AS n,
+         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_null,
+         CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_domain
+  FROM lineitem)
+SELECT 'orders PK unique' AS constraint, (SELECT n FROM o_n) AS n_checked,
+       CAST((SELECT v FROM o_dup) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'lineitem PK unique', (SELECT n FROM li_n),
+       CAST((SELECT v FROM li_dup) AS BIGINT)
+UNION ALL
+SELECT 'lineitem->orders FK', (SELECT n FROM li_n),
+       (SELECT v FROM fk_lo)
+UNION ALL
+SELECT 'lineitem->part FK', (SELECT n FROM li_n),
+       (SELECT v FROM fk_lp)
+UNION ALL
+SELECT 'orders->customer FK', (SELECT n FROM o_n),
+       (SELECT v FROM fk_oc)
+UNION ALL
+SELECT 'lineitem.l_orderkey NOT NULL', (SELECT n FROM scan),
+       (SELECT v_null FROM scan)
+UNION ALL
+SELECT 'lineitem.l_quantity > 0', (SELECT n FROM scan),
+       (SELECT v_domain FROM scan)
 """,
     "histogram_equidepth": """
 WITH bs AS (

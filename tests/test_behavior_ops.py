@@ -1027,3 +1027,40 @@ def test_community_modularity_marginals_and_formula(spark):
     # global Q is bounded by [-0.5, 1]
     q = sum(r.q_contrib for r in rows)
     assert -0.5 <= q <= 1.0
+
+
+def test_dq_audit_detects_planted_violations(spark, tmp_path):
+    from mapreduce_sssp_spark.operators.relational import q_dq_audit
+
+    # minimal 4-table warehouse with one violation of each class
+    spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))  # dup PK 1; cust 11 dangling
+    spark.createDataFrame(
+        [
+            (1, 1, 100, 5, 2.0),
+            (1, 1, 100, 5, 2.0),  # dup composite PK
+            (2, 1, 999, 5, -1.0),  # dangling part + bad quantity
+            (None, 2, 100, 5, 1.0),  # null FK (also dangles)
+        ],
+        "l_orderkey long, l_linenumber long, l_partkey long,"
+        " l_suppkey long, l_quantity double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame([(100,)], "p_partkey long").write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    spark.createDataFrame([(10,)], "c_custkey long").write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    out = {
+        r.constraint: (r.n_checked, r.n_violations)
+        for r in q_dq_audit(spark, str(tmp_path)).collect()
+    }
+    assert out["orders PK unique"] == (3, 1)
+    assert out["lineitem PK unique"] == (4, 1)
+    # null FK is NOT an FK violation (nullness is its own constraint)
+    assert out["lineitem->orders FK"] == (4, 0)
+    assert out["lineitem->part FK"] == (4, 1)
+    assert out["orders->customer FK"] == (3, 1)
+    assert out["lineitem.l_orderkey NOT NULL"] == (4, 1)
+    assert out["lineitem.l_quantity > 0"] == (4, 1)
