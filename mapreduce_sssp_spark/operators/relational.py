@@ -347,6 +347,46 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of o_totalprice — the forensic
+    data-quality screen (fabricated or unit-mixed monetary columns
+    drift from the log-uniform first-digit law). Output one row per
+    digit 1-9: observed count, observed share, and the Benford
+    expectation log10(1 + 1/d) as the quantized BIGINT the tfidf
+    device prescribes for transcendental values.
+
+    One map-side digit extraction (first char of the DECIMAL's
+    canonical string — both engines render DECIMAL(18,2) identically,
+    no float formatting anywhere) + one 9-group aggregate: zero
+    shuffle beyond 9 partial rows per task at any scale. obs_share is
+    a single exact int/int division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.expr(
+        "substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), 1, 1)"
+    )
+    counts = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "obs_share"
+        ),
+        F.round(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("benford_e6"),
+    )
+
+
 EQUIDEPTH_BINS = 10
 
 
@@ -2067,6 +2107,7 @@ QUERIES = {
     "group_percentiles": q_group_percentiles,
     "histogram_equidepth": q_histogram_equidepth,
     "dq_audit": q_dq_audit,
+    "benford_digits": q_benford_digits,
     "outliers_mad": q_outliers_mad,
     "winsorize_values": q_winsorize_values,
     "corr_measures": q_corr_measures,
@@ -2308,6 +2349,21 @@ SELECT l_suppkey,
          AS flags_csv,
        CAST(count(DISTINCT l_returnflag) AS INT) AS n_flags
 FROM lineitem GROUP BY l_suppkey
+""",
+    "benford_digits": """
+WITH counts AS (
+  SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   1, 1) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+         AS obs_share,
+       CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6)
+            AS BIGINT) AS benford_e6
+FROM counts
 """,
     "dq_audit": """
 WITH o_dup AS (
