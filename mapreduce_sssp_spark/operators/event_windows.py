@@ -1350,6 +1350,108 @@ def seasonality_dow(ev: DataFrame) -> DataFrame:
     )
 
 
+ACF_MAX_LAG = 7
+
+
+def q_autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..7) of the daily value series
+    per event_type — the seasonality/memory diagnostic behind forecast
+    model selection (a weekly cycle shows as a lag-7 peak). One row per
+    (event_type, lag): day count and the ACF estimate
+    r_k = sum((x_t-mean)(x_{t-k}-mean)) / sum((x_t-mean)^2) over the
+    DENSE daily grid (missing days count as 0 — absence of traffic is
+    signal, not a gap to skip).
+
+    Hash-exactness: values go through the int64-cents projection and
+    the mean division is eliminated by n-scaling (d_t = n*x_t - S, an
+    exact BIGINT ~1e10 at sf0.1); the products d_t*d_{t-k} (~1e21)
+    escape int64, so BOTH engines widen exactly — Spark to
+    DECIMAL(38,0), DuckDB to HUGEINT — sum exactly (order-free integer
+    addition), cast the two totals to DOUBLE (one correctly-rounded
+    IEEE conversion each), and emit ONE double division. The memory'd
+    HUGEINT/DECIMAL driver-hash hazard does not apply: no wide integer
+    reaches the output schema.
+
+    Scale: the daily grid is |types| x |days| — thousands of rows at
+    any corpus size, so everything after the first (type, day) map-side
+    combined aggregate is free; the corpus is scanned once and never
+    shuffled again. The 7 lag columns come from one window pass over
+    the tiny grid.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx")).alias("day"),
+    )
+    series = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    st = series.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), F.sum("x").alias("s")
+    )
+    dev = series.join(st, "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        (F.col("n_days") * F.col("x") - F.col("s")).alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = dev.select(
+        "event_type",
+        "n_days",
+        F.col("d").cast("decimal(38,0)").alias("d0"),
+        *[
+            F.lag("d", k).over(w).cast("decimal(38,0)").alias(f"d{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    agg = lagged.groupBy("event_type", "n_days").agg(
+        F.sum(F.col("d0") * F.col("d0")).alias("den"),
+        *[
+            F.sum(F.col("d0") * F.col(f"d{k}")).alias(f"num{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stacked = agg.select(
+        "event_type",
+        "n_days",
+        F.col("den").cast("double").alias("den_d"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"num{k}").cast("double").alias("num_d"),
+                    )
+                    for k in range(1, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("e"),
+    )
+    return stacked.filter(F.col("den_d") > 0).select(
+        "event_type",
+        F.col("e.lag").cast("int").alias("lag"),
+        "n_days",
+        (F.col("e.num_d") / F.col("den_d")).alias("acf"),
+    )
+
+
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection: flag events whose value sits
     more than 2 population-sigmas from the mean of the user's trailing
@@ -1727,6 +1829,7 @@ QUERIES = {
     "resample_ffill": q_resample_ffill,
     "session_paths": q_session_paths,
     "seasonality_dow": q_seasonality_dow,
+    "autocorrelation_daily": q_autocorrelation_daily,
     "anomaly_zscore": q_anomaly_zscore,
     "active_users": q_active_users,
     "cohort_ltv": q_cohort_ltv,
@@ -1776,7 +1879,61 @@ FROM islands
 GROUP BY user_id, session_id
 """
 
+_ACF_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+         FROM daily GROUP BY 1),
+grid AS (
+  SELECT event_type,
+         CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+                                     CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span),
+series AS (
+  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+  FROM grid g LEFT JOIN daily d
+    ON d.event_type = g.event_type AND d.day = g.day),
+st AS (SELECT event_type, COUNT(*) AS n_days, SUM(x) AS s
+       FROM series GROUP BY 1),
+dev AS (
+  SELECT series.event_type, day, n_days,
+         CAST(n_days AS HUGEINT) * x - s AS d
+  FROM series JOIN st USING (event_type)),
+lagged AS (
+  SELECT event_type, n_days, d AS d0,
+         LAG(d, 1) OVER w AS d1, LAG(d, 2) OVER w AS d2,
+         LAG(d, 3) OVER w AS d3, LAG(d, 4) OVER w AS d4,
+         LAG(d, 5) OVER w AS d5, LAG(d, 6) OVER w AS d6,
+         LAG(d, 7) OVER w AS d7
+  FROM dev
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+agg AS (
+  SELECT event_type, n_days,
+         SUM(d0 * d0) AS den,
+         SUM(d0 * d1) AS num1, SUM(d0 * d2) AS num2,
+         SUM(d0 * d3) AS num3, SUM(d0 * d4) AS num4,
+         SUM(d0 * d5) AS num5, SUM(d0 * d6) AS num6,
+         SUM(d0 * d7) AS num7
+  FROM lagged GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS INT) AS lag, n_days,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+FROM (
+  SELECT event_type, n_days, den, 1 AS lag, num1 AS num FROM agg
+  UNION ALL SELECT event_type, n_days, den, 2, num2 FROM agg
+  UNION ALL SELECT event_type, n_days, den, 3, num3 FROM agg
+  UNION ALL SELECT event_type, n_days, den, 4, num4 FROM agg
+  UNION ALL SELECT event_type, n_days, den, 5, num5 FROM agg
+  UNION ALL SELECT event_type, n_days, den, 6, num6 FROM agg
+  UNION ALL SELECT event_type, n_days, den, 7, num7 FROM agg
+)
+WHERE CAST(den AS DOUBLE) > 0
+"""
+
 ORACLE = {
+    "autocorrelation_daily": _ACF_SQL,
     "attribution_position_based": """
 WITH p AS (
   SELECT user_id, ts AS p_ts, event_id AS p_eid
