@@ -46,6 +46,7 @@ HEADLINE = [
     "sssp_dag",
     "wcc",
     "pagerank",
+    "hits_scores",
     "kcore",
     "label_propagation",
     "longest_path_dag",
@@ -229,6 +230,7 @@ FIXPOINT_QUERIES = [
     "sssp_dag",
     "wcc",
     "pagerank",
+    "hits_scores",
     "kcore",
     "label_propagation",
     "longest_path_dag",

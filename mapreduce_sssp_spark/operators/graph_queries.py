@@ -194,6 +194,80 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (6 synchronous rounds, one L1
+    normalization at the end — scaling commutes through the linear
+    updates, see graph/hits.py) over the B1 lineitem graph — the
+    mutual-recursion companion to ``pagerank``, and the engine's 15th
+    fixpoint family.
+
+    Same hash device as pagerank: both engines run the identical
+    fixed-iteration recurrence (same init, same L1 normalization, no
+    early exit) whose cross-engine divergence is ~1e-15 relative, and
+    the query emits ``hub_e9``/``auth_e9 = round(score * 1e9)`` BIGINTs
+    — nine orders of magnitude of slack under the rounding quantum.
+    tests/test_hits.py cross-checks the operator against a numpy power
+    iteration and pins the invariants (distributions sum to 1; sinks
+    have hub 0; sources have auth 0).
+    """
+    from ..graph.hits import hits
+
+    edges = edges_from_lineitem(spark, sf_dir)
+    scores = hits(edges.select("src", "dst"), iterations=6)
+    return scores.select(
+        "node",
+        F.round(F.col("hub") * 1e9, 0).cast("long").alias("hub_e9"),
+        F.round(F.col("auth") * 1e9, 0).cast("long").alias("auth_e9"),
+    )
+
+
+def _hits_sql(iterations: int = 6) -> str:
+    """Unrolled DuckDB twin of graph/hits.py — one (auth, hub) CTE pair
+    per round (the community_modularity unroll device; WITH RECURSIVE
+    cannot carry two mutually-recursive vectors). LEFT JOINs keep
+    in-link-free / out-link-free nodes at exact 0.0, mirroring the
+    Spark side's coalesce."""
+    parts = [
+        # MATERIALIZED: DuckDB otherwise inlines `e` into each of the
+        # 12 unrolled stages — 12 parquet rescans and an fd blow-up.
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)"
+        " AS hub FROM nodes),",
+    ]
+    # Every stage MATERIALIZED: each stage is read by the next one AND
+    # the final normalization — inlined, the re-evaluation tree is
+    # 2^rounds over the base scan (measured: the inlined form never
+    # finished at sf0.001 where the materialized one takes 0.1s).
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT n.node,"
+            f" coalesce(sum(h.hub), 0.0) AS auth"
+            f" FROM nodes n LEFT JOIN e ON e.dst = n.node"
+            f" LEFT JOIN h{k - 1} h ON h.node = e.src GROUP BY n.node),"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT n.node,"
+            f" coalesce(sum(a.auth), 0.0) AS hub"
+            f" FROM nodes n LEFT JOIN e ON e.src = n.node"
+            f" LEFT JOIN a{k} a ON a.node = e.dst GROUP BY n.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f" SELECT h{iterations}.node,"
+        f" CAST(round(h{iterations}.hub"
+        f" / (SELECT sum(hub) FROM h{iterations}) * 1e9) AS BIGINT)"
+        f" AS hub_e9,"
+        f" CAST(round(a{iterations}.auth"
+        f" / (SELECT sum(auth) FROM a{iterations}) * 1e9) AS BIGINT)"
+        f" AS auth_e9"
+        f" FROM h{iterations} JOIN a{iterations} USING (node)"
+    )
+    return "\n".join(parts)
+
+
 def q_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node 2-hop reach: number of length-2 directed paths and the
     distinct friend-of-friend set size (2-hop endpoints that are neither
@@ -1208,6 +1282,7 @@ QUERIES = {
     "wcc": q_wcc,
     "wcc_cyclic": q_wcc_cyclic,
     "pagerank": q_pagerank,
+    "hits_scores": q_hits,
     "personalized_pagerank": q_personalized_pagerank,
     "degree_assortativity": q_degree_assortativity,
     "two_hop_paths": q_two_hop_paths,
@@ -1412,6 +1487,7 @@ FROM outn o FULL OUTER JOIN best b ON o.node = b.node
     # float no-op), dangling mass via a scalar-subquery second reference
     # to the working table, identical damping/base/division shapes, and
     # the same round(rank*1e9) integer projection as the Spark entry.
+    "hits_scores": _hits_sql(6),
     "pagerank": f"""
 WITH RECURSIVE
 e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
