@@ -108,6 +108,8 @@ HEADLINE = [
     "session_paths",
     "seasonality_dow",
     "anomaly_zscore",
+    "autocorrelation_daily",
+    "survival_km",
     "resample_ffill",
     "twap_user",
     "ewma_value",

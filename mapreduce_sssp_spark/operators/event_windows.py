@@ -1350,6 +1350,106 @@ def seasonality_dow(ev: DataFrame) -> DataFrame:
     )
 
 
+KM_CHURN_GAP_DAYS = 90
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer lifetimes — the
+    churn-analysis estimator. A customer's lifetime is first order to
+    last order (whole days); a customer whose last order falls within
+    90 days of the horizon (global max o_orderdate) is right-CENSORED
+    (still alive), everyone else's lifetime ended in an observed churn.
+    One row per churn-duration step t: customers still at risk n_t,
+    churns d_t, and the KM log-survival
+    ln S(t) = sum_{u<=t} ln(1 - d_u/n_u). (Orders, not events, are the
+    subject: the events table spans 30 days with every user active to
+    the horizon — zero observable churn — while order histories span
+    1995-2001 with a real censored/churned mix.)
+
+    Hash-exactness: n_t and d_t are exact int64 (at-risk via a
+    descending cumulative count, no per-customer scan in the window);
+    the per-step ln((n-d)/n) goes through the tfidf ln-quantization
+    contract (round to e6 BIGINT — libm ulps live 9 orders below the
+    quantum), and the CUMULATIVE log-survival is then an exact integer
+    window sum of the quantized steps, so float accumulation order can
+    never touch the curve. exp() is left to the caller: no
+    transcendental of a transcendental crosses engines. A terminal
+    step where everyone at risk churns (S=0, ln -inf) is NULLed
+    identically in both engines.
+
+    Scale: one groupBy(custkey) over orders (map-side combined), then
+    every window runs on the |distinct durations| aggregate (~hundreds
+    of rows at any corpus size). The horizon is a broadcast 1-row
+    scalar. Shuffle O(customers) once.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    horizon = F.broadcast(o.agg(F.max("o_orderdate").alias("horizon")))
+    users = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_ts"),
+            F.max("o_orderdate").alias("last_ts"),
+        )
+        .crossJoin(horizon)
+        .select(
+            F.datediff(
+                F.col("last_ts").cast("date"), F.col("first_ts").cast("date")
+            ).alias("t_days"),
+            (
+                F.col("last_ts")
+                < F.col("horizon") - F.expr(
+                    f"INTERVAL {KM_CHURN_GAP_DAYS} DAY"
+                )
+            )
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    steps = users.groupBy("t_days").agg(
+        F.count("*").alias("n_ending"),
+        F.sum("churned").alias("d_churn"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t_days").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    at_risk = steps.select(
+        "t_days",
+        "d_churn",
+        F.sum("n_ending").over(w_desc).alias("n_risk"),
+    ).filter(F.col("d_churn") > 0)
+    # A terminal step where everyone at risk churns has S=0 (ln -inf):
+    # NULL it instead (both engines), so the cast-to-long stays total.
+    step_ln = at_risk.select(
+        "t_days",
+        "n_risk",
+        "d_churn",
+        F.when(F.col("n_risk") == F.col("d_churn"), F.lit(None))
+        .otherwise(
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d_churn")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * 1e6
+            ).cast("long")
+        )
+        .alias("step_ln_e6"),
+    )
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return step_ln.select(
+        "t_days",
+        "n_risk",
+        "d_churn",
+        "step_ln_e6",
+        F.sum("step_ln_e6").over(w_asc).alias("cum_ln_e6"),
+    )
+
+
 ACF_MAX_LAG = 7
 
 
@@ -1830,6 +1930,7 @@ QUERIES = {
     "session_paths": q_session_paths,
     "seasonality_dow": q_seasonality_dow,
     "autocorrelation_daily": q_autocorrelation_daily,
+    "survival_km": q_survival_km,
     "anomaly_zscore": q_anomaly_zscore,
     "active_users": q_active_users,
     "cohort_ltv": q_cohort_ltv,
@@ -1932,7 +2033,39 @@ FROM (
 WHERE CAST(den AS DOUBLE) > 0
 """
 
+_KM_SQL = f"""
+WITH horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+users AS (
+  SELECT CAST(datediff('day', CAST(MIN(o_orderdate) AS DATE),
+                       CAST(MAX(o_orderdate) AS DATE)) AS INT) AS t_days,
+         CAST(MAX(o_orderdate) < (SELECT h FROM horizon)
+                        - INTERVAL {KM_CHURN_GAP_DAYS} DAY AS INT)
+           AS churned
+  FROM orders GROUP BY o_custkey),
+steps AS (
+  SELECT t_days, COUNT(*) AS n_ending, SUM(churned) AS d_churn
+  FROM users GROUP BY t_days),
+risk AS (
+  SELECT t_days, CAST(d_churn AS BIGINT) AS d_churn,
+         SUM(n_ending) OVER (ORDER BY t_days DESC
+                             ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM steps),
+step_ln AS (
+  SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, d_churn,
+         CASE WHEN n_risk = d_churn THEN NULL
+              ELSE CAST(round(ln(CAST(n_risk - d_churn AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1e6)
+                        AS BIGINT) END AS step_ln_e6
+  FROM risk WHERE d_churn > 0)
+SELECT t_days, n_risk, d_churn, step_ln_e6,
+       CAST(SUM(step_ln_e6) OVER (ORDER BY t_days
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_ln_e6
+FROM step_ln
+"""
+
 ORACLE = {
+    "survival_km": _KM_SQL,
     "autocorrelation_daily": _ACF_SQL,
     "attribution_position_based": """
 WITH p AS (
