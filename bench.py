@@ -82,6 +82,7 @@ HEADLINE = [
     "changepoint_cusum",
     "histogram_equidepth",
     "dq_audit",
+    "basket_rules",
     "profile_columns",
     "winsorize_values",
     "corr_measures",

@@ -387,6 +387,88 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders: for every directed
+    brand pair (A -> B) co-purchased in at least one order, the exact
+    support counts plus confidence n_ab/n_a and lift
+    n_ab*N/(n_a*n_b) — the classic recommender/assortment screen
+    (Agrawal-Srikant support-confidence framework, computed exactly
+    rather than via Apriori pruning: the item vocabulary here is 25
+    brands, so the full pair lattice is trivially small).
+
+    Hash-exactness: all counts exact int64; confidence and lift are
+    each ONE int/int double division with identical operand sequences
+    in both engines (the bigram_lift device — no ln, no float
+    accumulation).
+
+    At 100 TB: the brand dim join is a broadcast (dim tables that
+    outgrow broadcast go through the bucketed-join path, see
+    sink_bucketed_join); basket item sets dedup map-side before the
+    within-basket self-join, whose output is bounded by
+    sum(basket_size^2) with basket_size <= 7 lineitems — linear in the
+    corpus, never all-pairs across baskets. Counts partial-aggregate;
+    the scalar basket total rides a broadcast 1-row cross join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .select(
+            F.col("l_orderkey").alias("bid"), F.col("p_brand").alias("item")
+        )
+        .distinct()
+    )
+    tot = baskets.agg(F.count_distinct("bid").alias("n_baskets"))
+    item_n = baskets.groupBy("item").agg(F.count("*").alias("n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, "bid")
+        .filter(F.col("a.item") != F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("antecedent"),
+            F.col("b.item").alias("consequent"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(
+                item_n.select(
+                    F.col("item").alias("antecedent"), F.col("n").alias("n_a")
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                item_n.select(
+                    F.col("item").alias("consequent"), F.col("n").alias("n_b")
+                )
+            ),
+            "consequent",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_baskets",
+            (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
 EQUIDEPTH_BINS = 10
 
 
@@ -2108,6 +2190,7 @@ QUERIES = {
     "histogram_equidepth": q_histogram_equidepth,
     "dq_audit": q_dq_audit,
     "benford_digits": q_benford_digits,
+    "basket_rules": q_basket_rules,
     "outliers_mad": q_outliers_mad,
     "winsorize_values": q_winsorize_values,
     "corr_measures": q_corr_measures,
@@ -2349,6 +2432,26 @@ SELECT l_suppkey,
          AS flags_csv,
        CAST(count(DISTINCT l_returnflag) AS INT) AS n_flags
 FROM lineitem GROUP BY l_suppkey
+""",
+    "basket_rules": """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+  FROM lineitem JOIN part ON p_partkey = l_partkey),
+tot AS (SELECT COUNT(DISTINCT bid) AS n_baskets FROM baskets),
+item_n AS (SELECT item, COUNT(*) AS n FROM baskets GROUP BY item),
+pairs AS (
+  SELECT a.item AS antecedent, b.item AS consequent, COUNT(*) AS n_ab
+  FROM baskets a JOIN baskets b ON a.bid = b.bid AND a.item <> b.item
+  GROUP BY 1, 2)
+SELECT antecedent, consequent, n_ab,
+       na.n AS n_a, nb.n AS n_b,
+       (SELECT n_baskets FROM tot) AS n_baskets,
+       CAST(n_ab AS DOUBLE) / CAST(na.n AS DOUBLE) AS confidence,
+       CAST(n_ab * (SELECT n_baskets FROM tot) AS DOUBLE)
+         / CAST(na.n * nb.n AS DOUBLE) AS lift
+FROM pairs
+JOIN item_n na ON na.item = antecedent
+JOIN item_n nb ON nb.item = consequent
 """,
     "benford_digits": """
 WITH counts AS (
