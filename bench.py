@@ -111,6 +111,8 @@ HEADLINE = [
     "anomaly_zscore",
     "autocorrelation_daily",
     "survival_km",
+    "cumulative_distinct_users",
+    "mann_whitney_u",
     "resample_ffill",
     "twap_user",
     "ewma_value",
@@ -183,6 +185,7 @@ HEADLINE = [
     "sample_hash",
     "weighted_sample",
     "priority_sample_topk",
+    "bootstrap_ci_mean",
     "domain_mix_sample",
     "pack_sequences",
     "chunk_documents",

@@ -1350,6 +1350,151 @@ def seasonality_dow(ev: DataFrame) -> DataFrame:
     )
 
 
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test for every unordered pair of event
+    types: does one type's value distribution stochastically dominate
+    the other's? The nonparametric companion to ab_test_proportions —
+    no normality assumption on the values, only on the rank statistic.
+
+    Everything up to the final z is EXACT int64 rank algebra on the
+    (type, cents) HISTOGRAM, never per-row ranks: with t_v rows tied at
+    value v and C_v rows strictly below, the average rank is
+    C_v + (t_v+1)/2, so twice the rank sum of group A is
+    R2 = sum_v nA_v * (2*C_v + t_v + 1) — an exact integer, like the
+    doubled U statistic U2 = R2 - nA*(nA+1) and the tie term
+    sum(t^3 - t). The normal-approximation z then takes ONE identical
+    float expression in both engines (two divisions, one
+    correctly-rounded sqrt — no accumulation).
+
+    At 100 TB: the corpus collapses to the (type, cents) histogram in
+    one map-side-combined aggregate (~|types| x |distinct cents| rows);
+    the 2-way pair expansion, rank windows, and test statistics all run
+    on that aggregate. One corpus shuffle, total.
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("n"))
+    )
+    types = hist.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    # Pair-tagged histogram: each pair pulls its two types' histograms.
+    ha = pairs.join(
+        hist, F.col("event_type") == F.col("type_a")
+    ).select("type_a", "type_b", "cents", F.col("n").alias("na_v"), F.lit(0).alias("nb_v"))
+    hb = pairs.join(
+        hist, F.col("event_type") == F.col("type_b")
+    ).select("type_a", "type_b", "cents", F.lit(0).alias("na_v"), F.col("n").alias("nb_v"))
+    merged = (
+        ha.union(hb)
+        .groupBy("type_a", "type_b", "cents")
+        .agg(F.sum("na_v").alias("na_v"), F.sum("nb_v").alias("nb_v"))
+        .withColumn("t_v", F.col("na_v") + F.col("nb_v"))
+    )
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = merged.select(
+        "type_a",
+        "type_b",
+        "na_v",
+        "nb_v",
+        "t_v",
+        (F.sum("t_v").over(w) - F.col("t_v")).alias("c_below"),
+    )
+    agg = ranked.groupBy("type_a", "type_b").agg(
+        F.sum("na_v").alias("n_a"),
+        F.sum("nb_v").alias("n_b"),
+        F.sum(
+            F.col("na_v") * (F.lit(2) * F.col("c_below") + F.col("t_v") + 1)
+        ).alias("r2_a"),
+        F.sum(F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v")).alias(
+            "tie_cubes"
+        ),
+    )
+    n_tot = F.col("n_a") + F.col("n_b")
+    u2_a = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    var = (
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        * (
+            (n_tot + 1).cast("double")
+            - F.col("tie_cubes").cast("double")
+            / (n_tot * (n_tot - 1)).cast("double")
+        )
+        / F.lit(12.0)
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        u2_a.alias("u2_a"),
+        "tie_cubes",
+        (
+            (u2_a - F.col("n_a") * F.col("n_b")).cast("double")
+            / (F.lit(2.0) * F.sqrt(var))
+        ).alias("z"),
+    )
+
+
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per day — the growth-accounting
+    curve ("total users ever seen, by day"). A windowed
+    COUNT(DISTINCT) is non-incremental and unsupported in both
+    engines; the standard decomposition is first-seen election (each
+    user contributes once, on their min-activity day) + a cumulative
+    sum, which is also the only formulation that scales: the corpus
+    aggregates to one row per user, then one row per day.
+
+    Output per active day: daily active users (exact distinct),
+    new users (first-seen that day), and the cumulative total.
+    All exact int64 — nothing float anywhere.
+
+    At 100 TB: groupBy(user) and groupBy(day, user) both map-side
+    combine; the cumulative window runs over the |days| aggregate
+    (hundreds of rows). One shuffle keyed by user, one by day.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    dau = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    first_seen = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(first_seen, "day", "left")
+        .select("day", "n_active", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            F.sum("n_new").over(w).alias("cum_users"),
+        )
+    )
+
+
 KM_CHURN_GAP_DAYS = 90
 
 
@@ -1931,6 +2076,8 @@ QUERIES = {
     "seasonality_dow": q_seasonality_dow,
     "autocorrelation_daily": q_autocorrelation_daily,
     "survival_km": q_survival_km,
+    "cumulative_distinct_users": q_cumulative_distinct_users,
+    "mann_whitney_u": q_mann_whitney_u,
     "anomaly_zscore": q_anomaly_zscore,
     "active_users": q_active_users,
     "cohort_ltv": q_cohort_ltv,
@@ -2065,6 +2212,64 @@ FROM step_ln
 """
 
 ORACLE = {
+    "mann_whitney_u": """
+WITH hist AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM hist),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type),
+merged AS (
+  SELECT type_a, type_b, cents,
+         SUM(na_v) AS na_v, SUM(nb_v) AS nb_v,
+         SUM(na_v) + SUM(nb_v) AS t_v
+  FROM (
+    SELECT p.type_a, p.type_b, h.cents, h.n AS na_v, 0 AS nb_v
+    FROM pairs p JOIN hist h ON h.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, h.cents, 0, h.n
+    FROM pairs p JOIN hist h ON h.event_type = p.type_b)
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT type_a, type_b, na_v, nb_v, t_v,
+         SUM(t_v) OVER (PARTITION BY type_a, type_b ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) - t_v AS c_below
+  FROM merged),
+agg AS (
+  SELECT type_a, type_b,
+         CAST(SUM(na_v) AS BIGINT) AS n_a,
+         CAST(SUM(nb_v) AS BIGINT) AS n_b,
+         CAST(SUM(na_v * (2 * c_below + t_v + 1)) AS BIGINT) AS r2_a,
+         CAST(SUM(t_v * t_v * t_v - t_v) AS BIGINT) AS tie_cubes
+  FROM ranked GROUP BY 1, 2)
+SELECT type_a, type_b, n_a, n_b,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       tie_cubes,
+       CAST(r2_a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+         / (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE)
+                       * (CAST(n_a + n_b + 1 AS DOUBLE)
+                          - CAST(tie_cubes AS DOUBLE)
+                            / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))
+                       / 12.0)) AS z
+FROM agg
+""",
+    "cumulative_distinct_users": """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS n_active
+        FROM ev GROUP BY day),
+fs AS (SELECT day, COUNT(*) AS n_new
+       FROM (SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id)
+       GROUP BY day)
+SELECT dau.day, n_active,
+       COALESCE(n_new, 0) AS n_new,
+       CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY dau.day
+                                          ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM dau LEFT JOIN fs ON fs.day = dau.day
+""",
     "survival_km": _KM_SQL,
     "autocorrelation_daily": _ACF_SQL,
     "attribution_position_based": """

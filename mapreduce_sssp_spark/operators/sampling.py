@@ -348,6 +348,91 @@ _PSAMPLE_KEY = "psample:"
 PSAMPLE_K = 100
 _PSAMPLE_DENOM = float(1 << 60)
 
+_BOOT_KEY = "boot:"
+BOOTSTRAP_B = 32
+# Cumulative Poisson(1) CDF, P(X <= k) for k = 0..7, as decimal
+# literals: both engines parse the same literal to the same
+# correctly-rounded double, so the CASE ladder decides identically.
+_POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.919698602928606",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+    "0.9999897508033253",
+)
+
+
+def _poisson_weight_case(u_expr: str) -> str:
+    """CASE ladder mapping a uniform in [0,1) to a Poisson(1) draw by
+    inverse CDF — shared SQL text for Spark and DuckDB."""
+    whens = " ".join(
+        f"WHEN {u_expr} < {c} THEN {k}"
+        for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"CASE {whens} ELSE {len(_POISSON1_CDF)} END"
+
+
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP of the mean order value: B=32 deterministic
+    resamples, one row each with the replicate's effective sample size
+    and mean. The scale-native uncertainty estimator (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    classic bootstrap needs n draws WITH replacement per replicate — a
+    global shuffle per replicate — while the Poisson(1) approximation
+    gives every row an independent per-replicate weight, so all B
+    resamples happen in ONE map-side pass. The spread of the 32 means
+    IS the sampling distribution of the estimator; a caller takes
+    quantiles of these rows for the CI (pytest pins that the interval
+    covers the true mean).
+
+    Determinism/exactness: the per-(row, replicate) weight comes from a
+    60-bit md5 uniform (exact double: an integer divided by 2^60)
+    pushed through an inverse-CDF CASE ladder of shared decimal
+    literals — identical decisions in both engines, no RNG state
+    anywhere. sum_w and sum_wx are exact int64; the replicate mean is
+    ONE int/int double division.
+
+    At 100 TB: the xB row expansion exists only between the scan and
+    the first partial aggregate inside each task (explode feeding
+    hash-agg over B=32 groups); nothing data-proportional shuffles —
+    the exchange carries B rows per task.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    u = (
+        "(CAST(conv(substring(md5(concat("
+        f"'{_BOOT_KEY}', CAST(b AS STRING), ':',"
+        " CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        f" / CAST({_PSAMPLE_DENOM} AS DOUBLE))"
+    )
+    expanded = o.select(
+        "o_orderkey",
+        F.expr(cents).alias("cents"),
+        F.explode(F.expr(f"sequence(1, {BOOTSTRAP_B})")).alias("b"),
+    ).select(
+        F.col("b").cast("int").alias("b"),
+        "cents",
+        F.expr(_poisson_weight_case(u)).alias("w"),
+    )
+    return (
+        expanded.groupBy("b")
+        .agg(
+            F.sum("w").alias("sum_w"),
+            F.sum(F.col("w") * F.col("cents")).alias("sum_wx"),
+        )
+        .select(
+            "b",
+            "sum_w",
+            "sum_wx",
+            (
+                F.col("sum_wx").cast("double") / F.col("sum_w").cast("double")
+            ).alias("mean_cents"),
+        )
+    )
+
 
 def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHOUT-replacement weighted sampling by PRIORITY SAMPLING
@@ -548,6 +633,7 @@ QUERIES = {
     "split_train_test": q_split_train_test,
     "weighted_sample": q_weighted_sample,
     "priority_sample_topk": q_priority_sample_topk,
+    "bootstrap_ci_mean": q_bootstrap_ci_mean,
     "sample_hash": q_sample_hash,
     "stratified_sample": q_stratified_sample,
     "domain_mix_sample": q_domain_mix_sample,
@@ -558,7 +644,24 @@ QUERIES = {
     "class_weights": q_class_weights,
 }
 
+_BOOT_U_DUCK = (
+    f"(CAST(('0x' || substr(md5('{_BOOT_KEY}' || CAST(b AS VARCHAR) || ':'"
+    " || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" / CAST({_PSAMPLE_DENOM} AS DOUBLE))"
+)
+
 ORACLE = {
+    "bootstrap_ci_mean": f"""
+WITH expanded AS (
+  SELECT CAST(b AS INT) AS b,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         {_poisson_weight_case(_BOOT_U_DUCK)} AS w
+  FROM orders, (SELECT UNNEST(range(1, {BOOTSTRAP_B + 1})) AS b))
+SELECT b, CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(SUM(w * cents) AS BIGINT) AS sum_wx,
+       CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_cents
+FROM expanded GROUP BY b
+""",
     "priority_sample_topk": f"""
 SELECT o_orderkey, o_totalprice, cents,
        CAST(cents AS DOUBLE) / u AS priority

@@ -241,3 +241,34 @@ def test_priority_sample_topk_python_replay(spark):
     got = q_priority_sample_topk(spark, sf).collect()
     assert len(got) == min(PSAMPLE_K, len(orders))
     assert [(r.priority, r.o_orderkey) for r in got] == want
+
+
+def test_bootstrap_ci_covers_true_mean(spark):
+    """The 32 Poisson-replicate means must straddle the exact corpus
+    mean (an estimator whose bootstrap interval misses its own point
+    estimate is broken), the weights must behave like Poisson(1)
+    (sum_w within 4 sigma of n), and the run must be deterministic."""
+    import duckdb
+
+    rows = sampling.q_bootstrap_ci_mean(spark, SF).collect()
+    assert len(rows) == sampling.BOOTSTRAP_B
+    means = sorted(r.mean_cents for r in rows)
+    true_mean = (
+        duckdb.connect()
+        .execute(
+            "SELECT AVG(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            f" AS BIGINT)) FROM '{SF}/orders.parquet'"
+        )
+        .fetchone()[0]
+    )
+    n = (
+        duckdb.connect()
+        .execute(f"SELECT COUNT(*) FROM '{SF}/orders.parquet'")
+        .fetchone()[0]
+    )
+    assert means[0] < true_mean < means[-1]
+    # Poisson(1) sum over n rows: mean n, sd sqrt(n).
+    for r in rows:
+        assert abs(r.sum_w - n) < 4 * n**0.5, (r.b, r.sum_w, n)
+    again = {r.b: r.mean_cents for r in sampling.q_bootstrap_ci_mean(spark, SF).collect()}
+    assert {r.b: r.mean_cents for r in rows} == again
