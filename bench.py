@@ -44,6 +44,7 @@ HEADLINE = [
     # graph fixpoints + reference surface
     "sssp",
     "sssp_dag",
+    "sssp_paths_dag",
     "wcc",
     "pagerank",
     "hits_scores",

@@ -194,6 +194,81 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sssp_paths_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest paths WITH path reconstruction on the order-chain DAG —
+    the "show me the route" extension of ``sssp_dag`` (the reference
+    emits distances only; any user debugging a distance asks for the
+    path next). One row per reachable node: dist, hop count, and the
+    '->'-joined node sequence of the lexicographically-least shortest
+    path.
+
+    Parent derivation is POST-HOC, not in-loop: after the fixpoint
+    converges, a node's parent is min(src) over edges whose relaxation
+    is tight (dist(u) + w == dist(v)) — weights are integer-valued
+    doubles, so path sums are exact and the float equality is reliable
+    (the longest_path_dag exactness argument). min(src) makes the
+    shortest-path tree deterministic when several predecessors tie.
+    Keeping the loop parent-free means zero extra per-round state at
+    100 TB; the tree is one extra join over the converged state.
+
+    Reconstruction walks each node's head pointer up the parent tree —
+    7 chained small left joins (the DAG's depth is <= 6 by
+    construction, see edges_order_chain) over node-sized tables; no
+    data-proportional work. The oracle rebuilds the identical tree and
+    walks it DOWN from the source with a bounded recursive CTE.
+    """
+    st = _sssp_dag_converged(spark, sf_dir)
+    edges = edges_order_chain(spark, sf_dir)
+    ec = edges.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+    reach = st.filter(F.col("dist") < 65535.0).select(
+        "source", "node", "dist"
+    )
+    du = reach.select(
+        F.col("node").alias("p_src"), F.col("dist").alias("d_src")
+    )
+    dv = reach.select(
+        F.col("node").alias("p_dst"), F.col("dist").alias("d_dst")
+    )
+    parents = (
+        ec.join(du, ec["src"] == du["p_src"])
+        .join(dv, ec["dst"] == dv["p_dst"])
+        .filter(F.col("d_src") + F.col("weight") == F.col("d_dst"))
+        .groupBy(F.col("p_dst").alias("child"))
+        .agg(F.min("src").alias("parent"))
+    )
+    walk = reach.select(
+        "source",
+        "node",
+        "dist",
+        F.array(F.col("node")).alias("path"),
+        F.col("node").alias("head"),
+    )
+    for _ in range(7):
+        walk = walk.join(
+            parents, walk["head"] == parents["child"], "left"
+        ).select(
+            "source",
+            "node",
+            "dist",
+            F.when(
+                F.col("parent").isNotNull(),
+                F.concat(F.array(F.col("parent")), F.col("path")),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+            F.coalesce("parent", F.col("head")).alias("head"),
+        )
+    return walk.select(
+        "source",
+        "node",
+        "dist",
+        (F.size("path") - 1).alias("hops"),
+        F.array_join(
+            F.transform("path", lambda x: x.cast("string")), "->"
+        ).alias("path"),
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (6 synchronous rounds, one L1
     normalization at the end — scaling commutes through the linear
@@ -1278,6 +1353,7 @@ QUERIES = {
     "closeness_landmark": q_closeness_landmark,
     "graph_diameter_estimate": q_graph_diameter_estimate,
     "sssp_dag": q_sssp_dag,
+    "sssp_paths_dag": q_sssp_paths_dag,
     "longest_path_dag": q_longest_path_dag,
     "wcc": q_wcc,
     "wcc_cyclic": q_wcc_cyclic,
@@ -1487,6 +1563,34 @@ FROM outn o FULL OUTER JOIN best b ON o.node = b.node
     # float no-op), dangling mass via a scalar-subquery second reference
     # to the working table, identical damping/base/division shapes, and
     # the same round(rank*1e9) integer projection as the Spark entry.
+    "sssp_paths_dag": f"""
+WITH RECURSIVE edges AS ({EDGES_DAG_SQL}),
+ec AS (SELECT src, dst, min(weight) AS weight FROM edges GROUP BY 1, 2),
+srcq AS (SELECT min(src) AS s FROM edges),
+walk(node, dist) AS (
+    SELECT s, CAST(0.0 AS DOUBLE) FROM srcq
+    UNION
+    SELECT e.dst, min(w.dist + e.weight)
+    FROM walk w JOIN edges e ON e.src = w.node
+    GROUP BY e.dst
+),
+best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+parents AS (
+  SELECT ec.dst AS child, min(ec.src) AS parent
+  FROM ec JOIN best u ON u.node = ec.src
+          JOIN best v ON v.node = ec.dst
+  WHERE u.dist + ec.weight = v.dist
+  GROUP BY ec.dst),
+pw(node, hops, path) AS (
+  SELECT (SELECT s FROM srcq), 0, CAST((SELECT s FROM srcq) AS VARCHAR)
+  UNION ALL
+  SELECT p.child, pw.hops + 1, pw.path || '->' || CAST(p.child AS VARCHAR)
+  FROM pw JOIN parents p ON p.parent = pw.node
+)
+SELECT (SELECT s FROM srcq) AS source, pw.node, b.dist,
+       CAST(pw.hops AS INT) AS hops, pw.path
+FROM pw JOIN best b ON b.node = pw.node
+""",
     "hits_scores": _hits_sql(6),
     "pagerank": f"""
 WITH RECURSIVE
