@@ -699,3 +699,41 @@ def test_attribution_position_based_no_cartesian(spark):
 
     plan = plan_of(q_attribution_position_based(spark, SF), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_basket_rules_broadcasts_dim_and_counts(spark):
+    """The brand dim join and all three count lookups must broadcast;
+    the within-basket self-join shuffles on bid only — the fact never
+    rides more than its one pair-expansion exchange."""
+    plan = plan_of(R.q_basket_rules(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # brand dim + antecedent counts + consequent counts (tot rides a
+    # 1-row broadcast nested loop, which is fine).
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_mann_whitney_runs_on_histogram_not_rows(spark):
+    """One partial-aggregated corpus pass builds the (type, cents)
+    histogram; every later stage (pair expansion, rank window, test
+    stats) exchanges only histogram-sized data. The events scan must
+    appear exactly once per branch and prune to 2 columns."""
+    from mapreduce_sssp_spark.operators import event_windows as EW
+
+    plan = plan_of(EW.q_mann_whitney_u(spark, SF))
+    assert "partial" in plan.lower()  # map-side combine on the corpus agg
+    assert "CartesianProduct" not in plan
+    assert "event_id" not in plan  # pruned: only event_type + value read
+
+
+def test_bootstrap_exchange_carries_replicates_not_rows(spark):
+    """The xB explode must sit UPSTREAM of a partial hash aggregate in
+    the same stage: the exchange after it carries B=32 groups per task,
+    never the expanded corpus."""
+    from mapreduce_sssp_spark.operators import sampling as S
+
+    plan = plan_of(S.q_bootstrap_ci_mean(spark, SF))
+    assert "Generate explode" in plan or "explode" in plan
+    low = plan.lower()
+    assert "partial" in low  # partial_sum(w), partial_sum(w*cents)
+    assert plan.count("Exchange") <= 2  # one for the 32-group final agg
