@@ -204,6 +204,7 @@ HEADLINE = [
     "streaming_late_data",
     "streaming_restart_recovery",
     "multimodal_features",
+    "multimodal_pcm_stats",
     "multimodal_dedup",
     "pipeline_clean_corpus",
     "pipeline_training_data",

@@ -262,14 +262,152 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# PCM audio: REAL binary pack/decode (numpy is in-container, unlike the
+# image/video codecs) — synthesize int16 little-endian samples, pack them
+# into a true binary waveform column, then DECODE the bytes back with
+# np.frombuffer and aggregate. The decode is not a stub: corrupt one byte
+# and the stats change. The oracle never touches bytes — it recomputes the
+# closed-form samples and the same aggregates in SQL, so the parquet->
+# Arrow->numpy round-trip is what the hash check actually certifies.
+# --------------------------------------------------------------------------
+
+PCM_MAX_SAMPLES = 256
+
+PCM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("n_zero_cross", T.LongType()),
+    ]
+)
+
+
+def pcm_waveform_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, pcm binary): n = min(n_chars, 256) int16
+    LE samples s_i = ((doc_id*31 + i*7919) % 65536) - 32768, packed by
+    numpy inside mapInPandas — a real binary audio stand-in whose
+    ground truth is recomputable arithmetically."""
+    import numpy as np
+
+    docs = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.col("n_chars"), F.lit(PCM_MAX_SAMPLES)).alias("n"),
+    ).filter(F.col("n") > 0)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                i = np.arange(int(n), dtype=np.int64)
+                s = (int(doc_id) * 31 + i * 7919) % 65536 - 32768
+                payloads.append(s.astype("<i2").tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pcm": payloads})
+
+    return docs.mapInPandas(pack, "doc_id long, pcm binary")
+
+
+def q_multimodal_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform feature extraction over a binary PCM column: peak
+    amplitude, DC offset, RMS energy, zero-crossing count per clip —
+    the audio-side analogue of multimodal_features, and the one decoder
+    in the family that is fully REAL in this container (numpy int16
+    decode; the image/video paths stay behind the optional-Pillow
+    contract).
+
+    Two mapInPandas stages: pack (synthesize+encode int16 LE bytes) and
+    decode (np.frombuffer on the binary column + int64 aggregates). The
+    integer sufficient statistics cross the engine boundary; the two
+    float outputs (dc_offset, rms) are a single division and a
+    correctly-rounded sqrt-of-division built from them IDENTICALLY in
+    both engines, so the hash holds bit-for-bit.
+
+    At 100 TB: both stages are map-side Arrow streams (no shuffle
+    anywhere); maxRecordsPerBatch bounds peak memory per task; stats
+    are O(1) per clip so the output is row-count-sized.
+    """
+    import numpy as np
+
+    wav = pcm_waveform_table(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_samples", "peak_abs", "sum_amp", "sum_sq",
+                "n_zero_cross",
+            )}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["pcm"]):
+                s = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(len(s))
+                rows["peak_abs"].append(int(np.max(np.abs(s))))
+                rows["sum_amp"].append(int(np.sum(s)))
+                rows["sum_sq"].append(int(np.sum(s * s)))
+                rows["n_zero_cross"].append(
+                    int(np.sum((s[:-1] >= 0) != (s[1:] >= 0)))
+                    if len(s) > 1
+                    else 0
+                )
+            yield pd.DataFrame(rows)
+
+    stats = wav.mapInPandas(decode, PCM_SCHEMA)
+    return stats.select(
+        "doc_id",
+        "n_samples",
+        "peak_abs",
+        "sum_amp",
+        "sum_sq",
+        "n_zero_cross",
+        (
+            F.col("sum_amp").cast("double") / F.col("n_samples").cast("double")
+        ).alias("dc_offset"),
+        F.sqrt(
+            F.col("sum_sq").cast("double") / F.col("n_samples").cast("double")
+        ).alias("rms"),
+    )
+
+
+PCM_ORACLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, LEAST(n_chars, {PCM_MAX_SAMPLES}) AS n
+  FROM documents WHERE n_chars > 0),
+samples AS (
+  SELECT doc_id, n, i,
+         (doc_id * 31 + i * 7919) % 65536 - 32768 AS s
+  FROM (SELECT doc_id, n, UNNEST(range(n)) AS i FROM base)),
+agg AS (
+  SELECT doc_id,
+         CAST(MAX(n) AS BIGINT) AS n_samples,
+         CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+         CAST(SUM(s) AS BIGINT) AS sum_amp,
+         CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+         CAST(COALESCE(SUM(CASE WHEN i > 0
+                        AND (s >= 0) <> (prev_s >= 0) THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_zero_cross
+  FROM (SELECT doc_id, n, i, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev_s
+        FROM samples)
+  GROUP BY doc_id)
+SELECT doc_id, n_samples, peak_abs, sum_amp, sum_sq, n_zero_cross,
+       CAST(sum_amp AS DOUBLE) / CAST(n_samples AS DOUBLE) AS dc_offset,
+       sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
+FROM agg
+"""
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
+    "multimodal_pcm_stats": q_multimodal_pcm_stats,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_dedup": q_multimodal_dedup,
 }
 
 ORACLE = {
+    "multimodal_pcm_stats": PCM_ORACLE_SQL,
     "multimodal_dedup": """
 WITH base AS (
   SELECT doc_id, text, strlen(text) AS n_bytes FROM documents
