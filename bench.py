@@ -170,6 +170,7 @@ HEADLINE = [
     "text_repetition",
     "lang_id",
     "token_freq_top100",
+    "inverted_index",
     "doc_fingerprint",
     "bpe_merges",
     "bpe_encode",

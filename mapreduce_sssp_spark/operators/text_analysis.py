@@ -273,6 +273,57 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INVIDX_TOPK = 5
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build — the search-engine primitive: one row per
+    token with document frequency, total term frequency, and the
+    top-5 posting doc_ids ranked by (tf DESC, doc_id) — the
+    impact-ordered posting-list head a query server would cache.
+
+    Determinism: the postings ARRAY is ordered by the (tf, doc_id)
+    total order, materialized via row_number + sort_array(struct(rn,
+    doc_id)) on the Spark side and list(... ORDER BY rn) in DuckDB —
+    collect_list's nondeterministic arrival order never reaches the
+    output. All values exact int64.
+
+    At 100 TB: the corpus explodes to (token, doc) pairs that
+    partial-aggregate map-side into tf; the rank window and final agg
+    run per-token (the shuffle key), with Zipf-head tokens handled by
+    the same AQE skew-split as every hot-key groupBy. Posting lists
+    are capped at k=5 BEFORE the collect, so no unbounded array ever
+    crosses the exchange — the uncapped variant is the documented
+    anti-pattern (a stopword's full posting list is corpus-sized).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        _with_tokens(docs)
+        .select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("token").orderBy(F.col("tf").desc(), "doc_id")
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= INVIDX_TOPK,
+                        F.struct("rn", "doc_id"),
+                    )
+                )
+            ),
+            lambda s: s["doc_id"],
+        ).alias("postings"),
+    )
+
+
 def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-100 token frequencies (explode + partial agg)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1108,6 +1159,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_freq_top100": q_token_freq,
+    "inverted_index": q_inverted_index,
     "vocab_coverage": q_vocab_coverage,
     "trigram_novelty": q_trigram_novelty,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
@@ -1120,6 +1172,21 @@ QUERIES = {
 _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 ORACLE = {
+    "inverted_index": f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, UNNEST(toks) AS token FROM t),
+tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT token, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY token
+                            ORDER BY tf DESC, doc_id) AS rn
+  FROM tf)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS tf_total,
+       list(doc_id ORDER BY rn) FILTER (rn <= {INVIDX_TOPK}) AS postings
+FROM ranked GROUP BY token
+""",
     "skipgram_pairs": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
 rp AS (
