@@ -164,6 +164,7 @@ HEADLINE = [
     "pca_power_iteration",
     "pipeline_embedding_index",
     "ann_recall_report",
+    "roc_auc_features",
     # text analysis
     "text_stats",
     "text_quality",

@@ -505,6 +505,105 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cosine") >= NEARDUP_THRESHOLD)
 
 
+AUC_N_FEATURES = 4
+
+
+def q_roc_auc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-discriminativeness screen: the exact ROC AUC of each of
+    the first 4 embedding coordinates as a one-vs-rest scorer for each
+    class label — 40 rows of "how separable is label L along axis j".
+    AUC is the rank statistic (the Mann-Whitney/Wilcoxon identity
+    AUC = (R_pos - nP(nP+1)/2) / (nP*nN) with average ranks for ties),
+    so it needs no thresholds, no curve integration, and — computed on
+    the doubled-rank algebra over a score histogram — no floats until
+    the single final division.
+
+    Scores are quantized (round(coord*1e6) BIGINT) before ranking so
+    the tie structure is identical in both engines; ranks, doubled rank
+    sums, and positive/negative counts are exact int64 throughout (the
+    mann_whitney_u device, specialized to one-vs-rest).
+
+    At 100 TB: one corpus pass builds the (feature, score, label)
+    histogram map-side; the |labels|-fold one-vs-rest expansion, the
+    rank window, and the AUC algebra all run on that histogram. The
+    corpus shuffles once, keyed by (feature, score).
+    """
+    from pyspark.sql import Window
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("feature_idx"),
+                        F.round(
+                            F.col("embedding")[j].cast("double") * 1e6
+                        )
+                        .cast("long")
+                        .alias("score"),
+                    )
+                    for j in range(AUC_N_FEATURES)
+                ]
+            )
+        ).alias("f"),
+    ).select("label", "f.feature_idx", "f.score")
+    lab_h = feats.groupBy("feature_idx", "score", "label").agg(
+        F.count("*").alias("n")
+    )
+    tot_h = lab_h.groupBy("feature_idx", "score").agg(
+        F.sum("n").alias("t_v")
+    )
+    labels = lab_h.select("label").distinct().withColumnRenamed(
+        "label", "target"
+    )
+    grid = tot_h.crossJoin(F.broadcast(labels)).join(
+        lab_h,
+        (lab_h["feature_idx"] == tot_h["feature_idx"])
+        & (lab_h["score"] == tot_h["score"])
+        & (lab_h["label"] == F.col("target")),
+        "left",
+    ).select(
+        F.col("target"),
+        tot_h["feature_idx"],
+        tot_h["score"],
+        "t_v",
+        F.coalesce("n", F.lit(0)).alias("np_v"),
+    )
+    w = (
+        Window.partitionBy("target", "feature_idx")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = grid.select(
+        "target",
+        "feature_idx",
+        "np_v",
+        "t_v",
+        (F.sum("t_v").over(w) - F.col("t_v")).alias("c_below"),
+    )
+    agg = ranked.groupBy("target", "feature_idx").agg(
+        F.sum("np_v").alias("n_pos"),
+        F.sum(F.col("t_v") - F.col("np_v")).alias("n_neg"),
+        F.sum(
+            F.col("np_v") * (F.lit(2) * F.col("c_below") + F.col("t_v") + 1)
+        ).alias("r2_pos"),
+    )
+    return agg.select(
+        F.col("target").alias("label"),
+        "feature_idx",
+        "n_pos",
+        "n_neg",
+        (
+            (
+                F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector stats via a vectorized scalar ``@pandas_udf`` — the
     one UDF surface the engine hadn't exercised (next to mapInPandas,
@@ -870,6 +969,7 @@ QUERIES = {
     "kmeans_train": q_kmeans_train,
     "embedding_quantize": q_embedding_quantize,
     "embedding_stats": q_embedding_stats,
+    "roc_auc_features": q_roc_auc_features,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ivf": q_similarity_ivf,
     "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -1001,6 +1101,43 @@ SELECT seed_id, count(*) AS n_members,
        min(dist2) AS min_dist2,
        max(dist2) AS radius2
 FROM ranked GROUP BY seed_id
+""",
+    "roc_auc_features": f"""
+WITH feats AS (
+  SELECT label, f.feature_idx, f.score
+  FROM (SELECT label,
+               UNNEST([{', '.join(
+                   "{'feature_idx': CAST(%d AS INT),"
+                   " 'score': CAST(round(CAST(embedding[%d] AS DOUBLE) * 1e6)"
+                   " AS BIGINT)}" % (j, j + 1)
+                   for j in range(AUC_N_FEATURES))}]) AS f
+        FROM embeddings)),
+lab_h AS (SELECT feature_idx, score, label, COUNT(*) AS n
+          FROM feats GROUP BY 1, 2, 3),
+tot_h AS (SELECT feature_idx, score, SUM(n) AS t_v
+          FROM lab_h GROUP BY 1, 2),
+labels AS (SELECT DISTINCT label AS target FROM lab_h),
+grid AS (
+  SELECT l.target, t.feature_idx, t.score, t.t_v,
+         COALESCE(h.n, 0) AS np_v
+  FROM tot_h t CROSS JOIN labels l
+  LEFT JOIN lab_h h ON h.feature_idx = t.feature_idx
+                   AND h.score = t.score AND h.label = l.target),
+ranked AS (
+  SELECT target, feature_idx, np_v, t_v,
+         SUM(t_v) OVER (PARTITION BY target, feature_idx ORDER BY score
+                        ROWS UNBOUNDED PRECEDING) - t_v AS c_below
+  FROM grid),
+agg AS (
+  SELECT target, feature_idx,
+         CAST(SUM(np_v) AS BIGINT) AS n_pos,
+         CAST(SUM(t_v - np_v) AS BIGINT) AS n_neg,
+         CAST(SUM(np_v * (2 * c_below + t_v + 1)) AS BIGINT) AS r2_pos
+  FROM ranked GROUP BY 1, 2)
+SELECT target AS label, feature_idx, n_pos, n_neg,
+       CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM agg
 """,
     "embedding_stats": """
 SELECT vec_id,
