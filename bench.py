@@ -172,6 +172,7 @@ HEADLINE = [
     "lang_id",
     "token_freq_top100",
     "inverted_index",
+    "vocab_growth_curve",
     "doc_fingerprint",
     "bpe_merges",
     "bpe_encode",

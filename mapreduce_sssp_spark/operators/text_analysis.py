@@ -273,6 +273,67 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_CURVE_BUCKET = 50
+
+
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative token count vs
+    cumulative DISTINCT-vocabulary size as the corpus is ingested in
+    doc_id order, bucketed every 50 docs — the diagnostic that sizes a
+    tokenizer vocabulary ("how fast are new types still arriving?")
+    before committing a 100 TB training run.
+
+    Same decomposition as cumulative_distinct_users, applied to tokens:
+    a windowed COUNT(DISTINCT) is non-incremental, so each type is
+    charged to the bucket of its FIRST containing doc (min doc_id —
+    one groupBy(token)), then one cumulative sum over the ~dozen
+    bucket rows. All exact int64.
+
+    At 100 TB: two map-side-combined aggregates over the exploded
+    corpus (per-doc token counts; per-token min doc), both shuffling
+    only aggregate-sized data; the windows run on |buckets| rows.
+    """
+    from pyspark.sql import Window
+
+    t = _with_tokens(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.expr(f"doc_id DIV {VOCAB_CURVE_BUCKET}").alias("bucket"),
+        F.col("toks"),
+    )
+    per_bucket = t.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks").cast("long")).alias("n_tokens"),
+    )
+    first_seen = (
+        t.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .select(
+            F.expr(f"first_doc DIV {VOCAB_CURVE_BUCKET}").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            "n_new_types",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum("n_new_types").over(w).alias("cum_vocab"),
+        )
+    )
+
+
 INVIDX_TOPK = 5
 
 
@@ -1160,6 +1221,7 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_freq_top100": q_token_freq,
     "inverted_index": q_inverted_index,
+    "vocab_growth_curve": q_vocab_growth_curve,
     "vocab_coverage": q_vocab_coverage,
     "trigram_novelty": q_trigram_novelty,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
@@ -1172,6 +1234,29 @@ QUERIES = {
 _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 ORACLE = {
+    "vocab_growth_curve": f"""
+WITH t AS (SELECT doc_id, doc_id // {VOCAB_CURVE_BUCKET} AS bucket,
+                  {DUCK_TOKENS} AS toks FROM documents),
+per_bucket AS (
+  SELECT bucket, COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+  FROM t GROUP BY bucket),
+first_seen AS (
+  SELECT MIN(doc_id) // {VOCAB_CURVE_BUCKET} AS bucket
+  FROM (SELECT doc_id, UNNEST(toks) AS token FROM t)
+  GROUP BY token),
+new_types AS (
+  SELECT bucket, COUNT(*) AS n_new_types FROM first_seen GROUP BY bucket)
+SELECT p.bucket, p.n_docs, p.n_tokens,
+       COALESCE(n.n_new_types, 0) AS n_new_types,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.bucket
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens,
+       CAST(SUM(COALESCE(n.n_new_types, 0))
+              OVER (ORDER BY p.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_vocab
+FROM per_bucket p LEFT JOIN new_types n ON n.bucket = p.bucket
+""",
     "inverted_index": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
 tok AS (SELECT doc_id, UNNEST(toks) AS token FROM t),
