@@ -88,6 +88,8 @@ HEADLINE = [
     "winsorize_values",
     "corr_measures",
     "distribution_drift",
+    "psi_stability",
+    "skyline_orders",
     "regression_trend",
     "tfidf_top_terms",
     "token_source_pmi",

@@ -1350,6 +1350,97 @@ def seasonality_dow(ev: DataFrame) -> DataFrame:
     )
 
 
+PSI_BINS = 10
+PSI_SPLIT_DAY = 16  # ref = days 1-15, cur = days 16+
+
+
+def q_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type: how far the value
+    distribution of the CURRENT period (month days 16+) drifted from
+    the REFERENCE period (days 1-15) — the model-monitoring metric
+    banks alarm on at 0.1/0.25. One row per (type, bin) with both
+    counts and the PSI term; the per-type total rides along as an
+    exact integer window sum of the quantized terms.
+
+    Bins are 10 EQUAL-WIDTH slices of the type's global [min, max]
+    cents range (exact integer arithmetic, DIV semantics) rather than
+    reference deciles — deterministic with no percentile machinery,
+    and the standard choice when the monitored feature is bounded.
+    Bins empty on either side are excluded from the sum (the
+    no-epsilon convention), visibly: their rows still appear with a
+    NULL term.
+
+    Exactness: counts exact int64; the share ratio a/e reduces to the
+    exact-int cross product a_n*E / (e_n*A) before its ONE division;
+    ln goes through the tfidf e6-quantization contract... except here
+    the term (a-e)*ln(a/e) multiplies two floats, so the quantum is
+    taken on the final product (e9) — identical operand sequences in
+    both engines, same correctly-rounded doubles, same integer.
+
+    At 100 TB: one corpus scan -> map-side (type, period, bin) counts;
+    everything downstream runs on |types| x 10 rows.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofmonth("ts") >= PSI_SPLIT_DAY).cast("int").alias("is_cur"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    binned = ev.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        "is_cur",
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.expr(
+                f"(cents - mn) * {PSI_BINS} DIV (mx - mn + 1)"
+            ),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.lit(1) - F.col("is_cur")).alias("e_n"),
+        F.sum("is_cur").alias("a_n"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("e_n").alias("e_tot"), F.sum("a_n").alias("a_tot")
+    )
+    terms = counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        "e_n",
+        "a_n",
+        F.when(
+            (F.col("e_n") > 0) & (F.col("a_n") > 0),
+            F.round(
+                (
+                    F.col("a_n").cast("double") / F.col("a_tot").cast("double")
+                    - F.col("e_n").cast("double")
+                    / F.col("e_tot").cast("double")
+                )
+                * F.log(
+                    (F.col("a_n") * F.col("e_tot")).cast("double")
+                    / (F.col("e_n") * F.col("a_tot")).cast("double")
+                )
+                * 1e9
+            ).cast("long"),
+        ).alias("term_e9"),
+    )
+    w = Window.partitionBy("event_type")
+    return terms.select(
+        "event_type",
+        "bin",
+        "e_n",
+        "a_n",
+        "term_e9",
+        F.sum("term_e9").over(w).alias("psi_e9"),
+    )
+
+
 def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test for every unordered pair of event
     types: does one type's value distribution stochastically dominate
@@ -2078,6 +2169,7 @@ QUERIES = {
     "survival_km": q_survival_km,
     "cumulative_distinct_users": q_cumulative_distinct_users,
     "mann_whitney_u": q_mann_whitney_u,
+    "psi_stability": q_psi_stability,
     "anomaly_zscore": q_anomaly_zscore,
     "active_users": q_active_users,
     "cohort_ltv": q_cohort_ltv,
@@ -2212,6 +2304,43 @@ FROM step_ln
 """
 
 ORACLE = {
+    "psi_stability": f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(datepart('day', ts) >= {PSI_SPLIT_DAY} AS INT) AS INT)
+           AS is_cur,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events),
+rng AS (SELECT event_type, MIN(cents) AS mn, MAX(cents) AS mx
+        FROM ev GROUP BY 1),
+binned AS (
+  SELECT ev.event_type, is_cur,
+         LEAST({PSI_BINS} - 1,
+               (cents - mn) * {PSI_BINS} // (mx - mn + 1)) AS bin
+  FROM ev JOIN rng ON rng.event_type = ev.event_type),
+counts AS (
+  SELECT event_type, CAST(bin AS BIGINT) AS bin,
+         CAST(SUM(1 - is_cur) AS BIGINT) AS e_n,
+         CAST(SUM(is_cur) AS BIGINT) AS a_n
+  FROM binned GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(SUM(e_n) AS BIGINT) AS e_tot,
+               CAST(SUM(a_n) AS BIGINT) AS a_tot
+        FROM counts GROUP BY 1),
+terms AS (
+  SELECT c.event_type, bin, e_n, a_n,
+         CASE WHEN e_n > 0 AND a_n > 0 THEN
+           CAST(round((CAST(a_n AS DOUBLE) / CAST(a_tot AS DOUBLE)
+                       - CAST(e_n AS DOUBLE) / CAST(e_tot AS DOUBLE))
+                      * ln(CAST(a_n * e_tot AS DOUBLE)
+                           / CAST(e_n * a_tot AS DOUBLE)) * 1e9)
+                AS BIGINT)
+         END AS term_e9
+  FROM counts c JOIN tot t ON t.event_type = c.event_type)
+SELECT event_type, bin, e_n, a_n, term_e9,
+       CAST(SUM(term_e9) OVER (PARTITION BY event_type) AS BIGINT)
+         AS psi_e9
+FROM terms
+""",
     "mann_whitney_u": """
 WITH hist AS (
   SELECT event_type,

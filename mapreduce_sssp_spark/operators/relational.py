@@ -387,6 +387,51 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of orders: cheapest-and-most-recent —
+    an order is on the front iff no other order is BOTH strictly
+    cheaper and strictly more recent. The classic multi-criteria
+    shortlist operator (Börzsönyi et al.'s SKYLINE OF), computed
+    without any dominance self-join: sort by (price ASC, date DESC)
+    and keep a row iff its date strictly exceeds the running max date
+    of everything cheaper-or-equal BEFORE it — one window pass.
+
+    The window formulation is also the scale story: the naive
+    EXISTS-dominance self-join is O(n^2); this plan is one sort
+    shuffle + a streaming frame, and the oracle keeps the readable
+    NOT EXISTS spelling so the hash check proves the two equivalent.
+    Exactness: price rides the int64-cents projection; dates are
+    exact; ties (equal price+date duplicates) all survive, matching
+    the strict-dominance definition in both engines.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    # Strict dominance needs the running max over STRICTLY cheaper rows
+    # (rows of equal price must not dominate each other): a RANGE frame
+    # ending at -1 over integer cents is exactly "price < mine".
+    w_price = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    front = o.select(
+        "o_orderkey",
+        "price_cents",
+        "odate",
+        F.max("odate").over(w_price).alias("max_date_cheaper"),
+    ).filter(
+        F.col("max_date_cheaper").isNull()
+        | (F.col("odate") >= F.col("max_date_cheaper"))
+    )
+    return front.select("o_orderkey", "price_cents", "odate")
+
+
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over orders: for every directed
     brand pair (A -> B) co-purchased in at least one order, the exact
@@ -2191,6 +2236,7 @@ QUERIES = {
     "dq_audit": q_dq_audit,
     "benford_digits": q_benford_digits,
     "basket_rules": q_basket_rules,
+    "skyline_orders": q_skyline_orders,
     "outliers_mad": q_outliers_mad,
     "winsorize_values": q_winsorize_values,
     "corr_measures": q_corr_measures,
@@ -2432,6 +2478,19 @@ SELECT l_suppkey,
          AS flags_csv,
        CAST(count(DISTINCT l_returnflag) AS INT) AS n_flags
 FROM lineitem GROUP BY l_suppkey
+""",
+    "skyline_orders": """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents,
+         CAST(o_orderdate AS DATE) AS odate
+  FROM orders)
+SELECT o_orderkey, price_cents, odate
+FROM o p
+WHERE NOT EXISTS (
+  SELECT 1 FROM o q
+  WHERE q.price_cents < p.price_cents AND q.odate > p.odate)
 """,
     "basket_rules": """
 WITH baskets AS (
