@@ -91,6 +91,8 @@ HEADLINE = [
     "psi_stability",
     "skyline_orders",
     "regression_trend",
+    "theil_sen_trend",
+    "forecast_backtest",
     "tfidf_top_terms",
     "token_source_pmi",
     "window_moving",

@@ -1350,6 +1350,128 @@ def seasonality_dow(ev: DataFrame) -> DataFrame:
     )
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue per event_type: the
+    MEDIAN of all pairwise day-to-day slopes — the estimator that
+    shrugs off the outlier days OLS (regression_trend) gets dragged
+    by; the standard robust companion in any monitoring stack.
+
+    Determinism: slopes are identical double divisions of exact int
+    deltas (cents, day index), so both engines hold the same slope
+    multiset; the median is SELECTION, not arithmetic — rank the
+    slopes, take the one/two middle elements, and the even-count case
+    averages two identical doubles the same way on both sides. No
+    accumulation anywhere.
+
+    Scale: the corpus collapses to |types| x |days| daily aggregates
+    first; the pairwise self-join is quadratic only in DAYS (~30 here;
+    production bounds the lookback window — documented, not hidden),
+    then one rank window per type. The corpus shuffles once.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("x"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.x") < F.col("b.x")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n_pairs"),
+    )
+    mid = ranked.filter(
+        F.expr("rn = (n_pairs + 1) DIV 2 OR rn = (n_pairs + 2) DIV 2")
+    )
+    return mid.groupBy("event_type", "n_pairs").agg(
+        (F.sum("slope") / F.count("*")).alias("slope_med")
+    )
+
+
+SEASONAL_LAG_DAYS = 7
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event_type: predict each
+    day's revenue with the value 7 days earlier and score the MAPE —
+    the baseline every forecasting model must beat, evaluated entirely
+    in-engine.
+
+    Exactness: actual and forecast are exact int64 cents via one lag
+    window over the daily aggregate; each day's absolute percentage
+    error quantizes to e6 BEFORE the cross-day sum (tfidf contract:
+    one division + one round per day), so the per-type total is an
+    exact integer sum and the final MAPE is one int/int division.
+
+    Scale: daily aggregate (map-side combined) -> one lag window and
+    one groupBy on |types| x |days| rows.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.lag("y", SEASONAL_LAG_DAYS).over(w).alias("f"),
+    ).filter(F.col("f").isNotNull() & (F.col("y") > 0))
+    ape = scored.select(
+        "event_type",
+        F.round(
+            F.abs(F.col("y") - F.col("f")).cast("double")
+            / F.col("y").cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("ape_e6"),
+    )
+    return ape.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("ape_e6").alias("sum_ape_e6"),
+        (
+            F.sum("ape_e6").cast("double") / F.count("*").cast("double")
+        ).alias("mape_e6"),
+    )
+
+
 PSI_BINS = 10
 PSI_SPLIT_DAY = 16  # ref = days 1-15, cur = days 16+
 
@@ -2170,6 +2292,8 @@ QUERIES = {
     "cumulative_distinct_users": q_cumulative_distinct_users,
     "mann_whitney_u": q_mann_whitney_u,
     "psi_stability": q_psi_stability,
+    "theil_sen_trend": q_theil_sen_trend,
+    "forecast_backtest": q_forecast_backtest,
     "anomaly_zscore": q_anomaly_zscore,
     "active_users": q_active_users,
     "cohort_ltv": q_cohort_ltv,
@@ -2304,6 +2428,48 @@ FROM step_ln
 """
 
 ORACLE = {
+    "theil_sen_trend": """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x < b.x),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM slopes)
+SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+       SUM(slope) / COUNT(*) AS slope_med
+FROM ranked
+WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+GROUP BY event_type, n_pairs
+""",
+    "forecast_backtest": f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, day, y,
+         LAG(y, {SEASONAL_LAG_DAYS}) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS f
+  FROM daily),
+ape AS (
+  SELECT event_type,
+         CAST(round(CAST(ABS(y - f) AS DOUBLE) / CAST(y AS DOUBLE) * 1e6)
+              AS BIGINT) AS ape_e6
+  FROM scored WHERE f IS NOT NULL AND y > 0)
+SELECT event_type, COUNT(*) AS n_days,
+       CAST(SUM(ape_e6) AS BIGINT) AS sum_ape_e6,
+       CAST(SUM(ape_e6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mape_e6
+FROM ape GROUP BY event_type
+""",
     "psi_stability": f"""
 WITH ev AS (
   SELECT event_type,
