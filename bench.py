@@ -45,6 +45,7 @@ HEADLINE = [
     "sssp",
     "sssp_dag",
     "sssp_paths_dag",
+    "betweenness_source_dag",
     "wcc",
     "pagerank",
     "hits_scores",
@@ -96,6 +97,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "token_source_pmi",
     "window_moving",
+    "window_moving_median",
     "topk_orders",
     "json_extract",
     "variant_extract",
@@ -255,6 +257,8 @@ FIXPOINT_QUERIES = [
     "mis_greedy",
     "ktruss",
     "graph_diameter_estimate",
+    "sssp_paths_dag",
+    "betweenness_source_dag",
 ]
 
 # Round-6 record (BENCH_r06 / that round's BENCH_RESULTS.json): the

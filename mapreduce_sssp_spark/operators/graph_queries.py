@@ -269,6 +269,178 @@ def q_sssp_paths_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BETWEENNESS_ROUNDS = 7  # DAG depth <= 6 (edges_order_chain) + slack
+
+
+def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes single-source dependency accumulation on the order-chain
+    DAG: for every reachable node, the shortest-path COUNT sigma from
+    the source and the dependency delta = sum over shortest paths
+    through it — the per-source building block of betweenness
+    centrality (Brandes 2001), computed over the TIGHT edge set
+    (dist(u)+w == dist(v), the sssp_paths_dag device).
+
+    Both sweeps are fixed-round synchronous recomputes over the
+    converged distances — sigma forward (sigma(v) = sum of
+    predecessors' sigma; exact int64), delta backward (delta(v) =
+    sum_w sigma(v)/sigma(w) * (1 + delta(w))). Rationals enter at
+    delta, so each edge's contribution quantizes to e6 BEFORE the
+    per-node sum — round(sigma_v * (1e6 + delta_e6(w)) / sigma_w) —
+    making every accumulation an exact integer sum; both engines round
+    identically per edge, and 7 full recomputes reach the fixpoint
+    because the DAG is depth <= 6 (level-k values are final after k
+    rounds).
+
+    At 100 TB: the tight graph derives from the converged state with
+    one join; each sweep round is one small join + partial-aggregated
+    groupBy over node-sized tables, the same physics as every fixpoint
+    here; 14 bounded rounds total.
+    """
+    st = _sssp_dag_converged(spark, sf_dir)
+    edges = edges_order_chain(spark, sf_dir)
+    source = int(edges.agg(F.min("src")).collect()[0][0])
+    ec = edges.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+    reach = st.filter(F.col("dist") < 65535.0).select("node", "dist")
+    du = reach.select(F.col("node").alias("u"), F.col("dist").alias("d_u"))
+    dv = reach.select(F.col("node").alias("v"), F.col("dist").alias("d_v"))
+    tight = (
+        ec.join(du, ec["src"] == du["u"])
+        .join(dv, ec["dst"] == dv["v"])
+        .filter(F.col("d_u") + F.col("weight") == F.col("d_v"))
+        .select("u", "v")
+        .persist()
+    )
+    tight.count()
+
+    sigma = reach.select(
+        "node",
+        F.when(F.col("node") == source, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("sigma"),
+    )
+    for _ in range(BETWEENNESS_ROUNDS):
+        inflow = (
+            tight.join(sigma, tight["u"] == sigma["node"])
+            .groupBy("v")
+            .agg(F.sum("sigma").alias("s_in"))
+        )
+        sigma = reach.join(inflow, reach["node"] == inflow["v"], "left").select(
+            "node",
+            F.when(F.col("node") == source, F.lit(1).cast("long"))
+            .otherwise(F.coalesce("s_in", F.lit(0)).cast("long"))
+            .alias("sigma"),
+        )
+    sigma = sigma.persist()
+    sigma.count()
+
+    delta = reach.select("node", F.lit(0).cast("long").alias("delta_e6"))
+    s_u = sigma.select(F.col("node").alias("u"), F.col("sigma").alias("sig_u"))
+    s_v = sigma.select(F.col("node").alias("v"), F.col("sigma").alias("sig_v"))
+    for _ in range(BETWEENNESS_ROUNDS):
+        d_w = delta.select(
+            F.col("node").alias("v"), F.col("delta_e6").alias("d_v")
+        )
+        contribs = (
+            tight.join(s_u, "u")
+            .join(s_v, "v")
+            .join(d_w, "v")
+            .select(
+                "u",
+                F.round(
+                    F.col("sig_u").cast("double")
+                    * (F.lit(1000000) + F.col("d_v")).cast("double")
+                    / F.col("sig_v").cast("double")
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("c").alias("d_new"))
+        )
+        delta = reach.join(
+            contribs, reach["node"] == contribs["u"], "left"
+        ).select(
+            "node", F.coalesce("d_new", F.lit(0)).cast("long").alias("delta_e6")
+        )
+
+    out = (
+        reach.join(sigma, "node")
+        .join(delta, "node")
+        .select(
+            F.lit(source).cast("long").alias("source"),
+            "node",
+            "dist",
+            "sigma",
+            "delta_e6",
+        )
+    )
+    return out
+
+
+def _betweenness_sql(rounds: int = BETWEENNESS_ROUNDS) -> str:
+    """Unrolled DuckDB twin of q_betweenness_source_dag (MATERIALIZED
+    per stage — the _hits_sql inlining lesson)."""
+    parts = [
+        f"WITH RECURSIVE edges AS MATERIALIZED ({EDGES_DAG_SQL}),",
+        "ec AS MATERIALIZED (SELECT src, dst, min(weight) AS weight"
+        " FROM edges GROUP BY 1, 2),",
+        "srcq AS MATERIALIZED (SELECT min(src) AS s FROM edges),",
+        """walk(node, dist) AS (
+    SELECT s, CAST(0.0 AS DOUBLE) FROM srcq
+    UNION
+    SELECT e.dst, min(w.dist + e.weight)
+    FROM walk w JOIN edges e ON e.src = w.node
+    GROUP BY e.dst
+),""",
+        "best AS MATERIALIZED (SELECT node, min(dist) AS dist"
+        " FROM walk GROUP BY node),",
+        "tight AS MATERIALIZED (SELECT ec.src AS u, ec.dst AS v"
+        " FROM ec JOIN best bu ON bu.node = ec.src"
+        " JOIN best bv ON bv.node = ec.dst"
+        " WHERE bu.dist + ec.weight = bv.dist),",
+        "s0 AS MATERIALIZED (SELECT node,"
+        " CASE WHEN node = (SELECT s FROM srcq) THEN CAST(1 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS sigma FROM best),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT b.node,"
+            f" CASE WHEN b.node = (SELECT s FROM srcq) THEN CAST(1 AS BIGINT)"
+            f" ELSE CAST(coalesce(t.s_in, 0) AS BIGINT) END AS sigma"
+            f" FROM best b LEFT JOIN"
+            f" (SELECT v, SUM(sigma) AS s_in FROM tight"
+            f"  JOIN s{k - 1} ON s{k - 1}.node = tight.u GROUP BY v) t"
+            f" ON t.v = b.node),"
+        )
+    parts.append(
+        "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS delta_e6"
+        " FROM best),"
+    )
+    sig = f"s{rounds}"
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT b.node,"
+            f" CAST(coalesce(t.d_new, 0) AS BIGINT) AS delta_e6"
+            f" FROM best b LEFT JOIN"
+            f" (SELECT tight.u, SUM(CAST(round(CAST(su.sigma AS DOUBLE)"
+            f"   * CAST(1000000 + dw.delta_e6 AS DOUBLE)"
+            f"   / CAST(sv.sigma AS DOUBLE)) AS BIGINT)) AS d_new"
+            f"  FROM tight JOIN {sig} su ON su.node = tight.u"
+            f"  JOIN {sig} sv ON sv.node = tight.v"
+            f"  JOIN d{k - 1} dw ON dw.node = tight.v"
+            f"  GROUP BY tight.u) t ON t.u = b.node)"
+        )
+        parts[-1] += ","
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f" SELECT (SELECT s FROM srcq) AS source, best.node, best.dist,"
+        f" {sig}.sigma, d{rounds}.delta_e6"
+        f" FROM best JOIN {sig} ON {sig}.node = best.node"
+        f" JOIN d{rounds} ON d{rounds}.node = best.node"
+    )
+    return "\n".join(parts)
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (6 synchronous rounds, one L1
     normalization at the end — scaling commutes through the linear
@@ -1354,6 +1526,7 @@ QUERIES = {
     "graph_diameter_estimate": q_graph_diameter_estimate,
     "sssp_dag": q_sssp_dag,
     "sssp_paths_dag": q_sssp_paths_dag,
+    "betweenness_source_dag": q_betweenness_source_dag,
     "longest_path_dag": q_longest_path_dag,
     "wcc": q_wcc,
     "wcc_cyclic": q_wcc_cyclic,
@@ -1591,6 +1764,7 @@ SELECT (SELECT s FROM srcq) AS source, pw.node, b.dist,
        CAST(pw.hops AS INT) AS hops, pw.path
 FROM pw JOIN best b ON b.node = pw.node
 """,
+    "betweenness_source_dag": _betweenness_sql(),
     "hits_scores": _hits_sql(6),
     "pagerank": f"""
 WITH RECURSIVE

@@ -1262,6 +1262,45 @@ def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOVMED_FRAME = 5
+
+
+def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-order moving MEDIAN per customer — the robust
+    smoother next to q_window_moving's mean (one bad order drags an
+    average for 3 frames; the median ignores it). Spark has no
+    percentile-over-frame, so the frame materializes as a bounded
+    collect_list, sorts (5 elements), and selects — an EXPRESSION over
+    the frame, fine exactly because the frame is O(1); DuckDB spells
+    the same thing with its native windowed median(). Exactness:
+    cents are exact int64; the even-frame case averages two ints into
+    a .5-quantum double identically on both sides.
+
+    Scale: one window sort per customer, frame state bounded at 5 —
+    the same shape as every trailing window here.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-(MOVMED_FRAME - 1), 0)
+    )
+    frame = F.sort_array(
+        F.collect_list(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).over(w)
+    )
+    n = F.size(frame)
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, ((n + 2) / 2).cast("int"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        n.alias("n_frame"),
+        ((lo + hi).cast("double") / F.lit(2.0)).alias("moving_median_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sort / top-k / set operations
 # --------------------------------------------------------------------------
@@ -2237,6 +2276,7 @@ QUERIES = {
     "benford_digits": q_benford_digits,
     "basket_rules": q_basket_rules,
     "skyline_orders": q_skyline_orders,
+    "window_moving_median": q_window_moving_median,
     "outliers_mad": q_outliers_mad,
     "winsorize_values": q_winsorize_values,
     "corr_measures": q_corr_measures,
@@ -2478,6 +2518,17 @@ SELECT l_suppkey,
          AS flags_csv,
        CAST(count(DISTINCT l_returnflag) AS INT) AS n_flags
 FROM lineitem GROUP BY l_suppkey
+""",
+    "window_moving_median": f"""
+SELECT o_custkey, o_orderkey,
+       CAST(COUNT(*) OVER w AS INT) AS n_frame,
+       CAST(median(cents) OVER w AS DOUBLE) AS moving_median_cents
+FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN {MOVMED_FRAME - 1} PRECEDING AND CURRENT ROW)
 """,
     "skyline_orders": """
 WITH o AS (
