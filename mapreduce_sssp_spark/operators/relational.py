@@ -396,16 +396,25 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     and keep a row iff its date strictly exceeds the running max date
     of everything cheaper-or-equal BEFORE it — one window pass.
 
-    The window formulation is also the scale story: the naive
-    EXISTS-dominance self-join is O(n^2); this plan is one sort
-    shuffle + a streaming frame, and the oracle keeps the readable
-    NOT EXISTS spelling so the hash check proves the two equivalent.
-    Exactness: price rides the int64-cents projection; dates are
-    exact; ties (equal price+date duplicates) all survive, matching
-    the strict-dominance definition in both engines.
+    The rewrite is also the scale story, in two steps. The naive
+    EXISTS-dominance self-join is O(n^2); a running-max window kills
+    that but a GLOBAL (un-partitioned) window plans one single-task
+    sort — the 100 TB anti-pattern. So the scan is TWO-LEVEL (the
+    concurrent_shipments prefix device): value-bucket the price axis
+    (strictly-cheaper rows land in strictly-lower buckets), run the
+    strict running-max window PARTITIONED by bucket (parallel), and
+    carry the cross-bucket prefix max date in from a buckets-sized
+    side table — dominance = max(intra-bucket prefix, carried
+    prefix). tests/test_plans.py pins that no single-partition window
+    remains. Exactness: price rides the int64-cents projection; dates
+    are exact; ties (equal price+date duplicates) all survive,
+    matching the strict-dominance definition; the oracle keeps the
+    readable NOT EXISTS spelling so the hash check proves the
+    decomposition equivalent.
     """
     from pyspark.sql import Window
 
+    n_buckets = 32
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
@@ -413,21 +422,43 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("o_orderdate").cast("date").alias("odate"),
     )
-    # Strict dominance needs the running max over STRICTLY cheaper rows
-    # (rows of equal price must not dominate each other): a RANGE frame
-    # ending at -1 over integer cents is exactly "price < mine".
-    w_price = (
-        Window.orderBy("price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    front = o.select(
+    mx = F.broadcast(o.agg(F.max("price_cents").alias("mx")))
+    b = o.crossJoin(mx).select(
         "o_orderkey",
         "price_cents",
         "odate",
-        F.max("odate").over(w_price).alias("max_date_cheaper"),
-    ).filter(
-        F.col("max_date_cheaper").isNull()
-        | (F.col("odate") >= F.col("max_date_cheaper"))
+        F.expr(f"price_cents * {n_buckets} DIV (mx + 1)").alias("bucket"),
+    )
+    bucket_max = b.groupBy("bucket").agg(F.max("odate").alias("b_max"))
+    w_prefix = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carried = bucket_max.select(
+        "bucket", F.max("b_max").over(w_prefix).alias("carry_max")
+    )
+    # Strict dominance intra-bucket: a RANGE frame ending at -1 over
+    # integer cents is exactly "price < mine" (equal prices never
+    # dominate each other); cross-bucket rows are strictly cheaper by
+    # construction of the value bucketing.
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    front = (
+        b.join(F.broadcast(carried), "bucket")
+        .select(
+            "o_orderkey",
+            "price_cents",
+            "odate",
+            F.greatest(
+                F.max("odate").over(w_local), F.col("carry_max")
+            ).alias("max_date_cheaper"),
+        )
+        .filter(
+            F.col("max_date_cheaper").isNull()
+            | (F.col("odate") >= F.col("max_date_cheaper"))
+        )
     )
     return front.select("o_orderkey", "price_cents", "odate")
 

@@ -737,3 +737,14 @@ def test_bootstrap_exchange_carries_replicates_not_rows(spark):
     low = plan.lower()
     assert "partial" in low  # partial_sum(w), partial_sum(w*cents)
     assert plan.count("Exchange") <= 2  # one for the 32-group final agg
+
+
+def test_skyline_fact_window_is_bucket_partitioned(spark):
+    """The dominance running-max over the FACT rows must ride a
+    hashpartitioning(bucket) exchange — a global un-partitioned window
+    (one single task at 100 TB) is the bug this two-level decomposition
+    exists to avoid. The only SinglePartition window allowed is the
+    buckets-sized prefix carry (<= 32 rows)."""
+    plan = plan_of(R.q_skyline_orders(spark, SF))
+    assert "hashpartitioning(bucket" in plan
+    assert "CartesianProduct" not in plan
