@@ -412,9 +412,6 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     readable NOT EXISTS spelling so the hash check proves the
     decomposition equivalent.
     """
-    from pyspark.sql import Window
-
-    n_buckets = 32
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
@@ -422,14 +419,19 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("o_orderdate").cast("date").alias("odate"),
     )
-    mx = F.broadcast(o.agg(F.max("price_cents").alias("mx")))
-    b = o.crossJoin(mx).select(
-        "o_orderkey",
-        "price_cents",
-        "odate",
-        F.expr(f"price_cents * {n_buckets} DIV (mx + 1)").alias("bucket"),
-    )
-    bucket_max = b.groupBy("bucket").agg(F.max("odate").alias("b_max"))
+    return skyline_2d(o, "price_cents", "odate")
+
+
+def skyline_2d(df: DataFrame, min_col: str, max_col: str, n_buckets: int = 32) -> DataFrame:
+    """See q_skyline_orders: rows not strictly dominated on
+    (minimize min_col, maximize max_col); two-level bucketed scan."""
+    from pyspark.sql import Window
+
+    mx = F.broadcast(df.agg(F.max(min_col).alias("mx")))
+    b = df.crossJoin(mx).withColumn(
+        "bucket", F.expr(f"{min_col} * {n_buckets} DIV (mx + 1)")
+    ).drop("mx")
+    bucket_max = b.groupBy("bucket").agg(F.max(max_col).alias("b_max"))
     w_prefix = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -437,30 +439,25 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.max("b_max").over(w_prefix).alias("carry_max")
     )
     # Strict dominance intra-bucket: a RANGE frame ending at -1 over
-    # integer cents is exactly "price < mine" (equal prices never
-    # dominate each other); cross-bucket rows are strictly cheaper by
+    # integer values is exactly "min_col < mine" (equal keys never
+    # dominate each other); cross-bucket rows are strictly smaller by
     # construction of the value bucketing.
     w_local = (
         Window.partitionBy("bucket")
-        .orderBy("price_cents")
+        .orderBy(min_col)
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     front = (
         b.join(F.broadcast(carried), "bucket")
-        .select(
-            "o_orderkey",
-            "price_cents",
-            "odate",
-            F.greatest(
-                F.max("odate").over(w_local), F.col("carry_max")
-            ).alias("max_date_cheaper"),
+        .withColumn(
+            "max_prev",
+            F.greatest(F.max(max_col).over(w_local), F.col("carry_max")),
         )
         .filter(
-            F.col("max_date_cheaper").isNull()
-            | (F.col("odate") >= F.col("max_date_cheaper"))
+            F.col("max_prev").isNull() | (F.col(max_col) >= F.col("max_prev"))
         )
     )
-    return front.select("o_orderkey", "price_cents", "odate")
+    return front.drop("bucket", "carry_max", "max_prev")
 
 
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

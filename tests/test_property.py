@@ -350,3 +350,34 @@ def test_point_in_time_join_matches_bruteforce(spark, events):
         else:
             want[i] = (None, None)
     assert got == want
+
+
+skyline_rows = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=1, max_size=25
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=skyline_rows)
+def test_skyline_2d_matches_bruteforce(spark, rows):
+    """The two-level bucketed skyline must equal the O(n^2) dominance
+    definition on random integer points (minimize x, maximize y) —
+    including duplicates and cross-bucket-boundary dominance, the two
+    cases the prefix-carry decomposition could plausibly get wrong."""
+    from mapreduce_sssp_spark.operators.relational import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(rows)],
+        "rid long, x long, y long",
+    )
+    got = {(r.rid, r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
+    want = {
+        (i, x, y)
+        for i, (x, y) in enumerate(rows)
+        if not any(qx < x and qy > y for qx, qy in rows)
+    }
+    assert got == want
