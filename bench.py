@@ -145,6 +145,7 @@ HEADLINE = [
     "kmv_set_overlap",
     "range_join_bands",
     "fuzzy_match_parts",
+    "geo_neighbor_join",
     # dedup family
     "dedup_exact",
     "dedup_incremental",

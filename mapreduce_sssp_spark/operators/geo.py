@@ -1,0 +1,144 @@
+"""Geospatial-lite operators: grid-cell blocking + haversine distance —
+the proximity-join family (store/customer catchment, fraud co-location,
+geo dedup). The testdata carries no coordinates, so both engines derive
+deterministic synthetic lat/lon from c_custkey with EXACT integer
+arithmetic (multiply, mod, DIV — no float floor anywhere), the same
+device as the md5-uniform sampling family: the derivation is part of
+the query text, so the oracle sees identical inputs.
+
+Trig portability: sin/cos/asin differ between the JVM and libm in the
+last ulps, so raw radians never cross engines — the haversine distance
+rounds to integer METERS (round is the comparison point AND the cutoff
+test in both engines). At earth scale a double's relative error leaves
+~1e-10 m of absolute noise, ten orders under the half-meter rounding
+quantum — the same knife-edge class the tfidf ln-contract documents.
+
+At 100 TB: the join is grid-BLOCKED — each left row explodes to its
+3x3 neighbor cells (a constant fan-out) and meets only same-cell
+rights via an equi-join on the cell id, so the shuffle is
+O(rows x 9) keyed by cell, never all-pairs; a hot cell (urban density
+skew) rides AQE skew-split like every hot-key join. Cell size 1 degree
+>= the 50 km radius guarantees no missed pair except across the
+antimeridian (documented, excluded by construction of the synthetic
+longitudes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+
+GEO_RADIUS_M = 50_000
+EARTH_R_M = 6_371_000.0
+
+# Clustered synthetic geography: each customer belongs to one of 40
+# "cities" (custkey % 40) whose center comes from the city id, plus a
+# +-0.3 degree per-customer jitter — so ~35 same-city customers land
+# within ~0-70 km of each other and the 50 km cutoff separates real
+# cases (a uniform lattice yields zero pairs at this density; measured).
+# All centidegrees: scaled-int arithmetic only, lat in [-85, 83.6].
+_LAT_SCALED = (
+    "((c_custkey % 40) * 7919) % 16800 + (c_custkey * 48271) % 60"
+)
+_LON_SCALED = (
+    "((c_custkey % 40) * 104729) % 35700 + (c_custkey * 69621) % 60"
+)
+
+
+def geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customers -> (pid, lat, lon, cell_lat, cell_lon); cells are 1-deg
+    integer boxes computed with integer DIV on the scaled value BEFORE
+    the float division, so no float floor exists."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("pid"),
+        F.expr(f"CAST({_LAT_SCALED} AS DOUBLE) / 100.0 - 85.0").alias("lat"),
+        F.expr(f"CAST({_LON_SCALED} AS DOUBLE) / 100.0 - 179.0").alias("lon"),
+        F.expr(f"({_LAT_SCALED}) DIV 100").alias("cell_lat"),
+        F.expr(f"({_LON_SCALED}) DIV 100").alias("cell_lon"),
+    )
+
+
+_HAVERSINE = (
+    "round(2.0 * {r} * asin(sqrt("
+    " pow(sin(radians(({lat2}) - ({lat1})) / 2.0), 2.0)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * pow(sin(radians(({lon2}) - ({lon1})) / 2.0), 2.0))))"
+)
+
+
+def q_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 50 km (haversine), via 3x3 grid-cell
+    blocking — the canonical distributed radius join. One row per
+    unordered pair: ids, the two cells, and the distance in integer
+    meters (the rounded value IS the cutoff test, see module doc).
+    """
+    pts = geo_points(spark, sf_dir)
+    left = pts.select(
+        F.col("pid").alias("a_id"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        F.explode(
+            F.expr("sequence(cell_lat - 1, cell_lat + 1)")
+        ).alias("jl"),
+        F.col("cell_lon").alias("a_cell_lon"),
+    ).select(
+        "a_id",
+        "a_lat",
+        "a_lon",
+        "jl",
+        F.explode(
+            F.expr("sequence(a_cell_lon - 1, a_cell_lon + 1)")
+        ).alias("jc"),
+    )
+    right = pts.select(
+        F.col("pid").alias("b_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col("cell_lat").alias("jl"),
+        F.col("cell_lon").alias("jc"),
+    )
+    dist = F.expr(
+        _HAVERSINE.format(
+            r=EARTH_R_M, lat1="a_lat", lon1="a_lon", lat2="b_lat", lon2="b_lon"
+        )
+    ).cast("long")
+    return (
+        left.join(right, ["jl", "jc"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", dist.alias("dist_m"))
+        .filter(F.col("dist_m") <= GEO_RADIUS_M)
+    )
+
+
+QUERIES = {
+    "geo_neighbor_join": q_geo_neighbor_join,
+}
+
+_DUCK_HAVERSINE = _HAVERSINE.format(
+    r=EARTH_R_M,
+    lat1="a.lat",
+    lon1="a.lon",
+    lat2="b.lat",
+    lon2="b.lon",
+)
+
+ORACLE = {
+    # The oracle skips the blocking (cells are an execution strategy,
+    # not semantics): plain theta join + the same rounded-meter cutoff.
+    # The hash match therefore proves the 3x3 block decomposition loses
+    # no pair at this radius.
+    "geo_neighbor_join": f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST({_LAT_SCALED} AS DOUBLE) / 100.0 - 85.0 AS lat,
+         CAST({_LON_SCALED} AS DOUBLE) / 100.0 - 179.0 AS lon
+  FROM customer)
+SELECT a.pid AS a_id, b.pid AS b_id,
+       CAST({_DUCK_HAVERSINE} AS BIGINT) AS dist_m
+FROM pts a JOIN pts b ON a.pid < b.pid
+WHERE CAST({_DUCK_HAVERSINE} AS BIGINT) <= {GEO_RADIUS_M}
+""",
+}

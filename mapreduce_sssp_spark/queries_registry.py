@@ -11,6 +11,7 @@ from .operators import (
     cdc,
     dedup,
     event_windows,
+    geo,
     graph_queries,
     grouped_pandas,
     multimodal,
@@ -39,6 +40,7 @@ _MODULES = [
     foreach_sink,
     sampling,
     scale_patterns,
+    geo,
     grouped_pandas,
     python_surface,
     pipeline,
