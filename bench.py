@@ -69,6 +69,7 @@ HEADLINE = [
     "ktruss",
     "graph_reciprocity",
     "edge_jaccard",
+    "bipartite_projection",
     "compat_final_lines",
     # relational / SQL
     "sql_tpch_q2",
@@ -86,6 +87,7 @@ HEADLINE = [
     "dq_audit",
     "basket_rules",
     "profile_columns",
+    "column_entropy",
     "winsorize_values",
     "corr_measures",
     "distribution_drift",

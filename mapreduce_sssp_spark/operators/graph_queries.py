@@ -269,6 +269,65 @@ def q_sssp_paths_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the supplier-part incidence onto
+    suppliers: a weighted supplier-supplier edge for every pair sharing
+    at least 2 parts, with the shared count and neighborhood Jaccard —
+    the item-item collaborative-filtering construction (and the
+    companion to edge_jaccard, which scores EXISTING edges; this one
+    CREATES the projected graph).
+
+    Exact: shared counts and degrees are int64; Jaccard is one int/int
+    double division. Support >= 2 prunes the long tail before the
+    degree joins.
+
+    At 100 TB: the self-join is keyed on the shared PART (the only
+    key that assembles pairs), so a hub part of degree d contributes
+    d^2 pairs — the documented quadratic driver; production caps the
+    pivot degree first (drop parts above the 99.9th-percentile degree,
+    exactly the two_hop_paths truncation note) and AQE skew-split
+    handles residual heat. Degrees broadcast back onto the pair
+    aggregate, corpus-sized data shuffles once.
+    """
+    inc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    deg = inc.groupBy("s").agg(F.count("*").alias("deg"))
+    a, b = inc.alias("a"), inc.alias("b")
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(
+            F.col("a.s").alias("s1"), F.col("b.s").alias("s2")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("deg").alias("deg2"))
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            "deg1",
+            "deg2",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
 BETWEENNESS_ROUNDS = 7  # DAG depth <= 6 (edges_order_chain) + slack
 
 
@@ -1527,6 +1586,7 @@ QUERIES = {
     "sssp_dag": q_sssp_dag,
     "sssp_paths_dag": q_sssp_paths_dag,
     "betweenness_source_dag": q_betweenness_source_dag,
+    "bipartite_projection": q_bipartite_projection,
     "longest_path_dag": q_longest_path_dag,
     "wcc": q_wcc,
     "wcc_cyclic": q_wcc_cyclic,
@@ -1763,6 +1823,18 @@ pw(node, hops, path) AS (
 SELECT (SELECT s FROM srcq) AS source, pw.node, b.dist,
        CAST(pw.hops AS INT) AS hops, pw.path
 FROM pw JOIN best b ON b.node = pw.node
+""",
+    "bipartite_projection": """
+WITH inc AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+deg AS (SELECT s, COUNT(*) AS deg FROM inc GROUP BY s),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n_shared
+  FROM inc a JOIN inc b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT s1, s2, n_shared, d1.deg AS deg1, d2.deg AS deg2,
+       CAST(n_shared AS DOUBLE)
+         / CAST(d1.deg + d2.deg - n_shared AS DOUBLE) AS jaccard
+FROM pairs JOIN deg d1 ON d1.s = s1 JOIN deg d2 ON d2.s = s2
 """,
     "betweenness_source_dag": _betweenness_sql(),
     "hits_scores": _hits_sql(6),

@@ -1290,6 +1290,70 @@ def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ENTROPY_COLUMNS = (
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+)
+
+
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of five categorical columns — the profiling
+    statistic behind feature selection, partition-key choice, and
+    compression estimates (a near-zero-entropy column is a bad shuffle
+    key and a great RLE candidate). One row per column: row count,
+    distinct count, and entropy in nats quantized e9.
+
+    Exactness: the per-value term (n/N)·ln(N/n) is one division + one
+    ln, quantized e9 per VALUE (tfidf contract), then the per-column
+    entropy is an exact integer sum of those terms — no float
+    accumulation across values, so histogram order can't move the
+    result.
+
+    At 100 TB: one map-side-combined histogram per column (the scans
+    union; Catalyst prunes each to its single column), and everything
+    after runs on |distinct values| rows. Columns with huge
+    cardinality make the histogram itself big — that's inherent to
+    exact entropy; the approx path is a CMS/HLL estimator, out of
+    scope here.
+    """
+    parts = []
+    for table, col in ENTROPY_COLUMNS:
+        parts.append(
+            load_table(spark, sf_dir, table).select(
+                F.lit(f"{table}.{col}").alias("col_name"),
+                F.col(col).cast("string").alias("val"),
+            )
+        )
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.union(p)
+    hist = stacked.groupBy("col_name", "val").agg(F.count("*").alias("n"))
+    tot = hist.groupBy("col_name").agg(
+        F.sum("n").alias("n_rows"), F.count("*").alias("n_distinct")
+    )
+    terms = hist.join(F.broadcast(tot), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        F.round(
+            F.col("n").cast("double")
+            / F.col("n_rows").cast("double")
+            * F.log(
+                F.col("n_rows").cast("double") / F.col("n").cast("double")
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("term_e9"),
+    )
+    return terms.groupBy("col_name", "n_rows", "n_distinct").agg(
+        F.sum("term_e9").alias("entropy_e9")
+    )
+
+
 MOVMED_FRAME = 5
 
 
@@ -2305,6 +2369,7 @@ QUERIES = {
     "basket_rules": q_basket_rules,
     "skyline_orders": q_skyline_orders,
     "window_moving_median": q_window_moving_median,
+    "column_entropy": q_column_entropy,
     "outliers_mad": q_outliers_mad,
     "winsorize_values": q_winsorize_values,
     "corr_measures": q_corr_measures,
@@ -2546,6 +2611,34 @@ SELECT l_suppkey,
          AS flags_csv,
        CAST(count(DISTINCT l_returnflag) AS INT) AS n_flags
 FROM lineitem GROUP BY l_suppkey
+""",
+    "column_entropy": """
+WITH stacked AS (
+  SELECT 'events.event_type' AS col_name,
+         CAST(event_type AS VARCHAR) AS val FROM events
+  UNION ALL
+  SELECT 'documents.lang', CAST(lang AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'documents.source', CAST(source AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'orders.o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+  FROM orders),
+hist AS (SELECT col_name, val, COUNT(*) AS n
+         FROM stacked GROUP BY 1, 2),
+tot AS (SELECT col_name, CAST(SUM(n) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_distinct
+        FROM hist GROUP BY 1),
+terms AS (
+  SELECT h.col_name, t.n_rows, t.n_distinct,
+         CAST(round(CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                    * ln(CAST(n_rows AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1e9) AS BIGINT) AS term_e9
+  FROM hist h JOIN tot t ON t.col_name = h.col_name)
+SELECT col_name, n_rows, n_distinct,
+       CAST(SUM(term_e9) AS BIGINT) AS entropy_e9
+FROM terms GROUP BY 1, 2, 3
 """,
     "window_moving_median": f"""
 SELECT o_custkey, o_orderkey,
