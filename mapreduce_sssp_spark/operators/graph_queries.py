@@ -258,7 +258,7 @@ def q_sssp_paths_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("path"),
             F.coalesce("parent", F.col("head")).alias("head"),
         )
-    return walk.select(
+    out = walk.select(
         "source",
         "node",
         "dist",
@@ -267,6 +267,15 @@ def q_sssp_paths_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("path", lambda x: x.cast("string")), "->"
         ).alias("path"),
     )
+    # Materialize the 7-join reconstruction chain under the loop clamp:
+    # on a stock 200-partition session the caller's action would run
+    # every tiny join as a 200-task stage (the betweenness lesson).
+    from ..graph.sssp import static_rounds
+
+    with static_rounds(spark):
+        out = out.persist()
+        out.count()
+    return out
 
 
 def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,6 +364,8 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy over node-sized tables, the same physics as every fixpoint
     here; 14 bounded rounds total.
     """
+    from ..graph.sssp import static_rounds
+
     st = _sssp_dag_converged(spark, sf_dir)
     edges = edges_order_chain(spark, sf_dir)
     source = int(edges.agg(F.min("src")).collect()[0][0])
@@ -369,7 +380,8 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .persist()
     )
-    tight.count()
+    with static_rounds(spark):
+        tight.count()
 
     sigma = reach.select(
         "node",
@@ -390,7 +402,8 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sigma"),
         )
     sigma = sigma.persist()
-    sigma.count()
+    with static_rounds(spark):
+        sigma.count()
 
     delta = reach.select("node", F.lit(0).cast("long").alias("delta_e6"))
     s_u = sigma.select(F.col("node").alias("u"), F.col("sigma").alias("sig_u"))
@@ -433,6 +446,15 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_e6",
         )
     )
+    # Materialize under the clamp: the 14-round chain otherwise executes
+    # at the CALLER's action with the session's stock 200 shuffle
+    # partitions — 200-task stages per tiny round on a vanilla driver
+    # session (measured 25s -> ~8s).
+    with static_rounds(spark):
+        out = out.persist()
+        out.count()
+    sigma.unpersist()
+    tight.unpersist()
     return out
 
 
