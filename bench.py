@@ -211,6 +211,7 @@ HEADLINE = [
     # streaming + multimodal + end-to-end
     "streaming_tumbling",
     "streaming_stateful_sessions",
+    "streaming_session_window",
     "streaming_static_enrich",
     "streaming_parquet_sink",
     "streaming_late_data",

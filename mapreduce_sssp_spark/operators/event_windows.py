@@ -412,6 +412,55 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session windows under Structured Streaming —
+    ``F.session_window`` inside a streaming aggregation, the built-in
+    the custom ``applyInPandasWithState`` sessionizer
+    (streaming_stateful_sessions) is measured against. Complete-mode
+    memory sink + availableNow (update mode is unsupported for session
+    window aggregations — Spark raises STREAMING_OUTPUT_MODE): the
+    sink always holds every session merged so far, so after the final
+    batch it equals the batch result regardless of how the file source
+    split batches — deterministic without decoding watermark emission
+    rules, and the oracle is the SAME gaps-and-islands SQL as batch
+    window_session. A production append-mode run keeps the identical
+    plan; only emission timing shifts.
+
+    Scale: session state is per-user and watermark-bounded; the state
+    store shuffles on user_id exactly like the batch session window.
+    """
+    raw = _events_stream_source(spark, sf_dir)
+    ev = normalize_event_ts(raw, as_ntz=False)
+    agg = (
+        ev.withWatermark("ts", GAP)
+        .groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    with _stream_seq:
+        _stream_n[0] += 1
+        sink = f"streaming_session_sink_{_stream_n[0]}"
+    with bounded_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
+
+
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (1h window / 30min slide) aggregate as a
     Structured Streaming query — each event lands in two windows, so
@@ -2274,6 +2323,7 @@ QUERIES = {
     "window_session": q_window_session,
     "window_range_trailing": q_window_range_trailing,
     "streaming_tumbling": q_streaming_tumbling,
+    "streaming_session_window": q_streaming_session_window,
     "streaming_sliding": q_streaming_sliding,
     "streaming_incremental": q_streaming_incremental,
     "streaming_late_data": q_streaming_late_data,
@@ -2910,6 +2960,7 @@ WHERE g.window_start + INTERVAL 1 HOUR <= wmf.wm
     "window_sliding": _SLIDING_SQL,
     "streaming_sliding": _SLIDING_SQL,
     "window_session": _SESSION_SQL,
+    "streaming_session_window": _SESSION_SQL,
     "window_range_trailing": """
 SELECT user_id, event_id,
        count(*) OVER w AS n_trailing_1h,
