@@ -125,6 +125,7 @@ HEADLINE = [
     "resample_ffill",
     "twap_user",
     "ewma_value",
+    "max_drawdown",
     "scd2_intervals",
     "attribution_last_touch",
     "attribution_position_based",
@@ -148,6 +149,7 @@ HEADLINE = [
     "range_join_bands",
     "fuzzy_match_parts",
     "geo_neighbor_join",
+    "geo_catchment",
     # dedup family
     "dedup_exact",
     "dedup_incremental",

@@ -1463,6 +1463,98 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each event_type's cumulative daily value
+    curve — the risk metric: the deepest drop from a running peak,
+    with the peak and trough days that realize it. Two chained
+    cumulative windows (running sum, then running max of the sum) and
+    one argmax — ALL exact int64 cents; nothing float anywhere.
+
+    Tie policy: the deepest drawdown ties to the earliest trough day;
+    its peak day is the earliest day achieving the running peak at or
+    before the trough (exact equality join on the peak value).
+
+    Scale: corpus -> daily aggregate (one map-side-combined shuffle);
+    every window runs on |types| x |days| rows.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = daily.select(
+        "event_type",
+        "day",
+        F.sum("y").over(w).alias("cum"),
+    ).select(
+        "event_type",
+        "day",
+        "cum",
+        F.max("cum").over(w).alias("peak"),
+    )
+    dd = curve.select(
+        "event_type", "day", "cum", "peak", (F.col("peak") - F.col("cum")).alias("dd")
+    )
+    # argmax with earliest-day tie-break via a rank window.
+    rw = Window.partitionBy("event_type").orderBy(
+        F.col("dd").desc(), "day"
+    )
+    trough = (
+        dd.withColumn("rn", F.row_number().over(rw))
+        .filter("rn = 1")
+        .select(
+            "event_type",
+            F.col("day").alias("trough_day"),
+            F.col("peak").alias("peak_cents"),
+            F.col("cum").alias("trough_cum_cents"),
+            F.col("dd").alias("max_drawdown_cents"),
+        )
+    )
+    peak_days = curve.select(
+        "event_type", F.col("day").alias("peak_day"), F.col("cum").alias("pcum")
+    )
+    return (
+        trough.join(
+            peak_days,
+            (trough["event_type"] == peak_days["event_type"])
+            & (F.col("pcum") == F.col("peak_cents"))
+            & (F.col("peak_day") <= F.col("trough_day")),
+        )
+        .drop(peak_days["event_type"])
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "trough_day").orderBy(
+                    "peak_day"
+                )
+            ),
+        )
+        .filter("prn = 1")
+        .select(
+            "event_type",
+            "peak_day",
+            "trough_day",
+            "peak_cents",
+            "trough_cum_cents",
+            "max_drawdown_cents",
+        )
+    )
+
+
 SEASONAL_LAG_DAYS = 7
 
 
@@ -2344,6 +2436,7 @@ QUERIES = {
     "psi_stability": q_psi_stability,
     "theil_sen_trend": q_theil_sen_trend,
     "forecast_backtest": q_forecast_backtest,
+    "max_drawdown": q_max_drawdown,
     "anomaly_zscore": q_anomaly_zscore,
     "active_users": q_active_users,
     "cohort_ltv": q_cohort_ltv,
@@ -2478,6 +2571,41 @@ FROM step_ln
 """
 
 ORACLE = {
+    "max_drawdown": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+curve AS (
+  SELECT event_type, day,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM daily),
+peaks AS (
+  SELECT event_type, day, cum,
+         CAST(MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+  FROM curve),
+dd AS (SELECT *, peak - cum AS dd FROM peaks),
+trough AS (
+  SELECT event_type, day AS trough_day, peak AS peak_cents,
+         cum AS trough_cum_cents, dd AS max_drawdown_cents
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY dd DESC, day) AS rn
+        FROM dd)
+  WHERE rn = 1)
+SELECT event_type, peak_day, trough_day, peak_cents,
+       trough_cum_cents, max_drawdown_cents
+FROM (
+  SELECT t.event_type, c.day AS peak_day, t.trough_day, t.peak_cents,
+         t.trough_cum_cents, t.max_drawdown_cents,
+         ROW_NUMBER() OVER (PARTITION BY t.event_type, t.trough_day
+                            ORDER BY c.day) AS prn
+  FROM trough t JOIN curve c
+    ON c.event_type = t.event_type
+   AND c.cum = t.peak_cents AND c.day <= t.trough_day)
+WHERE prn = 1
+""",
     "theil_sen_trend": """
 WITH daily AS (
   SELECT event_type,

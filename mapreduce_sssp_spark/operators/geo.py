@@ -113,8 +113,60 @@ def q_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CITIES = 40
+
+
+def q_geo_catchment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment: each customer snaps to the closest
+    of the 40 city centers (haversine, integer meters, ties to the
+    lower city id), then one row per city with its catchment size and
+    distance stats — the store-catchment / service-area workload.
+
+    The centers are a 40-row table derived from the city id by the
+    same exact-int arithmetic as geo_points and BROADCAST into a
+    constant fan-out map-side argmin (min(struct(dist, city)) — the
+    kmeans_assign shape with a geodesic metric): the corpus never
+    shuffles for the assignment, only the |cities|-sized aggregate
+    exchanges.
+    """
+    pts = geo_points(spark, sf_dir)
+    centers = spark.range(N_CITIES).select(
+        F.col("id").cast("long").alias("city"),
+        F.expr(
+            "CAST((id * 7919) % 16800 AS DOUBLE) / 100.0 - 85.0"
+        ).alias("c_lat"),
+        F.expr(
+            "CAST((id * 104729) % 35700 AS DOUBLE) / 100.0 - 179.0"
+        ).alias("c_lon"),
+    )
+    dist = F.expr(
+        _HAVERSINE.format(
+            r=EARTH_R_M, lat1="lat", lon1="lon", lat2="c_lat", lon2="c_lon"
+        )
+    ).cast("long")
+    scored = pts.crossJoin(F.broadcast(centers)).select(
+        "pid", F.col("city"), dist.alias("dist_m")
+    )
+    best = scored.groupBy("pid").agg(
+        F.min(F.struct("dist_m", "city")).alias("b")
+    )
+    return (
+        best.select("pid", F.col("b.city").alias("city"), F.col("b.dist_m").alias("dist_m"))
+        .groupBy("city")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("dist_m").alias("sum_dist_m"),
+            F.max("dist_m").alias("max_dist_m"),
+            (
+                F.sum("dist_m").cast("double") / F.count("*").cast("double")
+            ).alias("avg_dist_m"),
+        )
+    )
+
+
 QUERIES = {
     "geo_neighbor_join": q_geo_neighbor_join,
+    "geo_catchment": q_geo_catchment,
 }
 
 _DUCK_HAVERSINE = _HAVERSINE.format(
@@ -125,7 +177,37 @@ _DUCK_HAVERSINE = _HAVERSINE.format(
     lon2="b.lon",
 )
 
+_DUCK_HAV_CENTER = _HAVERSINE.format(
+    r=EARTH_R_M, lat1="p.lat", lon1="p.lon", lat2="c.c_lat", lon2="c.c_lon"
+)
+
 ORACLE = {
+    "geo_catchment": f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST({_LAT_SCALED} AS DOUBLE) / 100.0 - 85.0 AS lat,
+         CAST({_LON_SCALED} AS DOUBLE) / 100.0 - 179.0 AS lon
+  FROM customer),
+centers AS (
+  SELECT CAST(id AS BIGINT) AS city,
+         CAST((id * 7919) % 16800 AS DOUBLE) / 100.0 - 85.0 AS c_lat,
+         CAST((id * 104729) % 35700 AS DOUBLE) / 100.0 - 179.0 AS c_lon
+  FROM (SELECT UNNEST(range({N_CITIES})) AS id)),
+scored AS (
+  SELECT p.pid, c.city, CAST({_DUCK_HAV_CENTER} AS BIGINT) AS dist_m
+  FROM pts p CROSS JOIN centers c),
+best AS (
+  SELECT pid, city, dist_m
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+                                     ORDER BY dist_m, city) AS rn
+        FROM scored)
+  WHERE rn = 1)
+SELECT city, COUNT(*) AS n_customers,
+       CAST(SUM(dist_m) AS BIGINT) AS sum_dist_m,
+       MAX(dist_m) AS max_dist_m,
+       CAST(SUM(dist_m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_dist_m
+FROM best GROUP BY city
+""",
     # The oracle skips the blocking (cells are an execution strategy,
     # not semantics): plain theta join + the same rounded-meter cutoff.
     # The hash match therefore proves the 3x3 block decomposition loses
