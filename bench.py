@@ -96,6 +96,7 @@ HEADLINE = [
     "regression_trend",
     "theil_sen_trend",
     "forecast_backtest",
+    "conformal_interval",
     "tfidf_top_terms",
     "token_source_pmi",
     "window_moving",

@@ -1613,6 +1613,94 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONFORMAL_ALPHA_NUM, CONFORMAL_ALPHA_DEN = 9, 10  # 90% target coverage
+CONFORMAL_CAL_END_DAY = 19  # calibration days 8-19, eval 20+
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    forecaster, per event_type — distribution-free uncertainty
+    quantification (Vovk; the ML-ops standard): calibrate the absolute
+    residual |y - f| on days 8-19, take the ceil((n+1)*0.9)-th smallest
+    score as the interval half-width q_hat, then report EMPIRICAL
+    coverage of f +- q_hat on the held-out days 20+. One row per type:
+    calibration size, q_hat, eval size, covered count, coverage share.
+
+    Exactness: scores are exact int64 cents; q_hat is rank SELECTION
+    (row_number over (score, day) — the day tiebreak makes the pick
+    total even with duplicate scores); the conformal rank
+    ceil((n+1)*9/10) is pure integer arithmetic ((n+1)*9 + 9) DIV 10;
+    coverage is one int/int division.
+
+    Scale: daily aggregate -> lag window -> per-type rank window over
+    |days| rows; corpus shuffles once.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = (
+        daily.select(
+            "event_type",
+            "day",
+            "y",
+            F.lag("y", SEASONAL_LAG_DAYS).over(w).alias("f"),
+        )
+        .filter(F.col("f").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.abs(F.col("y") - F.col("f")).alias("score"),
+            F.dayofmonth("day").alias("dom"),
+        )
+    )
+    cal = scored.filter(F.col("dom") <= CONFORMAL_CAL_END_DAY)
+    rw = Window.partitionBy("event_type").orderBy("score", "day")
+    ranked = cal.select(
+        "event_type",
+        "score",
+        F.row_number().over(rw).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n_cal"),
+    )
+    qhat = ranked.filter(
+        F.col("rn")
+        == F.least(
+            F.expr(
+                f"((n_cal + 1) * {CONFORMAL_ALPHA_NUM}"
+                f" + {CONFORMAL_ALPHA_DEN} - 1) DIV {CONFORMAL_ALPHA_DEN}"
+            ),
+            F.col("n_cal"),
+        )
+    ).select("event_type", "n_cal", F.col("score").alias("qhat_cents"))
+    ev = scored.filter(F.col("dom") > CONFORMAL_CAL_END_DAY)
+    return (
+        ev.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "qhat_cents")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(
+                (F.col("score") <= F.col("qhat_cents")).cast("long")
+            ).alias("n_covered"),
+            (
+                F.sum((F.col("score") <= F.col("qhat_cents")).cast("long"))
+                .cast("double")
+                / F.count("*").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
 PSI_BINS = 10
 PSI_SPLIT_DAY = 16  # ref = days 1-15, cur = days 16+
 
@@ -2437,6 +2525,7 @@ QUERIES = {
     "theil_sen_trend": q_theil_sen_trend,
     "forecast_backtest": q_forecast_backtest,
     "max_drawdown": q_max_drawdown,
+    "conformal_interval": q_conformal_interval,
     "anomaly_zscore": q_anomaly_zscore,
     "active_users": q_active_users,
     "cohort_ltv": q_cohort_ltv,
@@ -2571,6 +2660,44 @@ FROM step_ln
 """
 
 ORACLE = {
+    "conformal_interval": f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, day,
+         CAST(ABS(y - LAG(y, {SEASONAL_LAG_DAYS})
+                      OVER (PARTITION BY event_type ORDER BY day))
+              AS BIGINT) AS score,
+         datepart('day', day) AS dom
+  FROM daily
+  QUALIFY LAG(y, {SEASONAL_LAG_DAYS})
+            OVER (PARTITION BY event_type ORDER BY day) IS NOT NULL),
+cal AS (SELECT * FROM scored WHERE dom <= {CONFORMAL_CAL_END_DAY}),
+ranked AS (
+  SELECT event_type, score,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY score, day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM cal),
+qhat AS (
+  SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
+         score AS qhat_cents
+  FROM ranked
+  WHERE rn = LEAST(((n_cal + 1) * {CONFORMAL_ALPHA_NUM}
+                    + {CONFORMAL_ALPHA_DEN} - 1) // {CONFORMAL_ALPHA_DEN},
+                   n_cal)),
+ev AS (SELECT * FROM scored WHERE dom > {CONFORMAL_CAL_END_DAY})
+SELECT ev.event_type, n_cal, qhat_cents,
+       COUNT(*) AS n_eval,
+       CAST(SUM(CASE WHEN score <= qhat_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       CAST(SUM(CASE WHEN score <= qhat_cents THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM ev JOIN qhat ON qhat.event_type = ev.event_type
+GROUP BY 1, 2, 3
+""",
     "max_drawdown": """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
