@@ -197,6 +197,7 @@ HEADLINE = [
     "sparse_cosine_pairs",
     "lang_confusion",
     "source_classifier_eval",
+    "stump_split_finder",
     # sampling / packing / python surface
     "sample_hash",
     "weighted_sample",

@@ -273,6 +273,102 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stump_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training in-engine: for each language (one-vs-
+    rest target), the n_chars threshold minimizing weighted Gini
+    impurity — the split-finding inner loop of every tree learner
+    (XGBoost/LightGBM histogram method), run as pure SQL aggregation.
+    One row per language: the best threshold, the split sizes, and the
+    impurity score.
+
+    The candidate sweep is the histogram method exactly: aggregate to
+    (value, n, n_pos) per language target, one cumulative window gives
+    every threshold's left/right class counts as exact int64, and the
+    weighted Gini
+    (nL - (posL^2 + negL^2)/nL) + (nR - (posR^2 + negR^2)/nR), scaled
+    by N, evaluates as ONE identical float expression per candidate,
+    quantized e9 for the argmin (rank window, threshold tiebreak).
+
+    At 100 TB: the corpus collapses to |distinct values| histogram
+    rows per target in one map-side-combined pass — the same reason
+    the histogram method won in gradient boosting; everything after
+    runs on the aggregate.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    langs = docs.select(F.col("lang").alias("target")).distinct()
+    hist = (
+        docs.crossJoin(F.broadcast(langs))
+        .groupBy("target", "n_chars")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("lang") == F.col("target")).cast("long")).alias(
+                "n_pos"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("target")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("target")
+    cum = hist.select(
+        "target",
+        F.col("n_chars").alias("threshold"),
+        F.sum("n").over(w).alias("n_l"),
+        F.sum("n_pos").over(w).alias("pos_l"),
+        F.sum("n").over(wt).alias("n_tot"),
+        F.sum("n_pos").over(wt).alias("pos_tot"),
+    ).filter(F.col("n_l") < F.col("n_tot"))  # right side must be non-empty
+    neg = lambda p, n: n - p  # noqa: E731
+    score = (
+        (
+            F.col("n_l").cast("double")
+            - (
+                F.col("pos_l") * F.col("pos_l")
+                + neg(F.col("pos_l"), F.col("n_l"))
+                * neg(F.col("pos_l"), F.col("n_l"))
+            ).cast("double")
+            / F.col("n_l").cast("double")
+        )
+        + (
+            (F.col("n_tot") - F.col("n_l")).cast("double")
+            - (
+                (F.col("pos_tot") - F.col("pos_l"))
+                * (F.col("pos_tot") - F.col("pos_l"))
+                + (
+                    (F.col("n_tot") - F.col("n_l"))
+                    - (F.col("pos_tot") - F.col("pos_l"))
+                )
+                * (
+                    (F.col("n_tot") - F.col("n_l"))
+                    - (F.col("pos_tot") - F.col("pos_l"))
+                )
+            ).cast("double")
+            / (F.col("n_tot") - F.col("n_l")).cast("double")
+        )
+    )
+    scored = cum.select(
+        "target",
+        "threshold",
+        "n_l",
+        (F.col("n_tot") - F.col("n_l")).alias("n_r"),
+        "pos_l",
+        (F.col("pos_tot") - F.col("pos_l")).alias("pos_r"),
+        F.round(score * 1e9).cast("long").alias("gini_e9"),
+    )
+    rw = Window.partitionBy("target").orderBy("gini_e9", "threshold")
+    return (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .filter("rn = 1")
+        .select(
+            "target", "threshold", "n_l", "n_r", "pos_l", "pos_r", "gini_e9"
+        )
+    )
+
+
 VOCAB_CURVE_BUCKET = 50
 
 
@@ -1222,6 +1318,7 @@ QUERIES = {
     "token_freq_top100": q_token_freq,
     "inverted_index": q_inverted_index,
     "vocab_growth_curve": q_vocab_growth_curve,
+    "stump_split_finder": q_stump_split_finder,
     "vocab_coverage": q_vocab_coverage,
     "trigram_novelty": q_trigram_novelty,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
@@ -1234,6 +1331,43 @@ QUERIES = {
 _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 ORACLE = {
+    "stump_split_finder": """
+WITH langs AS (SELECT DISTINCT lang AS target FROM documents),
+hist AS (
+  SELECT l.target, d.n_chars, COUNT(*) AS n,
+         SUM(CASE WHEN d.lang = l.target THEN 1 ELSE 0 END) AS n_pos
+  FROM documents d CROSS JOIN langs l
+  GROUP BY 1, 2),
+cum AS (
+  SELECT target, n_chars AS threshold,
+         CAST(SUM(n) OVER (PARTITION BY target ORDER BY n_chars
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_l,
+         CAST(SUM(n_pos) OVER (PARTITION BY target ORDER BY n_chars
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pos_l,
+         CAST(SUM(n) OVER (PARTITION BY target) AS BIGINT) AS n_tot,
+         CAST(SUM(n_pos) OVER (PARTITION BY target) AS BIGINT) AS pos_tot
+  FROM hist),
+scored AS (
+  SELECT target, threshold, n_l, n_tot - n_l AS n_r,
+         pos_l, pos_tot - pos_l AS pos_r,
+         CAST(round((
+           (CAST(n_l AS DOUBLE)
+            - CAST(pos_l * pos_l
+                   + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)
+              / CAST(n_l AS DOUBLE))
+           + (CAST(n_tot - n_l AS DOUBLE)
+              - CAST((pos_tot - pos_l) * (pos_tot - pos_l)
+                     + ((n_tot - n_l) - (pos_tot - pos_l))
+                       * ((n_tot - n_l) - (pos_tot - pos_l)) AS DOUBLE)
+                / CAST(n_tot - n_l AS DOUBLE))
+         ) * 1e9) AS BIGINT) AS gini_e9
+  FROM cum WHERE n_l < n_tot)
+SELECT target, threshold, n_l, n_r, pos_l, pos_r, gini_e9
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY target
+                                   ORDER BY gini_e9, threshold) AS rn
+      FROM scored)
+WHERE rn = 1
+""",
     "vocab_growth_curve": f"""
 WITH t AS (SELECT doc_id, doc_id // {VOCAB_CURVE_BUCKET} AS bucket,
                   {DUCK_TOKENS} AS toks FROM documents),
