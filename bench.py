@@ -145,6 +145,7 @@ HEADLINE = [
     "join_null_skew",
     "interval_self_join_banded",
     "skew_salted_agg",
+    "bloom_prune_join",
     "heavy_hitters",
     "kmv_set_overlap",
     "range_join_bands",

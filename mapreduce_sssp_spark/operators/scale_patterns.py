@@ -719,7 +719,175 @@ def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS = 1024  # 16 words x 64 bits — sized so the FP ledger is non-trivial
+BLOOM_HASHES = 3
+_BLOOM_KEY = "bloom:"
+
+
+def _bloom_positions(key_expr: str) -> list:
+    """The k bit positions of a key: independent md5 draws (salted by
+    hash index), each reduced mod BLOOM_BITS — identical SQL arithmetic in
+    both engines. Returns [(word_expr, bit_expr), ...] as SQL strings.
+    """
+    out = []
+    for h in range(BLOOM_HASHES):
+        pos = (
+            f"(CAST(conv(substring(md5(concat('{_BLOOM_KEY}', '{h}:',"
+            f" CAST({key_expr} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            f" % {BLOOM_BITS})"
+        )
+        out.append((f"({pos} DIV 64)", f"({pos} % 64)"))
+    return out
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, end to end and exactly accounted:
+    build a 1024-bit / 3-hash bloom over the customers in nation 0
+    (the build side of a selective semi join), probe every order
+    against it map-side, and report the pruning ledger — build keys,
+    probes, bloom candidates, true matches, and the realized
+    false-positive count/rate. The device behind runtime row-group
+    skipping and pre-shuffle semi-join reduction: at 100 TB the probe
+    is a BROADCAST of 64 longs evaluated in the scan stage, so the
+    shuffle carries candidates (true + FP) instead of the corpus.
+
+    Portability: bit positions are md5 draws mod 4096 (the sampling
+    family's device) and the filter words are bit_or aggregates —
+    exact int64 end to end; both engines compute the identical filter,
+    probe decisions, and counts, so even the false positives match
+    bit-for-bit. The membership test ANDs each probe word against the
+    (sparse-safe, coalesce-0) filter word.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.expr("c_custkey % 25 = 0")  # a selective build side (~4%)
+    )
+    build_pos = _bloom_positions("c_custkey")
+    word_rows = []
+    for w_expr, b_expr in build_pos:
+        word_rows.append(
+            cust.select(
+                F.expr(w_expr).alias("word"),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({b_expr} AS INT))").alias(
+                    "bits"
+                ),
+            )
+        )
+    words = word_rows[0]
+    for wdf in word_rows[1:]:
+        words = words.union(wdf)
+    bloom = words.groupBy("word").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+    probe_pos = _bloom_positions("o_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probed = o
+    for i, (w_expr, b_expr) in enumerate(probe_pos):
+        bw = bloom.select(
+            F.col("word").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        probed = probed.join(
+            F.broadcast(bw), F.expr(w_expr) == F.col(f"w{i}"), "left"
+        ).withColumn(
+            f"hit{i}",
+            (
+                F.expr(
+                    f"coalesce(bits{i}, CAST(0 AS BIGINT))"
+                    f" & shiftleft(CAST(1 AS BIGINT), CAST({b_expr} AS INT))"
+                )
+                != 0
+            ).cast("int"),
+        )
+    candidates = probed.withColumn(
+        "is_candidate",
+        (F.col("hit0") + F.col("hit1") + F.col("hit2") == BLOOM_HASHES).cast(
+            "int"
+        ),
+    ).withColumn("is_true", F.expr("CAST(o_custkey % 25 = 0 AS INT)"))
+    n_keys = cust.count()
+    return (
+        candidates.agg(
+            F.count("*").alias("n_probes"),
+            F.sum("is_candidate").alias("n_candidates"),
+            F.sum("is_true").alias("n_true"),
+            F.sum(
+                ((F.col("is_candidate") == 1) & (F.col("is_true") == 0)).cast(
+                    "long"
+                )
+            ).alias("n_false_pos"),
+        )
+        .withColumn("n_build_keys", F.lit(int(n_keys)).cast("long"))
+        .select(
+            "n_build_keys",
+            "n_probes",
+            "n_candidates",
+            "n_true",
+            "n_false_pos",
+            (
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_probes") - F.col("n_true")).cast("double")
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def _bloom_duck_positions(key_expr: str) -> list:
+    out = []
+    for h in range(BLOOM_HASHES):
+        pos = (
+            f"(CAST(('0x' || substr(md5('{_BLOOM_KEY}' || '{h}:'"
+            f" || CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+            f" % {BLOOM_BITS})"
+        )
+        out.append((f"({pos} // 64)", f"({pos} % 64)"))
+    return out
+
+
+def _bloom_oracle_sql() -> str:
+    b = _bloom_duck_positions("c_custkey")
+    p = _bloom_duck_positions("o_custkey")
+    # HUGEINT words: DuckDB raises on BIGINT 1<<63 (Spark's long wraps
+    # into the sign bit — each engine is internally consistent, and only
+    # membership DECISIONS cross engines, via the identical positions).
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {w} AS word, (CAST(1 AS HUGEINT) << CAST({bit} AS INT))"
+        f" AS bits FROM cust"
+        for w, bit in b
+    )
+    hit_cols = ",\n".join(
+        f"CASE WHEN COALESCE((SELECT bits FROM bloom WHERE word = {w}),"
+        f" CAST(0 AS HUGEINT))"
+        f" & (CAST(1 AS HUGEINT) << CAST({bit} AS INT)) <> 0"
+        f" THEN 1 ELSE 0 END AS hit{i}"
+        for i, (w, bit) in enumerate(p)
+    )
+    return f"""
+WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 25 = 0),
+words AS ({unions}),
+bloom AS (SELECT word, bit_or(bits) AS bits FROM words GROUP BY word),
+probed AS (
+  SELECT o_orderkey, o_custkey,
+{hit_cols},
+         CASE WHEN o_custkey % 25 = 0 THEN 1 ELSE 0 END AS is_true
+  FROM orders),
+flagged AS (
+  SELECT *, CASE WHEN hit0 + hit1 + hit2 = {BLOOM_HASHES}
+                 THEN 1 ELSE 0 END AS is_candidate
+  FROM probed)
+SELECT (SELECT COUNT(*) FROM cust) AS n_build_keys,
+       COUNT(*) AS n_probes,
+       CAST(SUM(is_candidate) AS BIGINT) AS n_candidates,
+       CAST(SUM(is_true) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN is_candidate = 1 AND is_true = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN is_candidate = 1 AND is_true = 0
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) - SUM(is_true) AS DOUBLE) AS fp_rate
+FROM flagged
+"""
+
+
 QUERIES = {
+    "bloom_prune_join": q_bloom_prune_join,
     "kmv_set_overlap": q_kmv_set_overlap,
     "skew_salted_agg": q_skew_salted_agg,
     "join_skew_salted": q_join_skew_salted,
@@ -744,6 +912,7 @@ _BANDS_SQL = " UNION ALL ".join(
 )
 
 ORACLE = {
+    "bloom_prune_join": _bloom_oracle_sql(),
     # Portable 60-bit md5 hash (the simhash device); the union's K
     # smallest re-ranked per pair; exact Jaccard via the distinct-pair
     # self-join with inclusion-exclusion union size.
