@@ -439,11 +439,15 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 posting doc_ids ranked by (tf DESC, doc_id) — the
     impact-ordered posting-list head a query server would cache.
 
-    Determinism: the postings ARRAY is ordered by the (tf, doc_id)
+    Determinism: the postings list is ordered by the (tf, doc_id)
     total order, materialized via row_number + sort_array(struct(rn,
-    doc_id)) on the Spark side and list(... ORDER BY rn) in DuckDB —
-    collect_list's nondeterministic arrival order never reaches the
-    output. All values exact int64.
+    doc_id)) on the Spark side and string_agg(... ORDER BY rn) in
+    DuckDB — collect_list's nondeterministic arrival order never
+    reaches the output. The head is serialized to a canonical
+    '|'-joined STRING (not an ARRAY column): nested payloads must
+    cross the output boundary as scalars so any downstream
+    row-hasher / canonicalizer works on hashable cells — same device
+    as q_nested_order_records. All underlying values exact int64.
 
     At 100 TB: the corpus explodes to (token, doc) pairs that
     partial-aggregate map-side into tf; the rank window and final agg
@@ -467,16 +471,19 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("token").agg(
         F.count("*").alias("df"),
         F.sum("tf").alias("tf_total"),
-        F.transform(
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("rn") <= INVIDX_TOPK,
-                        F.struct("rn", "doc_id"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= INVIDX_TOPK,
+                            F.struct("rn", "doc_id"),
+                        )
                     )
-                )
+                ),
+                lambda s: s["doc_id"].cast("string"),
             ),
-            lambda s: s["doc_id"],
+            "|",
         ).alias("postings"),
     )
 
@@ -1403,7 +1410,8 @@ ranked AS (
 SELECT token,
        CAST(COUNT(*) AS BIGINT) AS df,
        CAST(SUM(tf) AS BIGINT) AS tf_total,
-       list(doc_id ORDER BY rn) FILTER (rn <= {INVIDX_TOPK}) AS postings
+       COALESCE(string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY rn)
+                  FILTER (rn <= {INVIDX_TOPK}), '') AS postings
 FROM ranked GROUP BY token
 """,
     "skipgram_pairs": f"""

@@ -121,6 +121,21 @@ def main():
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
+        # Driver-canonicalizer parity: the external driver sorts the pandas
+        # frame by every column before hashing, and list/dict cells raise
+        # "unhashable type" there (the exact r7 inverted_index red row).
+        # The local tuple-izing canon_cell() tolerated them — reject nested
+        # output columns outright so local green implies driver green.
+        nested = [
+            f.name for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nested:
+            print(f"  {name:28s} NESTED-OUTPUT {nested} — driver "
+                  f"canonicalizer cannot hash list/dict cells; serialize "
+                  f"to a canonical string (array_join/concat_ws)")
+            failures.append((name, f"nested output columns: {nested}"))
+            continue
         scols = list(sdf.columns)
         srows = [tuple(r) for r in sdf.collect()]
         spark_t = time.time() - t0
