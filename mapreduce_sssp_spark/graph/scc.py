@@ -213,7 +213,13 @@ def scc(edges: DataFrame, *, max_outer: int = 50) -> DataFrame:
 
         # Anything still active at a clean break is impossible (the loop
         # exits only on empty active), but a leftover from max_outer
-        # raises above. Assemble the answer.
+        # raises above. Assemble the answer. An empty node set breaks
+        # on the first trim with nothing appended — return the empty
+        # (node, scc) frame instead of indexing an empty list.
+        if not done_parts:
+            return spark.createDataFrame(
+                [], "node bigint, scc bigint"
+            )
         out = done_parts[0]
         for p in done_parts[1:]:
             out = out.unionByName(p)

@@ -18,9 +18,16 @@ At 100 TB: the join is grid-BLOCKED — each left row explodes to its
 rights via an equi-join on the cell id, so the shuffle is
 O(rows x 9) keyed by cell, never all-pairs; a hot cell (urban density
 skew) rides AQE skew-split like every hot-key join. Cell size 1 degree
->= the 50 km radius guarantees no missed pair except across the
-antimeridian (documented, excluded by construction of the synthetic
-longitudes).
+>= the 50 km radius guarantees no missed LATITUDE neighbor anywhere,
+but one degree of LONGITUDE shrinks with cos(lat) and drops below
+50 km above ~63 degrees latitude — the 3x3 fan-out is only
+pair-complete for |lat| <= ~63. It is safe HERE because the synthetic
+layout keeps every qualifying pair within-city (max same-city lon
+spread 0.59 deg, verified numerically); for real high-latitude data,
+widen the longitude fan-out to ceil(1 / cos(lat)) neighbor columns
+(or a polar cap cell) before reusing this operator, or pairs are
+silently dropped. The antimeridian seam is likewise excluded by
+construction of the synthetic longitudes.
 """
 
 from __future__ import annotations

@@ -366,7 +366,11 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), 1, 1)"
     )
     counts = (
-        o.filter(F.col("o_totalprice") > 0)
+        # >= 1, not > 0: a value in (0,1) has first digit '0', whose
+        # Benford term log10(1 + 1/0) is Infinity — Spark's cast clamps
+        # to Long.MAX while DuckDB's round(inf)::BIGINT errors, a latent
+        # cross-engine divergence even though TPC-H prices never hit it.
+        o.filter(F.col("o_totalprice") >= 1)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").alias("n"))
@@ -2689,7 +2693,7 @@ WITH counts AS (
   SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
                    1, 1) AS digit,
          count(*) AS n
-  FROM orders WHERE o_totalprice > 0
+  FROM orders WHERE o_totalprice >= 1
   GROUP BY 1),
 t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
 SELECT digit, n,

@@ -36,6 +36,15 @@ def test_scc_crafted_graphs(spark):
         spark.catalog.clearCache()
 
 
+def test_scc_empty_edges(spark):
+    """Zero edges → zero SCC rows with the standard schema, not an
+    IndexError on the unassembled parts list."""
+    df = spark.createDataFrame([], "src long, dst long")
+    out = scc(df)
+    assert out.columns == ["node", "scc"]
+    assert out.count() == 0
+
+
 def _tarjan(edges):
     """Iterative Tarjan; returns {node: min_member_of_its_scc}."""
     adj = {}
