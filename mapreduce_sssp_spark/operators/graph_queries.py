@@ -637,6 +637,171 @@ def q_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAP_PERMILLE = 999  # keep pivots at or below the 99.9th-percentile load
+
+
+def _permille_cap(loads: DataFrame, col: str) -> DataFrame:
+    """1-row frame holding the exact CAP_PERMILLE-th permille order
+    statistic of integer column `col` — the in-plan degree-cap
+    threshold for the hub-quadratic joins.
+
+    Computed as a HISTOGRAM order statistic, not a global sort: the
+    distinct-value histogram of a degree-like column is tiny (bounded
+    by the number of distinct degrees, thousands at any corpus size),
+    so the single-partition cumulative window runs over kilobytes
+    even when `loads` has billions of rows. The threshold test is
+    exact integer arithmetic (cum * 1000 >= n * permille, no float
+    percentile interpolation), so Spark and any SQL twin agree
+    bit-for-bit — the property that lets a capped query keep a
+    hash-checkable oracle.
+    """
+    from pyspark.sql import Window
+
+    hist = loads.groupBy(col).agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        F.col(col),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        cum.filter(F.col("cum") * 1000 >= F.col("n") * CAP_PERMILLE)
+        .agg(F.min(col).alias("cap"))
+    )
+
+
+def q_two_hop_paths_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_two_hop_paths with the production relay-degree cap applied
+    IN-PLAN: relays whose pair contribution indeg x outdeg exceeds the
+    exact 99.9th-permille load are dropped BEFORE the self-join — the
+    FoF truncation every production candidate generator runs, and this
+    engine's analogue of the reference's frontier gating
+    (SingleSourceSP.java:179): prune before the expensive shuffle, not
+    after.
+
+    Why this is the 100 TB shape while q_two_hop_paths is the
+    oracle-exact twin: a power-law hub relay of degree d contributes
+    d^2 pairs, so the top 0.1% of relays dominate the join output; the
+    cap bounds the per-relay fan-out at the percentile load while
+    keeping >= 99.9% of relays exact. The threshold itself is an exact
+    integer order statistic over the tiny degree histogram
+    (_permille_cap), so the capped semantics stay deterministic and
+    hash-checkable against the same-threshold SQL twin. The relay
+    filter is a semi-join on the kept-relay set (node-sized, NOT
+    assumed broadcastable) keyed on the same column as the path
+    self-join, so it rides the identical shuffle partitioning.
+    """
+    e = (
+        edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    )
+    outd = e.groupBy(F.col("src").alias("mid")).agg(
+        F.count("*").alias("outdeg")
+    )
+    ind = e.groupBy(F.col("dst").alias("mid")).agg(
+        F.count("*").alias("indeg")
+    )
+    loads = ind.join(outd, "mid").select(
+        "mid", (F.col("indeg") * F.col("outdeg")).alias("load")
+    )
+    cap = _permille_cap(loads, "load")
+    keep = (
+        loads.join(F.broadcast(cap), F.col("load") <= F.col("cap"))
+        .select("mid")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    # Cap BEFORE the self-join: the semi-join shrinks the left leg so
+    # hub relays never reach the pair-exploding join (pinned in
+    # tests/test_plans.py).
+    a_kept = a.join(
+        keep.select(F.col("mid").alias("dst")), "dst", "left_semi"
+    )
+    paths = a_kept.join(b, F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("src"),
+        F.col("b.dst").alias("end"),
+    )
+    direct = e.select(
+        "src", F.col("dst").alias("end"), F.lit(1).alias("is_direct")
+    )
+    return (
+        paths.join(direct, ["src", "end"], "left")
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n_paths2"),
+            F.count_distinct(
+                F.when(
+                    (F.col("end") != F.col("src"))
+                    & F.col("is_direct").isNull(),
+                    F.col("end"),
+                )
+            ).alias("n_fof"),
+        )
+    )
+
+
+def q_bipartite_projection_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bipartite_projection with the production pivot-degree cap
+    applied IN-PLAN: parts shared by more suppliers than the exact
+    99.9th-permille part degree are dropped BEFORE the pair-generating
+    self-join — a part of degree d emits C(d,2) supplier pairs, so the
+    heaviest 0.1% of parts are the quadratic driver (the stopword
+    problem in item-item collaborative filtering; production systems
+    cap or downsample exactly these pivots).
+
+    Semantics of the capped variant: n_shared counts co-occurrences
+    through KEPT parts only (the cap gates candidate generation),
+    while deg1/deg2 remain the TRUE supplier degrees over the full
+    incidence — scoring denominators are never truncated, so jaccard
+    is a deterministic underestimate on hub-mediated pairs and exact
+    on the >= 99.9% of parts below the cap. Threshold via
+    _permille_cap: exact integer order statistic, hash-checkable
+    against the same-threshold SQL twin.
+    """
+    inc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    deg = inc.groupBy("s").agg(F.count("*").alias("deg"))
+    pdeg = inc.groupBy("p").agg(F.count("*").alias("d"))
+    cap = _permille_cap(pdeg, "d")
+    kept_parts = (
+        pdeg.join(F.broadcast(cap), F.col("d") <= F.col("cap"))
+        .select("p")
+    )
+    kept = inc.join(kept_parts, "p", "left_semi")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("deg").alias("deg2"))
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            "deg1",
+            "deg2",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("deg1") + F.col("deg2") - F.col("n_shared")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def q_graph_sample_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style k-hop neighbor sampling — the minibatch
     subgraph extraction every distributed GNN trainer runs: from a
@@ -1617,6 +1782,8 @@ QUERIES = {
     "personalized_pagerank": q_personalized_pagerank,
     "degree_assortativity": q_degree_assortativity,
     "two_hop_paths": q_two_hop_paths,
+    "two_hop_paths_capped": q_two_hop_paths_capped,
+    "bipartite_projection_capped": q_bipartite_projection_capped,
     "graph_sample_khop": q_graph_sample_khop,
     "negative_sampling": q_negative_sampling,
     "scc": q_scc,
@@ -1976,6 +2143,51 @@ SELECT src, count(*) AS n_paths2,
        count(DISTINCT CASE WHEN "end" <> src AND is_direct IS NULL
                            THEN "end" END) AS n_fof
 FROM flagged GROUP BY src
+""",
+    "two_hop_paths_capped": f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
+outd AS (SELECT src AS mid, COUNT(*) AS outdeg FROM e GROUP BY 1),
+ind  AS (SELECT dst AS mid, COUNT(*) AS indeg  FROM e GROUP BY 1),
+loads AS (SELECT mid, indeg * outdeg AS load FROM ind JOIN outd USING (mid)),
+hist AS (SELECT load, COUNT(*) AS c FROM loads GROUP BY 1),
+cum AS (SELECT load,
+               SUM(c) OVER (ORDER BY load ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS n
+        FROM hist),
+thr AS (SELECT MIN(load) AS cap FROM cum WHERE cum * 1000 >= n * 999),
+keep AS (SELECT mid FROM loads WHERE load <= (SELECT cap FROM thr)),
+paths AS (
+  SELECT a.src, b.dst AS "end"
+  FROM e a JOIN keep k ON k.mid = a.dst JOIN e b ON b.src = a.dst),
+flagged AS (
+  SELECT p.src, p."end",
+         CASE WHEN d.src IS NOT NULL THEN 1 END AS is_direct
+  FROM paths p LEFT JOIN e d ON d.src = p.src AND d.dst = p."end")
+SELECT src, count(*) AS n_paths2,
+       count(DISTINCT CASE WHEN "end" <> src AND is_direct IS NULL
+                           THEN "end" END) AS n_fof
+FROM flagged GROUP BY src
+""",
+    "bipartite_projection_capped": """
+WITH inc AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+deg AS (SELECT s, COUNT(*) AS deg FROM inc GROUP BY s),
+pdeg AS (SELECT p, COUNT(*) AS d FROM inc GROUP BY p),
+hist AS (SELECT d, COUNT(*) AS c FROM pdeg GROUP BY 1),
+cum AS (SELECT d,
+               SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS n
+        FROM hist),
+thr AS (SELECT MIN(d) AS cap FROM cum WHERE cum * 1000 >= n * 999),
+kept AS (SELECT i.s, i.p FROM inc i JOIN pdeg USING (p)
+         WHERE pdeg.d <= (SELECT cap FROM thr)),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT s1, s2, n_shared, d1.deg AS deg1, d2.deg AS deg2,
+       CAST(n_shared AS DOUBLE)
+         / CAST(d1.deg + d2.deg - n_shared AS DOUBLE) AS jaccard
+FROM pairs JOIN deg d1 ON d1.s = s1 JOIN deg d2 ON d2.s = s2
 """,
     "graph_sample_khop": f"""
 WITH e AS (
