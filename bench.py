@@ -21,12 +21,15 @@ Each query is executed with a `noop` format write — full physical
 execution of the plan on the executors without driver-side collect
 overhead, so the number measures the engine, not py4j transfer.
 
-The default HEADLINE set is ~60 queries covering every operator family
-(graph fixpoints, relational/TPC-H, windows, dedup, similarity, text,
-sampling, streaming, multimodal, pipeline) rather than all 137 entries:
-a bench that finishes comfortably inside the driver's budget beats one
-that gets killed 85% through (round 2 shipped no parseable bench for
-exactly that reason). `SPARK_GRAFT_BENCH_QUERIES=all` runs everything.
+Since round 8 the default set is the ENTIRE registry: the cross-round
+envelope can only catch a regression in a query it times, and the ~80
+previously-unbenched entries are sub-second relational/stats queries
+whose marginal cost is small. Robustness against a harness kill comes
+from flushing BENCH_RESULTS.json after every query (pass 1 covers all
+queries before pass 2 starts), not from shrinking the set — round 2's
+unparseable-bench failure mode cannot recur. The legacy HEADLINE list
+below is kept as the canonical cross-round comparison subset
+(SPARK_GRAFT_BENCH_QUERIES=headline).
 """
 
 from __future__ import annotations
@@ -333,15 +336,24 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if subset and subset.strip().lower() == "all":
         query_set = "all"  # every registered query
+    elif subset and subset.strip().lower() == "headline":
+        missing = [n for n in HEADLINE if n not in queries]
+        assert not missing, f"HEADLINE names not in registry: {missing}"
+        queries = {n: queries[n] for n in HEADLINE}
+        query_set = "headline"
     elif subset:
         names = [s.strip() for s in subset.split(",") if s.strip()]
         queries = {n: queries[n] for n in names}
         query_set = "custom"
     else:
+        # Default = FULL registry, HEADLINE order first (preserves the
+        # cross-round per-query comparability of the long-benched set),
+        # then every remaining registered query sorted by name.
         missing = [n for n in HEADLINE if n not in queries]
         assert not missing, f"HEADLINE names not in registry: {missing}"
-        queries = {n: queries[n] for n in HEADLINE}
-        query_set = "headline"
+        rest = sorted(n for n in queries if n not in set(HEADLINE))
+        queries = {n: queries[n] for n in list(HEADLINE) + rest}
+        query_set = "full"
 
     # Warm the JVM before timing anything: the first job in a fresh JVM
     # pays JIT + codegen-compiler + shuffle-subsystem init (~8s measured),
@@ -407,8 +419,19 @@ def main() -> None:
             }
         value_norm = round(total / host_speed_ratio, 3)
         envelope = None
-        if query_set == "headline" and timings:
-            per_q = value_norm / len(timings)
+        # The envelope must compare like with like: compute it over the
+        # HEADLINE subset only (the set the r6 reference figure timed),
+        # even when the run covers the full registry — otherwise adding
+        # cheap queries would dilute the per-query average and mask a
+        # real regression in the long-benched set.
+        env_timings = (
+            {n: t for n, t in timings.items() if n in set(HEADLINE)}
+            if query_set in ("headline", "full")
+            else {}
+        )
+        if env_timings:
+            env_total = sum(t for t in env_timings.values() if t >= 0)
+            per_q = (env_total / host_speed_ratio) / len(env_timings)
             ref_per_q = ENVELOPE_REF["value_norm"] / ENVELOPE_REF["n_queries"]
             envelope = {
                 "ref_round": ENVELOPE_REF["round"],
@@ -416,6 +439,8 @@ def main() -> None:
                 "value_norm_per_query": round(per_q, 4),
                 "ratio": round(per_q / ref_per_q, 3),
                 "ok": per_q <= 2 * ref_per_q,
+                "subset": "headline",
+                "n_queries": len(env_timings),
             }
         return {
             "metric": "total_query_wall_sec",
