@@ -21,6 +21,7 @@ from .operators import (
     sampling,
     scale_patterns,
     similarity,
+    stat_tests,
     text_analysis,
 )
 from .streaming import foreach_sink, joins, stateful
@@ -33,6 +34,7 @@ _MODULES = [
     similarity,
     text_analysis,
     event_windows,
+    stat_tests,
     multimodal,
     asof,
     stateful,
