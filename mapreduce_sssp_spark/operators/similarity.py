@@ -961,8 +961,157 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion dampening constant
+RRF_DEPTH = 20  # per-ranking candidate depth fed into the fusion
+
+
+def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings per query — the
+    standard hybrid-search combiner (Cormack et al. 2009: RRF(c) =
+    sum over rankings of 1/(k + rank_c), k=60): rank-space fusion needs
+    no score calibration, which is why every dense+lexical RAG stack
+    ships it. Here the two rankings are cosine similarity and (negated)
+    euclidean distance over the same embedding corpus — they genuinely
+    disagree where vector norms differ, so the fusion is non-trivial;
+    swapping either leg for a BM25/TF-IDF ranking is the same plan with
+    a different scored CTE.
+
+    Determinism: each leg's rank is a row_number over (score, cand_id)
+    — total order, tie-broken on the unique candidate id; each
+    reciprocal 1/(k + rank) quantizes to an e12 BIGINT (ONE division +
+    round on identical doubles) and the fusion sum is exact integer
+    addition — quantize-then-sum. Final top-5 re-ranks on the exact
+    integer fused score (ties on cand_id).
+
+    At 100 TB the per-leg candidate generation is the ANN index probe
+    (similarity_ivf_topk); here both legs run the exact brute-force
+    scorer (the bounded-query-set baseline, QUERY_MOD device) capped at
+    depth 20 BEFORE fusion, so the fused state is |queries| x 40 rows.
+    """
+    vec = _vectors(spark, sf_dir)
+    norms = vec.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    q = norms.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        norms.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            (_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+            (
+                _dot("v", "v") - F.lit(2.0) * _dot("qv", "v")
+                + _dot("qv", "qv")
+            ).alias("dist2"),
+        )
+    )
+    w_cos = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), "cand_id"
+    )
+    w_euc = Window.partitionBy("q_id").orderBy(
+        F.col("dist2").asc(), "cand_id"
+    )
+    ranked = scored.select(
+        "q_id",
+        "cand_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_euc).alias("r_euc"),
+    )
+    contrib = ranked.select(
+        "q_id",
+        "cand_id",
+        (
+            F.when(
+                F.col("r_cos") <= RRF_DEPTH,
+                F.round(F.lit(1e12) / (F.lit(RRF_K) + F.col("r_cos"))).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("r_euc") <= RRF_DEPTH,
+                F.round(F.lit(1e12) / (F.lit(RRF_K) + F.col("r_euc"))).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("rrf_e12"),
+    ).filter(F.col("rrf_e12") > 0)
+    w_fused = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_e12").desc(), "cand_id"
+    )
+    return contrib.select(
+        "q_id", "cand_id", "rrf_e12", F.row_number().over(w_fused).alias("rn")
+    ).filter(F.col("rn") <= TOPK)
+
+
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    — the cluster-geometry audit ("are class/source embeddings
+    separable, collapsing, or drifting?") run over every labeled corpus
+    before training a classifier on it.
+
+    Two exactness devices compose: (1) each embedding component
+    quantizes to an e6 BIGINT BEFORE the per-label sum, so the centroid
+    numerator is an exact agg-order-free integer vector; (2) cosine is
+    SCALE-INVARIANT, so cosine(sum_a, sum_b) == cosine(mean_a, mean_b)
+    and the 1/n division never happens — the closing expression is the
+    PCA device's index-order fold over the two exact integer vectors
+    cast to double (identical to DuckDB's list_dot_product).
+
+    At 100 TB: one corpus pass into (label, dim) integer sums (map-side
+    combined, |labels| x dim rows); the |labels|^2/2 pair matrix is
+    driver-trivial.
+    """
+    vec = load_parallel(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            " x -> cast(round(x * 1e6) as bigint))"
+        ).alias("vq"),
+    )
+    sums = (
+        vec.select("label", F.posexplode("vq").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+    cent = sums.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(pos, s))),"
+            " t -> cast(t.s as double))"
+        ).alias("cv"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("n_vecs").alias("n_a"),
+        F.col("cv").alias("cv_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("n_vecs").alias("n_b"),
+        F.col("cv").alias("cv_b"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            (
+                _dot("cv_a", "cv_b")
+                / (F.sqrt(_dot("cv_a", "cv_a")) * F.sqrt(_dot("cv_b", "cv_b")))
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
 QUERIES = {
     "pca_power_iteration": q_pca_power_iteration,
+    "rank_fusion_rrf": q_rank_fusion_rrf,
+    "label_centroid_similarity": q_label_centroid_similarity,
     "similarity_topk": q_similarity_topk,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
@@ -1359,3 +1508,68 @@ SELECT q_id, nn_id, cosine FROM (
 ORACLE["ann_recall_report"] = _ann_recall_oracle().format(
     ann_sql=ORACLE["similarity_ann_lsh"]
 )
+
+ORACLE["rank_fusion_rrf"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(c.v, c.v))) AS cosine,
+         list_dot_product(c.v, c.v) - 2.0 * list_dot_product(q.v, c.v)
+           + list_dot_product(q.v, q.v) AS dist2
+  FROM e q, e c
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT q_id, cand_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, cand_id) AS r_cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dist2 ASC, cand_id) AS r_euc
+  FROM scored
+),
+contrib AS (
+  SELECT q_id, cand_id,
+         (CASE WHEN r_cos <= {RRF_DEPTH}
+               THEN CAST(round(1e12 / ({RRF_K} + r_cos)) AS BIGINT)
+               ELSE 0 END
+          + CASE WHEN r_euc <= {RRF_DEPTH}
+                 THEN CAST(round(1e12 / ({RRF_K} + r_euc)) AS BIGINT)
+                 ELSE 0 END) AS rrf_e12
+  FROM ranked
+)
+SELECT q_id, cand_id, rrf_e12, CAST(rn AS INT) AS rn FROM (
+  SELECT q_id, cand_id, rrf_e12,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY rrf_e12 DESC, cand_id) AS rn
+  FROM contrib WHERE rrf_e12 > 0
+) WHERE rn <= {TOPK}
+"""
+
+ORACLE["label_centroid_similarity"] = """
+WITH vq AS (
+  SELECT label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1e6) AS BIGINT)) AS vq
+  FROM embeddings
+),
+sums AS (
+  SELECT label, CAST(i AS INT) AS pos,
+         SUM(vq[CAST(i AS INT)]) AS s, COUNT(*) AS n
+  FROM vq, range(1, 10000) r(i)
+  WHERE CAST(i AS INT) <= len(vq)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, MAX(n) AS n_vecs,
+         list(CAST(s AS DOUBLE) ORDER BY pos) AS cv
+  FROM sums GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(a.n_vecs AS BIGINT) AS n_a, CAST(b.n_vecs AS BIGINT) AS n_b,
+       list_dot_product(a.cv, b.cv)
+         / (sqrt(list_dot_product(a.cv, a.cv))
+            * sqrt(list_dot_product(b.cv, b.cv))) AS centroid_cosine
+FROM cent a JOIN cent b ON a.label < b.label
+"""

@@ -1308,9 +1308,75 @@ def feature_hash(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_unigram_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average log-probability under an add-one-smoothed
+    corpus UNIGRAM language model — the CCNet-style LM quality filter
+    (documents far below the corpus-typical log-prob are boilerplate,
+    gibberish, or wrong-language; the production variant swaps the
+    unigram table for a KenLM scorer, same plan shape).
+
+    logp(token) = ln((c+1) / (N+V)) is computed ONCE PER TOKEN TYPE on
+    the vocab histogram and quantized to an e9 BIGINT (one identical
+    division + ln + round in both engines, the psi ln-contract); each
+    document's total is then the exact integer sum(tf * logp_e9) — the
+    quantize-then-sum device, so no order-dependent float accumulation
+    exists. avg_logp is one closing division.
+
+    At 100 TB: corpus -> (token, c) histogram (map-side combined, one
+    exchange), doc-token tfs join the token-keyed logp map on the same
+    key — two vocabulary-keyed shuffles total, Zipf heads ride AQE
+    skew-split. The vocab-wide scalar (N+V) is a window over the
+    HISTOGRAM, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        _with_tokens(docs)
+        .select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    hist = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    wall = Window.partitionBy()
+    lm = hist.select(
+        "token",
+        F.round(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (
+                    F.sum("c").over(wall) + F.count("*").over(wall)
+                ).cast("double")
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("logp_e9"),
+    )
+    return (
+        tf.join(lm, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("logp_e9")).alias("sum_logp_e9"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_logp_e9",
+            (
+                F.col("sum_logp_e9").cast("double")
+                / 1e9
+                / F.col("n_tokens").cast("double")
+            ).alias("avg_logp"),
+        )
+    )
+
+
 QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "unigram_doc_logprob": q_unigram_doc_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
     "token_source_pmi": q_token_source_pmi,
     "text_stats": q_text_stats,
@@ -1397,6 +1463,28 @@ SELECT p.bucket, p.n_docs, p.n_tokens,
               OVER (ORDER BY p.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_vocab
 FROM per_bucket p LEFT JOIN new_types n ON n.bucket = p.bucket
+""",
+    "unigram_doc_logprob": f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS token FROM t)
+  GROUP BY 1, 2
+),
+hist AS (SELECT token, SUM(tf) AS c FROM tf GROUP BY token),
+lm AS (
+  SELECT token,
+         CAST(round(ln(CAST(c + 1 AS DOUBLE)
+                       / CAST(SUM(c) OVER () + COUNT(*) OVER () AS DOUBLE))
+                    * 1e9) AS BIGINT) AS logp_e9
+  FROM hist
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf * logp_e9) AS BIGINT) AS sum_logp_e9,
+       CAST(SUM(tf * logp_e9) AS DOUBLE) / 1e9
+         / CAST(SUM(tf) AS DOUBLE) AS avg_logp
+FROM tf JOIN lm USING (token) GROUP BY doc_id
 """,
     "inverted_index": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),

@@ -115,6 +115,39 @@ def test_matches_sequential_greedy(spark, raw):
     assert all(m is not None for m, _ in out.values())
 
 
+def test_tail_finish_matches_distributed(spark):
+    """The hybrid driver tail finish must be byte-identical to the
+    fully distributed loop — same in_mis AND same decided_round —
+    whether it triggers immediately (default thresholds swallow a small
+    graph whole), mid-loop (tail_nodes=10 forces 1-2 distributed rounds
+    first), or never (tail_nodes=0)."""
+    import random
+
+    rng = random.Random(20260815)
+    pairs = [
+        (u, v)
+        for u, v in {
+            (rng.randrange(40), rng.randrange(40)) for _ in range(120)
+        }
+        if u != v
+    ]
+    ce = canonical_edges(spark.createDataFrame(pairs, "u long, v long"))
+
+    def run(**kw):
+        out = {
+            r.node: (r.in_mis, r.decided_round)
+            for r in mis_greedy(ce, **kw).collect()
+        }
+        spark.catalog.clearCache()
+        return out
+
+    distributed = run(tail_nodes=0)
+    assert run() == distributed  # tail takes over at round 1
+    assert run(tail_nodes=10) == distributed  # tail joins mid-loop
+    # too-dense guard: an edge budget of 0 must keep it distributed
+    assert run(tail_edges=0) == distributed
+
+
 def test_mis_converges_within_oracle_unroll_at_sf001(spark):
     """The driver's oracle unrolls _MIS_ORACLE_ROUNDS rounds; the Spark
     fixpoint must converge (max decided_round) comfortably inside that
