@@ -299,12 +299,24 @@ def pcm_waveform_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n") > 0)
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batch-wide vectorization: one flat sample array for the whole
+        # Arrow batch (repeat/cumsum index algebra), split at clip
+        # boundaries — the per-clip python loop this replaced was the
+        # hot path (50k clips x tiny numpy calls).
         for pdf in batches:
-            payloads = []
-            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
-                i = np.arange(int(n), dtype=np.int64)
-                s = (int(doc_id) * 31 + i * 7919) % 65536 - 32768
-                payloads.append(s.astype("<i2").tobytes())
+            if not len(pdf):
+                yield pd.DataFrame({"doc_id": [], "pcm": []})
+                continue
+            n = pdf["n"].to_numpy(dtype=np.int64)
+            did = pdf["doc_id"].to_numpy(dtype=np.int64)
+            ends = np.cumsum(n)
+            starts = ends - n
+            idx = np.arange(int(ends[-1]) if len(n) else 0, dtype=np.int64)
+            idx -= np.repeat(starts, n)
+            s = (
+                (np.repeat(did, n) * 31 + idx * 7919) % 65536 - 32768
+            ).astype("<i2")
+            payloads = [a.tobytes() for a in np.split(s, ends[:-1])]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "pcm": payloads})
 
     return docs.mapInPandas(pack, "doc_id long, pcm binary")
@@ -334,24 +346,37 @@ def q_multimodal_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav = pcm_waveform_table(spark, sf_dir)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batch-wide vectorization: decode the whole Arrow batch into
+        # ONE flat int64 array and compute every per-clip statistic as
+        # a segmented reduce (add/maximum.reduceat) — no per-clip
+        # python loop. Zero crossings use a cumulative-sum difference
+        # so clip boundaries never count as crossings.
         for pdf in batches:
-            rows = {k: [] for k in (
-                "doc_id", "n_samples", "peak_abs", "sum_amp", "sum_sq",
-                "n_zero_cross",
-            )}
-            for doc_id, buf in zip(pdf["doc_id"], pdf["pcm"]):
-                s = np.frombuffer(buf, dtype="<i2").astype(np.int64)
-                rows["doc_id"].append(int(doc_id))
-                rows["n_samples"].append(len(s))
-                rows["peak_abs"].append(int(np.max(np.abs(s))))
-                rows["sum_amp"].append(int(np.sum(s)))
-                rows["sum_sq"].append(int(np.sum(s * s)))
-                rows["n_zero_cross"].append(
-                    int(np.sum((s[:-1] >= 0) != (s[1:] >= 0)))
-                    if len(s) > 1
-                    else 0
-                )
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            bufs = list(pdf["pcm"])
+            n = np.fromiter(
+                (len(b) // 2 for b in bufs), dtype=np.int64, count=len(bufs)
+            )
+            s = np.frombuffer(b"".join(bufs), dtype="<i2").astype(np.int64)
+            ends = np.cumsum(n)
+            starts = ends - n
+            sum_amp = np.add.reduceat(s, starts)
+            sum_sq = np.add.reduceat(s * s, starts)
+            peak = np.maximum.reduceat(np.abs(s), starts)
+            x = ((s[:-1] >= 0) != (s[1:] >= 0)).astype(np.int64)
+            cx = np.concatenate(([0], np.cumsum(x)))
+            zc = np.where(n > 1, cx[ends - 1] - cx[starts], 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "n_samples": n,
+                    "peak_abs": peak,
+                    "sum_amp": sum_amp,
+                    "sum_sq": sum_sq,
+                    "n_zero_cross": zc,
+                }
+            )
 
     stats = wav.mapInPandas(decode, PCM_SCHEMA)
     return stats.select(
