@@ -145,6 +145,10 @@ def test_similarity_topk_broadcasts_query_vectors(spark):
         "outliers_mad",
         "approx_topk_items",
         "bpe_encode",
+        "ks_two_sample",
+        "js_divergence_sources",
+        "rank_fusion_rrf",
+        "unigram_doc_logprob",
     ],
 )
 def test_no_cartesian_products_anywhere(spark, qname):
