@@ -584,6 +584,14 @@ def main() -> None:
             ("triangle_counts", "kcore"),
             ("triangle_counts", "label_propagation"),
             ("kcore", "label_propagation"),
+            # Checkpoint-memo families (the _LANDMARK_MEMO/_SCC_MEMO
+            # device): without the pin, a reversed pass runs a consumer
+            # first, the consumer pays the fixpoint, and the producer's
+            # min-of-passes becomes a dict lookup (r7 measured
+            # landmark_distances "min" 0.12s vs its real 12.6s median).
+            ("landmark_distances", "closeness_landmark"),
+            ("landmark_distances", "harmonic_centrality"),
+            ("scc", "condensation_dag"),
         ):
             names = [n for n, _ in ordered]
             if prod in names and cons in names:

@@ -63,6 +63,7 @@ def clear_convergence_memo() -> None:
     _DAG_STATE_MEMO.clear()
     _COOC_EDGES_MEMO.clear()
     _LANDMARK_MEMO.clear()
+    _SCC_MEMO.clear()
 
 
 def _sssp_dag_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,6 +903,27 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neg.select("src", "dst", "neg_dst")
 
 
+# Converged SCC labels shared between q_scc and q_condensation_dag —
+# the condensation is a projection over the SAME converged labels, so it
+# must not re-run the nested fixpoint (the _LANDMARK_MEMO device;
+# cleared per bench pass by clear_convergence_memo).
+_SCC_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SCC_MEMO.get(key)
+    if df is None:
+        from ..graph.scc import scc
+
+        edges = edges_from_lineitem(spark, sf_dir)
+        df = scc(edges.select("src", "dst")).checkpoint()
+        if len(_SCC_MEMO) > 8:
+            _SCC_MEMO.clear()
+        _SCC_MEMO[key] = df
+    return df
+
+
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of the B1 digraph — the 10th
     fixpoint pattern and the first NESTED one (trim peel + min-coloring
@@ -914,10 +936,7 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is a genuinely independent FORMULATION, not a replay:
     mutual reachability via one recursive closure, scc = min over
     {v : u <-> v}. Exact integer labels, so the hash is trivial."""
-    from ..graph.scc import scc
-
-    edges = edges_from_lineitem(spark, sf_dir)
-    return scc(edges.select("src", "dst"))
+    return _scc_labels(spark, sf_dir)
 
 
 def q_condensation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,14 +944,14 @@ def q_condensation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     component to one super-node and keep the distinct between-component
     edges with multiplicities: the cycle-free summary graph scheduling
     and reachability analyses actually run on (it is a DAG by
-    construction). One run of the scc fixpoint + two label joins onto
-    the edge list + one aggregate; the edge table shuffles once per
+    construction). Two label joins onto the edge list + one aggregate
+    over the MEMOIZED converged scc labels (the landmark-state device —
+    the condensation is the read path of the SCC index, not a second
+    run of the nested fixpoint); the edge table shuffles once per
     endpoint join.
     """
-    from ..graph.scc import scc
-
     edges = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
-    labels = scc(edges)
+    labels = _scc_labels(spark, sf_dir)
     return (
         edges.join(
             labels.select(
