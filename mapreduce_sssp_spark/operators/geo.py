@@ -20,14 +20,14 @@ O(rows x 9) keyed by cell, never all-pairs; a hot cell (urban density
 skew) rides AQE skew-split like every hot-key join. Cell size 1 degree
 >= the 50 km radius guarantees no missed LATITUDE neighbor anywhere,
 but one degree of LONGITUDE shrinks with cos(lat) and drops below
-50 km above ~63 degrees latitude — the 3x3 fan-out is only
-pair-complete for |lat| <= ~63. It is safe HERE because the synthetic
-layout keeps every qualifying pair within-city (max same-city lon
-spread 0.59 deg, verified numerically); for real high-latitude data,
-widen the longitude fan-out to ceil(1 / cos(lat)) neighbor columns
-(or a polar cap cell) before reusing this operator, or pairs are
-silently dropped. The antimeridian seam is likewise excluded by
-construction of the synthetic longitudes.
+50 km above ~63 degrees latitude — so the LONGITUDE fan-out widens
+per row with ceil(0.46 / cos(lat)) + 1 neighbor columns
+(blocked_pairs._LON_FANOUT), keeping the blocking pair-complete up to
+the 89-degree clamp (poleward of that, use a polar cap cell). The
+fan-out is still a small per-row constant (<= 3 x 13 cells at 85
+degrees). The antimeridian seam remains excluded by construction of
+the synthetic longitudes; real data spanning it needs a modular cell
+index.
 """
 
 from __future__ import annotations
@@ -76,13 +76,33 @@ _HAVERSINE = (
 )
 
 
-def q_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All customer pairs within 50 km (haversine), via 3x3 grid-cell
-    blocking — the canonical distributed radius join. One row per
-    unordered pair: ids, the two cells, and the distance in integer
-    meters (the rounded value IS the cutoff test, see module doc).
+# Longitude fan-out: 50 km of longitude spans 0.4492 deg / cos(lat); the
+# 0.46 numerator, the +0.45 deg latitude slack (the partner may sit up
+# to 50 km poleward), the ceil, and the +1 cell absorb cell-boundary
+# quantization and the east-west/great-circle gap with margin. Clamped
+# at 89 deg — poleward of that a grid block is the wrong structure
+# (use a polar cap cell); the synthetic data tops out at 85.
+_LON_FANOUT = (
+    "CAST(CEIL(0.46 / COS(RADIANS(LEAST(ABS({lat}) + 0.45, 89.0)))) AS INT)"
+    " + 1"
+)
+
+
+def blocked_pairs(pts: DataFrame) -> DataFrame:
+    """Grid-blocked radius join over (pid, lat, lon, cell_lat,
+    cell_lon) points: one row per unordered pair within GEO_RADIUS_M.
+
+    The latitude fan-out is the fixed +-1 cell (1 deg >= 50 km of
+    latitude everywhere); the LONGITUDE fan-out widens with
+    1/cos(lat) per row (_LON_FANOUT), so the blocking stays
+    pair-complete at high latitudes where 1 deg of longitude shrinks
+    below the radius — the general-data fix for the documented ~63 deg
+    bound of a fixed 3x3 scheme (tests/test_geo_blocking.py pins a
+    78-deg pair that a 3x3 would drop). Fan-out stays a small constant
+    per row (<= 3 x 13 cells at 85 deg), so the shuffle remains
+    O(rows x fanout) keyed by cell.
     """
-    pts = geo_points(spark, sf_dir)
+    w = F.expr(_LON_FANOUT.format(lat="lat"))
     left = pts.select(
         F.col("pid").alias("a_id"),
         F.col("lat").alias("a_lat"),
@@ -91,13 +111,14 @@ def q_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sequence(cell_lat - 1, cell_lat + 1)")
         ).alias("jl"),
         F.col("cell_lon").alias("a_cell_lon"),
+        w.alias("w_lon"),
     ).select(
         "a_id",
         "a_lat",
         "a_lon",
         "jl",
         F.explode(
-            F.expr("sequence(a_cell_lon - 1, a_cell_lon + 1)")
+            F.expr("sequence(a_cell_lon - w_lon, a_cell_lon + w_lon)")
         ).alias("jc"),
     )
     right = pts.select(
@@ -118,6 +139,17 @@ def q_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", dist.alias("dist_m"))
         .filter(F.col("dist_m") <= GEO_RADIUS_M)
     )
+
+
+def q_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 50 km (haversine), via latitude-aware
+    grid-cell blocking (see blocked_pairs) — the canonical distributed
+    radius join. One row per unordered pair: ids and the distance in
+    integer meters (the rounded value IS the cutoff test, see module
+    doc). The oracle is the UNBLOCKED theta join, so the hash match
+    proves the block decomposition lossless on this data.
+    """
+    return blocked_pairs(geo_points(spark, sf_dir))
 
 
 N_CITIES = 40
