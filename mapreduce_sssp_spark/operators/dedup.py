@@ -561,8 +561,222 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the first table every corpus
+    report ships ("which feeds are pasting the same page?"): document
+    count, distinct-text count, duplicate surplus, and the rate.
+
+    One map-side pass to (source, digest) + two counts; dup_rate is a
+    single int/int division. At 100 TB the shuffle carries 32-byte
+    digests keyed by (source, digest) — never document bodies (the
+    dedup_incremental contract).
+    """
+    docs = load_parallel(spark, sf_dir, "documents")
+    agg = (
+        docs.select("source", F.sha2("text", 256).alias("digest"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("digest").alias("n_unique"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_dup"),
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram contamination matrix: for every source
+    pair, how many distinct 3-gram shingles appear in BOTH, plus each
+    side's shingle vocabulary and the containment ratio against the
+    smaller side — the train/eval leakage measure (decontaminate_ngrams
+    REMOVES leaked documents; this reports WHERE the leakage lives,
+    pairwise), and between crawl feeds it quantifies mirror/boilerplate
+    overlap at the granularity dedup actually operates on.
+
+    (source, shingle) is distinct-ed FIRST, so copy counts never
+    inflate the overlap; the self-join is keyed on the shingle (the
+    inverted-index shape — sources meet only where a shingle collides,
+    never pairwise-by-rows), and a shingle shared by k sources costs
+    C(k,2) aggregate rows, bounded by |sources|^2. overlap is one
+    int/int division.
+    """
+    d = (
+        shingle_postings(load_table(spark, sf_dir, "documents"))
+        .join(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source"
+            ),
+            "doc_id",
+        )
+        .select("source", "s")
+        .distinct()
+    )
+    vocab = d.groupBy("source").agg(F.count("*").alias("n_vocab"))
+    a = d.select(F.col("source").alias("src_a"), "s")
+    b = d.select(F.col("source").alias("src_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    va = vocab.select(
+        F.col("source").alias("src_a"), F.col("n_vocab").alias("na")
+    )
+    vb = vocab.select(
+        F.col("source").alias("src_b"), F.col("n_vocab").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared", "na", "nb",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("na", "nb").cast("double")
+            ).alias("overlap"),
+        )
+    )
+
+
+def q_near_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster size histogram — the "how much will
+    dedup save?" report: one row per cluster size with the number of
+    clusters and the documents a keep-one policy removes. Computed
+    over the same verified minhash clusters as dedup_minhash_clusters
+    (pure projection: two small aggregates over the cluster labels).
+    """
+    clusters = q_dedup_minhash_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("canon_id").agg(F.count("*").alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "size",
+            "n_clusters",
+            ((F.col("size") - 1) * F.col("n_clusters")).alias("docs_removed"),
+        )
+    )
+
+
+MINHASH_ERR_K = 16  # md5-based audit signature length
+
+
+def q_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit: for every document pair with
+    exact Jaccard >= 0.5, the k=16 signature estimate (matching
+    positions / k) next to the exact value and the absolute error —
+    the calibration table that justifies (or indicts) an LSH
+    parameterization before a corpus-wide dedup run. E[est] = J with
+    sd sqrt(J(1-J)/k) ~ 0.125 at k=16, so per-pair errors up to ~0.3
+    are expected; the audit exists to SHOW that spread.
+
+    The audit signatures use the engine's portable-md5 device
+    (conv(substr(md5(i || '|' || shingle), 1, 15)) — 60-bit values,
+    identical integers in both engines) rather than the production
+    xxhash64 signatures, precisely so the estimate itself is
+    hash-checkable cross-engine. The eval-pair threshold compares
+    2*inter >= union in exact integers (no float 0.5 boundary).
+
+    At 100 TB: eval pairs come from the term-keyed inverted index
+    (shingle-collision join, never all-pairs); signatures are computed
+    ONLY for documents appearing in eval pairs (semi-join first), so
+    the k x md5 cost scales with the audited pair set, not the corpus.
+    """
+    post = _cache(_shingle_postings(spark, sf_dir))
+    sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("un"),
+        )
+        .filter(2 * F.col("inter") >= F.col("un"))
+    )
+    docs_in = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    post_f = post.join(docs_in, "doc_id", "left_semi")
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"h{i}")
+        for i in range(MINHASH_ERR_K)
+    ]
+    sig = post_f.groupBy("doc_id").agg(*aggs)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(MINHASH_ERR_K)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(MINHASH_ERR_K)],
+    )
+    match_cnt = sum(
+        (
+            F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
+            for i in range(MINHASH_ERR_K)
+        ),
+        F.lit(0),
+    )
+    scored = (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter", "un",
+            match_cnt.cast("long").alias("match_cnt"),
+        )
+    )
+    jacc = F.col("inter").cast("double") / F.col("un").cast("double")
+    est = F.col("match_cnt").cast("double") / float(MINHASH_ERR_K)
+    return scored.select(
+        "doc_a", "doc_b", "inter", "un",
+        jacc.alias("jaccard"),
+        "match_cnt",
+        est.alias("est_jaccard"),
+        F.round(F.abs(est - jacc) * 1e6).cast("long").alias("err_e6"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
+    "cross_source_contamination": q_cross_source_contamination,
+    "near_dup_cluster_stats": q_near_dup_cluster_stats,
+    "minhash_jaccard_error": q_minhash_jaccard_error,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -588,6 +802,92 @@ HAVING count(*) / (sa.n + sb.n - count(*)) >= {JACCARD_THRESHOLD}
 """
 
 ORACLE = {
+    "dedup_rate_by_source": """
+WITH agg AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_unique, n_docs - n_unique AS n_dup,
+       CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+FROM agg
+""",
+    "cross_source_contamination": f"""
+WITH sh0 AS ({DUCK_SHINGLES_REL}),
+d AS (SELECT DISTINCT doc.source, sh0.s
+      FROM sh0 JOIN documents doc USING (doc_id)),
+vocab AS (SELECT source, COUNT(*) AS n_vocab FROM d GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM d a JOIN d b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared, va.n_vocab AS na, vb.n_vocab AS nb,
+       CAST(n_shared AS DOUBLE) / CAST(LEAST(va.n_vocab, vb.n_vocab)
+                                       AS DOUBLE) AS overlap
+FROM shared JOIN vocab va ON va.source = src_a
+            JOIN vocab vb ON vb.source = src_b
+""",
+    "near_dup_cluster_stats": f"""
+WITH RECURSIVE pairs AS ({_EXACT_JACCARD_SQL}),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM und)
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(label) AS canon_id
+         FROM reach GROUP BY node),
+sizes AS (SELECT canon_id, COUNT(*) AS size FROM comp GROUP BY canon_id)
+SELECT size, COUNT(*) AS n_clusters,
+       (size - 1) * COUNT(*) AS docs_removed
+FROM sizes GROUP BY size
+""",
+    "minhash_jaccard_error": f"""
+WITH sh AS ({DUCK_SHINGLES_REL}),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b, i.inter, sa.n + sb.n - i.inter AS un
+  FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+               JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE 2 * i.inter >= sa.n + sb.n - i.inter
+),
+docs_in AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b FROM pairs)
+),
+sig AS (
+  SELECT sh.doc_id, CAST(i AS INT) AS i,
+         MIN(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s),
+                                  1, 15)) AS BIGINT)) AS h
+  FROM sh JOIN docs_in USING (doc_id), range(0, {MINHASH_ERR_K}) r(i)
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT p.doc_a, p.doc_b, p.inter, p.un,
+         SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS match_cnt
+  FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
+               JOIN sig b ON b.doc_id = p.doc_b AND b.i = a.i
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, inter, un,
+       CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard,
+       CAST(match_cnt AS BIGINT) AS match_cnt,
+       CAST(match_cnt AS DOUBLE) / {MINHASH_ERR_K}.0 AS est_jaccard,
+       CAST(round(abs(CAST(match_cnt AS DOUBLE) / {MINHASH_ERR_K}.0
+                      - CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)) * 1e6)
+            AS BIGINT) AS err_e6
+FROM m
+""",
     "shingle_containment": f"""
 WITH sh AS ({DUCK_SHINGLES_REL}),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)

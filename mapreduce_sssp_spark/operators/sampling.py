@@ -231,6 +231,44 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-utilization report per shard — the batch-efficiency
+    table a pretraining run prints before burning GPU hours: windows
+    cut, documents packed, character fill, mean utilization against
+    PACK_CAPACITY, and how many windows the no-split policy overfilled
+    (a straddling document belongs to the window its prefix started
+    in, so individual windows may exceed capacity while the MEAN fill
+    stays ~1).
+
+    Pure projection over the q_pack_sequences aggregate (per-shard
+    second aggregate on |shards| x |packs| rows); utilization is one
+    closing division on exact int64 sums.
+    """
+    packs = q_pack_sequences(spark, sf_dir)
+    return (
+        packs.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_chars").alias("total_chars"),
+            F.sum(
+                F.when(F.col("total_chars") > PACK_CAPACITY, 1).otherwise(0)
+            ).alias("n_over"),
+        )
+        .select(
+            "shard",
+            "n_packs",
+            "n_docs",
+            "total_chars",
+            "n_over",
+            (
+                F.col("total_chars").cast("double")
+                / (F.col("n_packs") * PACK_CAPACITY).cast("double")
+            ).alias("utilization"),
+        )
+    )
+
+
 def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data EXPORT: assign hash-bucket splits, write
     the corpus as split-partitioned parquet shards, read the shards
@@ -638,6 +676,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "domain_mix_sample": q_domain_mix_sample,
     "pack_sequences": q_pack_sequences,
+    "pack_efficiency_report": q_pack_efficiency_report,
     "export_training_shards": q_export_training_shards,
     "chunk_documents": q_chunk_documents,
     "length_buckets": q_length_buckets,
@@ -776,6 +815,30 @@ SELECT shard, pack_id, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM costed GROUP BY shard, pack_id
+""",
+    "pack_efficiency_report": f"""
+WITH costed AS (
+  SELECT doc_id % {PACK_SHARDS} AS shard, doc_id, n_chars,
+         CAST(floor(coalesce(sum(n_chars) OVER (
+             PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {PACK_CAPACITY}) AS BIGINT) AS pack_id
+  FROM documents
+),
+packs AS (
+  SELECT shard, pack_id, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM costed GROUP BY shard, pack_id
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(total_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN total_chars > {PACK_CAPACITY} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_over,
+       CAST(SUM(total_chars) AS DOUBLE)
+         / CAST(COUNT(*) * {PACK_CAPACITY} AS DOUBLE) AS utilization
+FROM packs GROUP BY shard
 """,
 }
 
