@@ -75,6 +75,14 @@ def hits(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_nodes = nodes.count()
+        if n_nodes == 0:
+            # Empty edge input: return the typed empty frame instead of
+            # dividing by the zero node count.
+            e.unpersist()
+            nodes.unpersist()
+            return spark.createDataFrame(
+                [], "node bigint, hub double, auth double"
+            )
         fwd = e.repartition(n_part, "src").persist(StorageLevel.MEMORY_AND_DISK)
         rev = e.repartition(n_part, "dst").persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -76,6 +76,12 @@ def pagerank(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_nodes = nodes.count()
+        if n_nodes == 0:
+            # Empty edge input: no nodes, no ranks — return the typed
+            # empty frame instead of dividing by the zero node count.
+            e.unpersist()
+            nodes.unpersist()
+            return spark.createDataFrame([], "node bigint, rank double")
 
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
         # Edge side carries 1/deg so each round multiplies, never
