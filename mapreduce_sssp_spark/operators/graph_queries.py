@@ -803,6 +803,150 @@ def q_bipartite_projection_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+LINKPRED_TOPK = 200
+# Absolute relay-degree cap, ANDed with the permille cap: LP relays
+# above this carry ~no signal (each contributes 1/ln(d) -> ~0.2 while
+# costing d^2 pair rows), and on THIS graph the d>=550 supplier hubs
+# are 0.5% of nodes — above the 99.9th permille's reach. Measured at
+# sf0.1: sum(d^2) 401M -> 17M pair rows with the cap at 64.
+LINKPRED_MAX_RELAY_DEG = 64
+# Query-batch restriction (the similarity_topk QUERY_MOD device):
+# production LP scores candidates for a BATCH of query nodes, not
+# all-pairs; one leg of the relay join filters to the seed set first,
+# so pair volume is sum(d^2)/|mod| instead of sum(d^2).
+LINKPRED_SEED_MOD = 100
+
+
+def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction candidate scoring on the undirected B1 graph:
+    for each QUERY node (the deterministic node % 100 == 0 seed batch
+    — the similarity_topk device) and each non-adjacent candidate
+    sharing >= 1 common neighbor, the common-neighbor count,
+    neighborhood Jaccard, and Adamic-Adar score (sum over common
+    neighbors of 1/ln(deg)) — the classic similarity-based LP triple
+    (Liben-Nowell & Kleinberg), emitted as the batch-wide top-200 by
+    Adamic-Adar. Batch restriction is the scale contract: one leg of
+    the relay join filters to seeds BEFORE the join, so pair volume is
+    sum(d^2)/|mod|, and a full sweep is just more batches.
+
+    Scale design is the capped-join story end-to-end: candidate pairs
+    assemble through the RELAY (the common neighbor), so a hub relay
+    contributes deg^2 pairs — the same quadratic driver as
+    two_hop_paths; relays above the exact 99.9th-permille degree OR
+    the absolute LINKPRED_MAX_RELAY_DEG are cut BEFORE the pair
+    self-join (production LP drops hub relays anyway: a node adjacent
+    to everything carries no link signal, the stopword problem again —
+    and on this graph the supplier hubs are 0.5% of nodes, below the
+    permille cap's reach, hence the absolute rail). Every relay has deg >= 2
+    (it neighbors both endpoints), so ln(deg) > 0. Per-relay 1/ln(deg)
+    quantizes to an e9 integer (one division + ln + round on identical
+    doubles, the psi ln-contract) and per-pair sums are exact integer
+    adds. Cap semantics follow bipartite_projection_capped: counts and
+    AA accumulate through KEPT relays only, while deg_u/deg_v stay the
+    TRUE degrees (scoring denominators are never truncated). Final
+    top-k is TakeOrdered on (aa_e9 DESC, u, v) — total order, no
+    global sort.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..graph.sssp import static_rounds
+
+    e = (
+        edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    )
+    # und feeds FOUR plan branches (adj twice via the union, the degree
+    # chain, and the direct-edge anti join) — persist under the clamp or
+    # the scan+distinct chain runs once per branch (dedup._cache lesson).
+    with static_rounds(spark):
+        und = (
+            e.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("x"),
+                F.greatest("src", "dst").alias("y"),
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    adj = und.select(F.col("x").alias("r"), F.col("y").alias("n")).union(
+        und.select(F.col("y").alias("r"), F.col("x").alias("n"))
+    )
+    deg = adj.groupBy("r").agg(F.count("*").alias("d"))
+    cap = _permille_cap(deg, "d")
+    # d >= 2: a degree-1 relay can never be a COMMON neighbor (and its
+    # ln(1) = 0 would blow up the AA reciprocal).
+    kept_relays = (
+        deg.join(
+            F.broadcast(cap),
+            (F.col("d") <= F.col("cap"))
+            & (F.col("d") <= LINKPRED_MAX_RELAY_DEG)
+            & (F.col("d") >= 2),
+        )
+        .select("r", "d")
+    )
+    # relay-keyed neighbor lists restricted to kept relays, with the
+    # relay's degree riding along for the AA contribution. Persisted
+    # under the partition clamp: the seed/candidate legs reference this
+    # subtree twice and exchange-reuse is unreliable for self-join
+    # shapes under AQE (the dedup._cache lesson).
+    with static_rounds(spark):
+        rel = (
+            adj.join(kept_relays, "r")
+            .select(
+                "r",
+                "n",
+                F.round(F.lit(1e9) / F.log(F.col("d").cast("double")))
+                .cast("long")
+                .alias("aa_contrib_e9"),
+            )
+            .repartition("r")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    seeds = rel.filter(F.col("n") % LINKPRED_SEED_MOD == 0).select(
+        "r", F.col("n").alias("u")
+    )
+    pairs = (
+        seeds.join(rel.select("r", F.col("n").alias("v"), "aa_contrib_e9"), "r")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("aa_contrib_e9").alias("aa_e9"),
+        )
+    )
+    non_edges = pairs.join(
+        und.select(
+            F.col("x").alias("cx"), F.col("y").alias("cy")
+        ),
+        (F.least("u", "v") == F.col("cx"))
+        & (F.greatest("u", "v") == F.col("cy")),
+        "left_anti",
+    )
+    du = deg.select(F.col("r").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("r").alias("v"), F.col("d").alias("deg_v"))
+    scored = (
+        non_edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            "deg_u",
+            "deg_v",
+            (
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("deg_u") + F.col("deg_v")
+                    - F.col("common_neighbors")
+                ).cast("double")
+            ).alias("jaccard"),
+            "aa_e9",
+        )
+    )
+    return scored.orderBy(
+        F.col("aa_e9").desc(), "u", "v"
+    ).limit(LINKPRED_TOPK)
+
+
 def q_graph_sample_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style k-hop neighbor sampling — the minibatch
     subgraph extraction every distributed GNN trainer runs: from a
@@ -1803,6 +1947,7 @@ QUERIES = {
     "two_hop_paths": q_two_hop_paths,
     "two_hop_paths_capped": q_two_hop_paths_capped,
     "bipartite_projection_capped": q_bipartite_projection_capped,
+    "link_prediction_scores": q_link_prediction_scores,
     "graph_sample_khop": q_graph_sample_khop,
     "negative_sampling": q_negative_sampling,
     "scc": q_scc,
@@ -2207,6 +2352,55 @@ SELECT s1, s2, n_shared, d1.deg AS deg1, d2.deg AS deg2,
        CAST(n_shared AS DOUBLE)
          / CAST(d1.deg + d2.deg - n_shared AS DOUBLE) AS jaccard
 FROM pairs JOIN deg d1 ON d1.s = s1 JOIN deg d2 ON d2.s = s2
+""",
+    "link_prediction_scores": f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM e WHERE src <> dst
+),
+adj AS (
+  SELECT x AS r, y AS n FROM und
+  UNION ALL
+  SELECT y AS r, x AS n FROM und
+),
+deg AS (SELECT r, COUNT(*) AS d FROM adj GROUP BY r),
+hist AS (SELECT d, COUNT(*) AS c FROM deg GROUP BY d),
+cum AS (SELECT d,
+               SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS nn
+        FROM hist),
+thr AS (SELECT MIN(d) AS cap FROM cum WHERE cum * 1000 >= nn * 999),
+rel AS (
+  SELECT a.r, a.n,
+         CAST(round(1e9 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT)
+           AS aa_contrib_e9
+  FROM adj a JOIN deg ON deg.r = a.r
+  WHERE deg.d <= (SELECT cap FROM thr)
+    AND deg.d <= {LINKPRED_MAX_RELAY_DEG}
+    AND deg.d >= 2
+),
+pairs AS (
+  SELECT a.n AS u, b.n AS v,
+         COUNT(*) AS common_neighbors,
+         CAST(SUM(b.aa_contrib_e9) AS BIGINT) AS aa_e9
+  FROM rel a JOIN rel b ON a.r = b.r AND a.n <> b.n
+  WHERE a.n % {LINKPRED_SEED_MOD} = 0
+  GROUP BY 1, 2
+),
+non_edges AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN und ON und.x = LEAST(p.u, p.v) AND und.y = GREATEST(p.u, p.v)
+  WHERE und.x IS NULL
+)
+SELECT ne.u, ne.v, ne.common_neighbors,
+       du.d AS deg_u, dv.d AS deg_v,
+       CAST(ne.common_neighbors AS DOUBLE)
+         / CAST(du.d + dv.d - ne.common_neighbors AS DOUBLE) AS jaccard,
+       ne.aa_e9
+FROM non_edges ne JOIN deg du ON du.r = ne.u JOIN deg dv ON dv.r = ne.v
+ORDER BY ne.aa_e9 DESC, ne.u, ne.v
+LIMIT {LINKPRED_TOPK}
 """,
     "graph_sample_khop": f"""
 WITH e AS (

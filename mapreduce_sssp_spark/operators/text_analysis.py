@@ -1373,10 +1373,147 @@ def q_unigram_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NB_EVAL_MOD = 5  # doc_id % 5 == 0 -> eval split, else train
+
+
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained and
+    evaluated distributed: add-one-smoothed per-language token
+    log-probs fit on the 80% train split (doc_id % 5 != 0), argmax
+    scoring on the eval split, output = the lang x predicted-lang
+    confusion matrix — a real trainable model next to
+    stump_split_finder, and the supervised companion to the q_lang_id
+    heuristic.
+
+    Exactness is the missing-feature decomposition: score(d, c) =
+    prior_e9(c) + len(d) * logp0_e9(c) + sum over seen (c, t) of
+    tf * (logp_e9(c,t) - logp0_e9(c)), where logp0(c) = ln(1/(N_c+V))
+    is the unseen-token probability. Every ln is quantized to an e9
+    BIGINT once per (class, token) BEFORE any aggregation (the psi
+    ln-contract), so scores are exact integers, the per-doc argmax is
+    an exact-integer row_number (ties to the lexicographically first
+    lang), and the confusion counts are trivially hash-stable.
+
+    At 100 TB: training is one (lang, token) map-side-combined count;
+    scoring joins doc tfs against the token-keyed model — the
+    unigram_doc_logprob shuffle times |classes| small rows per token,
+    with the doc x class score matrix partial-aggregated map-side.
+    The Zipf head rides AQE skew-split.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        _with_tokens(docs)
+        .select("doc_id", F.explode("toks").alias("token"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    train = tf.filter(F.col("doc_id") % NB_EVAL_MOD != 0)
+    ev = tf.filter(F.col("doc_id") % NB_EVAL_MOD == 0)
+
+    # Vocabulary size and per-class token mass over the TRAIN split.
+    vocab_n = train.select("token").distinct().count()
+    cls = train.groupBy("lang").agg(F.sum("tf").alias("n_c"))
+    n_train_docs = (
+        train.select("doc_id").distinct().count()
+    )
+    priors = (
+        train.select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs_c"))
+        .select(
+            F.col("lang").alias("cls"),
+            F.round(
+                F.log(
+                    F.col("docs_c").cast("double")
+                    / F.lit(float(n_train_docs))
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("prior_e9"),
+        )
+    )
+    logp0 = cls.select(
+        F.col("lang").alias("cls"),
+        F.round(
+            F.log(F.lit(1.0) / (F.col("n_c") + vocab_n).cast("double")) * 1e9
+        )
+        .cast("long")
+        .alias("logp0_e9"),
+    )
+    model = (
+        train.groupBy("lang", "token")
+        .agg(F.sum("tf").alias("c_tc"))
+        .join(cls, "lang")
+        .select(
+            F.col("lang").alias("cls"),
+            "token",
+            F.round(
+                F.log(
+                    (F.col("c_tc") + 1).cast("double")
+                    / (F.col("n_c") + vocab_n).cast("double")
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("logp_e9"),
+        )
+        .join(logp0, "cls")
+        .select(
+            "cls",
+            "token",
+            (F.col("logp_e9") - F.col("logp0_e9")).alias("delta_e9"),
+        )
+    )
+    # Per-doc base terms: len(d) * logp0(c) + prior(c) for every class.
+    doc_len = ev.groupBy("doc_id", "lang").agg(
+        F.sum("tf").alias("n_tokens")
+    )
+    base = doc_len.crossJoin(
+        F.broadcast(priors.join(logp0, "cls"))
+    ).select(
+        "doc_id",
+        "lang",
+        "cls",
+        (
+            F.col("prior_e9") + F.col("n_tokens") * F.col("logp0_e9")
+        ).alias("base_e9"),
+    )
+    seen = (
+        ev.join(model, "token")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum(F.col("tf") * F.col("delta_e9")).alias("seen_e9"))
+    )
+    scores = base.join(seen, ["doc_id", "cls"], "left").select(
+        "doc_id",
+        "lang",
+        "cls",
+        (F.col("base_e9") + F.coalesce("seen_e9", F.lit(0))).alias(
+            "score_e9"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e9").desc(), "cls"
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("cls").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
 QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "unigram_doc_logprob": q_unigram_doc_logprob,
+    "nb_lang_classifier": q_nb_lang_classifier,
     "tfidf_top_terms": q_tfidf_top_terms,
     "token_source_pmi": q_token_source_pmi,
     "text_stats": q_text_stats,
@@ -1463,6 +1600,66 @@ SELECT p.bucket, p.n_docs, p.n_tokens,
               OVER (ORDER BY p.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_vocab
 FROM per_bucket p LEFT JOIN new_types n ON n.bucket = p.bucket
+""",
+    "nb_lang_classifier": f"""
+WITH t AS (SELECT doc_id, lang, {DUCK_TOKENS} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, lang, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, lang, UNNEST(toks) AS token FROM t)
+  GROUP BY 1, 2, 3
+),
+train AS (SELECT * FROM tf WHERE doc_id % {NB_EVAL_MOD} <> 0),
+ev AS (SELECT * FROM tf WHERE doc_id % {NB_EVAL_MOD} = 0),
+vn AS (SELECT COUNT(DISTINCT token) AS v FROM train),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM train),
+cls AS (SELECT lang, SUM(tf) AS n_c FROM train GROUP BY lang),
+priors AS (
+  SELECT lang AS cls,
+         CAST(round(ln(CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+                       / (SELECT CAST(n AS DOUBLE) FROM nd)) * 1e9)
+              AS BIGINT) AS prior_e9
+  FROM train GROUP BY lang
+),
+logp0 AS (
+  SELECT lang AS cls,
+         CAST(round(ln(1.0 / CAST(n_c + (SELECT v FROM vn) AS DOUBLE))
+                    * 1e9) AS BIGINT) AS logp0_e9
+  FROM cls
+),
+model AS (
+  SELECT tr.lang AS cls, tr.token,
+         CAST(round(ln(CAST(SUM(tr.tf) + 1 AS DOUBLE)
+                       / CAST(c.n_c + (SELECT v FROM vn) AS DOUBLE))
+                    * 1e9) AS BIGINT) - l.logp0_e9 AS delta_e9
+  FROM train tr JOIN cls c ON c.lang = tr.lang
+                JOIN logp0 l ON l.cls = tr.lang
+  GROUP BY tr.lang, tr.token, c.n_c, l.logp0_e9
+),
+doclen AS (SELECT doc_id, lang, SUM(tf) AS n_tokens
+           FROM ev GROUP BY 1, 2),
+base AS (
+  SELECT d.doc_id, d.lang, p.cls,
+         p.prior_e9 + d.n_tokens * l.logp0_e9 AS base_e9
+  FROM doclen d CROSS JOIN priors p JOIN logp0 l ON l.cls = p.cls
+),
+seen AS (
+  SELECT e.doc_id, m.cls, SUM(e.tf * m.delta_e9) AS seen_e9
+  FROM ev e JOIN model m ON m.token = e.token GROUP BY 1, 2
+),
+scores AS (
+  SELECT b.doc_id, b.lang, b.cls,
+         b.base_e9 + COALESCE(s.seen_e9, 0) AS score_e9
+  FROM base b LEFT JOIN seen s ON s.doc_id = b.doc_id AND s.cls = b.cls
+),
+pred AS (
+  SELECT lang, cls AS pred_lang FROM (
+    SELECT lang, cls,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_e9 DESC, cls) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2
 """,
     "unigram_doc_logprob": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
