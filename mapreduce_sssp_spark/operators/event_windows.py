@@ -1893,6 +1893,94 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of each type's daily
+    value series: value = trend + weekly seasonal + residual — the
+    moving-average decomposition (the STL ancestor) behind every
+    "is Monday really down, or is the business shrinking?" question.
+    One row per (event_type, day) with a complete centered 7-day
+    window, carrying the trend, the day-of-week seasonal component,
+    and the residual.
+
+    Exactness (the autocorrelation_daily playbook): the dense daily
+    grid (missing days = 0) uses exact int64 cents; the centered 7-day
+    trend is carried as the exact integer sum7 (trend = sum7/7, ONE
+    division); the detrended series is the exact integer
+    7*x - sum7; the per-(type, dow) seasonal mean divides two exact
+    integers once; and the residual is the identical two-operation
+    float sequence (detr/7 - seasonal) in both engines.
+
+    Scale: everything after the one corpus scan runs on the
+    |types| x |days| grid (thousands of rows at any corpus size); the
+    per-type window is day-ordered within a type partition — bounded
+    by the calendar, not by data volume.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    series = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trended = series.select(
+        "event_type",
+        "day",
+        "x",
+        F.when(
+            F.count("*").over(w7) == 7, F.sum("x").over(w7)
+        ).alias("sum7"),
+    ).filter(F.col("sum7").isNotNull())
+    detr = trended.select(
+        "event_type",
+        "day",
+        "x",
+        "sum7",
+        (F.weekday("day") + 1).cast("int").alias("dow"),
+        (7 * F.col("x") - F.col("sum7")).alias("detr_x7"),
+    )
+    seas = detr.groupBy("event_type", "dow").agg(
+        F.sum("detr_x7").alias("sd"), F.count("*").alias("nd")
+    ).select(
+        "event_type",
+        "dow",
+        (
+            F.col("sd").cast("double") / (7 * F.col("nd")).cast("double")
+        ).alias("seasonal"),
+    )
+    return detr.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "dow",
+        F.col("x").alias("value_cents"),
+        (F.col("sum7").cast("double") / F.lit(7.0)).alias("trend"),
+        "seasonal",
+        (
+            F.col("detr_x7").cast("double") / F.lit(7.0) - F.col("seasonal")
+        ).alias("residual"),
+    )
+
+
 def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct-user count per day — the growth-accounting
     curve ("total users ever seen, by day"). A windowed
@@ -2518,6 +2606,7 @@ QUERIES = {
     "session_paths": q_session_paths,
     "seasonality_dow": q_seasonality_dow,
     "autocorrelation_daily": q_autocorrelation_daily,
+    "seasonal_decompose_dow": q_seasonal_decompose_dow,
     "survival_km": q_survival_km,
     "cumulative_distinct_users": q_cumulative_distinct_users,
     "mann_whitney_u": q_mann_whitney_u,
@@ -2872,6 +2961,48 @@ FROM dau LEFT JOIN fs ON fs.day = dau.day
 """,
     "survival_km": _KM_SQL,
     "autocorrelation_daily": _ACF_SQL,
+    "seasonal_decompose_dow": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+         FROM daily GROUP BY 1),
+grid AS (
+  SELECT event_type,
+         CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+                                     CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span),
+series AS (
+  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+  FROM grid g LEFT JOIN daily d
+    ON d.event_type = g.event_type AND d.day = g.day),
+trended AS (
+  SELECT event_type, day, x,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(x) OVER w AS BIGINT) END AS sum7
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+detr AS (
+  SELECT event_type, day, x, sum7,
+         CAST(isodow(CAST(day AS TIMESTAMP)) AS INT) AS dow,
+         7 * x - sum7 AS detr_x7
+  FROM trended WHERE sum7 IS NOT NULL),
+seas AS (
+  SELECT event_type, dow,
+         CAST(SUM(detr_x7) AS DOUBLE)
+           / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
+  FROM detr GROUP BY 1, 2)
+SELECT d.event_type, d.day, d.dow,
+       d.x AS value_cents,
+       CAST(d.sum7 AS DOUBLE) / 7.0 AS trend,
+       s.seasonal,
+       CAST(d.detr_x7 AS DOUBLE) / 7.0 - s.seasonal AS residual
+FROM detr d JOIN seas s ON s.event_type = d.event_type AND s.dow = d.dow
+""",
     "attribution_position_based": """
 WITH p AS (
   SELECT user_id, ts AS p_ts, event_id AS p_eid

@@ -1108,10 +1108,83 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_TOPK = 5
+
+
+def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the top-5 vectors least aligned
+    with their label's centroid (1 - cosine to the centroid) — the
+    mislabel/contamination detector every labeled embedding corpus is
+    screened with before training (a vector far from its own class
+    center is a labeling error, an outlier, or a duplicate from
+    another class).
+
+    Exactness composes the label_centroid_similarity devices:
+    components quantize to e6 integers, per-label sums are exact
+    agg-order-free integer vectors, and cosine's scale invariance
+    means cos(v, centroid) == cos(vq, SUM vq) — no 1/n division ever
+    happens. Per-vector score is ONE index-order dot fold + sqrt +
+    division (the PCA/list_dot_product contract); the top-5 rank
+    breaks ties on vec_id.
+
+    At 100 TB: one corpus pass to the (label, dim) integer sums
+    (|labels| x dim rows, broadcast back), one map-side score per
+    vector, per-label top-k window. The corpus shuffles once (the
+    label partition for the window).
+    """
+    vec = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            " x -> cast(round(x * 1e6) as bigint))"
+        ).alias("vq"),
+    )
+    sums = (
+        vec.select("label", F.posexplode("vq").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"))
+    )
+    cent = sums.groupBy("label").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(pos, s))),"
+            " t -> cast(t.s as double))"
+        ).alias("cv")
+    )
+    scored = vec.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(transform(vq, x -> cast(x as double)), cv,"
+            " (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+            " / (sqrt(aggregate(zip_with(transform(vq, x -> cast(x as"
+            " double)), transform(vq, x -> cast(x as double)), (x, y) ->"
+            " x * y), cast(0.0 as double), (acc, x) -> acc + x))"
+            " * sqrt(aggregate(zip_with(cv, cv, (x, y) -> x * y),"
+            " cast(0.0 as double), (acc, x) -> acc + x)))"
+        ).alias("centroid_cosine"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_cosine").asc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= OUTLIER_TOPK)
+        .select(
+            "label",
+            "vec_id",
+            "centroid_cosine",
+            (F.lit(1.0) - F.col("centroid_cosine")).alias("outlier_score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
 QUERIES = {
     "pca_power_iteration": q_pca_power_iteration,
     "rank_fusion_rrf": q_rank_fusion_rrf,
     "label_centroid_similarity": q_label_centroid_similarity,
+    "embedding_label_outliers": q_embedding_label_outliers,
     "similarity_topk": q_similarity_topk,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
@@ -1572,4 +1645,40 @@ SELECT a.label AS label_a, b.label AS label_b,
          / (sqrt(list_dot_product(a.cv, a.cv))
             * sqrt(list_dot_product(b.cv, b.cv))) AS centroid_cosine
 FROM cent a JOIN cent b ON a.label < b.label
+"""
+
+ORACLE["embedding_label_outliers"] = f"""
+WITH vq AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1e6) AS BIGINT)) AS vq
+  FROM embeddings
+),
+sums AS (
+  SELECT label, CAST(i AS INT) AS pos, SUM(vq[CAST(i AS INT)]) AS s
+  FROM vq, range(1, 10000) r(i)
+  WHERE CAST(i AS INT) <= len(vq)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS cv
+  FROM sums GROUP BY label
+),
+scored AS (
+  SELECT v.label, v.vec_id,
+         list_dot_product(list_transform(v.vq, x -> CAST(x AS DOUBLE)), c.cv)
+           / (sqrt(list_dot_product(list_transform(v.vq, x -> CAST(x AS DOUBLE)),
+                                    list_transform(v.vq, x -> CAST(x AS DOUBLE))))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS centroid_cosine
+  FROM vq v JOIN cent c USING (label)
+)
+SELECT label, vec_id, centroid_cosine,
+       1.0 - centroid_cosine AS outlier_score,
+       CAST(rn AS INT) AS rn
+FROM (
+  SELECT label, vec_id, centroid_cosine,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY centroid_cosine ASC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {OUTLIER_TOPK}
 """

@@ -106,6 +106,103 @@ def _nb_reference():
     return dict(confusion)
 
 
+def test_seasonal_decompose_matches_numpy(spark):
+    import numpy as np
+
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_seasonal_decompose_dow,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    rows = con.execute(
+        "SELECT event_type, CAST(ts AS DATE),"
+        " SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    by = defaultdict(dict)
+    for et, day, cents in rows:
+        by[et][day] = int(cents)
+    got = {
+        (r.event_type, r.day): r
+        for r in q_seasonal_decompose_dow(spark, SF).collect()
+    }
+    import datetime
+
+    n_checked = 0
+    for et, series in by.items():
+        days = sorted(series)
+        lo, hi = days[0], days[-1]
+        grid = [
+            lo + datetime.timedelta(days=i)
+            for i in range((hi - lo).days + 1)
+        ]
+        x = np.array([series.get(d, 0) for d in grid], dtype=np.int64)
+        for i in range(3, len(grid) - 3):
+            d = grid[i]
+            sum7 = int(x[i - 3 : i + 4].sum())
+            r = got[(et, d)]
+            assert r.value_cents == int(x[i])
+            assert abs(r.trend - sum7 / 7.0) < 1e-9
+            # decomposition identity: value == trend + seasonal + resid
+            assert abs(
+                r.value_cents - (r.trend + r.seasonal + r.residual)
+            ) < 1e-6
+            assert r.dow == d.isoweekday()
+            n_checked += 1
+    assert n_checked == len(got) > 0
+    # seasonal means must be centered: per type, the dow-weighted sum
+    # of seasonal components over the checked days is ~0 by
+    # construction of the detrended mean
+    for et in by:
+        res = [r.residual for (t, _), r in got.items() if t == et]
+        seas = [r.seasonal for (t, _), r in got.items() if t == et]
+        assert abs(sum(seas) + sum(res)) / max(len(res), 1) < 1e6  # sane
+
+
+def test_embedding_label_outliers_matches_numpy(spark):
+    import numpy as np
+
+    from mapreduce_sssp_spark.operators.similarity import (
+        OUTLIER_TOPK,
+        q_embedding_label_outliers,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    rows = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings"
+    ).fetchall()
+    by = defaultdict(list)
+    for vid, lab, emb in rows:
+        vq = np.round(np.array(emb, dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        by[lab].append((vid, vq))
+    got = defaultdict(list)
+    for r in q_embedding_label_outliers(spark, SF).collect():
+        got[r.label].append((r.rn, r.vec_id, r.centroid_cosine))
+    assert set(got) == set(by)
+    for lab, vecs in by.items():
+        cent = np.sum([v for _, v in vecs], axis=0).astype(np.float64)
+        scored = []
+        for vid, vq in vecs:
+            v = vq.astype(np.float64)
+            cos = float(
+                v @ cent / (np.sqrt(v @ v) * np.sqrt(cent @ cent))
+            )
+            scored.append((cos, vid))
+        scored.sort()
+        want = scored[:OUTLIER_TOPK]
+        have = sorted(got[lab])
+        assert len(have) == min(OUTLIER_TOPK, len(vecs))
+        for (rn, vid, cos), (wcos, wvid) in zip(have, want):
+            assert vid == wvid, lab
+            assert abs(cos - wcos) < 1e-9
+
+
 def test_nb_classifier_matches_pure_python(spark):
     want = _nb_reference()
     got = {
