@@ -1981,6 +1981,56 @@ def q_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHURN_HORIZON_DAYS = 14
+
+
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label generation — the supervised-learning label table a
+    retention model trains on: one row per (user, active day) with the
+    gap to the user's next activity and a three-way label — returned
+    (next activity within 14 days), churned (observed gap > 14 days),
+    or censored (no later activity AND the observation window ends
+    within 14 days, so the outcome is unknowable — the survival_km
+    censoring discipline applied to label generation; training on
+    censored rows as churn is the classic leakage-adjacent bug this
+    operator exists to prevent).
+
+    One distinct to (user, day), one lead window per user, one scalar
+    max-day broadcast. All arithmetic is integer day differences;
+    labels are CASE branches on identical comparisons.
+    """
+    from pyspark.sql import Window
+
+    active = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    horizon = active.agg(F.max("day").alias("max_day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    nxt = active.withColumn("next_day", F.lead("day").over(w))
+    gap = F.datediff("next_day", "day")
+    label = (
+        F.when(
+            F.col("next_day").isNotNull()
+            & (gap <= CHURN_HORIZON_DAYS),
+            F.lit("returned"),
+        )
+        .when(F.col("next_day").isNotNull(), F.lit("churned"))
+        .when(
+            F.datediff("max_day", "day") > CHURN_HORIZON_DAYS,
+            F.lit("churned"),
+        )
+        .otherwise(F.lit("censored"))
+    )
+    return nxt.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "day",
+        gap.cast("int").alias("days_to_return"),
+        label.alias("label"),
+    )
+
+
 def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct-user count per day — the growth-accounting
     curve ("total users ever seen, by day"). A windowed
@@ -2607,6 +2657,7 @@ QUERIES = {
     "seasonality_dow": q_seasonality_dow,
     "autocorrelation_daily": q_autocorrelation_daily,
     "seasonal_decompose_dow": q_seasonal_decompose_dow,
+    "churn_labels": q_churn_labels,
     "survival_km": q_survival_km,
     "cumulative_distinct_users": q_cumulative_distinct_users,
     "mann_whitney_u": q_mann_whitney_u,
@@ -2961,6 +3012,28 @@ FROM dau LEFT JOIN fs ON fs.day = dau.day
 """,
     "survival_km": _KM_SQL,
     "autocorrelation_daily": _ACF_SQL,
+    "churn_labels": f"""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+horizon AS (SELECT MAX(day) AS max_day FROM active),
+nxt AS (
+  SELECT user_id, day,
+         LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM active
+)
+SELECT user_id, day,
+       CAST(next_day - day AS INT) AS days_to_return,
+       CASE
+         WHEN next_day IS NOT NULL
+              AND next_day - day <= {CHURN_HORIZON_DAYS} THEN 'returned'
+         WHEN next_day IS NOT NULL THEN 'churned'
+         WHEN (SELECT max_day FROM horizon) - day > {CHURN_HORIZON_DAYS}
+           THEN 'churned'
+         ELSE 'censored'
+       END AS label
+FROM nxt
+""",
     "seasonal_decompose_dow": """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,

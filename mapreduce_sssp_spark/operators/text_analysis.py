@@ -1509,11 +1509,82 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(next | current) per source — the
+    corpus-complexity / entropy-rate estimate: low values flag
+    templated or boilerplate-heavy feeds (the next token is nearly
+    determined), high values flag noise; the information-theoretic
+    companion to text_repetition's exact-substring view.
+
+    H(B|A) = sum over bigrams of (n_ab / N) * ln(n_a / n_ab); each
+    bigram's term n_ab * ln(n_a / n_ab) is ONE identical float
+    sequence quantized to an e6 BIGINT (psi ln-contract), so the
+    per-source total is an exact agg-order-free integer and H takes
+    two closing divisions on exact operands.
+
+    At 100 TB: one corpus scan into the (source, a, b) map-side
+    combined bigram count; context totals are a window over that
+    aggregate keyed by (source, a); Zipf heads ride AQE skew-split.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        _with_tokens(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .filter(F.expr("size(toks) >= 2"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS a, toks[i+1] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("source", "a", "b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    wa = Window.partitionBy("source", "a")
+    terms = bg.select(
+        "source",
+        "n_ab",
+        F.round(
+            F.col("n_ab").cast("double")
+            * F.log(
+                F.sum("n_ab").over(wa).cast("double")
+                / F.col("n_ab").cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("term_e6"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum("n_ab").alias("n_bigrams"),
+            F.sum("term_e6").alias("sum_term_e6"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            (
+                F.col("sum_term_e6").cast("double")
+                / 1e6
+                / F.col("n_bigrams").cast("double")
+            ).alias("h_cond_nats"),
+        )
+    )
+
+
 QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "unigram_doc_logprob": q_unigram_doc_logprob,
     "nb_lang_classifier": q_nb_lang_classifier,
+    "bigram_entropy_by_source": q_bigram_entropy_by_source,
     "tfidf_top_terms": q_tfidf_top_terms,
     "token_source_pmi": q_token_source_pmi,
     "text_stats": q_text_stats,
@@ -1600,6 +1671,30 @@ SELECT p.bucket, p.n_docs, p.n_tokens,
               OVER (ORDER BY p.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_vocab
 FROM per_bucket p LEFT JOIN new_types n ON n.bucket = p.bucket
+""",
+    "bigram_entropy_by_source": f"""
+WITH t AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
+bg AS (
+  SELECT source, toks[CAST(i AS INT)] AS a, toks[CAST(i AS INT) + 1] AS b,
+         COUNT(*) AS n_ab
+  FROM t, range(1, 10000) r(i)
+  WHERE CAST(i AS INT) + 1 <= len(toks)
+  GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT source, n_ab,
+         CAST(round(CAST(n_ab AS DOUBLE)
+                    * ln(CAST(SUM(n_ab) OVER (PARTITION BY source, a)
+                              AS DOUBLE)
+                         / CAST(n_ab AS DOUBLE)) * 1e6) AS BIGINT)
+           AS term_e6
+  FROM bg
+)
+SELECT source,
+       CAST(SUM(n_ab) AS BIGINT) AS n_bigrams,
+       CAST(SUM(term_e6) AS DOUBLE) / 1e6
+         / CAST(SUM(n_ab) AS DOUBLE) AS h_cond_nats
+FROM terms GROUP BY source
 """,
     "nb_lang_classifier": f"""
 WITH t AS (SELECT doc_id, lang, {DUCK_TOKENS} AS toks FROM documents),
