@@ -203,6 +203,85 @@ def test_embedding_label_outliers_matches_numpy(spark):
             assert abs(cos - wcos) < 1e-9
 
 
+def test_churn_labels_matches_pure_python(spark):
+    import datetime
+
+    from mapreduce_sssp_spark.operators.event_windows import (
+        CHURN_HORIZON_DAYS,
+        q_churn_labels,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    rows = con.execute(
+        "SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events"
+    ).fetchall()
+    by = defaultdict(list)
+    max_day = max(d for _, d in rows)
+    for u, d in rows:
+        by[u].append(d)
+    want = {}
+    for u, days in by.items():
+        days.sort()
+        for i, d in enumerate(days):
+            nxt = days[i + 1] if i + 1 < len(days) else None
+            gap = (nxt - d).days if nxt else None
+            if nxt and gap <= CHURN_HORIZON_DAYS:
+                lab = "returned"
+            elif nxt:
+                lab = "churned"
+            elif (max_day - d).days > CHURN_HORIZON_DAYS:
+                lab = "churned"
+            else:
+                lab = "censored"
+            want[(u, d)] = (gap, lab)
+    got = {
+        (r.user_id, r.day): (r.days_to_return, r.label)
+        for r in q_churn_labels(spark, SF).collect()
+    }
+    assert got == want
+    labels = {lab for _, lab in want.values()}
+    assert "censored" in labels, "window edge must produce censored rows"
+
+
+def test_bigram_entropy_matches_numpy(spark):
+    import numpy as np
+
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        q_bigram_entropy_by_source,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    rows = con.execute(
+        "SELECT source, list_filter(string_split_regex(trim(text),"
+        " '\\s+'), x -> x <> '') FROM documents"
+    ).fetchall()
+    bigrams = defaultdict(Counter)
+    for src, toks in rows:
+        for a, b in zip(toks, toks[1:]):
+            bigrams[src][(a, b)] += 1
+    got = {
+        r.source: r for r in q_bigram_entropy_by_source(spark, SF).collect()
+    }
+    assert set(got) == set(bigrams)
+    for src, cnt in bigrams.items():
+        n = sum(cnt.values())
+        ctx = Counter()
+        for (a, _), c in cnt.items():
+            ctx[a] += c
+        h = sum(
+            c * math.log(ctx[a] / c) for (a, _), c in cnt.items()
+        ) / n
+        r = got[src]
+        assert r.n_bigrams == n
+        # e6 per-term quantization error bound
+        assert abs(r.h_cond_nats - h) < len(cnt) * 1e-6 / n + 1e-9
+        assert r.h_cond_nats >= 0
+
+
 def test_nb_classifier_matches_pure_python(spark):
     want = _nb_reference()
     got = {
