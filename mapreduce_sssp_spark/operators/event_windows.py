@@ -2626,7 +2626,223 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bounce_rate_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce-rate report: sessionize each user's stream with the
+    30-minute gap rule, call a single-event session a bounce, and roll
+    up per day of session start — the canonical web-analytics KPI
+    (sessions, bounces, bounce rate, events per session).
+
+    Sessionization is the gap-island device of window_session's oracle
+    (lag -> new-session flag -> running sum), with (ts, event_id) as
+    the deterministic tie-break so simultaneous events assign to the
+    same island in both engines. The gap test compares exact
+    microsecond timestamps, bounce_rate and avg_events are ONE closing
+    division each of exact int64 counts.
+
+    At 100 TB: one shuffle on user_id covers both windows (lag and the
+    island sum share the partitioning), per-session rows collapse by
+    (user, session) partial agg, and the daily rollup is a few hundred
+    rows. No global window anywhere.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    )
+    flagged = lagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wi = w.rowsBetween(Window.unboundedPreceding, 0)
+    islands = flagged.select(
+        "user_id", "ts", F.sum("is_new").over(wi).alias("session_id")
+    )
+    sessions = islands.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.min("ts").alias("session_start")
+    )
+    return (
+        sessions.groupBy(F.to_date("session_start").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            "n_events",
+            (
+                F.col("n_bounces").cast("double")
+                / F.col("n_sessions").cast("double")
+            ).alias("bounce_rate"),
+            (
+                F.col("n_events").cast("double")
+                / F.col("n_sessions").cast("double")
+            ).alias("avg_events"),
+        )
+    )
+
+
+MARKOV_ITERS = 40
+_MARKOV_E12 = 10**12
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain: build
+    the event-type transition matrix from every adjacent pair in every
+    user stream (the event_transitions sufficient statistics), row-
+    normalize, and power-iterate v <- vP to the long-run occupancy of
+    each event type — "where do user journeys spend their time?".
+
+    Determinism is the quantized-fixpoint device (the
+    betweenness_source_dag contract): transition probabilities are
+    floor-quantized to e12 BIGINTs (floor of a correctly-rounded double
+    is engine-stable), and every power-iteration step does ONLY integer
+    arithmetic — v'[j] = sum_i floor(v[i]*p[i][j] / 1e12) — so 40
+    rounds stay bit-identical no matter the engine or summation order.
+    DuckDB mirrors the loop as a recursive CTE over HUGEINT products.
+
+    Distribution story for 100 TB: the ONLY corpus-sized work is the
+    transition count (one user-partitioned window + a |types|^2-cell
+    partial agg — the event_transitions shape). The matrix itself is
+    |event types|^2 = 25 cells, so the closure runs on a collected
+    bounded scalar set (the min-source-seed precedent in
+    graph_queries), never touching the cluster again; k types cost
+    O(k^2 * iters) driver flops — trivial up to thousands of states,
+    and beyond that the same quantized step distributes as k-row joins.
+    """
+    counts = (
+        transitions(load_table(spark, sf_dir, "events"))
+        .select("prev_type", "next_type", "n_transitions")
+    )
+    tot = counts.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("tot")
+    )
+    p = (
+        counts.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.floor(
+                F.col("n_transitions").cast("double")
+                / F.col("tot").cast("double")
+                * F.lit(float(_MARKOV_E12))
+            )
+            .cast("long")
+            .alias("p_e12"),
+        )
+    )
+    # Bounded collect: |event types|^2 cells (25 here) — the documented
+    # scalar-seed exception, same class as graph_queries' landmark seeds.
+    cells = p.collect()
+    states = sorted({r["prev_type"] for r in cells})
+    mat = {(r["prev_type"], r["next_type"]): r["p_e12"] for r in cells}
+    v = {s: _MARKOV_E12 // len(states) for s in states}
+    for _ in range(MARKOV_ITERS):
+        nxt = {s: 0 for s in states}
+        for (i, j), pe in mat.items():
+            if j in nxt:
+                nxt[j] += (v[i] * pe) // _MARKOV_E12
+        v = nxt
+    out = [(s, v[s], v[s] / 1e12) for s in states]
+    return spark.createDataFrame(
+        out, "event_type string, stationary_e12 long, prob double"
+    )
+
+
+HW_ALPHA_10 = 3  # alpha = 0.3 as integer tenths
+HW_BETA_10 = 1  # beta = 0.1
+
+
+def q_holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-exponential (Holt) smoothing of each event type's daily
+    value series — level + trend state after folding the whole history,
+    plus the 7-day-ahead linear forecast: the classic ops-metric
+    forecaster (alpha=0.3, beta=0.1).
+
+    The smoothing recurrence is inherently sequential, so it runs as a
+    per-key left fold over the date-sorted daily aggregate —
+    F.aggregate on Spark, a recursive CTE on DuckDB — with the state
+    held in e6-quantized BIGINTs and every step floor-divided:
+    level' = floor((3x + 7(level+trend))/10), trend' = floor(((level' -
+    level) + 9*trend)/10). Integer state + floor(x/10.0) on magnitudes
+    far below 2^53 makes 360 chained steps bit-identical across
+    engines — float state would drift ulp-by-ulp and is exactly what
+    this formulation excludes.
+
+    At 100 TB the fold input is the DAILY aggregate (one map-side-
+    combined groupBy), so the per-key array is bounded by the calendar
+    (~365 structs/yr), not the corpus: collect_list here can never
+    blow up, the precondition SCALE.md requires of every fold. State
+    magnitudes: daily cents * 1e4 ~ 1e12 at sf0.1 — DECIMAL(38) would
+    take over near 2^53, noted, not needed at any tested sf.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("xs")
+    )
+    a, b = HW_ALPHA_10, HW_BETA_10
+    nl = (
+        f"CAST(floor(({a} * (s.cents * 10000) "
+        f"+ {10 - a} * (acc.level + acc.trend)) / 10.0) AS BIGINT)"
+    )
+    step = (
+        f"named_struct("
+        f"'level', {nl}, "
+        f"'trend', CAST(floor(({b} * ({nl} - acc.level) "
+        f"+ {10 - b} * acc.trend) / 10.0) AS BIGINT))"
+    )
+    folded = arr.select(
+        "event_type",
+        F.size("xs").alias("n_days"),
+        F.expr(
+            "aggregate("
+            "  slice(xs, 2, size(xs) - 1),"
+            "  named_struct('level', CAST(xs[0].cents * 10000 AS BIGINT),"
+            "               'trend', CAST(0 AS BIGINT)),"
+            f" (acc, s) -> {step})"
+        ).alias("hw"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("hw.level").alias("level_e6"),
+        F.col("hw.trend").alias("trend_e6"),
+        (F.col("hw.level") + 7 * F.col("hw.trend")).alias("forecast7_e6"),
+    )
+
+
 QUERIES = {
+    "bounce_rate_sessions": q_bounce_rate_sessions,
+    "markov_stationary": q_markov_stationary,
+    "holt_winters_smoothing": q_holt_winters_smoothing,
     "window_tumbling": q_window_tumbling,
     "changepoint_cusum": q_changepoint_cusum,
     "attribution_position_based": q_attribution_position_based,
@@ -2799,7 +3015,111 @@ SELECT t_days, n_risk, d_churn, step_ln_e6,
 FROM step_ln
 """
 
+_HW_NL = (
+    f"CAST(floor(({HW_ALPHA_10} * i.x_e6 "
+    f"+ {10 - HW_ALPHA_10} * (r.level + r.trend)) / 10.0) AS BIGINT)"
+)
+
 ORACLE = {
+    "bounce_rate_sessions": """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END
+           AS is_new
+  FROM ordered
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+  FROM islands GROUP BY 1, 2
+)
+SELECT CAST(session_start AS DATE) AS day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+       CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_events
+FROM sessions GROUP BY 1
+""",
+    "markov_stationary": f"""
+WITH RECURSIVE pairs AS (
+  SELECT user_id, event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, SUM(n) AS tot FROM counts GROUP BY 1),
+p AS (
+  SELECT c.prev_type, c.next_type,
+         CAST(floor(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                    * {float(_MARKOV_E12)}) AS BIGINT) AS p_e12
+  FROM counts c JOIN tot t USING (prev_type)
+),
+states AS (SELECT DISTINCT prev_type AS state FROM p),
+it AS (
+  SELECT 0 AS iter, state,
+         CAST({_MARKOV_E12} // (SELECT COUNT(*) FROM states) AS BIGINT) AS v_e12
+  FROM states
+  UNION ALL
+  SELECT i.iter + 1, p.next_type,
+         CAST(SUM((CAST(i.v_e12 AS HUGEINT) * p.p_e12)
+                  // {_MARKOV_E12}) AS BIGINT)
+  FROM it i JOIN p ON p.prev_type = i.state
+  WHERE i.iter < {MARKOV_ITERS} AND p.next_type IN (SELECT state FROM states)
+  GROUP BY 1, 2
+)
+SELECT state AS event_type, v_e12 AS stationary_e12,
+       v_e12 / 1e12 AS prob
+FROM it WHERE iter = {MARKOV_ITERS}
+""",
+    "holt_winters_smoothing": f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) * 10000
+           AS x_e6
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, x_e6,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+),
+rec AS (
+  SELECT event_type, n_days, rn, CAST(x_e6 AS BIGINT) AS level,
+         CAST(0 AS BIGINT) AS trend
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.n_days, i.rn,
+         {_HW_NL},
+         CAST(floor(({HW_BETA_10} * ({_HW_NL} - r.level)
+                     + {10 - HW_BETA_10} * r.trend) / 10.0) AS BIGINT)
+  FROM rec r JOIN idx i
+    ON i.event_type = r.event_type AND i.rn = r.rn + 1
+)
+SELECT event_type, CAST(n_days AS INT) AS n_days,
+       level AS level_e6, trend AS trend_e6,
+       level + 7 * trend AS forecast7_e6
+FROM rec WHERE rn = n_days
+""",
     "conformal_interval": f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,

@@ -886,7 +886,95 @@ FROM flagged
 """
 
 
+ZONE_BLOCK = 4096
+ZONE_DATE = "1997-01-01"
+
+
+def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (data-skipping) effectiveness report: group orders into
+    fixed-size blocks under two physical layouts — natural key order
+    (block = o_orderkey div 4096, the as-ingested layout) vs clustered
+    by the filter column (block = date-rank div 4096, what a clustered
+    / Z-ordered write produces) — record per-block min/max of
+    o_orderdate, and measure how many blocks the zone maps let a
+    `o_orderdate >= DATE '1997-01-01'` scan skip.
+
+    This is the quantified version of the engine's own
+    sink_clustered_write story: the SAME predicate skips ~0% of
+    key-ordered blocks (every block's date range spans the predicate)
+    but ~(selectivity)% of date-clustered ones — the reason min/max
+    footer stats only pay off after layout planning. Parquet row-group
+    pruning, Delta/Iceberg file skipping, and AQE's dynamic pruning all
+    stand on this arithmetic.
+
+    Everything is exact: block ids are integer division of keys or of
+    a rank (deterministic total order o_orderdate, o_orderkey), block
+    extrema are min/max over dates, "skippable" is a date comparison,
+    and the row_counts are int64 sums. One output row per layout.
+
+    At 100 TB: per-block extrema are one map-side-combined aggregate
+    (blocks are contiguous in the scan, so partials never shuffle more
+    than |blocks| rows); the rank for the clustered layout is the only
+    global step and is precisely the sort a clustered WRITE would have
+    paid anyway — the report itself adds one exchange of block
+    summaries.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    by_key = o.select(
+        F.lit("by_key").alias("layout"),
+        F.floor(F.col("o_orderkey") / ZONE_BLOCK).cast("long").alias("block"),
+        "o_orderdate",
+    )
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    clustered = o.select(
+        F.lit("clustered").alias("layout"),
+        F.floor((F.row_number().over(w) - 1) / ZONE_BLOCK)
+        .cast("long")
+        .alias("block"),
+        "o_orderdate",
+    )
+    blocks = (
+        by_key.unionByName(clustered)
+        .groupBy("layout", "block")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderdate").alias("d_min"),
+            F.max("o_orderdate").alias("d_max"),
+        )
+    )
+    cut = F.to_date(F.lit(ZONE_DATE))
+    return (
+        blocks.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.when(F.col("d_max") < cut, 1).otherwise(0))
+            .cast("long")
+            .alias("n_skipped"),
+            F.sum(F.when(F.col("d_max") < cut, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_skipped"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+        .select(
+            "layout",
+            "n_blocks",
+            "n_skipped",
+            "rows_skipped",
+            "n_rows",
+            (
+                F.col("n_skipped").cast("double")
+                / F.col("n_blocks").cast("double")
+            ).alias("block_skip_rate"),
+            (
+                F.col("rows_skipped").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("row_skip_rate"),
+        )
+    )
+
+
 QUERIES = {
+    "zone_map_pruning": q_zone_map_pruning,
     "bloom_prune_join": q_bloom_prune_join,
     "kmv_set_overlap": q_kmv_set_overlap,
     "skew_salted_agg": q_skew_salted_agg,
@@ -912,6 +1000,39 @@ _BANDS_SQL = " UNION ALL ".join(
 )
 
 ORACLE = {
+    "zone_map_pruning": f"""
+WITH by_key AS (
+  SELECT 'by_key' AS layout,
+         CAST(floor(o_orderkey / {ZONE_BLOCK}) AS BIGINT) AS block,
+         o_orderdate
+  FROM orders
+),
+clustered AS (
+  SELECT 'clustered' AS layout,
+         CAST(floor((ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+                    / {ZONE_BLOCK}) AS BIGINT) AS block,
+         o_orderdate
+  FROM orders
+),
+blocks AS (
+  SELECT layout, block, COUNT(*) AS n_rows,
+         MIN(o_orderdate) AS d_min, MAX(o_orderdate) AS d_max
+  FROM (SELECT * FROM by_key UNION ALL SELECT * FROM clustered)
+  GROUP BY 1, 2
+)
+SELECT layout,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN d_max < DATE '{ZONE_DATE}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_skipped,
+       CAST(SUM(CASE WHEN d_max < DATE '{ZONE_DATE}' THEN n_rows ELSE 0 END)
+            AS BIGINT) AS rows_skipped,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN d_max < DATE '{ZONE_DATE}' THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS block_skip_rate,
+       CAST(SUM(CASE WHEN d_max < DATE '{ZONE_DATE}' THEN n_rows ELSE 0 END)
+            AS DOUBLE) / CAST(SUM(n_rows) AS DOUBLE) AS row_skip_rate
+FROM blocks GROUP BY layout
+""",
     "bloom_prune_join": _bloom_oracle_sql(),
     # Portable 60-bit md5 hash (the simhash device); the union's K
     # smallest re-ranked per pair; exact Jaccard via the distinct-pair

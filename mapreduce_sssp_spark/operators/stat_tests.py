@@ -12,6 +12,8 @@ Extends the engine's model-monitoring / data-audit family
 * ``harmonic_centrality`` — landmark harmonic centrality (projection)
 * ``temperature_mix_weights`` — sqrt-temperature corpus mixing weights
 * ``js_divergence_sources``   — Jensen–Shannon drift between sources
+* ``calibration_bins``    — reliability diagram over a classifier score
+* ``lift_deciles``        — cumulative-gains / lift table (ntile(10))
 
 Exactness contract (the mann_whitney/psi devices, reused verbatim):
 everything that can be integer IS integer — histogram rank algebra,
@@ -526,7 +528,132 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CALIB_BINS = 10
+
+
+def _stopword_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, score, is_pos): stopword-ratio as a calibration score for
+    the binary outcome lang='en'.  The score is ONE exact int/int double
+    division (len(filter)/len) — bit-identical in DuckDB — and the
+    outcome is a string equality, so the (score, label) pair needs no
+    tolerance anywhere downstream."""
+    from .text_analysis import STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return docs.select(
+        "doc_id",
+        (
+            F.expr(f"size(filter({TOKENS_EXPR}, x -> x IN ({en})))")
+            / F.expr(f"size({TOKENS_EXPR})")
+        ).alias("score"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("is_pos"),
+    )
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration bins) for a classifier score —
+    the standard model-monitoring readout: bucket the predicted score
+    into 10 equal-width bins and compare the mean score against the
+    observed positive rate per bin.  Score = per-doc English stopword
+    ratio, outcome = lang='en' (the same deterministic score/label pair
+    a production run would read from a scored corpus).
+
+    Exactness: the score is one int/int division; per-doc scores are
+    quantized to e9 BIGINTs BEFORE the bin aggregate so no
+    order-dependent float sum crosses the exchange; mean score and
+    observed rate are ONE closing division each.  Bin assignment is
+    least(floor(score*10), 9) — floor of a correctly-rounded double is
+    engine-stable (see ks_two_sample's quantization contract).
+
+    At 100 TB: one corpus scan computes (score, label) map-side, the
+    bin histogram partial-aggregates to <= 10 rows — the whole readout
+    is a single map-side-combined pass, the cheapest shape there is.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = _stopword_score(docs)
+    binned = s.select(
+        F.least(F.floor(F.col("score") * CALIB_BINS), F.lit(CALIB_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+        F.round(F.col("score") * 1e9).cast("long").alias("score_e9"),
+        "is_pos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_pos").cast("long").alias("n_pos"),
+            F.sum("score_e9").alias("sum_score_e9"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "sum_score_e9",
+            (F.col("sum_score_e9") / 1e9 / F.col("n").cast("double")).alias(
+                "avg_score"
+            ),
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "obs_rate"
+            ),
+        )
+    )
+
+
+def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table — "if I act on the top d deciles by
+    score, what fraction of positives do I capture, and how much better
+    than random is that?" — the campaign-targeting and threshold-tuning
+    companion to roc_auc_features.
+
+    Deciles come from ntile(10) over the fully deterministic total order
+    (score DESC, doc_id): both engines implement the standard ntile
+    split (first n mod k tiles one row larger), so tie-free ordering
+    makes tile assignment identical.  capture_rate and lift are single
+    closing divisions of EXACT integer cross-products
+    (cum_pos*total_n)/(cum_n*total_pos) — the mann_whitney device — so
+    no float accumulates anywhere.
+
+    At 100 TB the global ntile is the one genuinely rank-global step —
+    production would swap it for approx quantile boundaries on the score
+    (the histogram_equidepth device) and keep everything else; per-tile
+    aggregates partial-combine to 10 rows either way.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = _stopword_score(docs)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    tiled = s.select(
+        "is_pos", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("is_pos").cast("long").alias("n_pos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+        (
+            (F.sum("n_pos").over(wc) * F.sum("n").over(tot)).cast("double")
+            / (F.sum("n").over(wc) * F.sum("n_pos").over(tot)).cast("double")
+        ).alias("lift"),
+        (
+            F.sum("n_pos").over(wc).cast("double")
+            / F.sum("n_pos").over(tot).cast("double")
+        ).alias("capture_rate"),
+    )
+
+
 QUERIES = {
+    "calibration_bins": q_calibration_bins,
+    "lift_deciles": q_lift_deciles,
     "ks_two_sample": q_ks_two_sample,
     "spearman_corr": q_spearman_corr,
     "cramers_v": q_cramers_v,
@@ -560,7 +687,63 @@ merged AS (
 )
 """
 
+from .text_analysis import STOPWORDS as _SW
+
+_EN_SQL = ", ".join(f"'{w}'" for w in _SW["en"])
+
+_SCORE_REL = f"""
+scored AS (
+  SELECT doc_id,
+         len(list_filter({DUCK_TOKENS}, x -> x IN ({_EN_SQL})))
+           / len({DUCK_TOKENS}) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+)
+"""
+
 ORACLE = {
+    "calibration_bins": f"""
+WITH {_SCORE_REL},
+binned AS (
+  SELECT least(CAST(floor(score * {CALIB_BINS}) AS BIGINT), {CALIB_BINS - 1}) AS bin,
+         CAST(round(score * 1e9) AS BIGINT) AS score_e9,
+         is_pos
+  FROM scored
+)
+SELECT bin,
+       COUNT(*) AS n,
+       CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(score_e9) AS BIGINT) AS sum_score_e9,
+       SUM(score_e9) / 1e9 / CAST(COUNT(*) AS DOUBLE) AS avg_score,
+       CAST(SUM(is_pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS obs_rate
+FROM binned GROUP BY bin
+""",
+    "lift_deciles": f"""
+WITH {_SCORE_REL},
+tiled AS (
+  SELECT is_pos, ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+  FROM scored
+),
+per AS (
+  SELECT decile, COUNT(*) AS n, CAST(SUM(is_pos) AS BIGINT) AS n_pos
+  FROM tiled GROUP BY decile
+)
+SELECT decile, n, n_pos,
+       CAST(SUM(n) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+       CAST(SUM(n_pos) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * SUM(n) OVER () AS DOUBLE)
+         / CAST(SUM(n) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * SUM(n_pos) OVER () AS DOUBLE) AS lift,
+       CAST(SUM(n_pos) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(SUM(n_pos) OVER () AS DOUBLE) AS capture_rate
+FROM per
+""",
     "ks_two_sample": f"""
 WITH {_HIST},
 cum AS (

@@ -488,6 +488,52 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per source: subword (BPE-regex) tokens
+    per whitespace word and characters per subword token — the standard
+    pre-training readout for "how expensive is this slice of corpus in
+    tokens?" (high fertility = the tokenizer shreds this source;
+    budget-per-document planning reads chars/token).
+
+    Every per-doc measurement is an exact int (two regexp counts and a
+    length), the per-source sums are int64 partial aggregates, and each
+    ratio is ONE closing int/int division — nothing to quantize.
+
+    At 100 TB this is the cheapest possible shape: one corpus scan,
+    map-side token counting (no explode — counts only, via
+    regexp_extract_all length), partial agg to |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+            F.sum("n_bpe").cast("long").alias("sum_bpe"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            "sum_words",
+            "sum_bpe",
+            (F.col("sum_bpe").cast("double") / F.col("sum_words").cast("double"))
+            .alias("fertility"),
+            (F.col("sum_chars").cast("double") / F.col("sum_bpe").cast("double"))
+            .alias("chars_per_token"),
+        )
+    )
+
+
 def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-100 token frequencies (explode + partial agg)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1597,6 +1643,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_freq_top100": q_token_freq,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "inverted_index": q_inverted_index,
     "vocab_growth_curve": q_vocab_growth_curve,
     "stump_split_finder": q_stump_split_finder,
@@ -1908,6 +1955,24 @@ SELECT doc_id,
        CAST(list_max(list_transform(toks, x -> length(x))) AS INT) AS max_tok_len,
        CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
 FROM t
+""",
+    "tokenizer_fertility": f"""
+WITH per AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+       CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE)
+         AS chars_per_token
+FROM per GROUP BY source
 """,
     "text_quality": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
