@@ -1180,7 +1180,77 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4  # subspaces
+PQ_K = 16  # codewords per subspace
+PQ_SUBDIM = 16  # dims per subspace (embedding dim 64 / PQ_M)
+
+
+def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode — the memory half of an IVF-PQ index
+    (the structure every billion-vector ANN deployment ships): split
+    each 64-dim embedding into 4 subvectors of 16 dims, quantize each
+    against a 16-codeword-per-subspace codebook, and emit the 4-byte
+    code plus the total reconstruction distortion. 64 floats (256 B)
+    become 4 codes (4 B) — the 64x compression that lets a 100 TB
+    embedding corpus fit cluster RAM for re-rank candidate scans.
+
+    Codebooks are the kmeans_assign seeding (first PQ_K vectors by
+    vec_id, sliced per subspace) — deterministic, so the oracle can
+    replay them; a production build would train them with
+    q_kmeans_train per subspace and the encode plan is unchanged.
+
+    Hash-exactness is the kmeans_assign contract, x4: each subspace
+    distance expands to three slice dot-products (the left-fold /
+    list_dot_product bit-parity device), each argmin is a
+    min(struct(dist2, seed_id)) with the (dist2, seed_id) tiebreak, and
+    the total distortion is ONE fixed left-associated 4-term sum of the
+    per-subspace minima.
+
+    At 100 TB: codebook broadcast (PQ_K rows), distances and all four
+    argmins computed map-side in ONE partial aggregate over the
+    candidate rows — the corpus never shuffles, the exchange carries n
+    compact (vec_id, 4 codes) rows. Encoding cost is O(n * PQ_K * dim)
+    flops, embarrassingly parallel.
+    """
+    vec = _vectors(spark, sf_dir)
+    seeds = vec.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    scored = vec.crossJoin(F.broadcast(seeds))
+    mins = []
+    cols = []
+    for m in range(PQ_M):
+        start = m * PQ_SUBDIM + 1
+        a = f"slice(v, {start}, {PQ_SUBDIM})"
+        b = f"slice(sv, {start}, {PQ_SUBDIM})"
+        d = F.expr(
+            f"{_DOT.format(a=a, b=a)} - 2 * {_DOT.format(a=a, b=b)}"
+            f" + {_DOT.format(a=b, b=b)}"
+        )
+        cols.append(d.alias(f"d{m}"))
+        mins.append(
+            F.min(F.struct(F.col(f"d{m}").alias("d"), "seed_id")).alias(f"a{m}")
+        )
+    agg = (
+        scored.select("vec_id", "seed_id", *cols)
+        .groupBy("vec_id")
+        .agg(*mins)
+    )
+    distortion = (
+        F.col("a0.d") + F.col("a1.d") + F.col("a2.d") + F.col("a3.d")
+    )
+    return agg.select(
+        "vec_id",
+        F.col("a0.seed_id").alias("c0"),
+        F.col("a1.seed_id").alias("c1"),
+        F.col("a2.seed_id").alias("c2"),
+        F.col("a3.seed_id").alias("c3"),
+        distortion.alias("distortion"),
+    )
+
+
 QUERIES = {
+    "embedding_pq_encode": q_embedding_pq_encode,
     "pca_power_iteration": q_pca_power_iteration,
     "rank_fusion_rrf": q_rank_fusion_rrf,
     "label_centroid_similarity": q_label_centroid_similarity,
@@ -1296,6 +1366,40 @@ SELECT seed_id, dim,
          AS centroid
 FROM comp
 GROUP BY seed_id, dim
+""",
+    "embedding_pq_encode": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {PQ_K}),
+scored AS (
+  SELECT e.vec_id, s.seed_id,
+"""
+    + ",\n".join(
+        f"""         list_dot_product(v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}],
+                          v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}])
+           - 2 * list_dot_product(v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}],
+                                  sv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}])
+           + list_dot_product(sv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}],
+                              sv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]) AS d{m}"""
+        for m in range(PQ_M)
+    )
+    + f"""
+  FROM e, seeds s
+),
+"""
+    + ",\n".join(
+        f"""m{m} AS (
+  SELECT vec_id, seed_id AS c{m}, d{m} FROM (
+    SELECT vec_id, seed_id, d{m},
+           row_number() OVER (PARTITION BY vec_id ORDER BY d{m}, seed_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)"""
+        for m in range(PQ_M)
+    )
+    + """
+SELECT m0.vec_id, c0, c1, c2, c3,
+       m0.d0 + m1.d1 + m2.d2 + m3.d3 AS distortion
+FROM m0 JOIN m1 USING (vec_id) JOIN m2 USING (vec_id) JOIN m3 USING (vec_id)
 """,
     "kmeans_assign": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

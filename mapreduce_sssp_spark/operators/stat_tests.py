@@ -651,7 +651,74 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QN_TILES = 100
+
+
+def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of each source's document-length
+    distribution onto the global corpus distribution — the batch-effect
+    remover (microarray lineage, reused in corpus curation to make
+    per-source length/quality features comparable before mixing):
+    a doc at the p-th percentile OF ITS SOURCE is assigned the value at
+    the p-th percentile of the WHOLE corpus.
+
+    Both percentile maps are ntile({QN_TILES}) over the fully
+    deterministic (n_chars, doc_id) order (the lift_deciles ntile-
+    parity argument); the normalized value for a (source, tile) cell is
+    the global tile's mean length — an int64 sum over one closing
+    division. Output is the |sources| x {QN_TILES} mapping table a
+    pipeline would broadcast-join back onto the corpus.
+
+    At 100 TB: the per-source ntile partitions by source (parallel);
+    the global ntile is the one rank-global step and would swap for
+    approx_percentile boundaries (the histogram_equidepth device) with
+    everything downstream unchanged; the join is {QN_TILES} rows
+    broadcast.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wg = Window.orderBy("n_chars", "doc_id")
+    tiled = docs.select(
+        "source",
+        "n_chars",
+        F.ntile(QN_TILES).over(ws).cast("long").alias("tile"),
+        F.ntile(QN_TILES).over(wg).cast("long").alias("gtile"),
+    )
+    global_ref = (
+        tiled.groupBy(F.col("gtile").alias("tile"))
+        .agg(
+            F.sum("n_chars").cast("long").alias("g_sum"),
+            F.count("*").alias("g_n"),
+        )
+        .select(
+            "tile",
+            (F.col("g_sum").cast("double") / F.col("g_n").cast("double")).alias(
+                "norm_value"
+            ),
+        )
+    )
+    per_cell = tiled.groupBy("source", "tile").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").cast("long").alias("sum_raw"),
+    )
+    return per_cell.join(F.broadcast(global_ref), "tile").select(
+        "source",
+        "tile",
+        "n",
+        "sum_raw",
+        (F.col("sum_raw").cast("double") / F.col("n").cast("double")).alias(
+            "avg_raw"
+        ),
+        "norm_value",
+    )
+
+
 QUERIES = {
+    "quantile_normalization": q_quantile_normalization,
     "calibration_bins": q_calibration_bins,
     "lift_deciles": q_lift_deciles,
     "ks_two_sample": q_ks_two_sample,
@@ -702,6 +769,31 @@ scored AS (
 """
 
 ORACLE = {
+    "quantile_normalization": f"""
+WITH tiled AS (
+  SELECT source, n_chars,
+         CAST(ntile({QN_TILES}) OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS BIGINT)
+           AS tile,
+         CAST(ntile({QN_TILES}) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS gtile
+  FROM documents
+),
+global_ref AS (
+  SELECT gtile AS tile,
+         CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS norm_value
+  FROM tiled GROUP BY gtile
+),
+per_cell AS (
+  SELECT source, tile, COUNT(*) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_raw
+  FROM tiled GROUP BY 1, 2
+)
+SELECT source, tile, n, sum_raw,
+       CAST(sum_raw AS DOUBLE) / CAST(n AS DOUBLE) AS avg_raw,
+       norm_value
+FROM per_cell JOIN global_ref USING (tile)
+""",
     "calibration_bins": f"""
 WITH {_SCORE_REL},
 binned AS (

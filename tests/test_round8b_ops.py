@@ -1,0 +1,297 @@
+"""Independent referees for the round-8 second batch (calibration /
+session-KPI / forecasting / layout / PQ operators): each query is
+recomputed from the raw parquet with numpy/pure Python straight from
+the textbook definition and compared against the registered query.
+The oracle gate proves Spark == DuckDB; these prove both == the
+quantity they claim to be.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in ("events", "orders", "embeddings", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+STOP_EN = None
+
+
+def _scores():
+    """(doc_id, stopword-ratio score, is_en) straight from raw text."""
+    global STOP_EN
+    if STOP_EN is None:
+        from mapreduce_sssp_spark.operators.text_analysis import STOPWORDS
+
+        STOP_EN = set(STOPWORDS["en"])
+    rows = _duck("SELECT doc_id, text, lang FROM documents")
+    out = []
+    for doc_id, text, lang in rows:
+        toks = [t for t in text.strip().split() if t]
+        sw = sum(1 for t in toks if t in STOP_EN)
+        out.append((doc_id, sw / len(toks), 1 if lang == "en" else 0))
+    return out
+
+
+def test_calibration_bins_matches_python(spark):
+    from mapreduce_sssp_spark.operators.stat_tests import q_calibration_bins
+
+    got = {r.bin: r for r in q_calibration_bins(spark, SF).collect()}
+    bins = {}
+    for _, score, pos in _scores():
+        b = min(int(score * 10), 9)
+        n, np_, s = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, np_ + pos, s + round(score * 1e9))
+    assert set(got) == set(bins)
+    for b, (n, n_pos, sum_e9) in bins.items():
+        assert got[b].n == n
+        assert got[b].n_pos == n_pos
+        assert got[b].sum_score_e9 == sum_e9
+        assert got[b].obs_rate == n_pos / n
+
+
+def test_lift_deciles_matches_python(spark):
+    from mapreduce_sssp_spark.operators.stat_tests import q_lift_deciles
+
+    got = {r.decile: r for r in q_lift_deciles(spark, SF).collect()}
+    rows = sorted(_scores(), key=lambda r: (-r[1], r[0]))
+    n = len(rows)
+    # standard ntile: first n % 10 tiles get one extra row
+    base, extra = divmod(n, 10)
+    total_pos = sum(r[2] for r in rows)
+    i = 0
+    cum_n = cum_pos = 0
+    for d in range(1, 11):
+        size = base + (1 if d <= extra else 0)
+        chunk = rows[i : i + size]
+        i += size
+        pos = sum(r[2] for r in chunk)
+        cum_n += size
+        cum_pos += pos
+        assert got[d].n == size
+        assert got[d].n_pos == pos
+        assert got[d].cum_n == cum_n
+        assert got[d].cum_pos == cum_pos
+        assert got[d].lift == (cum_pos * n) / (cum_n * total_pos)
+    assert abs(got[10].capture_rate - 1.0) < 1e-12
+
+
+def test_bounce_rate_matches_python(spark):
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_bounce_rate_sessions,
+    )
+
+    got = {str(r.day): r for r in q_bounce_rate_sessions(spark, SF).collect()}
+    ev = _duck("SELECT user_id, ts, event_id FROM events ORDER BY 1, 2, 3")
+    by_user = {}
+    for uid, ts, eid in ev:
+        by_user.setdefault(uid, []).append(ts)
+    days = {}
+    for uid, tss in by_user.items():
+        sess = []
+        for ts in tss:
+            if not sess or (ts - sess[-1][-1]).total_seconds() > 1800:
+                sess.append([ts])
+            else:
+                sess[-1].append(ts)
+        for s in sess:
+            d = str(s[0].date())
+            n_s, n_b, n_e = days.get(d, (0, 0, 0))
+            days[d] = (n_s + 1, n_b + (len(s) == 1), n_e + len(s))
+    assert set(got) == set(days)
+    for d, (n_s, n_b, n_e) in days.items():
+        assert got[d].n_sessions == n_s
+        assert got[d].n_bounces == n_b
+        assert got[d].n_events == n_e
+
+
+def test_markov_stationary_is_stationary(spark):
+    """The quantized fixpoint must agree with the float eigenvector of
+    the row-normalized transition matrix to well inside quantization
+    error, and the probabilities must form a distribution."""
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_markov_stationary,
+    )
+
+    got = {r.event_type: r.prob for r in q_markov_stationary(spark, SF).collect()}
+    pairs = _duck(
+        """
+        WITH p AS (
+          SELECT event_type AS a,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS b
+          FROM events)
+        SELECT a, b, COUNT(*) FROM p WHERE b IS NOT NULL GROUP BY 1, 2
+        """
+    )
+    states = sorted({a for a, _, _ in pairs})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    mat = np.zeros((k, k))
+    for a, b, n in pairs:
+        if b in idx:
+            mat[idx[a], idx[b]] = n
+    mat /= mat.sum(axis=1, keepdims=True)
+    v = np.full(k, 1.0 / k)
+    for _ in range(200):
+        v = v @ mat
+    assert set(got) == set(states)
+    # 40 quantized iterations: each round floors k products at e12, so
+    # accumulated downward bias is bounded by iters * k * 1e-12 plus the
+    # remaining mixing gap -- use a loose but meaningful tolerance.
+    for s in states:
+        assert abs(got[s] - v[idx[s]]) < 1e-4, (s, got[s], v[idx[s]])
+    assert 0.999 < sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_holt_winters_tracks_float_reference(spark):
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_holt_winters_smoothing,
+    )
+
+    got = {r.event_type: r for r in q_holt_winters_smoothing(spark, SF).collect()}
+    rows = _duck(
+        """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    series = {}
+    for et, _, cents in rows:
+        series.setdefault(et, []).append(int(cents))
+    for et, xs in series.items():
+        level, trend = float(xs[0]), 0.0
+        for x in xs[1:]:
+            nl = 0.3 * x + 0.7 * (level + trend)
+            trend = 0.1 * (nl - level) + 0.9 * trend
+            level = nl
+        assert got[et].n_days == len(xs)
+        # e6 integer state vs float reference: flooring loses < 1 e6-unit
+        # per step; n steps => slack in raw cents units is n / 1e2.
+        slack = len(xs) / 1e2 + 1e-6 * abs(level)
+        assert abs(got[et].level_e6 / 1e4 - level) <= slack
+        assert abs(got[et].trend_e6 / 1e4 - trend) <= slack
+
+
+def test_tokenizer_fertility_matches_python(spark):
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        BPE_RE,
+        q_tokenizer_fertility,
+    )
+
+    got = {r.source: r for r in q_tokenizer_fertility(spark, SF).collect()}
+    rows = _duck("SELECT source, text FROM documents")
+    agg = {}
+    for src, text in rows:
+        words = len([t for t in text.strip().split() if t])
+        bpe = len(re.findall(BPE_RE, text))
+        d, c, w, b = agg.get(src, (0, 0, 0, 0))
+        agg[src] = (d + 1, c + len(text), w + words, b + bpe)
+    assert set(got) == set(agg)
+    for src, (d, c, w, b) in agg.items():
+        assert got[src].n_docs == d
+        assert got[src].sum_chars == c
+        assert got[src].sum_words == w
+        assert got[src].sum_bpe == b
+        assert got[src].fertility == b / w
+
+
+def test_zone_map_clustered_layout_skips_more(spark):
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        ZONE_BLOCK,
+        ZONE_DATE,
+        q_zone_map_pruning,
+    )
+    import datetime
+
+    got = {r.layout: r for r in q_zone_map_pruning(spark, SF).collect()}
+    rows = [
+        (k, d.date() if isinstance(d, datetime.datetime) else d)
+        for k, d in _duck("SELECT o_orderkey, o_orderdate FROM orders")
+    ]
+    cut = datetime.date.fromisoformat(ZONE_DATE)
+
+    def report(blocks):
+        skipped = [b for b in blocks.values() if max(b) < cut]
+        return len(blocks), len(skipped), sum(len(b) for b in skipped)
+
+    by_key = {}
+    for k, d in rows:
+        by_key.setdefault(k // ZONE_BLOCK, []).append(d)
+    n_blocks, n_skip, rows_skip = report(by_key)
+    assert got["by_key"].n_blocks == n_blocks
+    assert got["by_key"].n_skipped == n_skip
+    assert got["by_key"].rows_skipped == rows_skip
+
+    clustered = {}
+    for i, (_, d) in enumerate(sorted(rows, key=lambda r: (r[1], r[0]))):
+        clustered.setdefault(i // ZONE_BLOCK, []).append(d)
+    n_blocks, n_skip, rows_skip = report(clustered)
+    assert got["clustered"].n_blocks == n_blocks
+    assert got["clustered"].n_skipped == n_skip
+    assert got["clustered"].rows_skipped == rows_skip
+
+    # the operator's whole point: clustering unlocks data skipping
+    assert got["clustered"].row_skip_rate >= got["by_key"].row_skip_rate
+
+
+def test_pq_codes_match_numpy_argmin(spark):
+    from mapreduce_sssp_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        q_embedding_pq_encode,
+    )
+
+    got = {r.vec_id: r for r in q_embedding_pq_encode(spark, SF).collect()}
+    rows = _duck("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id")
+    vecs = {vid: np.array(v, dtype=np.float64) for vid, v in rows}
+    seeds = {sid: vecs[sid] for sid in range(PQ_K)}
+    for vid, v in vecs.items():
+        total = 0.0
+        for m in range(PQ_M):
+            lo, hi = m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM
+            dists = {
+                sid: float(((v[lo:hi] - sv[lo:hi]) ** 2).sum())
+                for sid, sv in seeds.items()
+            }
+            best = min(dists, key=lambda s: (dists[s], s))
+            assert got[vid][f"c{m}"] == best, (vid, m)
+            total += dists[best]
+        assert math.isclose(got[vid].distortion, total, rel_tol=1e-9, abs_tol=1e-9)
+    # seed vectors encode to themselves with zero distortion
+    for sid in range(PQ_K):
+        r = got[sid]
+        assert (r.c0, r.c1, r.c2, r.c3) == (sid,) * 4
+        assert r.distortion == 0.0
+
+
+def test_quantile_normalization_monotone_and_complete(spark):
+    from mapreduce_sssp_spark.operators.stat_tests import (
+        QN_TILES,
+        q_quantile_normalization,
+    )
+
+    rows = q_quantile_normalization(spark, SF).collect()
+    (n_docs,) = _duck("SELECT COUNT(*) FROM documents")[0]
+    assert sum(r.n for r in rows) == n_docs
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, cells in by_src.items():
+        cells.sort(key=lambda r: r.tile)
+        # norm_value must be monotone in the tile (it's a quantile map)
+        for a, b in zip(cells, cells[1:]):
+            assert a.norm_value <= b.norm_value, src
+        assert cells[-1].tile <= QN_TILES
