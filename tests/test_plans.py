@@ -149,6 +149,13 @@ def test_similarity_topk_broadcasts_query_vectors(spark):
         "js_divergence_sources",
         "rank_fusion_rrf",
         "unigram_doc_logprob",
+        "calibration_bins",
+        "lift_deciles",
+        "bounce_rate_sessions",
+        "holt_winters_smoothing",
+        "tokenizer_fertility",
+        "zone_map_pruning",
+        "quantile_normalization",
     ],
 )
 def test_no_cartesian_products_anywhere(spark, qname):
@@ -344,6 +351,21 @@ def test_kmeans_argmin_is_partial_agg_not_window(spark):
     assert "Window" not in plan
     assert "partial_min" in plan
     # Seeds ride a broadcast: the only join is a broadcast nested loop.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_pq_encode_keeps_kmeans_assign_shape(spark):
+    """All four subspace argmins must collapse in ONE map-side partial
+    aggregate over the broadcast codebook — no window, no shuffle-side
+    join: the kmeans_assign contract, times four."""
+    from mapreduce_sssp_spark.operators.similarity import (
+        q_embedding_pq_encode,
+    )
+
+    plan = plan_of(q_embedding_pq_encode(spark, SF))
+    assert "Window" not in plan
+    assert "partial_min" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
