@@ -2839,7 +2839,77 @@ def q_holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_WIN = 30
+
+
+def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day OLS trend per event type: at every day, the
+    least-squares slope of daily revenue over the trailing 30 daily
+    points — the local-trend detector dashboards plot next to the
+    global theil_sen_trend (which is robust but static; this is the
+    moving version).
+
+    The closed form slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) needs five
+    trailing sums, all EXACT int64 window aggregates over (day-index,
+    cents) — x is days-since-epoch (datediff, exact int), products stay
+    far under 2^63 — and the slope is ONE closing division of exact
+    ints, so there is nothing to quantize. Days with an incomplete
+    window emit NULL (warm-up) rather than a misleadingly steep slope.
+
+    At 100 TB the input is the daily per-type aggregate (map-side
+    combined scan), so each partition's window state is bounded by the
+    calendar; the window partitions by event_type — embarrassingly
+    parallel, no global sort.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        )
+        .cast("long")
+        .alias("y")
+    )
+    pts = daily.select(
+        "event_type",
+        "day",
+        F.datediff("day", F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("x"),
+        "y",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-(ROLL_WIN - 1), 0)
+    )
+    sums = pts.select(
+        "event_type",
+        "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(
+            F.col("n") == ROLL_WIN,
+            num.cast("double") / den.cast("double"),
+        ).alias("slope_cents_per_day"),
+    )
+
+
 QUERIES = {
+    "rolling_regression": q_rolling_regression,
     "bounce_rate_sessions": q_bounce_rate_sessions,
     "markov_stationary": q_markov_stationary,
     "holt_winters_smoothing": q_holt_winters_smoothing,
@@ -3021,6 +3091,36 @@ _HW_NL = (
 )
 
 ORACLE = {
+    "rolling_regression": f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, day,
+         CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS x,
+         CAST(y AS BIGINT) AS y
+  FROM daily
+),
+sums AS (
+  SELECT event_type, day,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+  FROM pts
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN {ROLL_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, n,
+       CASE WHEN n = {ROLL_WIN}
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope_cents_per_day
+FROM sums
+""",
     "bounce_rate_sessions": """
 WITH ordered AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -1185,6 +1185,40 @@ PQ_K = 16  # codewords per subspace
 PQ_SUBDIM = 16  # dims per subspace (embedding dim 64 / PQ_M)
 
 
+def _pq_subdist(m: int, a: str = "v", b: str = "sv"):
+    """Squared distance between the m-th subvectors of columns a and b:
+    three slice dot-products combined in the fixed kmeans_assign
+    expression shape (list_dot_product bit-parity)."""
+    start = m * PQ_SUBDIM + 1
+    sa = f"slice({a}, {start}, {PQ_SUBDIM})"
+    sb = f"slice({b}, {start}, {PQ_SUBDIM})"
+    return F.expr(
+        f"{_DOT.format(a=sa, b=sa)} - 2 * {_DOT.format(a=sa, b=sb)}"
+        f" + {_DOT.format(a=sb, b=sb)}"
+    )
+
+
+def _pq_seeds(vec: DataFrame) -> DataFrame:
+    return vec.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+
+
+def _pq_assign(vec: DataFrame) -> DataFrame:
+    """(vec_id, a0..a3) where a_m = struct(d: min subspace dist2,
+    seed_id: the code) — all four argmins in ONE map-side partial
+    aggregate over the broadcast codebook (see q_embedding_pq_encode)."""
+    scored = vec.crossJoin(F.broadcast(_pq_seeds(vec)))
+    cols = [_pq_subdist(m).alias(f"d{m}") for m in range(PQ_M)]
+    mins = [
+        F.min(F.struct(F.col(f"d{m}").alias("d"), "seed_id")).alias(f"a{m}")
+        for m in range(PQ_M)
+    ]
+    return (
+        scored.select("vec_id", "seed_id", *cols).groupBy("vec_id").agg(*mins)
+    )
+
+
 def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode — the memory half of an IVF-PQ index
     (the structure every billion-vector ANN deployment ships): split
@@ -1212,30 +1246,7 @@ def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact (vec_id, 4 codes) rows. Encoding cost is O(n * PQ_K * dim)
     flops, embarrassingly parallel.
     """
-    vec = _vectors(spark, sf_dir)
-    seeds = vec.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
-    )
-    scored = vec.crossJoin(F.broadcast(seeds))
-    mins = []
-    cols = []
-    for m in range(PQ_M):
-        start = m * PQ_SUBDIM + 1
-        a = f"slice(v, {start}, {PQ_SUBDIM})"
-        b = f"slice(sv, {start}, {PQ_SUBDIM})"
-        d = F.expr(
-            f"{_DOT.format(a=a, b=a)} - 2 * {_DOT.format(a=a, b=b)}"
-            f" + {_DOT.format(a=b, b=b)}"
-        )
-        cols.append(d.alias(f"d{m}"))
-        mins.append(
-            F.min(F.struct(F.col(f"d{m}").alias("d"), "seed_id")).alias(f"a{m}")
-        )
-    agg = (
-        scored.select("vec_id", "seed_id", *cols)
-        .groupBy("vec_id")
-        .agg(*mins)
-    )
+    agg = _pq_assign(_vectors(spark, sf_dir))
     distortion = (
         F.col("a0.d") + F.col("a1.d") + F.col("a2.d") + F.col("a3.d")
     )
@@ -1249,8 +1260,85 @@ def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the query half of
+    IVF-PQ, composing with q_embedding_pq_encode's codes: per query
+    vector, build the 4x16 subspace distance table against the
+    codebook, approximate every candidate's distance as the sum of 4
+    table lookups on its codes, take the top-{TOPK} by ADC, and attach
+    the exact full-dim distance of each winner — the approx-vs-exact
+    readout that tells you whether 64x compression kept enough recall.
+
+    Exactness end-to-end: the distance table and the exact re-rank use
+    the slice/full dot-product expansion (list_dot_product bit-parity
+    contract), the ADC sum is ONE fixed left-associated 4-term add, and
+    ranking breaks ties on (adc, cand_id) — so both engines produce the
+    identical top-k and the driver hash is exact.
+
+    At 100 TB this is THE reason PQ exists: the scan touches only the
+    4-byte codes (a broadcast-joined table lookup per subspace — no
+    vector arithmetic per candidate), the per-query top-k collapses in
+    a partitioned window over n*|queries| compact rows, and only
+    TOPK*|queries| rows ever see a full 64-dim vector again (the
+    re-rank join). Swap the deterministic codebook for a trained one
+    and shard queries in batches; the plan shape is unchanged.
+    """
+    vec = _vectors(spark, sf_dir)
+    assign = _pq_assign(vec)
+    codes = assign.select(
+        "vec_id", *[F.col(f"a{m}.seed_id").alias(f"c{m}") for m in range(PQ_M)]
+    )
+    qs = vec.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dt = qs.crossJoin(F.broadcast(_pq_seeds(vec))).select(
+        "q_id",
+        "seed_id",
+        *[_pq_subdist(m, "qv", "sv").alias(f"t{m}") for m in range(PQ_M)],
+    )
+    adc = codes
+    for m in range(PQ_M):
+        adc = adc.join(
+            F.broadcast(
+                dt.select(
+                    "q_id",
+                    F.col("seed_id").alias(f"c{m}"),
+                    F.col(f"t{m}"),
+                )
+            ),
+            ["q_id", f"c{m}"] if m else [f"c{m}"],
+        )
+    adc_dist = (
+        F.col("t0") + F.col("t1") + F.col("t2") + F.col("t3")
+    )
+    scored = adc.filter(F.col("vec_id") != F.col("q_id")).select(
+        "q_id", F.col("vec_id").alias("cand_id"), adc_dist.alias("adc_dist2")
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist2", "cand_id")
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+    )
+    exact = (
+        top.join(vec.select(F.col("vec_id").alias("cand_id"), "v"), "cand_id")
+        .join(F.broadcast(qs), "q_id")
+        .select(
+            "q_id",
+            "rn",
+            "cand_id",
+            "adc_dist2",
+            F.expr(
+                f"{_DOT.format(a='v', b='v')} - 2 * {_DOT.format(a='qv', b='v')}"
+                f" + {_DOT.format(a='qv', b='qv')}"
+            ).alias("exact_dist2"),
+        )
+    )
+    return exact
+
+
 QUERIES = {
     "embedding_pq_encode": q_embedding_pq_encode,
+    "pq_adc_topk": q_pq_adc_topk,
     "pca_power_iteration": q_pca_power_iteration,
     "rank_fusion_rrf": q_rank_fusion_rrf,
     "label_centroid_similarity": q_label_centroid_similarity,
@@ -1400,6 +1488,80 @@ scored AS (
 SELECT m0.vec_id, c0, c1, c2, c3,
        m0.d0 + m1.d1 + m2.d2 + m3.d3 AS distortion
 FROM m0 JOIN m1 USING (vec_id) JOIN m2 USING (vec_id) JOIN m3 USING (vec_id)
+""",
+    "pq_adc_topk": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {PQ_K}),
+scored AS (
+  SELECT e.vec_id, s.seed_id,
+"""
+    + ",\n".join(
+        f"""         list_dot_product(v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}],
+                          v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}])
+           - 2 * list_dot_product(v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}],
+                                  sv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}])
+           + list_dot_product(sv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}],
+                              sv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]) AS d{m}"""
+        for m in range(PQ_M)
+    )
+    + f"""
+  FROM e, seeds s
+),
+"""
+    + ",\n".join(
+        f"""m{m} AS (
+  SELECT vec_id, seed_id AS c{m} FROM (
+    SELECT vec_id, seed_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d{m}, seed_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)"""
+        for m in range(PQ_M)
+    )
+    + f""",
+codes AS (
+  SELECT m0.vec_id, c0, c1, c2, c3
+  FROM m0 JOIN m1 USING (vec_id) JOIN m2 USING (vec_id) JOIN m3 USING (vec_id)
+),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+dt AS (
+  SELECT q_id, seed_id,
+"""
+    + ",\n".join(
+        f"""         list_dot_product(qv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}],
+                          qv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}])
+           - 2 * list_dot_product(qv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}],
+                                  sv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}])
+           + list_dot_product(sv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}],
+                              sv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]) AS t{m}"""
+        for m in range(PQ_M)
+    )
+    + f"""
+  FROM qs, seeds
+),
+adc AS (
+  SELECT d0.q_id, c.vec_id AS cand_id,
+         d0.t0 + d1.t1 + d2.t2 + d3.t3 AS adc_dist2
+  FROM codes c
+  JOIN dt d0 ON d0.seed_id = c.c0
+  JOIN dt d1 ON d1.q_id = d0.q_id AND d1.seed_id = c.c1
+  JOIN dt d2 ON d2.q_id = d0.q_id AND d2.seed_id = c.c2
+  JOIN dt d3 ON d3.q_id = d0.q_id AND d3.seed_id = c.c3
+  WHERE c.vec_id <> d0.q_id
+),
+top AS (
+  SELECT q_id, cand_id, adc_dist2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist2, cand_id) AS rn
+  FROM adc
+)
+SELECT t.q_id, CAST(t.rn AS INT) AS rn, t.cand_id, t.adc_dist2,
+       list_dot_product(e.v, e.v) - 2 * list_dot_product(q.qv, e.v)
+         + list_dot_product(q.qv, q.qv) AS exact_dist2
+FROM top t
+JOIN e ON e.vec_id = t.cand_id
+JOIN qs q ON q.q_id = t.q_id
+WHERE t.rn <= {TOPK}
 """,
     "kmeans_assign": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

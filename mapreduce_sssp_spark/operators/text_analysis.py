@@ -369,6 +369,140 @@ def q_stump_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KFOLDS = 5
+
+# Weighted-Gini split score as ONE textual expression template shared
+# verbatim by the Spark plan and the DuckDB oracle — identical operand
+# order and casts, so the correctly-rounded doubles agree bit-for-bit
+# (the stump_split_finder contract, factored for reuse).
+_GINI_EXPR = (
+    "(CAST(n_l AS DOUBLE)"
+    " - CAST(pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)"
+    " / CAST(n_l AS DOUBLE))"
+    " + (CAST(n_tot - n_l AS DOUBLE)"
+    " - CAST((pos_tot - pos_l) * (pos_tot - pos_l)"
+    " + ((n_tot - n_l) - (pos_tot - pos_l))"
+    " * ((n_tot - n_l) - (pos_tot - pos_l)) AS DOUBLE)"
+    " / CAST(n_tot - n_l AS DOUBLE))"
+)
+
+
+def q_kfold_cv_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated decision stump — the model-selection loop
+    run entirely in-engine: folds are doc_id % 5, each fold's stump
+    (n_chars threshold predicting lang='en') trains on the OTHER four
+    folds' histogram and is scored on the held-out fold, emitting per
+    fold the trained threshold, its train Gini, the predicted-positive
+    side, and held-out accuracy.
+
+    The train-on-complement trick is pure histogram algebra: train
+    histogram for fold f = global histogram MINUS fold f's histogram
+    (exact int64 subtraction on the (value, n, n_pos) aggregate), so
+    the corpus is scanned ONCE for all five folds — no per-fold
+    re-scan, which is the difference between 1x and 5x I/O at 100 TB.
+    Threshold search is the stump_split_finder device (cumulative
+    window + e9-quantized Gini argmin with threshold tiebreak); the
+    predicted side is the train split's majority-positive side decided
+    by EXACT cross-multiplication (pos_l*n_r vs pos_r*n_l); held-out
+    accuracy reads the fold's own histogram at the trained threshold —
+    counts and one closing division, nothing to quantize.
+
+    At 100 TB: one map-side-combined histogram pass, then everything
+    runs on |folds| x |distinct values| aggregate rows; the best-row
+    election and the eval join broadcast 5 rows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % KFOLDS).alias("fold"),
+        "n_chars",
+        (F.col("lang") == "en").cast("long").alias("is_pos"),
+    )
+    fh = docs.groupBy("fold", "n_chars").agg(
+        F.count("*").alias("n"), F.sum("is_pos").alias("n_pos")
+    )
+    gh = fh.groupBy("n_chars").agg(
+        F.sum("n").alias("gn"), F.sum("n_pos").alias("gpos")
+    )
+    folds = spark.range(KFOLDS).select(F.col("id").alias("fold"))
+    th = (
+        folds.crossJoin(F.broadcast(gh))
+        .join(F.broadcast(fh), ["fold", "n_chars"], "left")
+        .select(
+            "fold",
+            "n_chars",
+            (F.col("gn") - F.coalesce("n", F.lit(0))).alias("tn"),
+            (F.col("gpos") - F.coalesce("n_pos", F.lit(0))).alias("tpos"),
+        )
+    )
+    w = (
+        Window.partitionBy("fold")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("fold")
+    cum = th.select(
+        "fold",
+        F.col("n_chars").alias("threshold"),
+        F.sum("tn").over(w).alias("n_l"),
+        F.sum("tpos").over(w).alias("pos_l"),
+        F.sum("tn").over(wt).alias("n_tot"),
+        F.sum("tpos").over(wt).alias("pos_tot"),
+        # both sides non-empty: the complement histogram can be empty at
+        # the extremes (a value whose docs all fall in the held-out fold)
+    ).filter((F.col("n_l") > 0) & (F.col("n_l") < F.col("n_tot")))
+    scored = cum.select(
+        "fold",
+        "threshold",
+        F.round(F.expr(_GINI_EXPR) * 1e9).cast("long").alias("gini_e9"),
+        # majority-positive side by exact cross-multiplication
+        (
+            F.col("pos_l") * (F.col("n_tot") - F.col("n_l"))
+            >= (F.col("pos_tot") - F.col("pos_l")) * F.col("n_l")
+        ).alias("left_positive"),
+    )
+    rw = Window.partitionBy("fold").orderBy("gini_e9", "threshold")
+    best = (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    ev = (
+        fh.join(F.broadcast(best), "fold")
+        .groupBy("fold", "threshold", "gini_e9", "left_positive")
+        .agg(
+            F.sum("n").alias("n_eval"),
+            F.sum("n_pos").alias("pos_eval"),
+            F.sum(F.when(F.col("n_chars") <= F.col("threshold"), F.col("n"))
+                  .otherwise(0)).alias("n_l_f"),
+            F.sum(F.when(F.col("n_chars") <= F.col("threshold"),
+                         F.col("n_pos")).otherwise(0)).alias("pos_l_f"),
+        )
+    )
+    n_correct = F.when(
+        F.col("left_positive"),
+        F.col("pos_l_f")
+        + (
+            (F.col("n_eval") - F.col("n_l_f"))
+            - (F.col("pos_eval") - F.col("pos_l_f"))
+        ),
+    ).otherwise(
+        (F.col("n_l_f") - F.col("pos_l_f"))
+        + (F.col("pos_eval") - F.col("pos_l_f"))
+    )
+    return ev.select(
+        "fold",
+        "threshold",
+        "gini_e9",
+        "left_positive",
+        F.col("n_eval").cast("long").alias("n_eval"),
+        n_correct.cast("long").alias("n_correct"),
+        (n_correct.cast("double") / F.col("n_eval").cast("double")).alias(
+            "accuracy"
+        ),
+    )
+
+
 VOCAB_CURVE_BUCKET = 50
 
 
@@ -1647,6 +1781,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "vocab_growth_curve": q_vocab_growth_curve,
     "stump_split_finder": q_stump_split_finder,
+    "kfold_cv_stump": q_kfold_cv_stump,
     "vocab_coverage": q_vocab_coverage,
     "trigram_novelty": q_trigram_novelty,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
@@ -1955,6 +2090,73 @@ SELECT doc_id,
        CAST(list_max(list_transform(toks, x -> length(x))) AS INT) AS max_tok_len,
        CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
 FROM t
+""",
+    "kfold_cv_stump": f"""
+WITH docs AS (
+  SELECT doc_id % {KFOLDS} AS fold, n_chars,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+),
+fh AS (
+  SELECT fold, n_chars, COUNT(*) AS n, CAST(SUM(is_pos) AS BIGINT) AS n_pos
+  FROM docs GROUP BY 1, 2
+),
+gh AS (
+  SELECT n_chars, CAST(SUM(n) AS BIGINT) AS gn,
+         CAST(SUM(n_pos) AS BIGINT) AS gpos
+  FROM fh GROUP BY 1
+),
+folds AS (SELECT UNNEST(range({KFOLDS})) AS fold),
+th AS (
+  SELECT f.fold, g.n_chars,
+         g.gn - COALESCE(h.n, 0) AS tn,
+         g.gpos - COALESCE(h.n_pos, 0) AS tpos
+  FROM folds f CROSS JOIN gh g
+  LEFT JOIN fh h ON h.fold = f.fold AND h.n_chars = g.n_chars
+),
+cum AS (
+  SELECT fold, n_chars AS threshold,
+         CAST(SUM(tn) OVER w AS BIGINT) AS n_l,
+         CAST(SUM(tpos) OVER w AS BIGINT) AS pos_l,
+         CAST(SUM(tn) OVER (PARTITION BY fold) AS BIGINT) AS n_tot,
+         CAST(SUM(tpos) OVER (PARTITION BY fold) AS BIGINT) AS pos_tot
+  FROM th
+  WINDOW w AS (PARTITION BY fold ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+),
+scored AS (
+  SELECT fold, threshold,
+         CAST(round(({_GINI_EXPR}) * 1e9) AS BIGINT) AS gini_e9,
+         pos_l * (n_tot - n_l) >= (pos_tot - pos_l) * n_l AS left_positive
+  FROM cum WHERE n_l > 0 AND n_l < n_tot
+),
+best AS (
+  SELECT fold, threshold, gini_e9, left_positive FROM (
+    SELECT *, row_number() OVER (PARTITION BY fold
+                                 ORDER BY gini_e9, threshold) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+ev AS (
+  SELECT h.fold, b.threshold, b.gini_e9, b.left_positive,
+         CAST(SUM(h.n) AS BIGINT) AS n_eval,
+         CAST(SUM(h.n_pos) AS BIGINT) AS pos_eval,
+         CAST(SUM(CASE WHEN h.n_chars <= b.threshold THEN h.n ELSE 0 END)
+              AS BIGINT) AS n_l_f,
+         CAST(SUM(CASE WHEN h.n_chars <= b.threshold THEN h.n_pos ELSE 0 END)
+              AS BIGINT) AS pos_l_f
+  FROM fh h JOIN best b ON b.fold = h.fold
+  GROUP BY 1, 2, 3, 4
+)
+SELECT fold, threshold, gini_e9, left_positive, n_eval,
+       CAST(CASE WHEN left_positive
+                 THEN pos_l_f + ((n_eval - n_l_f) - (pos_eval - pos_l_f))
+                 ELSE (n_l_f - pos_l_f) + (pos_eval - pos_l_f)
+            END AS BIGINT) AS n_correct,
+       CAST(CASE WHEN left_positive
+                 THEN pos_l_f + ((n_eval - n_l_f) - (pos_eval - pos_l_f))
+                 ELSE (n_l_f - pos_l_f) + (pos_eval - pos_l_f)
+            END AS DOUBLE) / CAST(n_eval AS DOUBLE) AS accuracy
+FROM ev
 """,
     "tokenizer_fertility": f"""
 WITH per AS (

@@ -295,3 +295,136 @@ def test_quantile_normalization_monotone_and_complete(spark):
         for a, b in zip(cells, cells[1:]):
             assert a.norm_value <= b.norm_value, src
         assert cells[-1].tile <= QN_TILES
+
+
+def test_rolling_regression_matches_numpy(spark):
+    from mapreduce_sssp_spark.operators.event_windows import (
+        ROLL_WIN,
+        q_rolling_regression,
+    )
+
+    got = {
+        (r.event_type, str(r.day)): r
+        for r in q_rolling_regression(spark, SF).collect()
+    }
+    rows = _duck(
+        """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    series = {}
+    for et, day, y in rows:
+        series.setdefault(et, []).append((day, int(y)))
+    n_checked = 0
+    for et, pts in series.items():
+        xs = np.array([(d - pts[0][0]).days for d, _ in pts], dtype=np.float64)
+        xs += (pts[0][0] - __import__("datetime").date(1970, 1, 1)).days
+        ys = np.array([y for _, y in pts], dtype=np.float64)
+        for i in range(len(pts)):
+            r = got[(et, str(pts[i][0]))]
+            if i + 1 < ROLL_WIN:
+                assert r.slope_cents_per_day is None
+                continue
+            xw, yw = xs[i - ROLL_WIN + 1 : i + 1], ys[i - ROLL_WIN + 1 : i + 1]
+            slope = np.polyfit(xw, yw, 1)[0]
+            assert math.isclose(
+                r.slope_cents_per_day, slope, rel_tol=1e-9, abs_tol=1e-6
+            ), (et, i)
+            n_checked += 1
+    assert n_checked > 0
+
+
+def test_kfold_cv_stump_matches_python(spark):
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        KFOLDS,
+        q_kfold_cv_stump,
+    )
+
+    got = {r.fold: r for r in q_kfold_cv_stump(spark, SF).collect()}
+    rows = _duck("SELECT doc_id, n_chars, lang FROM documents")
+    data = [(d % KFOLDS, n, 1 if lang == "en" else 0) for d, n, lang in rows]
+    for f in range(KFOLDS):
+        train = [(n, p) for ff, n, p in data if ff != f]
+        test = [(n, p) for ff, n, p in data if ff == f]
+        values = sorted({n for n, _ in train})
+        best = None
+        for thr in values:
+            left = [(n, p) for n, p in train if n <= thr]
+            right = [(n, p) for n, p in train if n > thr]
+            if not left or not right:
+                continue
+            def gini(part):
+                n = len(part)
+                pos = sum(p for _, p in part)
+                neg = n - pos
+                return n - (pos * pos + neg * neg) / n
+            score = round((gini(left) + gini(right)) * 1e9)
+            if best is None or (score, thr) < best[:2]:
+                pos_l = sum(p for _, p in left)
+                pos_r = sum(p for _, p in right)
+                left_pos = pos_l * len(right) >= pos_r * len(left)
+                best = (score, thr, left_pos)
+        score, thr, left_pos = best
+        assert got[f].threshold == thr, f
+        assert got[f].gini_e9 == score, f
+        assert got[f].left_positive == left_pos, f
+        correct = sum(
+            1
+            for n, p in test
+            if p == (1 if ((n <= thr) == left_pos) else 0)
+        )
+        assert got[f].n_eval == len(test)
+        assert got[f].n_correct == correct, f
+        assert got[f].accuracy == correct / len(test)
+
+
+def test_pq_adc_matches_numpy_tables(spark):
+    from mapreduce_sssp_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        QUERY_MOD,
+        TOPK,
+        q_pq_adc_topk,
+    )
+
+    rows = q_pq_adc_topk(spark, SF).collect()
+    raw = _duck("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id")
+    vecs = {vid: np.array(v, dtype=np.float64) for vid, v in raw}
+    seeds = {sid: vecs[sid] for sid in range(PQ_K)}
+
+    def subdist(a, b, m):
+        lo, hi = m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM
+        return float(((a[lo:hi] - b[lo:hi]) ** 2).sum())
+
+    codes = {}
+    for vid, v in vecs.items():
+        codes[vid] = tuple(
+            min(range(PQ_K), key=lambda s: (subdist(v, seeds[s], m), s))
+            for m in range(PQ_M)
+        )
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    expected_qs = {vid for vid in vecs if vid % QUERY_MOD == 0}
+    assert set(by_q) == expected_qs
+    for q_id, rs in by_q.items():
+        qv = vecs[q_id]
+        adc = {
+            vid: sum(subdist(qv, seeds[codes[vid][m]], m) for m in range(PQ_M))
+            for vid in vecs
+            if vid != q_id
+        }
+        want = sorted(adc, key=lambda v: (adc[v], v))[:TOPK]
+        rs.sort(key=lambda r: r.rn)
+        assert [r.cand_id for r in rs] == want, q_id
+        for r in rs:
+            assert math.isclose(
+                r.adc_dist2, adc[r.cand_id], rel_tol=1e-9, abs_tol=1e-9
+            )
+            exact = float(((qv - vecs[r.cand_id]) ** 2).sum())
+            assert math.isclose(
+                r.exact_dist2, exact, rel_tol=1e-9, abs_tol=1e-9
+            )
