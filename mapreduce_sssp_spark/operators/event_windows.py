@@ -2766,6 +2766,133 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_ITERS = 60
+
+
+def math_floor(x: float) -> int:
+    import math
+
+    return int(math.floor(x))
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven alternative
+    to last-touch/position rules (attribution_last_touch /
+    attribution_position_based): model user journeys as a Markov chain
+    over event types with 'purchase' absorbing (conversion) and 'END'
+    absorbing (journey loss), compute the chain's conversion
+    probability from the first-touch start distribution, then re-run it
+    with each channel removed (its visits become losses); a channel's
+    credit is the conversion drop its removal causes, normalized across
+    channels.
+
+    Absorption probabilities come from {ATTR_ITERS} rounds of value
+    iteration p_i <- T_i,purchase + sum_j floor(T_ij * p_j / 1e12) in
+    e12-quantized integers (the markov_stationary device): transition
+    rows and the start histogram are floor-quantized once, every
+    iteration is pure int arithmetic, so the result is bit-identical to
+    the DuckDB recursive-CTE twin regardless of summation order.
+    baseline/removal/diff are exact ints; effect and share are ONE
+    closing division each.
+
+    Distribution story: the corpus-sized work is the step extraction
+    (one user-partitioned window) and two tiny aggregates (|types|^2
+    transitions + |types| starts); the per-removal value iterations run
+    on the collected bounded matrix (the markov_stationary scalar-seed
+    exception) — |channels|+1 scenarios x |types| states x 60 rounds of
+    integer flops, trivial at any corpus scale because the matrix size
+    is set by the event vocabulary, not the data.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("prev"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("END")).alias("next"),
+        F.row_number().over(w).alias("rn"),
+    )
+    counts = (
+        seq.filter(F.col("prev") != "purchase")
+        .groupBy("prev", "next")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.groupBy("prev").agg(F.sum("n").alias("tot"))
+    trans = counts.join(tot, "prev").select(
+        "prev",
+        "next",
+        F.floor(
+            F.col("n").cast("double") / F.col("tot").cast("double") * F.lit(1e12)
+        )
+        .cast("long")
+        .alias("t_e12"),
+    )
+    starts = (
+        seq.filter(F.col("rn") == 1)
+        .groupBy(F.col("prev").alias("state"))
+        .agg(F.count("*").alias("n"))
+    )
+    # Bounded collects: |types|^2 transition cells + |types| start rows.
+    t_rows = trans.collect()
+    s_rows = starts.collect()
+    n_users = sum(r["n"] for r in s_rows)
+    s_e12 = {
+        r["state"]: math_floor(r["n"] / n_users * 1e12) for r in s_rows
+    }
+    states = sorted({r["prev"] for r in t_rows})
+    t_ns = {}  # (i, j) -> t_e12 for non-absorbing j
+    const = {i: 0 for i in states}
+    for r in t_rows:
+        if r["next"] == "purchase":
+            const[r["prev"]] = r["t_e12"]
+        elif r["next"] != "END" and r["next"] in set(states):
+            t_ns[(r["prev"], r["next"])] = r["t_e12"]
+
+    def absorb(removed):
+        p = {s: 0 for s in states}
+        for _ in range(ATTR_ITERS):
+            nxt = {}
+            for i in states:
+                acc = const[i]
+                for j in states:
+                    t = t_ns.get((i, j))
+                    if t is None or j == removed:
+                        continue
+                    acc += (t * p[j]) // 10**12
+                nxt[i] = acc
+            p = nxt
+        pc = 0
+        for st, se in s_e12.items():
+            if st == removed:
+                continue
+            if st == "purchase":
+                pc += se
+            elif st in p:
+                pc += (se * p[st]) // 10**12
+        return pc
+
+    baseline = absorb(None)
+    diffs = {c: baseline - absorb(c) for c in states}
+    sum_diff = sum(diffs.values())
+    out = [
+        (
+            c,
+            baseline,
+            baseline - diffs[c],
+            diffs[c],
+            diffs[c] / baseline,
+            (diffs[c] / sum_diff) if sum_diff else None,
+        )
+        for c in states
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, baseline_e12 long, removal_e12 long, diff_e12 long,"
+        " removal_effect double, attribution_share double",
+    )
+
+
 HW_ALPHA_10 = 3  # alpha = 0.3 as integer tenths
 HW_BETA_10 = 1  # beta = 0.1
 
@@ -2912,6 +3039,7 @@ QUERIES = {
     "rolling_regression": q_rolling_regression,
     "bounce_rate_sessions": q_bounce_rate_sessions,
     "markov_stationary": q_markov_stationary,
+    "markov_attribution": q_markov_attribution,
     "holt_winters_smoothing": q_holt_winters_smoothing,
     "window_tumbling": q_window_tumbling,
     "changepoint_cusum": q_changepoint_cusum,
@@ -3189,6 +3317,94 @@ it AS (
 SELECT state AS event_type, v_e12 AS stationary_e12,
        v_e12 / 1e12 AS prob
 FROM it WHERE iter = {MARKOV_ITERS}
+""",
+    "markov_attribution": f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type AS prev,
+         COALESCE(lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id), 'END')
+           AS next,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+counts AS (
+  SELECT prev, next, COUNT(*) AS n FROM seq
+  WHERE prev <> 'purchase' GROUP BY 1, 2
+),
+tot AS (SELECT prev, SUM(n) AS tot FROM counts GROUP BY 1),
+trans AS (
+  SELECT c.prev, c.next,
+         CAST(floor(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1e12)
+              AS BIGINT) AS t_e12
+  FROM counts c JOIN tot t USING (prev)
+),
+states AS (SELECT DISTINCT prev AS state FROM trans),
+consts AS (
+  SELECT s.state,
+         COALESCE(MAX(CASE WHEN t.next = 'purchase' THEN t.t_e12 END), 0)
+           AS cst
+  FROM states s LEFT JOIN trans t ON t.prev = s.state GROUP BY 1
+),
+t_ns AS (
+  SELECT prev, next, t_e12 FROM trans
+  WHERE next IN (SELECT state FROM states)
+  UNION ALL
+  SELECT state, state, CAST(0 AS BIGINT) FROM states
+),
+removals AS (SELECT 'none' AS removal UNION ALL SELECT state FROM states),
+it AS (
+  SELECT r.removal, s.state, 0 AS iter, CAST(0 AS BIGINT) AS p_e12
+  FROM removals r CROSS JOIN states s
+  UNION ALL
+  SELECT i.removal, t.prev AS state, i.iter + 1,
+         CAST(MIN(c.cst)
+              + SUM(CASE WHEN t.next = i.removal THEN 0
+                         ELSE (CAST(t.t_e12 AS HUGEINT) * i.p_e12)
+                                // 1000000000000 END) AS BIGINT)
+  FROM it i
+  JOIN t_ns t ON t.next = i.state
+  JOIN consts c ON c.state = t.prev
+  WHERE i.iter < {ATTR_ITERS}
+  GROUP BY i.removal, t.prev, i.iter
+),
+p AS (SELECT removal, state, p_e12 FROM it WHERE iter = {ATTR_ITERS}),
+starts AS (
+  SELECT prev AS state, COUNT(*) AS n FROM seq WHERE rn = 1 GROUP BY 1
+),
+s_q AS (
+  SELECT state,
+         CAST(floor(CAST(n AS DOUBLE)
+                    / CAST((SELECT SUM(n) FROM starts) AS DOUBLE) * 1e12)
+              AS BIGINT) AS s_e12
+  FROM starts
+),
+pc AS (
+  SELECT r.removal,
+         CAST(SUM(CASE WHEN s.state = r.removal THEN 0
+                       WHEN s.state = 'purchase' THEN s.s_e12
+                       ELSE (CAST(s.s_e12 AS HUGEINT) * COALESCE(p.p_e12, 0))
+                              // 1000000000000 END) AS BIGINT) AS pc_e12
+  FROM removals r
+  CROSS JOIN s_q s
+  LEFT JOIN p ON p.removal = r.removal AND p.state = s.state
+  GROUP BY 1
+),
+diffs AS (
+  SELECT pc.removal AS channel,
+         b.pc_e12 AS baseline_e12,
+         pc.pc_e12 AS removal_e12,
+         b.pc_e12 - pc.pc_e12 AS diff_e12
+  FROM pc, (SELECT pc_e12 FROM pc WHERE removal = 'none') b
+  WHERE pc.removal <> 'none'
+)
+SELECT channel, baseline_e12, removal_e12, diff_e12,
+       CAST(diff_e12 AS DOUBLE) / CAST(baseline_e12 AS DOUBLE)
+         AS removal_effect,
+       CASE WHEN SUM(diff_e12) OVER () <> 0
+            THEN CAST(diff_e12 AS DOUBLE)
+                   / CAST(SUM(diff_e12) OVER () AS DOUBLE)
+       END AS attribution_share
+FROM diffs
 """,
     "holt_winters_smoothing": f"""
 WITH RECURSIVE daily AS (

@@ -528,3 +528,83 @@ def test_encoding_advisor_matches_python(spark):
         else:
             want = "plain"
         assert r.advice == want, name
+
+
+def test_markov_attribution_matches_linear_solve(spark):
+    """Removal-effect attribution vs the closed-form absorption solve
+    (I - Q) p = r for each scenario — the quantized 60-round value
+    iteration must land within quantization error of the exact answer,
+    and the shares must form a distribution."""
+    from mapreduce_sssp_spark.operators.event_windows import (
+        q_markov_attribution,
+    )
+
+    got = {r.channel: r for r in q_markov_attribution(spark, SF).collect()}
+    steps = _duck(
+        """
+        WITH seq AS (
+          SELECT event_type AS prev,
+                 COALESCE(lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id), 'END') AS next,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT prev, next, COUNT(*) FROM seq
+        WHERE prev <> 'purchase' GROUP BY 1, 2
+        """
+    )
+    firsts = _duck(
+        """
+        WITH seq AS (
+          SELECT event_type, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT event_type, COUNT(*) FROM seq WHERE rn = 1 GROUP BY 1
+        """
+    )
+    states = sorted({p for p, _, _ in steps})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    row_tot = {}
+    for p, _, n in steps:
+        row_tot[p] = row_tot.get(p, 0) + n
+
+    def conv_prob(removed):
+        Q = np.zeros((k, k))
+        r = np.zeros(k)
+        for p, nx, n in steps:
+            t = n / row_tot[p]
+            if nx == "purchase":
+                r[idx[p]] += t
+            elif nx == "END" or nx == removed:
+                pass
+            elif nx in idx:
+                Q[idx[p], idx[nx]] += t
+        pvec = np.linalg.solve(np.eye(k) - Q, r)
+        total = sum(n for _, n in firsts)
+        pc = 0.0
+        for st, n in firsts:
+            if st == removed:
+                continue
+            if st == "purchase":
+                pc += n / total
+            elif st in idx:
+                pc += (n / total) * pvec[idx[st]]
+        return pc
+
+    base = conv_prob(None)
+    assert set(got) == set(states)
+    diffs = {}
+    for c in states:
+        rem = conv_prob(c)
+        r = got[c]
+        assert abs(r.baseline_e12 / 1e12 - base) < 1e-6
+        assert abs(r.removal_e12 / 1e12 - rem) < 1e-6
+        assert 0.0 <= r.removal_effect <= 1.0 + 1e-12
+        diffs[c] = base - rem
+    shares = [got[c].attribution_share for c in states]
+    assert abs(sum(shares) - 1.0) < 1e-9
+    want = np.array([diffs[c] for c in states])
+    want /= want.sum()
+    for c, w in zip(states, want):
+        assert abs(got[c].attribution_share - w) < 1e-5, c
