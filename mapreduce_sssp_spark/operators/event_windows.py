@@ -3035,7 +3035,72 @@ def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QB_CAP_PCT = 95  # daily capacity = 95% of the long-run mean arrival rate
+
+
+def q_queue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue-backlog simulation per event type: feed each day's event
+    arrivals into a server with fixed daily capacity (95% of the
+    type's long-run mean — a deliberately under-provisioned system)
+    and report the end-of-day backlog — the Lindley recursion
+    B_t = max(0, B_{t-1} + arrivals_t - capacity), the fundamental
+    ops-capacity readout (SLA debt, consumer lag, ticket queues).
+
+    The recursion looks inherently sequential but has the classic
+    closed form B_t = S_t - min(0, min_{s<=t} S_s) where S is the
+    running NET sum — so it runs as two stacked window aggregates
+    (running sum, running min) instead of a fold: everything is exact
+    int64 (capacity is a floor of an exact product ratio), nothing to
+    quantize.
+
+    At 100 TB the input is the per-(type, day) aggregate; both windows
+    partition by event_type — parallel across types, bounded by the
+    calendar within each.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("arrivals")
+    )
+    wt = Window.partitionBy("event_type")
+    capd = daily.select(
+        "event_type",
+        "day",
+        "arrivals",
+        F.floor(
+            (F.sum("arrivals").over(wt) * QB_CAP_PCT)
+            / (F.count("*").over(wt) * 100)
+        )
+        .cast("long")
+        .alias("capacity"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nets = capd.select(
+        "event_type",
+        "day",
+        "arrivals",
+        "capacity",
+        F.sum(F.col("arrivals") - F.col("capacity")).over(w).alias("s_cum"),
+    )
+    run_min = F.min("s_cum").over(w)
+    return nets.select(
+        "event_type",
+        "day",
+        "arrivals",
+        "capacity",
+        (
+            F.col("s_cum") - F.least(F.lit(0).cast("long"), run_min)
+        ).alias("backlog"),
+    )
+
+
 QUERIES = {
+    "queue_backlog": q_queue_backlog,
     "rolling_regression": q_rolling_regression,
     "bounce_rate_sessions": q_bounce_rate_sessions,
     "markov_stationary": q_markov_stationary,
@@ -3317,6 +3382,31 @@ it AS (
 SELECT state AS event_type, v_e12 AS stationary_e12,
        v_e12 / 1e12 AS prob
 FROM it WHERE iter = {MARKOV_ITERS}
+""",
+    "queue_backlog": f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS arrivals
+  FROM events GROUP BY 1, 2
+),
+capd AS (
+  SELECT event_type, day, arrivals,
+         CAST(floor((SUM(arrivals) OVER (PARTITION BY event_type)
+                     * {QB_CAP_PCT})
+                    / (COUNT(*) OVER (PARTITION BY event_type) * 100))
+              AS BIGINT) AS capacity
+  FROM daily
+),
+nets AS (
+  SELECT event_type, day, arrivals, capacity,
+         CAST(SUM(arrivals - capacity) OVER w AS BIGINT) AS s_cum
+  FROM capd
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, day, arrivals, capacity,
+       s_cum - least(CAST(0 AS BIGINT), CAST(MIN(s_cum) OVER w AS BIGINT))
+         AS backlog
+FROM nets
+WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
 """,
     "markov_attribution": f"""
 WITH RECURSIVE seq AS (

@@ -1575,6 +1575,83 @@ def _random_walks_oracle_sql(steps: int = WALK_STEPS) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + steps_union
 
 
+WALK_PMI_WINDOW = 2
+WALK_PMI_MIN_N = 2
+
+
+def q_walk_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram PMI pairs from the deterministic walk corpus — the
+    node2vec/DeepWalk preprocessing step that turns walks into training
+    signal: co-occurrences of nodes within a +-{WALK_PMI_WINDOW}-step
+    window of the SAME walk, scored by pointwise mutual information
+    (what an SGNS embedding implicitly factorizes, per Levy & Goldberg).
+
+    Composes q_random_walks' hash-checkable corpus: pairs come from a
+    start-keyed self-join with a step-band predicate (per-walk rows are
+    WALK_STEPS+1, so the join fan-out is a constant 7 per walk — never
+    quadratic), counts and occurrence totals are exact ints, and the
+    PMI ln(n_ab * Nocc^2 / (T * n_a * n_b)) is ONE identical float
+    expression on exact ints quantized e6 (the psi ln-contract).
+
+    At 100 TB the walk corpus IS the big table; the band self-join
+    shuffles on the walk key once, the pair aggregate partial-combines,
+    and the occurrence join broadcasts the |nodes|-sized count table.
+    """
+    walks = q_random_walks(spark, sf_dir)
+    a = walks.select("start", F.col("step").alias("sa"), F.col("node").alias("na"))
+    b = walks.select("start", F.col("step").alias("sb"), F.col("node").alias("nb"))
+    pairs = (
+        a.join(b, "start")
+        .filter(
+            (F.col("sb") > F.col("sa"))
+            & (F.col("sb") <= F.col("sa") + WALK_PMI_WINDOW)
+            & (F.col("na") != F.col("nb"))
+        )
+        .select(
+            F.least("na", "nb").alias("node_a"),
+            F.greatest("na", "nb").alias("node_b"),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= WALK_PMI_MIN_N)
+    )
+    occ = walks.groupBy(F.col("node")).agg(F.count("*").alias("n_occ"))
+    n_tot = walks.agg(
+        F.count("*").alias("n_occ_tot")
+    )
+    t_tot = pairs.agg(F.sum("n_ab").alias("t_tot"))
+    j = (
+        pairs.join(
+            F.broadcast(occ.select(F.col("node").alias("node_a"),
+                                   F.col("n_occ").alias("occ_a"))),
+            "node_a",
+        )
+        .join(
+            F.broadcast(occ.select(F.col("node").alias("node_b"),
+                                   F.col("n_occ").alias("occ_b"))),
+            "node_b",
+        )
+        .crossJoin(F.broadcast(n_tot))  # 1-row scalar
+        .crossJoin(F.broadcast(t_tot))  # 1-row scalar
+    )
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.col("n_occ_tot").cast("double")
+        * F.col("n_occ_tot").cast("double")
+        / (
+            F.col("t_tot").cast("double")
+            * F.col("occ_a").cast("double")
+            * F.col("occ_b").cast("double")
+        )
+    )
+    return j.select(
+        "node_a",
+        "node_b",
+        "n_ab",
+        F.round(pmi * 1e6).cast("long").alias("pmi_e6"),
+    )
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the part co-occurrence graph.
 
@@ -1963,6 +2040,7 @@ QUERIES = {
     "triangle_counts": q_triangle_counts,
     "clustering_coefficient": q_clustering_coefficient,
     "random_walks": q_random_walks,
+    "walk_pmi_pairs": q_walk_pmi_pairs,
     "ktruss": q_ktruss,
     "mis_greedy": q_mis_greedy,
     "graph_reciprocity": q_graph_reciprocity,
@@ -2655,6 +2733,37 @@ FROM dsum s LEFT JOIN internal i USING (community)
 """,
     "mis_greedy": _mis_oracle_sql(),
     "random_walks": _random_walks_oracle_sql(),
+    "walk_pmi_pairs": f"""
+WITH walks AS MATERIALIZED (
+{_random_walks_oracle_sql()}
+),
+pairs AS (
+  SELECT least(a.node, b.node) AS node_a,
+         greatest(a.node, b.node) AS node_b,
+         COUNT(*) AS n_ab
+  FROM walks a JOIN walks b
+    ON a.start = b.start
+   AND b.step > a.step AND b.step <= a.step + {WALK_PMI_WINDOW}
+   AND a.node <> b.node
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {WALK_PMI_MIN_N}
+),
+occ AS (SELECT node, COUNT(*) AS n_occ FROM walks GROUP BY 1),
+n_tot AS (SELECT COUNT(*) AS n_occ_tot FROM walks),
+t_tot AS (SELECT SUM(n_ab) AS t_tot FROM pairs)
+SELECT p.node_a, p.node_b, p.n_ab,
+       CAST(round(ln(CAST(p.n_ab AS DOUBLE)
+                     * CAST(n.n_occ_tot AS DOUBLE)
+                     * CAST(n.n_occ_tot AS DOUBLE)
+                     / (CAST(t.t_tot AS DOUBLE)
+                        * CAST(oa.n_occ AS DOUBLE)
+                        * CAST(ob.n_occ AS DOUBLE))) * 1e6) AS BIGINT)
+         AS pmi_e6
+FROM pairs p
+JOIN occ oa ON oa.node = p.node_a
+JOIN occ ob ON ob.node = p.node_b
+CROSS JOIN n_tot n CROSS JOIN t_tot t
+""",
     "ktruss": _ktruss_oracle_sql(),
     "clustering_coefficient": """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -2325,7 +2325,92 @@ FROM lineitem
 """
 
 
+PARETO_NUM = 4  # head = smallest revenue-ranked prefix reaching 4/5 (80%)
+PARETO_DEN = 5
+
+
+def q_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration report per nation: how many of a
+    nation's customers does it take to cover 80% of its order revenue?
+    The whale-detection readout behind account tiering, support
+    prioritization, and revenue-at-risk analysis — the per-group
+    version of gini_value's concentration story.
+
+    The 80% cut is decided in EXACT integer arithmetic: with revenue
+    in cents, customer c (ranked by revenue DESC, custkey) is in the
+    head iff the revenue strictly BEFORE c has not yet reached 80% —
+    cum_before * {PARETO_DEN} < total * {PARETO_NUM} — all int64
+    cross-products, no float thresholds; head_share is ONE closing
+    division. Rank windows partition by nation (parallel), and the
+    per-customer aggregate underneath is one map-side-combined groupBy.
+
+    At 100 TB: customer-level revenue is the only corpus-scale
+    aggregate; windows run over |customers-per-nation| rows. The
+    nation dim broadcasts.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    per_cust = (
+        o.join(cust, "o_custkey")
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("rev").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("c_nationkey")
+    flagged = per_cust.select(
+        "c_nationkey",
+        "rev",
+        F.coalesce(F.sum("rev").over(w), F.lit(0)).alias("cum_before"),
+        F.sum("rev").over(wt).alias("total"),
+    ).select(
+        "c_nationkey",
+        "rev",
+        "total",
+        (
+            F.col("cum_before") * PARETO_DEN < F.col("total") * PARETO_NUM
+        ).alias("in_head"),
+    )
+    agg = flagged.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("in_head").cast("long")).cast("long").alias("n_head"),
+        F.sum(F.when(F.col("in_head"), F.col("rev")).otherwise(0))
+        .cast("long")
+        .alias("head_cents"),
+        F.max("total").cast("long").alias("total_cents"),
+    )
+    return agg.join(F.broadcast(nation), "c_nationkey").select(
+        "n_name",
+        "n_customers",
+        "n_head",
+        "head_cents",
+        "total_cents",
+        (
+            F.col("n_head").cast("double") / F.col("n_customers").cast("double")
+        ).alias("head_customer_share"),
+        (
+            F.col("head_cents").cast("double") / F.col("total_cents").cast("double")
+        ).alias("head_revenue_share"),
+    )
+
+
 QUERIES = {
+    "pareto_cut": q_pareto_cut,
     "join_inner": q_join_inner,
     "profile_columns": q_profile_columns,
     "concurrent_shipments": q_concurrent_shipments,
@@ -2404,6 +2489,40 @@ _SETOP_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUIL
 _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0"
 
 ORACLE = {
+    "pareto_cut": f"""
+WITH per_cust AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT c_nationkey, rev,
+         CAST(SUM(rev) OVER (PARTITION BY c_nationkey) AS BIGINT) AS total,
+         COALESCE(CAST(SUM(rev) OVER (PARTITION BY c_nationkey
+                         ORDER BY rev DESC, o_custkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS cum_before
+  FROM per_cust
+),
+agg AS (
+  SELECT c_nationkey,
+         COUNT(*) AS n_customers,
+         CAST(SUM(CASE WHEN cum_before * {PARETO_DEN} < total * {PARETO_NUM}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+         CAST(SUM(CASE WHEN cum_before * {PARETO_DEN} < total * {PARETO_NUM}
+                       THEN rev ELSE 0 END) AS BIGINT) AS head_cents,
+         CAST(MAX(total) AS BIGINT) AS total_cents
+  FROM flagged GROUP BY 1
+)
+SELECT n.n_name, a.n_customers, a.n_head, a.head_cents, a.total_cents,
+       CAST(a.n_head AS DOUBLE) / CAST(a.n_customers AS DOUBLE)
+         AS head_customer_share,
+       CAST(a.head_cents AS DOUBLE) / CAST(a.total_cents AS DOUBLE)
+         AS head_revenue_share
+FROM agg a JOIN nation n ON n.n_nationkey = a.c_nationkey
+""",
     "concurrent_shipments": """
 WITH iv AS (
   SELECT CAST(o.o_orderdate AS DATE) AS order_day,

@@ -19,7 +19,8 @@ SF = "/root/testdata/sf0.001"
 
 def _duck(sql):
     con = duckdb.connect()
-    for t in ("events", "orders", "embeddings", "documents"):
+    for t in ("events", "orders", "embeddings", "documents", "customer",
+              "nation"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con.execute(sql).fetchall()
 
@@ -608,3 +609,105 @@ def test_markov_attribution_matches_linear_solve(spark):
     want /= want.sum()
     for c, w in zip(states, want):
         assert abs(got[c].attribution_share - w) < 1e-5, c
+
+
+def test_queue_backlog_matches_lindley_recursion(spark):
+    """The windowed closed form must equal the literal sequential
+    Lindley recursion B_t = max(0, B_{t-1} + a_t - c)."""
+    from mapreduce_sssp_spark.operators.event_windows import q_queue_backlog
+
+    got = {
+        (r.event_type, str(r.day)): r for r in q_queue_backlog(spark, SF).collect()
+    }
+    rows = _duck(
+        """
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    series = {}
+    for et, day, n in rows:
+        series.setdefault(et, []).append((day, n))
+    for et, pts in series.items():
+        total = sum(n for _, n in pts)
+        cap = (total * 95) // (len(pts) * 100)
+        b = 0
+        for day, n in pts:
+            b = max(0, b + n - cap)
+            r = got[(et, str(day))]
+            assert r.capacity == cap
+            assert r.backlog == b, (et, day)
+
+
+def test_pareto_cut_matches_python(spark):
+    from mapreduce_sssp_spark.operators.relational import q_pareto_cut
+
+    got = {r.n_name: r for r in q_pareto_cut(spark, SF).collect()}
+    rows = _duck(
+        """
+        SELECT n.n_name, o.o_custkey,
+               SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+        """
+    )
+    by_nation = {}
+    for name, ck, rev in rows:
+        by_nation.setdefault(name, []).append((int(rev), ck))
+    assert set(got) == set(by_nation)
+    for name, custs in by_nation.items():
+        custs.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(r for r, _ in custs)
+        cum = 0
+        n_head = head_cents = 0
+        for rev, _ in custs:
+            if cum * 5 < total * 4:
+                n_head += 1
+                head_cents += rev
+            cum += rev
+        r = got[name]
+        assert r.n_customers == len(custs)
+        assert r.n_head == n_head, name
+        assert r.head_cents == head_cents
+        assert r.total_cents == total
+        # the head must actually cover >= 80% of revenue
+        assert r.head_revenue_share >= 0.8 - 1e-12
+
+
+def test_walk_pmi_pairs_matches_python(spark):
+    from mapreduce_sssp_spark.operators.graph_queries import (
+        WALK_PMI_MIN_N,
+        WALK_PMI_WINDOW,
+        q_random_walks,
+        q_walk_pmi_pairs,
+    )
+
+    got = {
+        (r.node_a, r.node_b): r for r in q_walk_pmi_pairs(spark, SF).collect()
+    }
+    walks = {}
+    for r in q_random_walks(spark, SF).collect():
+        walks.setdefault(r.start, {})[r.step] = r.node
+    pairs = {}
+    n_occ = {}
+    for steps in walks.values():
+        for s, node in steps.items():
+            n_occ[node] = n_occ.get(node, 0) + 1
+            for d in range(1, WALK_PMI_WINDOW + 1):
+                other = steps.get(s + d)
+                if other is not None and other != node:
+                    key = (min(node, other), max(node, other))
+                    pairs[key] = pairs.get(key, 0) + 1
+    pairs = {k: v for k, v in pairs.items() if v >= WALK_PMI_MIN_N}
+    assert set(got) == set(pairs)
+    t_tot = sum(pairs.values())
+    occ_tot = sum(n_occ.values())
+    for (a, b), n_ab in pairs.items():
+        r = got[(a, b)]
+        assert r.n_ab == n_ab
+        pmi = math.log(
+            n_ab * occ_tot * occ_tot / (t_tot * n_occ[a] * n_occ[b])
+        )
+        assert abs(r.pmi_e6 / 1e6 - pmi) < 2e-6, (a, b)
