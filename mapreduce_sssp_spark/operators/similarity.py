@@ -1336,9 +1336,146 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact
 
 
+MMR_CANDS = 10  # candidate pool per query (exact cosine top-C)
+MMR_K = 5  # results returned per query
+MMR_LAMBDA_10 = 7  # lambda = 0.7 in tenths (relevance vs diversity)
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank — the diversity-aware top-k
+    every retrieval stack (RAG context selection, dedup-aware search,
+    training-batch diversification) runs after a similarity scan:
+    from each query's exact cosine top-{MMR_CANDS} pool, greedily pick
+    {MMR_K} results maximizing 0.7*sim(q,d) - 0.3*max_s cos(d,s) over
+    the already-selected set s — relevance traded against redundancy.
+
+    The greedy loop is K-1 UNROLLED in-plan rounds (K is a constant, so
+    this is the random_walks bounded-trip shape, not a fixpoint): each
+    round anti-joins the selected set, computes the diversity penalty
+    as a max over the candidate-candidate cosine table, and elects the
+    argmax with a (score DESC, cand_id) row_number — fully
+    deterministic because sims are the bit-parity dot-product device
+    and the score is ONE fixed expression.
+
+    At 100 TB the expensive part is the candidate scan (similarity_topk
+    — or its IVF/PQ variants, drop-in); everything here runs on
+    |queries| x {MMR_CANDS} candidate rows and a {MMR_CANDS}^2-per-
+    query cosine table, both partitioned by query — per-query work is
+    constant, the whole re-rank is embarrassingly parallel.
+    """
+    vec = _vectors(spark, sf_dir)
+    norms = vec.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    q = norms.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        norms.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            (_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    cands = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CANDS)
+        .select("q_id", "cand_id", "sim")
+    ).persist()
+    ca = cands.select("q_id", F.col("cand_id").alias("a"))
+    cb = cands.select("q_id", F.col("cand_id").alias("b"))
+    nv = norms.select(
+        F.col("vec_id"), F.col("v"), F.col("nrm")
+    )
+    cc = (
+        ca.join(cb, "q_id")
+        .filter(F.col("a") != F.col("b"))
+        .join(
+            nv.select(
+                F.col("vec_id").alias("a"),
+                F.col("v").alias("av"),
+                F.col("nrm").alias("an"),
+            ),
+            "a",
+        )
+        .join(
+            nv.select(
+                F.col("vec_id").alias("b"),
+                F.col("v").alias("bv"),
+                F.col("nrm").alias("bn"),
+            ),
+            "b",
+        )
+        .select(
+            "q_id", "a", "b",
+            (_dot("av", "bv") / (F.col("an") * F.col("bn"))).alias("cc_cos"),
+        )
+    ).persist()
+    lam = MMR_LAMBDA_10 / 10.0
+    one_m = (10 - MMR_LAMBDA_10) / 10.0
+    # round 1: empty selected set -> penalty 0, score = lambda * sim
+    w1 = Window.partitionBy("q_id").orderBy(
+        (F.lit(lam) * F.col("sim")).desc(), F.col("cand_id")
+    )
+    sel = (
+        cands.withColumn("rn", F.row_number().over(w1))
+        .filter("rn = 1")
+        .select(
+            "q_id",
+            F.lit(1).alias("round"),
+            "cand_id",
+            "sim",
+            (F.lit(lam) * F.col("sim")).alias("mmr_score"),
+        )
+    )
+    for r in range(2, MMR_K + 1):
+        chosen = sel.select("q_id", F.col("cand_id").alias("sel_id"))
+        remaining = cands.join(
+            chosen.withColumnRenamed("sel_id", "cand_id"),
+            ["q_id", "cand_id"],
+            "left_anti",
+        )
+        pen = (
+            remaining.join(
+                cc.select("q_id", F.col("a").alias("cand_id"),
+                          F.col("b").alias("sel_id"), "cc_cos"),
+                ["q_id", "cand_id"],
+            )
+            .join(chosen, ["q_id", "sel_id"])
+            .groupBy("q_id", "cand_id", "sim")
+            .agg(F.max("cc_cos").alias("penalty"))
+        )
+        score = F.lit(lam) * F.col("sim") - F.lit(one_m) * F.col("penalty")
+        wr = Window.partitionBy("q_id").orderBy(score.desc(), F.col("cand_id"))
+        pick = (
+            pen.withColumn("rn", F.row_number().over(wr))
+            .filter("rn = 1")
+            .select(
+                "q_id",
+                F.lit(r).alias("round"),
+                "cand_id",
+                "sim",
+                score.alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick)
+        if r < MMR_K:
+            # The selected set is referenced twice next round (anti-join
+            # + penalty join); without truncation the greedy lineage
+            # doubles per round (2^K plan blowup — measured 32s -> ~5s
+            # at sf0.01). K-1 tiny eager checkpoints, the fixpoint
+            # cadence device (graph/sssp.py).
+            sel = sel.localCheckpoint(eager=True)
+    return sel
+
+
 QUERIES = {
     "embedding_pq_encode": q_embedding_pq_encode,
     "pq_adc_topk": q_pq_adc_topk,
+    "mmr_rerank": q_mmr_rerank,
     "pca_power_iteration": q_pca_power_iteration,
     "rank_fusion_rrf": q_rank_fusion_rrf,
     "label_centroid_similarity": q_label_centroid_similarity,
@@ -1489,6 +1626,7 @@ SELECT m0.vec_id, c0, c1, c2, c3,
        m0.d0 + m1.d1 + m2.d2 + m3.d3 AS distortion
 FROM m0 JOIN m1 USING (vec_id) JOIN m2 USING (vec_id) JOIN m3 USING (vec_id)
 """,
+    "mmr_rerank": None,  # filled below (unrolled greedy rounds)
     "pq_adc_topk": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {PQ_K}),
@@ -1948,3 +2086,70 @@ FROM (
   FROM scored
 ) WHERE rn <= {OUTLIER_TOPK}
 """
+
+
+def _mmr_oracle_sql(k: int = MMR_K) -> str:
+    """Unrolled DuckDB twin of q_mmr_rerank: one (penalty, election)
+    CTE pair per greedy round, selected-set carried as selall{r}."""
+    lam = MMR_LAMBDA_10 / 10.0
+    one_m = (10 - MMR_LAMBDA_10) / 10.0
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "n AS MATERIALIZED (SELECT vec_id, v,"
+        " sqrt(list_dot_product(v, v)) AS nrm FROM e)",
+        f"q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n"
+        f" WHERE vec_id % {QUERY_MOD} = 0)",
+        f"""cands AS MATERIALIZED (
+  SELECT q_id, cand_id, sim FROM (
+    SELECT q.q_id, n.vec_id AS cand_id,
+           list_dot_product(qv, v) / (qn * nrm) AS sim,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(qv, v) / (qn * nrm) DESC, n.vec_id) AS rn
+    FROM n CROSS JOIN q WHERE n.vec_id <> q.q_id
+  ) WHERE rn <= {MMR_CANDS})""",
+        """cc AS MATERIALIZED (
+  SELECT ca.q_id, ca.cand_id AS a, cb.cand_id AS b,
+         list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cc_cos
+  FROM cands ca JOIN cands cb ON ca.q_id = cb.q_id
+   AND ca.cand_id <> cb.cand_id
+  JOIN n na ON na.vec_id = ca.cand_id
+  JOIN n nb ON nb.vec_id = cb.cand_id)""",
+        f"""sel1 AS (
+  SELECT q_id, 1 AS round, cand_id, sim, {lam} * sim AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY {lam} * sim DESC, cand_id) AS rn
+    FROM cands) WHERE rn = 1)""",
+        "selall1 AS (SELECT q_id, cand_id FROM sel1)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""pen{r} AS (
+  SELECT c.q_id, c.cand_id, c.sim, MAX(x.cc_cos) AS penalty
+  FROM cands c
+  JOIN cc x ON x.q_id = c.q_id AND x.a = c.cand_id
+  JOIN selall{r - 1} s ON s.q_id = x.q_id AND s.cand_id = x.b
+  WHERE NOT EXISTS (SELECT 1 FROM selall{r - 1} e2
+                    WHERE e2.q_id = c.q_id AND e2.cand_id = c.cand_id)
+  GROUP BY 1, 2, 3)"""
+        )
+        ctes.append(
+            f"""sel{r} AS (
+  SELECT q_id, {r} AS round, cand_id, sim,
+         {lam} * sim - {one_m} * penalty AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY {lam} * sim - {one_m} * penalty DESC, cand_id) AS rn
+    FROM pen{r}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"selall{r} AS (SELECT * FROM selall{r - 1}"
+            f" UNION ALL SELECT q_id, cand_id FROM sel{r})"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT q_id, round, cand_id, sim, mmr_score FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+ORACLE["mmr_rerank"] = _mmr_oracle_sql()

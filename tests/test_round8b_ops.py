@@ -711,3 +711,47 @@ def test_walk_pmi_pairs_matches_python(spark):
             n_ab * occ_tot * occ_tot / (t_tot * n_occ[a] * n_occ[b])
         )
         assert abs(r.pmi_e6 / 1e6 - pmi) < 2e-6, (a, b)
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    from mapreduce_sssp_spark.operators.similarity import (
+        MMR_CANDS,
+        MMR_K,
+        QUERY_MOD,
+        q_mmr_rerank,
+    )
+
+    got = {}
+    for r in q_mmr_rerank(spark, SF).collect():
+        got.setdefault(r.q_id, {})[r.round] = r
+    raw = _duck("SELECT vec_id, embedding FROM embeddings")
+    vecs = {vid: np.array(v, dtype=np.float64) for vid, v in raw}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert set(got) == {v for v in vecs if v % QUERY_MOD == 0}
+    for q_id, rounds in got.items():
+        qv = vecs[q_id]
+        sims = {v: cos(qv, vecs[v]) for v in vecs if v != q_id}
+        cands = sorted(sims, key=lambda v: (-sims[v], v))[:MMR_CANDS]
+        selected = []
+        for rnd in range(1, MMR_K + 1):
+            best = None
+            for c in cands:
+                if c in selected:
+                    continue
+                pen = max(
+                    (cos(vecs[c], vecs[s]) for s in selected), default=0.0
+                )
+                score = 0.7 * sims[c] - 0.3 * pen
+                if best is None or (-score, c) < (-best[1], best[0]):
+                    best = (c, score)
+            selected.append(best[0])
+            r = rounds[rnd]
+            assert r.cand_id == best[0], (q_id, rnd)
+            assert math.isclose(r.mmr_score, best[1], rel_tol=1e-9, abs_tol=1e-12)
+        # diversity sanity: MMR must not just replay the similarity top-K
+        # for every query unless the pool is already diverse; at minimum
+        # the first pick IS the top-similarity candidate.
+        assert rounds[1].cand_id == cands[0]
