@@ -203,9 +203,78 @@ def q_geo_catchment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DBSCAN_MINPTS = 5  # core point: >= 5 neighbors within GEO_RADIUS_M
+
+
+def q_geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style density clustering over the customer geography —
+    the geo-dedup / hotspot-detection primitive: a point is CORE when
+    it has >= {DBSCAN_MINPTS} neighbors within 50 km (the blocked
+    radius join), clusters are the connected components of the
+    core-core adjacency (computed by the engine's own wcc fixpoint —
+    operator composition, not a re-implementation), and BORDER points
+    (non-core within radius of a core) attach to the minimum adjacent
+    cluster label for determinism. One row per cluster: core size,
+    border size, label.
+
+    Every stage is an existing scale-safe shape: the radius join is
+    grid-blocked (never all-pairs), degrees and memberships are
+    map-side-combined aggregates, and the component closure is the
+    checkpointed min-label fixpoint (bounded label lattice). The
+    DuckDB twin closes reachability with a recursive CTE over the
+    UNBLOCKED theta-join pairs, so the hash match re-proves the block
+    decomposition lossless AND the fixpoint's closure correct in one
+    bite.
+
+    At 100 TB: identical plan; the only watch-item is a pathological
+    all-points-one-cluster geography, where the min-label fixpoint
+    inherits wcc's documented long-chain bound (diameter rounds).
+    """
+    from ..graph.wcc import wcc
+
+    pairs = blocked_pairs(geo_points(spark, sf_dir)).select("a_id", "b_id")
+    sym = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).select(F.col("a_id").alias("pid"), F.col("b_id").alias("nbr"))
+    deg = sym.groupBy("pid").agg(F.count("*").alias("n_nbr"))
+    core = deg.filter(F.col("n_nbr") >= DBSCAN_MINPTS).select("pid")
+    core_edges = (
+        sym.join(core, "pid")
+        .join(core.select(F.col("pid").alias("nbr")), "nbr")
+        .select(F.col("pid").alias("src"), F.col("nbr").alias("dst"))
+    )
+    comp = wcc(core_edges)
+    # a core point all of whose neighbors are border-only never enters
+    # the edge list — it is its own singleton cluster
+    singletons = core.join(
+        comp.select(F.col("node").alias("pid")), "pid", "left_anti"
+    ).select(F.col("pid").alias("node"), F.col("pid").alias("component"))
+    comp = comp.unionByName(singletons)
+    border = (
+        sym.join(core.select(F.col("pid").alias("nbr")), "nbr")
+        .join(core, "pid", "left_anti")
+        .join(comp.select(F.col("node").alias("nbr"), "component"), "nbr")
+        .groupBy("pid")
+        .agg(F.min("component").alias("component"))
+    )
+    n_core = comp.groupBy("component").agg(F.count("*").alias("n_core"))
+    n_border = border.groupBy("component").agg(
+        F.count("*").alias("n_border")
+    )
+    return (
+        n_core.join(n_border, "component", "left")
+        .select(
+            F.col("component").alias("cluster"),
+            "n_core",
+            F.coalesce("n_border", F.lit(0)).cast("long").alias("n_border"),
+        )
+    )
+
+
 QUERIES = {
     "geo_neighbor_join": q_geo_neighbor_join,
     "geo_catchment": q_geo_catchment,
+    "geo_dbscan_core": q_geo_dbscan_core,
 }
 
 _DUCK_HAVERSINE = _HAVERSINE.format(
@@ -261,5 +330,45 @@ SELECT a.pid AS a_id, b.pid AS b_id,
        CAST({_DUCK_HAVERSINE} AS BIGINT) AS dist_m
 FROM pts a JOIN pts b ON a.pid < b.pid
 WHERE CAST({_DUCK_HAVERSINE} AS BIGINT) <= {GEO_RADIUS_M}
+""",
+    "geo_dbscan_core": f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS pid,
+         CAST({_LAT_SCALED} AS DOUBLE) / 100.0 - 85.0 AS lat,
+         CAST({_LON_SCALED} AS DOUBLE) / 100.0 - 179.0 AS lon
+  FROM customer),
+pairs AS (
+  SELECT a.pid AS a_id, b.pid AS b_id
+  FROM pts a JOIN pts b ON a.pid < b.pid
+  WHERE CAST({_DUCK_HAVERSINE} AS BIGINT) <= {GEO_RADIUS_M}
+),
+sym AS (
+  SELECT a_id AS pid, b_id AS nbr FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+),
+deg AS (SELECT pid, COUNT(*) AS n_nbr FROM sym GROUP BY 1),
+core AS (SELECT pid FROM deg WHERE n_nbr >= {DBSCAN_MINPTS}),
+ce AS (
+  SELECT s.pid AS src, s.nbr AS dst
+  FROM sym s JOIN core a ON a.pid = s.pid JOIN core b ON b.pid = s.nbr
+),
+reach(node, label) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN ce u ON u.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+border AS (
+  SELECT s.pid, MIN(c.component) AS component
+  FROM sym s
+  JOIN comp c ON c.node = s.nbr
+  WHERE s.pid NOT IN (SELECT pid FROM core)
+  GROUP BY s.pid
+)
+SELECT n.component AS cluster, n.n_core,
+       CAST(COALESCE(b.n_border, 0) AS BIGINT) AS n_border
+FROM (SELECT component, COUNT(*) AS n_core FROM comp GROUP BY 1) n
+LEFT JOIN (SELECT component, COUNT(*) AS n_border FROM border GROUP BY 1) b
+  ON b.component = n.component
 """,
 }

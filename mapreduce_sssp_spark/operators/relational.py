@@ -2409,8 +2409,82 @@ def q_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON_LEVELS = (2, 5, 10, 20)
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of a would-be data release — the
+    privacy gate a dataset passes before leaving the platform: treat
+    (customer nation, order month, order priority) as the
+    quasi-identifier of a released orders extract, and for each k in
+    {K_ANON_LEVELS} report how many equivalence classes and rows fall
+    below k (re-identifiable), plus the l-diversity failure count
+    (classes where the sensitive attribute o_orderstatus takes a single
+    value — attribute disclosure even when k holds).
+
+    One corpus-scale aggregate builds the class histogram (size +
+    distinct-sensitive per class, map-side combined); the per-k report
+    is a broadcast literal join over the |classes|-row aggregate with
+    conditional exact-int sums and ONE closing division per rate.
+
+    At 100 TB this is the cheapest audit shape there is — the release
+    itself is never shuffled twice, and the k sweep costs |classes| x 4
+    aggregate rows.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    classes = (
+        o.join(cust, "o_custkey")
+        .groupBy("c_nationkey", "month", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+        )
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in K_ANON_LEVELS], "k long"
+    )
+    joined = classes.crossJoin(F.broadcast(ks))
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_small_classes"),
+            F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("n_status") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_single_status_classes"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "n_small_classes",
+            "rows_at_risk",
+            "n_rows",
+            "n_single_status_classes",
+            (
+                F.col("rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("suppression_rate"),
+        )
+    )
+
+
 QUERIES = {
     "pareto_cut": q_pareto_cut,
+    "k_anonymity_audit": q_k_anonymity_audit,
     "join_inner": q_join_inner,
     "profile_columns": q_profile_columns,
     "concurrent_shipments": q_concurrent_shipments,
@@ -2489,6 +2563,28 @@ _SETOP_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUIL
 _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0"
 
 ORACLE = {
+    "k_anonymity_audit": f"""
+WITH classes AS (
+  SELECT c.c_nationkey, date_trunc('month', o.o_orderdate) AS month,
+         o.o_orderpriority,
+         COUNT(*) AS n,
+         COUNT(DISTINCT o.o_orderstatus) AS n_status
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2, 3
+),
+ks AS (SELECT UNNEST([{", ".join(str(k) for k in K_ANON_LEVELS)}]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       COUNT(*) AS n_classes,
+       CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n_status = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_status_classes,
+       CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n) AS DOUBLE) AS suppression_rate
+FROM classes CROSS JOIN ks GROUP BY k
+""",
     "pareto_cut": f"""
 WITH per_cust AS (
   SELECT c.c_nationkey, o.o_custkey,

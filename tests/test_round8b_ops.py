@@ -755,3 +755,90 @@ def test_mmr_rerank_matches_python_greedy(spark):
         # for every query unless the pool is already diverse; at minimum
         # the first pick IS the top-similarity candidate.
         assert rounds[1].cand_id == cands[0]
+
+
+def test_geo_dbscan_matches_union_find(spark):
+    """DBSCAN core/border/cluster assignment vs a pure-python
+    union-find over the unblocked pair set (sf0.01 — the synthetic
+    geography needs city-sized density for any core points)."""
+    from mapreduce_sssp_spark.operators.geo import (
+        DBSCAN_MINPTS,
+        q_geo_dbscan_core,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.cluster: r for r in q_geo_dbscan_core(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'")
+    from mapreduce_sssp_spark import queries_registry as qr
+
+    pairs = con.execute(
+        qr.ORACLE["geo_neighbor_join"]
+    ).fetchall()
+    nbrs = {}
+    for a, b, _ in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    core = {p for p, ns in nbrs.items() if len(ns) >= DBSCAN_MINPTS}
+    parent = {p: p for p in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in core:
+        for b in nbrs[a]:
+            if b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for p in core:
+        clusters.setdefault(find(p), set()).add(p)
+    # label = min member id
+    labeled = {min(m): m for m in clusters.values()}
+    border = {}
+    for p, ns in nbrs.items():
+        if p in core:
+            continue
+        adj = [lbl for lbl, m in labeled.items() if ns & m]
+        if adj:
+            border.setdefault(min(adj), set()).add(p)
+    assert set(got) == set(labeled)
+    for lbl, members in labeled.items():
+        assert got[lbl].n_core == len(members), lbl
+        assert got[lbl].n_border == len(border.get(lbl, set())), lbl
+
+
+def test_k_anonymity_matches_python(spark):
+    from mapreduce_sssp_spark.operators.relational import (
+        K_ANON_LEVELS,
+        q_k_anonymity_audit,
+    )
+
+    got = {r.k: r for r in q_k_anonymity_audit(spark, SF).collect()}
+    rows = _duck(
+        """
+        SELECT c.c_nationkey, date_trunc('month', o.o_orderdate),
+               o.o_orderpriority, o.o_orderstatus
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        """
+    )
+    classes = {}
+    for nk, m, prio, status in rows:
+        key = (nk, str(m), prio)
+        n, statuses = classes.get(key, (0, set()))
+        classes[key] = (n + 1, statuses | {status})
+    total = sum(n for n, _ in classes.values())
+    single = sum(1 for _, s in classes.values() if len(s) == 1)
+    for k in K_ANON_LEVELS:
+        small = [(n, s) for n, s in classes.values() if n < k]
+        r = got[k]
+        assert r.n_classes == len(classes)
+        assert r.n_small_classes == len(small)
+        assert r.rows_at_risk == sum(n for n, _ in small)
+        assert r.n_rows == total
+        assert r.n_single_status_classes == single
+        assert r.suppression_rate == sum(n for n, _ in small) / total
