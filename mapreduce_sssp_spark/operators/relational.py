@@ -2482,9 +2482,77 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVM_CUT = "1997-06-01"
+
+
+def q_agg_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a grouped aggregate — the
+    pattern that turns an hourly full recompute into a delta merge:
+    the standing aggregate (orders strictly before {IVM_CUT}) and the
+    newly-arrived delta (orders on/after it) are each reduced to the
+    MERGEABLE partial state (count, exact cents sum) and combined with
+    a full-outer key merge; avg is derived from the merged state, never
+    maintained directly (non-mergeable statistics ride their mergeable
+    sufficient statistics — the same algebra partial aggregation uses
+    inside every shuffle).
+
+    The DuckDB oracle is the FULL recompute over all orders, so the
+    hash match is the IVM correctness proof: merge(state(A), state(B))
+    == state(A ∪ B), bit-exact because counts and cents are int64.
+
+    At 100 TB: the base state is |groups| rows read from the previous
+    materialization (metadata scale); only the delta is scanned — the
+    entire point. The merge is a broadcast-sized full-outer join.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    cut = F.to_date(F.lit(IVM_CUT))
+
+    def state(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
+        )
+
+    base = state(o.filter(F.col("o_orderdate") < cut))
+    delta = state(o.filter(F.col("o_orderdate") >= cut))
+    b = base.select(
+        "o_orderpriority",
+        F.col("n").alias("n_b"),
+        F.col("sum_cents").alias("s_b"),
+    )
+    d = delta.select(
+        "o_orderpriority",
+        F.col("n").alias("n_d"),
+        F.col("sum_cents").alias("s_d"),
+    )
+    merged = b.join(d, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (
+            F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))
+        ).cast("long").alias("n_orders"),
+        (
+            F.coalesce("s_b", F.lit(0)) + F.coalesce("s_d", F.lit(0))
+        ).cast("long").alias("sum_cents"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        "sum_cents",
+        (
+            F.col("sum_cents").cast("double") / F.col("n_orders").cast("double")
+        ).alias("avg_cents"),
+    )
+
+
 QUERIES = {
     "pareto_cut": q_pareto_cut,
     "k_anonymity_audit": q_k_anonymity_audit,
+    "agg_delta_maintenance": q_agg_delta_maintenance,
     "join_inner": q_join_inner,
     "profile_columns": q_profile_columns,
     "concurrent_shipments": q_concurrent_shipments,
@@ -2563,6 +2631,16 @@ _SETOP_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUIL
 _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0"
 
 ORACLE = {
+    # the IVM proof: oracle = FULL recompute; engine = base+delta merge
+    "agg_delta_maintenance": """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cents
+FROM orders GROUP BY o_orderpriority
+""",
     "k_anonymity_audit": f"""
 WITH classes AS (
   SELECT c.c_nationkey, date_trunc('month', o.o_orderdate) AS month,

@@ -1102,10 +1102,77 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ER_MAX_LEV = 3
+
+
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy-match part names (blocked
+    Levenshtein, the q_fuzzy_match_parts device), close the match
+    pairs TRANSITIVELY with the engine's own wcc fixpoint, and elect a
+    canonical representative per entity cluster — the dedup-merge that
+    turns "bolt"/"rod"/"ring" chains into one master record even when
+    the chain's endpoints match nothing directly (bolt~rod~ring link at
+    distance 3 while bolt~ring is 4 — pairwise matching alone gets
+    this wrong, which is the whole argument for the closure).
+
+    Scale shape: matching runs on the DISTINCT-name domain (Zipf-small
+    — the q_fuzzy_match_parts measurement) inside first-word blocks,
+    names map to stable BIGINT ids (min part key per name) so the
+    closure runs on integer nodes, and per-name part counts join back
+    at the end — the corpus-sized table is touched exactly twice (id
+    election, final count), never in the quadratic stage.
+
+    Output: one row per entity cluster — canonical name (name of the
+    min name-id), member-name count, total part rows covered.
+    """
+    from ..graph.wcc import wcc
+
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"), F.col("p_name").alias("name")
+    )
+    names = (
+        parts.groupBy("name")
+        .agg(F.min("key").alias("name_id"), F.count("*").alias("n_parts"))
+        .withColumn("block", F.substring_index("name", " ", 1))
+    )
+    a = names.select(
+        "block", F.col("name").alias("name_a"), F.col("name_id").alias("id_a")
+    )
+    b = names.select(
+        "block", F.col("name").alias("name_b"), F.col("name_id").alias("id_b")
+    )
+    edges = (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= ER_MAX_LEV)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = wcc(edges)
+    labeled = names.join(
+        comp.select(F.col("node").alias("name_id"), "component"),
+        "name_id",
+        "left",
+    ).select(
+        "name",
+        "name_id",
+        "n_parts",
+        F.coalesce("component", F.col("name_id")).alias("cluster"),
+    )
+    agg = labeled.groupBy("cluster").agg(
+        F.count("*").alias("n_names"),
+        F.sum("n_parts").cast("long").alias("n_parts"),
+    )
+    canon = labeled.filter(F.col("name_id") == F.col("cluster")).select(
+        "cluster", F.col("name").alias("canonical_name")
+    )
+    return agg.join(canon, "cluster")
+
+
 QUERIES = {
     "zone_map_pruning": q_zone_map_pruning,
     "compaction_planner": q_compaction_planner,
     "encoding_advisor": q_encoding_advisor,
+    "entity_clusters": q_entity_clusters,
     "bloom_prune_join": q_bloom_prune_join,
     "kmv_set_overlap": q_kmv_set_overlap,
     "skew_salted_agg": q_skew_salted_agg,
@@ -1143,6 +1210,38 @@ FROM (
 """
 
 ORACLE = {
+    "entity_clusters": f"""
+WITH RECURSIVE names AS (
+  SELECT p_name AS name, MIN(p_partkey) AS name_id, COUNT(*) AS n_parts,
+         string_split(p_name, ' ')[1] AS block
+  FROM part GROUP BY p_name
+),
+edges AS (
+  SELECT a.name_id AS src, b.name_id AS dst
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= {ER_MAX_LEV}
+),
+und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+reach(node, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM und)
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+labeled AS (
+  SELECT n.name, n.name_id, n.n_parts,
+         COALESCE(c.component, n.name_id) AS cluster
+  FROM names n LEFT JOIN comp c ON c.node = n.name_id
+)
+SELECT l.cluster, COUNT(*) AS n_names,
+       CAST(SUM(l.n_parts) AS BIGINT) AS n_parts,
+       MIN(CASE WHEN l.name_id = l.cluster THEN l.name END)
+         AS canonical_name
+FROM labeled l GROUP BY l.cluster
+""",
     "compaction_planner": f"""
 WITH files AS (
   SELECT o_orderdate AS day, COUNT(*) AS n_rows FROM orders GROUP BY 1

@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 def _duck(sql):
     con = duckdb.connect()
     for t in ("events", "orders", "embeddings", "documents", "customer",
-              "nation"):
+              "nation", "part"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con.execute(sql).fetchall()
 
@@ -842,3 +842,60 @@ def test_k_anonymity_matches_python(spark):
         assert r.n_rows == total
         assert r.n_single_status_classes == single
         assert r.suppression_rate == sum(n for n, _ in small) / total
+
+
+def test_agg_delta_merge_equals_full_recompute(spark):
+    """merge(state(base), state(delta)) must equal state(full) — the
+    IVM algebra — and the split must actually be non-trivial."""
+    from mapreduce_sssp_spark.operators.relational import (
+        IVM_CUT,
+        q_agg_delta_maintenance,
+    )
+
+    got = {r.o_orderpriority: r for r in q_agg_delta_maintenance(spark, SF).collect()}
+    rows = _duck(
+        """
+        SELECT o_orderpriority, COUNT(*),
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        FROM orders GROUP BY 1
+        """
+    )
+    for prio, n, s in rows:
+        assert got[prio].n_orders == n
+        assert got[prio].sum_cents == int(s)
+        assert got[prio].avg_cents == int(s) / n
+    (n_base,) = _duck(
+        f"SELECT COUNT(*) FROM orders WHERE o_orderdate < DATE '{IVM_CUT}'"
+    )[0]
+    (n_all,) = _duck("SELECT COUNT(*) FROM orders")[0]
+    assert 0 < n_base < n_all  # both sides of the merge are non-empty
+
+
+def test_entity_clusters_transitive_chain(spark):
+    """The bolt~rod~ring chain must land in ONE cluster per block even
+    though bolt~ring exceeds the match threshold — transitivity is the
+    point; pairwise-only resolution would split it."""
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        q_entity_clusters,
+    )
+
+    rows = q_entity_clusters(spark, SF).collect()
+    name_rows = _duck(
+        "SELECT p_name, MIN(p_partkey), COUNT(*) FROM part GROUP BY 1"
+    )
+    n_names_total = len(name_rows)
+    n_parts_total = sum(n for _, _, n in name_rows)
+    assert sum(r.n_names for r in rows) == n_names_total
+    assert sum(r.n_parts for r in rows) == n_parts_total
+    by_canon = {r.canonical_name: r for r in rows}
+    # every block's bolt/ring/rod trio collapses into one 3-name cluster
+    trio_clusters = [r for r in rows if r.n_names == 3]
+    blocks = {r.canonical_name.split()[0] for r in trio_clusters}
+    assert len(trio_clusters) == len(blocks)  # one trio per block
+    for r in trio_clusters:
+        adj = r.canonical_name.split()[0]
+        members = {f"{adj} bolt", f"{adj} ring", f"{adj} rod"}
+        assert r.canonical_name in members
+    # singletons stay themselves
+    for r in rows:
+        assert r.n_names in (1, 3)
