@@ -1168,11 +1168,143 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(canon, "cluster")
 
 
+# (table, fixed-width numeric/date columns, variable-width string columns)
+# — shared metadata driving BOTH the Spark plan and the DuckDB twin, so
+# the width model can't drift between engines.
+ADVISOR_TABLES = [
+    ("region", ["r_regionkey"], ["r_name"]),
+    ("nation", ["n_nationkey", "n_regionkey"], ["n_name"]),
+    ("supplier", ["s_suppkey", "s_nationkey", "s_acctbal"], ["s_name"]),
+    (
+        "customer",
+        ["c_custkey", "c_nationkey", "c_acctbal"],
+        ["c_name", "c_mktsegment"],
+    ),
+    (
+        "part",
+        ["p_partkey", "p_size", "p_retailprice"],
+        ["p_name", "p_brand", "p_type"],
+    ),
+    (
+        "orders",
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        ["o_orderstatus", "o_orderpriority"],
+    ),
+]
+BROADCAST_BYTES = 10 * 1024 * 1024  # Spark's autoBroadcastJoinThreshold default
+FIXED_W = 8
+STR_OVERHEAD = 4
+
+
+def q_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-vs-shuffle join advisor — the size estimation behind
+    Spark's autoBroadcastJoinThreshold, made inspectable per table:
+    estimate each table's in-memory bytes ({FIXED_W} per fixed-width
+    column, length+{STR_OVERHEAD} per string) and verdict 'broadcast'
+    when the estimate fits the 10 MiB default threshold. This is the
+    number a planner (or AQE at runtime) compares before picking BHJ
+    over SMJ — drive it wrong and the 100 TB join explodes either the
+    driver (too-big broadcast) or the network (missed broadcast).
+
+    All estimates are exact int64 sums in one map-side-combined
+    aggregate per table; the verdict is an integer threshold CASE.
+    The column-width model is one shared metadata literal for both
+    engines (ADVISOR_TABLES), so the twin can't drift.
+    """
+    parts = []
+    for table, fixed, strs in ADVISOR_TABLES:
+        t = load_table(spark, sf_dir, table)
+        width = F.lit(FIXED_W * len(fixed))
+        for s in strs:
+            width = width + F.length(s) + STR_OVERHEAD
+        parts.append(
+            t.agg(
+                F.lit(table).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.sum(width.cast("long")).cast("long").alias("est_bytes"),
+            )
+        )
+    stats = parts[0]
+    for p in parts[1:]:
+        stats = stats.unionByName(p)
+    return stats.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.when(F.col("est_bytes") <= BROADCAST_BYTES, "broadcast")
+        .otherwise("shuffle")
+        .alias("advice"),
+    )
+
+
+# (table, join-key column) pairs a planner would profile before a join
+SKEW_KEYS = [
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+]
+SKEW_FACTOR = 4  # salt when the hottest key carries > 4x the mean load
+
+
+def q_join_skew_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the measurement that decides between a
+    plain shuffle join and the salted variant (join_skew_salted): per
+    candidate join key, row count, distinct keys, the hottest key's
+    row count, and the skew ratio max/mean; verdict 'salt' when the
+    hottest key exceeds {SKEW_FACTOR}x the mean — decided by the EXACT
+    integer cross-product max*n_keys > {SKEW_FACTOR}*n, no float
+    threshold. skew_ratio itself is one closing division.
+
+    Per key this is a two-level aggregate (key histogram, then a 1-row
+    summary) — both map-side combined; the key histogram is the same
+    pass AQE's skew-join detection pays at runtime.
+    """
+    parts = []
+    for table, key in SKEW_KEYS:
+        hist = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count("*").alias("n"))
+        )
+        parts.append(
+            hist.agg(
+                F.lit(f"{table}.{key}").alias("join_key"),
+                F.sum("n").cast("long").alias("n_rows"),
+                F.count("*").alias("n_keys"),
+                F.max("n").cast("long").alias("max_per_key"),
+            )
+        )
+    stats = parts[0]
+    for p in parts[1:]:
+        stats = stats.unionByName(p)
+    return stats.select(
+        "join_key",
+        "n_rows",
+        "n_keys",
+        "max_per_key",
+        (
+            (F.col("max_per_key") * F.col("n_keys")).cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_ratio"),
+        F.when(
+            F.col("max_per_key") * F.col("n_keys")
+            > SKEW_FACTOR * F.col("n_rows"),
+            "salt",
+        )
+        .otherwise("plain")
+        .alias("advice"),
+    )
+
+
 QUERIES = {
     "zone_map_pruning": q_zone_map_pruning,
     "compaction_planner": q_compaction_planner,
     "encoding_advisor": q_encoding_advisor,
     "entity_clusters": q_entity_clusters,
+    "join_strategy_advisor": q_join_strategy_advisor,
+    "join_skew_detector": q_join_skew_detector,
     "bloom_prune_join": q_bloom_prune_join,
     "kmv_set_overlap": q_kmv_set_overlap,
     "skew_salted_agg": q_skew_salted_agg,
@@ -1209,7 +1341,56 @@ FROM (
 )
 """
 
+def _advisor_oracle_sql() -> str:
+    selects = []
+    for table, fixed, strs in ADVISOR_TABLES:
+        width = " + ".join(
+            [str(FIXED_W * len(fixed))]
+            + [f"length({s}) + {STR_OVERHEAD}" for s in strs]
+        )
+        selects.append(
+            f"SELECT '{table}' AS table_name, COUNT(*) AS n_rows,\n"
+            f"       CAST(SUM(CAST({width} AS BIGINT)) AS BIGINT)"
+            f" AS est_bytes\nFROM {table}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH stats AS (
+{union}
+)
+SELECT table_name, n_rows, est_bytes,
+       CASE WHEN est_bytes <= {BROADCAST_BYTES}
+            THEN 'broadcast' ELSE 'shuffle' END AS advice
+FROM stats
+"""
+
+
+def _skew_oracle_sql() -> str:
+    selects = []
+    for table, key in SKEW_KEYS:
+        selects.append(
+            f"SELECT '{table}.{key}' AS join_key,\n"
+            f"       CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,\n"
+            f"       CAST(MAX(n) AS BIGINT) AS max_per_key\n"
+            f"FROM (SELECT {key}, COUNT(*) AS n FROM {table} GROUP BY 1)"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH stats AS (
+{union}
+)
+SELECT join_key, n_rows, n_keys, max_per_key,
+       CAST(max_per_key * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         AS skew_ratio,
+       CASE WHEN max_per_key * n_keys > {SKEW_FACTOR} * n_rows
+            THEN 'salt' ELSE 'plain' END AS advice
+FROM stats
+"""
+
+
 ORACLE = {
+    "join_strategy_advisor": _advisor_oracle_sql(),
+    "join_skew_detector": _skew_oracle_sql(),
     "entity_clusters": f"""
 WITH RECURSIVE names AS (
   SELECT p_name AS name, MIN(p_partkey) AS name_id, COUNT(*) AS n_parts,

@@ -166,13 +166,108 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+RATE_ALERT_NUM = 3  # alert when window count * 2 > baseline mean * 3
+RATE_ALERT_DEN = 2  # (i.e. > 1.5x), decided in exact integers
+
+
+def streaming_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly alerting: hourly event counts per type
+    (watermarked tumbling window) stream-static joined against a
+    STATIC per-(type, hour-of-day) baseline — total historical count
+    and distinct active days — and flagged when the window runs more
+    than 1.5x its seasonal mean. The monitoring pattern every
+    continuous pipeline ships: the stream does only bounded windowed
+    state, the baseline is a broadcast snapshot recomputed offline.
+
+    The alert threshold is EXACT integer arithmetic (n * n_days *
+    {RATE_ALERT_DEN} > total * {RATE_ALERT_NUM}, cross-multiplied
+    — no float rate ever compared), so the flag is engine-stable;
+    baseline_mean is emitted as one closing division for readability.
+
+    At 100 TB/day: window state is |types| x |open windows|; the
+    baseline is |types| x 24 rows broadcast per micro-batch. The
+    memory sink is the test harness stand-in (SCALE.md streaming
+    note).
+    """
+    ev = _events_stream(spark, sf_dir)
+    baseline = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.hour("ts").alias("hod")
+        )
+        .agg(
+            F.count("*").alias("total_n"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+        )
+    )
+    windowed = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            F.hour(F.col("w.start")).alias("hod"),
+            "n",
+        )
+    )
+    flagged = windowed.join(F.broadcast(baseline), ["event_type", "hod"]).select(
+        "window_start",
+        "event_type",
+        "n",
+        (
+            F.col("total_n").cast("double") / F.col("n_days").cast("double")
+        ).alias("baseline_mean"),
+        (
+            F.col("n") * F.col("n_days") * RATE_ALERT_DEN
+            > F.col("total_n") * RATE_ALERT_NUM
+        ).alias("alert"),
+    )
+    with _seq_lock:
+        _seq_n[0] += 1
+        sink = f"streaming_rate_alert_sink_{_seq_n[0]}"
+    with bounded_state_partitions(spark):
+        q = (
+            flagged.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
+
+
 QUERIES = {
     "streaming_join": streaming_view_purchase_join,
     "streaming_dedup": streaming_dedup,
     "streaming_static_enrich": streaming_static_enrich,
+    "streaming_rate_alert": streaming_rate_alert,
 }
 
 ORACLE = {
+    "streaming_rate_alert": f"""
+WITH baseline AS (
+  SELECT event_type, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod,
+         COUNT(*) AS total_n,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+  FROM events GROUP BY 1, 2
+),
+windowed AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+           AS window_start,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT w.window_start, w.event_type, w.n,
+       CAST(b.total_n AS DOUBLE) / CAST(b.n_days AS DOUBLE) AS baseline_mean,
+       w.n * b.n_days * {RATE_ALERT_DEN} > b.total_n * {RATE_ALERT_NUM}
+         AS alert
+FROM windowed w
+JOIN baseline b
+  ON b.event_type = w.event_type
+ AND b.hod = EXTRACT(hour FROM w.window_start)
+""",
     "streaming_static_enrich": """
 SELECT c_mktsegment, event_type,
        count(*) AS n,

@@ -899,3 +899,83 @@ def test_entity_clusters_transitive_chain(spark):
     # singletons stay themselves
     for r in rows:
         assert r.n_names in (1, 3)
+
+
+def test_join_strategy_advisor_matches_python(spark):
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        ADVISOR_TABLES,
+        BROADCAST_BYTES,
+        FIXED_W,
+        STR_OVERHEAD,
+        q_join_strategy_advisor,
+    )
+
+    got = {r.table_name: r for r in q_join_strategy_advisor(spark, SF).collect()}
+    con = duckdb.connect()
+    for t, fixed, strs in ADVISOR_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        rows = con.execute(f"SELECT * FROM {t}").fetchall()
+        cols = [c[0] for c in con.execute(f"DESCRIBE {t}").fetchall()]
+        si = [cols.index(s) for s in strs]
+        est = sum(
+            FIXED_W * len(fixed)
+            + sum(len(r[i]) + STR_OVERHEAD for i in si)
+            for r in rows
+        )
+        assert got[t].n_rows == len(rows)
+        assert got[t].est_bytes == est, t
+        assert got[t].advice == (
+            "broadcast" if est <= BROADCAST_BYTES else "shuffle"
+        )
+
+
+def test_join_skew_detector_matches_python(spark):
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        SKEW_FACTOR,
+        SKEW_KEYS,
+        q_join_skew_detector,
+    )
+
+    got = {r.join_key: r for r in q_join_skew_detector(spark, SF).collect()}
+    con = duckdb.connect()
+    seen = set()
+    for t, key in SKEW_KEYS:
+        if t not in seen:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+            seen.add(t)
+        hist = dict(
+            con.execute(
+                f"SELECT {key}, COUNT(*) FROM {t} GROUP BY 1"
+            ).fetchall()
+        )
+        r = got[f"{t}.{key}"]
+        assert r.n_rows == sum(hist.values())
+        assert r.n_keys == len(hist)
+        assert r.max_per_key == max(hist.values())
+        want = (
+            "salt"
+            if max(hist.values()) * len(hist) > SKEW_FACTOR * sum(hist.values())
+            else "plain"
+        )
+        assert r.advice == want
+
+
+def test_streaming_rate_alert_flags_consistent(spark):
+    from mapreduce_sssp_spark.streaming.joins import (
+        RATE_ALERT_DEN,
+        RATE_ALERT_NUM,
+        streaming_rate_alert,
+    )
+
+    rows = streaming_rate_alert(spark, SF).collect()
+    assert rows
+    n_alerts = 0
+    for r in rows:
+        exact = r.alert
+        # alert must agree with the float rate comparison except at the
+        # exact boundary (the integer form is the source of truth)
+        approx = r.n > (RATE_ALERT_NUM / RATE_ALERT_DEN) * r.baseline_mean
+        if abs(r.n - (RATE_ALERT_NUM / RATE_ALERT_DEN) * r.baseline_mean) > 1e-9:
+            assert exact == approx, r
+        n_alerts += exact
+    assert 0 < n_alerts < len(rows)  # some windows alert, not all
