@@ -3099,7 +3099,119 @@ def q_queue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of strictly-increasing daily revenue per event type —
+    the streak/momentum readout (consecutive growth days), solved with
+    the rank-difference gaps-and-islands device: flag each day whose
+    revenue beats the previous day, island-id the runs with a running
+    sum of broken-streak flags, and take the longest island. The
+    same template answers login streaks, SLA-breach runs, and
+    consecutive-anomaly alerts.
+
+    All integers (cents comparisons, counts); per-type windows ordered
+    by day — parallel across types, calendar-bounded within. Output
+    one row per type: longest streak length, its start/end days, and
+    the number of maximal streaks of any length.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    flagged = daily.select(
+        "event_type",
+        "day",
+        F.when(
+            F.lag("cents").over(w).isNull()
+            | (F.col("cents") <= F.lag("cents").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("broke"),
+    )
+    wi = w.rowsBetween(Window.unboundedPreceding, 0)
+    islands = flagged.select(
+        "event_type", "day", F.sum("broke").over(wi).alias("island")
+    )
+    per_island = islands.groupBy("event_type", "island").agg(
+        F.count("*").alias("len"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+    )
+    wt = Window.partitionBy("event_type").orderBy(
+        F.col("len").desc(), F.col("start_day")
+    )
+    return (
+        per_island.withColumn("rn", F.row_number().over(wt))
+        .filter("rn = 1")
+        .join(
+            per_island.groupBy("event_type").agg(
+                F.count("*").alias("n_streaks")
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            F.col("len").alias("longest_streak"),
+            "start_day",
+            "end_day",
+            "n_streaks",
+        )
+    )
+
+
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent rollup — the BI staple behind every drill-down
+    dashboard: revenue per (market segment, event... no — per
+    (nation, market segment) customer cell, with each cell's share of
+    its nation and of the global total, from two stacked aggregation
+    scopes expressed as windows over the cell aggregate.
+
+    Cents exact; each share is ONE closing division of int64 sums.
+    The corpus aggregates once to |nations| x |segments| cells; both
+    parent totals are windows over that tiny aggregate — no second
+    scan, no self-join.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey", "c_mktsegment"
+    )
+    cells = (
+        o.join(cust, "o_custkey")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wn = Window.partitionBy("c_nationkey")
+    wg = Window.partitionBy()
+    return cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("cents").alias("revenue_cents"),
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(wn).cast("double")
+        ).alias("share_of_nation"),
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(wg).cast("double")
+        ).alias("share_of_total"),
+    )
+
+
 QUERIES = {
+    "longest_streaks": q_longest_streaks,
+    "share_of_parent": q_share_of_parent,
     "queue_backlog": q_queue_backlog,
     "rolling_regression": q_rolling_regression,
     "bounce_rate_sessions": q_bounce_rate_sessions,
@@ -3382,6 +3494,59 @@ it AS (
 SELECT state AS event_type, v_e12 AS stationary_e12,
        v_e12 / 1e12 AS prob
 FROM it WHERE iter = {MARKOV_ITERS}
+""",
+    "longest_streaks": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+flagged AS (
+  SELECT event_type, day,
+         CASE WHEN lag(cents) OVER w IS NULL
+                   OR cents <= lag(cents) OVER w THEN 1 ELSE 0 END AS broke
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+islands AS (
+  SELECT event_type, day,
+         SUM(broke) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT event_type, island, COUNT(*) AS len,
+         MIN(day) AS start_day, MAX(day) AS end_day
+  FROM islands GROUP BY 1, 2
+),
+best AS (
+  SELECT event_type, len AS longest_streak, start_day, end_day FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY len DESC, start_day) AS rn
+    FROM per_island
+  ) WHERE rn = 1
+)
+SELECT b.event_type, CAST(b.longest_streak AS BIGINT) AS longest_streak,
+       b.start_day, b.end_day, t.n_streaks
+FROM best b
+JOIN (SELECT event_type, COUNT(*) AS n_streaks FROM per_island GROUP BY 1) t
+  ON t.event_type = b.event_type
+""",
+    "share_of_parent": """
+WITH cells AS (
+  SELECT c.c_nationkey, c.c_mktsegment,
+         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, cents AS revenue_cents,
+       CAST(cents AS DOUBLE)
+         / CAST(SUM(cents) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+         AS share_of_nation,
+       CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE)
+         AS share_of_total
+FROM cells
 """,
     "queue_backlog": f"""
 WITH daily AS (

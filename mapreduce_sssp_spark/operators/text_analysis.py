@@ -503,6 +503,98 @@ def q_kfold_cv_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERY = ("spark", "table", "row")  # fixed literal query terms
+BM25_K1_10 = 12  # k1 = 1.2 in tenths
+BM25_B_100 = 75  # b = 0.75 in hundredths
+BM25_TOPK = 20
+
+
+def q_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query — the scoring function
+    behind Lucene/Elasticsearch and the lexical half of every hybrid
+    RAG retriever: score(d) = sum over query terms of
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), k1=1.2,
+    b=0.75, idf = ln((N - df + 0.5)/(df + 0.5)); top-{BM25_TOPK} docs.
+
+    Determinism is the psi ln-contract one level up: each (doc, term)
+    score is ONE identical float expression (tf/df/dl/N exact ints,
+    avgdl one division appearing as ONE operand in both engines),
+    quantized to an e9 BIGINT BEFORE the per-doc sum, so the cross-
+    term accumulation is exact integer addition; ranking breaks ties
+    on doc_id.
+
+    At 100 TB: tf comes from the (token, doc) explode with map-side
+    partial agg FILTERED to the query terms first (the filter reaches
+    the explode — a 3-term query touches 3 posting lists, not the
+    corpus); df/avgdl are broadcast scalars; the final top-k is a
+    |matching docs|-row window.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    t = _with_tokens(docs).select(
+        "doc_id", F.size("toks").alias("dl"), "toks"
+    )
+    stats = t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        t.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    k1 = BM25_K1_10 / 10.0
+    b = BM25_B_100 / 100.0
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col("df").cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (
+                    F.col("tf").cast("double") * F.lit(k1 + 1.0)
+                )
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("dl").cast("double")
+                        / (
+                            F.col("sum_dl").cast("double")
+                            / F.col("n_docs").cast("double")
+                        )
+                    )
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("s_e9"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("s_e9").alias("bm25_e9"), F.count("*").alias("n_terms")
+    )
+    w = Window.orderBy(F.col("bm25_e9").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOPK)
+    )
+
+
 ZIPF_TOP = 1000
 
 
@@ -1846,6 +1938,7 @@ QUERIES = {
     "stump_split_finder": q_stump_split_finder,
     "kfold_cv_stump": q_kfold_cv_stump,
     "zipf_fit": q_zipf_fit,
+    "bm25_scoring": q_bm25_scoring,
     "vocab_coverage": q_vocab_coverage,
     "trigram_novelty": q_trigram_novelty,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
@@ -2154,6 +2247,43 @@ SELECT doc_id,
        CAST(list_max(list_transform(toks, x -> length(x))) AS INT) AS max_tok_len,
        CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
 FROM t
+""",
+    "bm25_scoring": f"""
+WITH t AS (
+  SELECT doc_id, len({DUCK_TOKENS}) AS dl, {DUCK_TOKENS} AS toks
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM t
+),
+tf AS (
+  SELECT doc_id, dl, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, UNNEST(toks) AS token FROM t)
+  WHERE token IN ({", ".join(f"'{x}'" for x in BM25_QUERY)})
+  GROUP BY 1, 2, 3
+),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+              / (CAST(df.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * {BM25_K1_10 / 10.0 + 1.0})
+           / (CAST(tf.tf AS DOUBLE)
+              + {BM25_K1_10 / 10.0}
+                * ({1.0 - BM25_B_100 / 100.0}
+                   + {BM25_B_100 / 100.0} * CAST(tf.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE)
+                        / CAST(s.n_docs AS DOUBLE))))
+           * 1e9) AS BIGINT) AS s_e9
+  FROM tf JOIN df USING (token) CROSS JOIN stats s
+)
+SELECT doc_id, CAST(SUM(s_e9) AS BIGINT) AS bm25_e9,
+       COUNT(*) AS n_terms,
+       CAST(row_number() OVER (ORDER BY SUM(s_e9) DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored GROUP BY doc_id
+QUALIFY rank <= {BM25_TOPK}
 """,
     "zipf_fit": f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),

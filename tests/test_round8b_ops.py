@@ -979,3 +979,89 @@ def test_streaming_rate_alert_flags_consistent(spark):
             assert exact == approx, r
         n_alerts += exact
     assert 0 < n_alerts < len(rows)  # some windows alert, not all
+
+
+def test_longest_streaks_matches_python(spark):
+    from mapreduce_sssp_spark.operators.event_windows import q_longest_streaks
+
+    got = {r.event_type: r for r in q_longest_streaks(spark, SF).collect()}
+    rows = _duck(
+        """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    series = {}
+    for et, day, cents in rows:
+        series.setdefault(et, []).append((day, int(cents)))
+    for et, pts in series.items():
+        streaks = []
+        cur = [pts[0]]
+        for prev, nxt in zip(pts, pts[1:]):
+            if nxt[1] > prev[1]:
+                cur.append(nxt)
+            else:
+                streaks.append(cur)
+                cur = [nxt]
+        streaks.append(cur)
+        best = max(streaks, key=lambda s: (len(s), -s[0][0].toordinal()))
+        r = got[et]
+        assert r.longest_streak == len(best), et
+        assert str(r.start_day) == str(best[0][0])
+        assert str(r.end_day) == str(best[-1][0])
+        assert r.n_streaks == len(streaks)
+
+
+def test_share_of_parent_sums_to_one(spark):
+    from mapreduce_sssp_spark.operators.event_windows import q_share_of_parent
+
+    rows = q_share_of_parent(spark, SF).collect()
+    (total,) = _duck(
+        """SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"""
+    )[0]
+    assert sum(r.revenue_cents for r in rows) == int(total)
+    assert abs(sum(r.share_of_total for r in rows) - 1.0) < 1e-9
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.c_nationkey, []).append(r.share_of_nation)
+    for nk, shares in by_nation.items():
+        assert abs(sum(shares) - 1.0) < 1e-9, nk
+
+
+def test_bm25_matches_python(spark):
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        BM25_QUERY,
+        BM25_TOPK,
+        q_bm25_scoring,
+    )
+
+    got = {r.doc_id: r for r in q_bm25_scoring(spark, SF).collect()}
+    rows = _duck("SELECT doc_id, text FROM documents")
+    docs = {d: [t for t in txt.strip().split() if t] for d, txt in rows}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in BM25_QUERY
+    }
+    scores = {}
+    for d, toks in docs.items():
+        s = 0
+        hit = 0
+        for t in BM25_QUERY:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            hit += 1
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5))
+            term = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            s += round(term * 1e9)
+        if hit:
+            scores[d] = (s, hit)
+    want = sorted(scores, key=lambda d: (-scores[d][0], d))[:BM25_TOPK]
+    assert sorted(got) == sorted(want)
+    for rank, d in enumerate(want, 1):
+        assert got[d].rank == rank
+        assert got[d].bm25_e9 == scores[d][0]
+        assert got[d].n_terms == scores[d][1]
