@@ -1298,7 +1298,98 @@ def q_join_skew_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (name, left table, left key, right table, right key) — equi-joins a
+# cost-based optimizer would estimate before picking a join order
+CARD_JOINS = [
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+]
+
+
+def q_join_cardinality_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation vs ground truth — the formula every
+    cost-based optimizer (and Spark's CBO with ANALYZE stats) applies
+    before ordering joins: |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B) under
+    the uniformity + containment assumptions. Emitting the estimate
+    NEXT TO the true join count turns the textbook formula into a
+    measurable accuracy report (q_error = max(est,act)/min(est,act)) —
+    the number that decides whether your stats are fresh enough to
+    trust a join reorder at 100 TB.
+
+    Estimate inputs are exact int64 (counts, exact NDVs — production
+    would use HLL sketches, the approx_distinct device); the estimate
+    and q_error are ONE closing division each. The actual count is a
+    real equi-join per pair — the expensive-but-honest part, which is
+    why optimizers estimate in the first place.
+    """
+    parts = []
+    for name, lt, lk, rt, rk in CARD_JOINS:
+        left = load_table(spark, sf_dir, lt).select(F.col(lk).alias("k"))
+        right = load_table(spark, sf_dir, rt).select(F.col(rk).alias("k"))
+        stats = left.agg(
+            F.count("*").alias("n_l"),
+            F.countDistinct("k").alias("ndv_l"),
+        ).crossJoin(
+            right.agg(
+                F.count("*").alias("n_r"),
+                F.countDistinct("k").alias("ndv_r"),
+            )
+        )
+        actual = left.join(right, "k").agg(
+            F.count("*").alias("actual_rows")
+        )
+        est = (
+            F.col("n_l") * F.col("n_r")
+        ).cast("double") / F.greatest("ndv_l", "ndv_r").cast("double")
+        parts.append(
+            stats.crossJoin(actual).select(
+                F.lit(name).alias("join_name"),
+                "n_l",
+                "n_r",
+                F.col("ndv_l").cast("long").alias("ndv_l"),
+                F.col("ndv_r").cast("long").alias("ndv_r"),
+                est.alias("est_rows"),
+                "actual_rows",
+                (
+                    F.greatest(est, F.col("actual_rows").cast("double"))
+                    / F.least(est, F.col("actual_rows").cast("double"))
+                ).alias("q_error"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA report per event type — the first panel of
+    every pipeline dashboard: latest event time per type, its lag
+    behind the global high-water mark in exact microseconds, and the
+    SLA flag (stale when > 24h behind). Lag is a timestampdiff of
+    exact timestamps; the flag is an integer comparison — engine-
+    stable. One map-side-combined max-aggregate per type plus a 1-row
+    broadcast of the global watermark: the cheapest possible shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(F.max("ts").alias("latest_ts"))
+    hwm = ev.agg(F.max("ts").alias("hwm"))
+    return per_type.crossJoin(F.broadcast(hwm)).select(
+        "event_type",
+        "latest_ts",
+        "hwm",
+        F.expr("timestampdiff(MICROSECOND, latest_ts, hwm)").alias("lag_us"),
+        (
+            F.expr("timestampdiff(MICROSECOND, latest_ts, hwm)")
+            > 24 * 3600 * 1_000_000
+        ).alias("stale"),
+    )
+
+
 QUERIES = {
+    "join_cardinality_estimator": q_join_cardinality_estimator,
+    "freshness_report": q_freshness_report,
     "zone_map_pruning": q_zone_map_pruning,
     "compaction_planner": q_compaction_planner,
     "encoding_advisor": q_encoding_advisor,
@@ -1388,7 +1479,47 @@ FROM stats
 """
 
 
+def _card_oracle_sql() -> str:
+    selects = []
+    for name, lt, lk, rt, rk in CARD_JOINS:
+        selects.append(f"""
+SELECT '{name}' AS join_name,
+       (SELECT COUNT(*) FROM {lt}) AS n_l,
+       (SELECT COUNT(*) FROM {rt}) AS n_r,
+       (SELECT CAST(COUNT(DISTINCT {lk}) AS BIGINT) FROM {lt}) AS ndv_l,
+       (SELECT CAST(COUNT(DISTINCT {rk}) AS BIGINT) FROM {rt}) AS ndv_r,
+       CAST((SELECT COUNT(*) FROM {lt}) * (SELECT COUNT(*) FROM {rt})
+            AS DOUBLE)
+         / CAST(greatest((SELECT COUNT(DISTINCT {lk}) FROM {lt}),
+                         (SELECT COUNT(DISTINCT {rk}) FROM {rt}))
+                AS DOUBLE) AS est_rows,
+       (SELECT COUNT(*) FROM {lt} l JOIN {rt} r ON l.{lk} = r.{rk})
+         AS actual_rows""")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH stats AS (
+{union}
+)
+SELECT join_name, n_l, n_r, ndv_l, ndv_r, est_rows, actual_rows,
+       greatest(est_rows, CAST(actual_rows AS DOUBLE))
+         / least(est_rows, CAST(actual_rows AS DOUBLE)) AS q_error
+FROM stats
+"""
+
+
 ORACLE = {
+    "join_cardinality_estimator": _card_oracle_sql(),
+    "freshness_report": """
+WITH per_type AS (
+  SELECT event_type, MAX(CAST(ts AS TIMESTAMP)) AS latest_ts FROM events
+  GROUP BY 1
+),
+hwm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS hwm FROM events)
+SELECT event_type, latest_ts, hwm,
+       CAST(date_diff('microsecond', latest_ts, hwm) AS BIGINT) AS lag_us,
+       date_diff('microsecond', latest_ts, hwm) > 86400000000 AS stale
+FROM per_type CROSS JOIN hwm
+""",
     "join_strategy_advisor": _advisor_oracle_sql(),
     "join_skew_detector": _skew_oracle_sql(),
     "entity_clusters": f"""

@@ -1065,3 +1065,46 @@ def test_bm25_matches_python(spark):
         assert got[d].rank == rank
         assert got[d].bm25_e9 == scores[d][0]
         assert got[d].n_terms == scores[d][1]
+
+
+def test_join_cardinality_estimator_matches_python(spark):
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        CARD_JOINS,
+        q_join_cardinality_estimator,
+    )
+
+    got = {r.join_name: r for r in q_join_cardinality_estimator(spark, SF).collect()}
+    con = duckdb.connect()
+    for t in {x for _, lt, _, rt, _ in CARD_JOINS for x in (lt, rt)}:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for name, lt, lk, rt, rk in CARD_JOINS:
+        lvals = [r[0] for r in con.execute(f"SELECT {lk} FROM {lt}").fetchall()]
+        rvals = [r[0] for r in con.execute(f"SELECT {rk} FROM {rt}").fetchall()]
+        est = len(lvals) * len(rvals) / max(len(set(lvals)), len(set(rvals)))
+        from collections import Counter
+
+        rc = Counter(rvals)
+        actual = sum(rc[v] for v in lvals)
+        r = got[name]
+        assert r.n_l == len(lvals) and r.n_r == len(rvals)
+        assert r.ndv_l == len(set(lvals)) and r.ndv_r == len(set(rvals))
+        assert r.est_rows == est
+        assert r.actual_rows == actual
+        assert r.q_error == max(est, actual) / min(est, actual)
+        # FK joins obey containment, so the estimate should be decent
+        assert r.q_error < 2.0, name
+
+
+def test_freshness_report_matches_python(spark):
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        q_freshness_report,
+    )
+
+    got = {r.event_type: r for r in q_freshness_report(spark, SF).collect()}
+    rows = _duck("SELECT event_type, MAX(ts) FROM events GROUP BY 1")
+    hwm = max(ts for _, ts in rows)
+    for et, ts in rows:
+        r = got[et]
+        lag = int((hwm - ts).total_seconds() * 1_000_000)
+        assert r.lag_us == lag, et
+        assert r.stale == (lag > 86400000000)
