@@ -296,3 +296,127 @@ SELECT split, source,
        CAST(sum(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens
 FROM assigned GROUP BY split, source
 """
+
+
+HYBRID_TOPK = 10
+HYBRID_QVEC = 0  # the fixed dense-query vector id
+
+
+def q_pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval end-to-end — the dense+lexical RAG stack as ONE
+    plan: the BM25 leg (q_bm25_scoring's fixed-term ranking) fused with
+    a dense leg (cosine of every embedding against query vector
+    {HYBRID_QVEC}, depth-20) by reciprocal-rank fusion, top-{HYBRID_TOPK}
+    out. doc_id and vec_id are the aligned corpus key, so the fusion is
+    a full-outer join of two rank tables — a document found by only one
+    leg still scores on that leg (the COALESCE-0 convention of
+    rank_fusion_rrf).
+
+    Composition, not re-implementation: the lexical leg IS
+    q_bm25_scoring, the fusion arithmetic IS the rank_fusion_rrf
+    e12-quantized device; the oracle nests the bm25 twin verbatim. At
+    100 TB each leg swaps its brute scorer for its index probe
+    (inverted-list / IVF-PQ) with the fusion join unchanged — fused
+    state is 40 rows per query.
+    """
+    from .similarity import QUERY_MOD, RRF_K, _DOT, _vectors  # noqa: F401
+    from .text_analysis import q_bm25_scoring
+
+    from pyspark.sql import Window
+
+    lex = q_bm25_scoring(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    vec = _vectors(spark, sf_dir)
+    norms = vec.withColumn(
+        "nrm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+    )
+    qv = norms.filter(F.col("vec_id") == HYBRID_QVEC).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dense_scored = (
+        norms.filter(F.col("vec_id") != HYBRID_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                F.expr(_DOT.format(a="qv", b="v"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    wd = Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
+    dense = (
+        dense_scored.withColumn("r_dense", F.row_number().over(wd))
+        .filter(F.col("r_dense") <= 20)
+        .select("doc_id", F.col("r_dense").cast("long").alias("r_dense"))
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_dense",
+        (
+            F.when(
+                F.col("r_lex").isNotNull(),
+                F.round(F.lit(1e12) / (F.lit(RRF_K) + F.col("r_lex"))).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("r_dense").isNotNull(),
+                F.round(
+                    F.lit(1e12) / (F.lit(RRF_K) + F.col("r_dense"))
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("rrf_e12"),
+    )
+    wf = Window.orderBy(F.col("rrf_e12").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= HYBRID_TOPK)
+    )
+
+
+QUERIES["pipeline_hybrid_search"] = q_pipeline_hybrid_search
+
+
+def _hybrid_oracle_sql() -> str:
+    from .similarity import RRF_K
+    from .text_analysis import ORACLE as _TEXT_ORACLE
+
+    bm25 = _TEXT_ORACLE["bm25_scoring"]
+    return f"""
+WITH lex AS (
+  SELECT doc_id, rank AS r_lex FROM ({bm25})
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+qv AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = {HYBRID_QVEC}),
+dense AS (
+  SELECT doc_id, r_dense FROM (
+    SELECT n.vec_id AS doc_id,
+           row_number() OVER (ORDER BY
+             list_dot_product(qv, v) / (qn * nrm) DESC, n.vec_id) AS r_dense
+    FROM n CROSS JOIN qv WHERE n.vec_id <> {HYBRID_QVEC}
+  ) WHERE r_dense <= 20
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.r_lex, d.r_dense,
+         (CASE WHEN l.r_lex IS NOT NULL
+               THEN CAST(round(1e12 / ({RRF_K} + l.r_lex)) AS BIGINT)
+               ELSE 0 END
+          + CASE WHEN d.r_dense IS NOT NULL
+                 THEN CAST(round(1e12 / ({RRF_K} + d.r_dense)) AS BIGINT)
+                 ELSE 0 END) AS rrf_e12
+  FROM lex l FULL OUTER JOIN dense d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, r_lex, r_dense, rrf_e12,
+       CAST(row_number() OVER (ORDER BY rrf_e12 DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {HYBRID_TOPK}
+"""
+
+
+ORACLE["pipeline_hybrid_search"] = _hybrid_oracle_sql()

@@ -1108,3 +1108,35 @@ def test_freshness_report_matches_python(spark):
         lag = int((hwm - ts).total_seconds() * 1_000_000)
         assert r.lag_us == lag, et
         assert r.stale == (lag > 86400000000)
+
+
+def test_hybrid_search_fuses_both_legs(spark):
+    from mapreduce_sssp_spark.operators.pipeline import (
+        HYBRID_QVEC,
+        HYBRID_TOPK,
+        q_pipeline_hybrid_search,
+    )
+    from mapreduce_sssp_spark.operators.similarity import RRF_K
+    from mapreduce_sssp_spark.operators.text_analysis import q_bm25_scoring
+
+    rows = q_pipeline_hybrid_search(spark, SF).collect()
+    assert len(rows) == HYBRID_TOPK
+    # fused score must equal the RRF arithmetic over the emitted ranks
+    for r in rows:
+        want = 0
+        if r.r_lex is not None:
+            want += round(1e12 / (RRF_K + r.r_lex))
+        if r.r_dense is not None:
+            want += round(1e12 / (RRF_K + r.r_dense))
+        assert r.rrf_e12 == want
+    # both legs must be represented in the fused top-k
+    assert any(r.r_lex is not None for r in rows)
+    assert any(r.r_dense is not None for r in rows)
+    # the lexical leg is exactly q_bm25_scoring's ranking
+    lex = {r.doc_id: r.rank for r in q_bm25_scoring(spark, SF).collect()}
+    for r in rows:
+        if r.r_lex is not None:
+            assert lex[r.doc_id] == r.r_lex
+    ranks = [r.fused_rank for r in sorted(rows, key=lambda x: x.fused_rank)]
+    assert ranks == list(range(1, HYBRID_TOPK + 1))
+    assert HYBRID_QVEC not in {r.doc_id for r in rows if r.r_dense is not None}
