@@ -1387,7 +1387,124 @@ def q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEL_BUCKETS = 20
+SEL_CUTS = (150_000, 250_000, 350_000, 450_000)  # probes: o_totalprice > $X
+
+
+def q_selectivity_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate selectivity estimation vs ground truth — the
+    other half of the CBO arithmetic (join_cardinality_estimator's
+    sibling): build a {SEL_BUCKETS}-bucket equi-width histogram over
+    o_totalprice cents, estimate sel(o_totalprice > X) by full buckets
+    above X plus linear interpolation inside X's bucket (exactly what
+    ANALYZE-style histograms store), and emit the estimate beside the
+    true selectivity with the q-error.
+
+    The histogram is exact int64 (bucket = floor over exact cents
+    offsets, per-bucket counts map-side combined); the interpolation
+    fraction and both selectivities are single closing divisions on
+    exact operands, engine-stable. The actual count per probe is a
+    corpus filter — the honest cost the histogram exists to avoid.
+
+    At 100 TB the histogram is |buckets| rows refreshed by ANALYZE
+    cadence; per-probe estimation is arithmetic on that aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    rng = o.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    hist = (
+        o.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("cents") - F.col("lo")).cast("double")
+                    / ((F.col("hi") - F.col("lo") + 1).cast("double"))
+                    * SEL_BUCKETS
+                ).cast("long"),
+                F.lit(SEL_BUCKETS - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bn"))
+    )
+    probes = spark.createDataFrame(
+        [(int(c),) for c in SEL_CUTS], "cut_dollars long"
+    )
+    # estimate: full buckets above the cut + linear share of the cut's
+    # own bucket
+    j = probes.crossJoin(F.broadcast(rng)).crossJoin(F.broadcast(hist))
+    cutb = F.least(
+        F.floor(
+            (F.col("cut_dollars") * 100 - F.col("lo")).cast("double")
+            / ((F.col("hi") - F.col("lo") + 1).cast("double"))
+            * SEL_BUCKETS
+        ).cast("long"),
+        F.lit(SEL_BUCKETS - 1),
+    )
+    width = (F.col("hi") - F.col("lo") + 1).cast("double") / SEL_BUCKETS
+    b_lo = F.col("lo").cast("double") + cutb.cast("double") * width
+    frac_above = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.lit(1.0)
+            - ((F.col("cut_dollars") * 100).cast("double") - b_lo) / width,
+        ),
+    )
+    # per-bucket contributions quantize to e6 BIGINTs before the sum
+    # (only the cut's own bucket is fractional) — exact int accumulation
+    est = (
+        j.select(
+            "cut_dollars",
+            "n",
+            F.when(F.col("bucket") > cutb, F.col("bn") * 1_000_000)
+            .when(
+                F.col("bucket") == cutb,
+                F.round(F.col("bn").cast("double") * frac_above * 1e6).cast(
+                    "long"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("contrib_e6"),
+        )
+        .groupBy("cut_dollars", "n")
+        .agg(
+            F.round(F.sum("contrib_e6") / 1e6).cast("long").alias("est_rows")
+        )
+    )
+    actual = (
+        o.crossJoin(F.broadcast(probes))
+        .filter(F.col("cents") > F.col("cut_dollars") * 100)
+        .groupBy("cut_dollars")
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    return (
+        est.join(actual, "cut_dollars", "left")
+        .select(
+            "cut_dollars",
+            "est_rows",
+            F.coalesce("actual_rows", F.lit(0)).cast("long").alias(
+                "actual_rows"
+            ),
+            (F.col("est_rows").cast("double") / F.col("n").cast("double"))
+            .alias("est_sel"),
+            (
+                F.coalesce("actual_rows", F.lit(0)).cast("double")
+                / F.col("n").cast("double")
+            ).alias("actual_sel"),
+        )
+    )
+
+
 QUERIES = {
+    "selectivity_estimator": q_selectivity_estimator,
     "join_cardinality_estimator": q_join_cardinality_estimator,
     "freshness_report": q_freshness_report,
     "zone_map_pruning": q_zone_map_pruning,
@@ -1507,7 +1624,68 @@ FROM stats
 """
 
 
+_SEL_PROBES = ", ".join(str(int(c)) for c in SEL_CUTS)
+
 ORACLE = {
+    "selectivity_estimator": f"""
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+rng AS (
+  SELECT CAST(MIN(cents) AS BIGINT) AS lo, CAST(MAX(cents) AS BIGINT) AS hi,
+         COUNT(*) AS n
+  FROM o
+),
+hist AS (
+  SELECT least(CAST(floor(CAST(cents - lo AS DOUBLE)
+                          / CAST(hi - lo + 1 AS DOUBLE)
+                          * {SEL_BUCKETS}) AS BIGINT),
+               {SEL_BUCKETS - 1}) AS bucket,
+         COUNT(*) AS bn
+  FROM o CROSS JOIN rng GROUP BY 1
+),
+probes AS (SELECT UNNEST([{_SEL_PROBES}]) AS cut_dollars),
+j AS (
+  SELECT p.cut_dollars, r.n, r.lo, r.hi, h.bucket, h.bn,
+         least(CAST(floor(CAST(p.cut_dollars * 100 - r.lo AS DOUBLE)
+                          / CAST(r.hi - r.lo + 1 AS DOUBLE)
+                          * {SEL_BUCKETS}) AS BIGINT),
+               {SEL_BUCKETS - 1}) AS cutb,
+         CAST(r.hi - r.lo + 1 AS DOUBLE) / {SEL_BUCKETS} AS width
+  FROM probes p CROSS JOIN rng r CROSS JOIN hist h
+),
+contrib AS (
+  SELECT cut_dollars, n,
+         CASE WHEN bucket > cutb THEN bn * 1000000
+              WHEN bucket = cutb THEN
+                CAST(round(CAST(bn AS DOUBLE)
+                  * greatest(0.0, least(1.0,
+                      1.0 - (CAST(cut_dollars * 100 AS DOUBLE)
+                             - (CAST(lo AS DOUBLE)
+                                + CAST(cutb AS DOUBLE) * width)) / width))
+                  * 1e6) AS BIGINT)
+              ELSE 0 END AS contrib_e6
+  FROM j
+),
+est AS (
+  SELECT cut_dollars, n,
+         CAST(round(SUM(contrib_e6) / 1e6) AS BIGINT) AS est_rows
+  FROM contrib GROUP BY 1, 2
+),
+act AS (
+  SELECT p.cut_dollars, COUNT(*) AS actual_rows
+  FROM o CROSS JOIN probes p
+  WHERE o.cents > p.cut_dollars * 100
+  GROUP BY 1
+)
+SELECT CAST(e.cut_dollars AS BIGINT) AS cut_dollars, e.est_rows,
+       CAST(COALESCE(a.actual_rows, 0) AS BIGINT) AS actual_rows,
+       CAST(e.est_rows AS DOUBLE) / CAST(e.n AS DOUBLE) AS est_sel,
+       CAST(COALESCE(a.actual_rows, 0) AS DOUBLE) / CAST(e.n AS DOUBLE)
+         AS actual_sel
+FROM est e LEFT JOIN act a ON a.cut_dollars = e.cut_dollars
+""",
     "join_cardinality_estimator": _card_oracle_sql(),
     "freshness_report": """
 WITH per_type AS (

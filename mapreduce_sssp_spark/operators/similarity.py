@@ -1472,10 +1472,75 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel
 
 
+TRUNC_DIM = 16  # matryoshka-style prefix dimensions
+
+
+def q_truncated_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation quality report — the Matryoshka/MRL question
+    every embedding deployment asks before cutting storage 4x: if we
+    keep only the first {TRUNC_DIM} of 64 dims, how much of the full-
+    precision cosine top-{TOPK} do we still retrieve? One row per query:
+    truncated-vs-full overlap and recall@{TOPK}.
+
+    Both rankings are the exact brute-force scorer over the bounded
+    query set (the similarity_topk shape; slice dots via the bit-parity
+    fold device), the overlap is an equi-join of two top-k tables, and
+    recall is ONE closing division — so even this *quality metric* is
+    hash-exact across engines.
+
+    At 100 TB both legs swap for their index probes; the report stays
+    |queries| x k. This is the measurement that justifies (or vetoes)
+    pq/int8/truncation storage tiers — the same role ann_recall_report
+    plays for LSH.
+    """
+    vec = _vectors(spark, sf_dir)
+
+    def ranking(trunc: bool) -> DataFrame:
+        if trunc:
+            a = f"slice(v, 1, {TRUNC_DIM})"
+            b = f"slice(qv, 1, {TRUNC_DIM})"
+        else:
+            a, b = "v", "qv"
+        norms = vec.withColumn(
+            "nrm", F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+        )
+        q = norms.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        cos = F.expr(_DOT.format(a=b, b=a)) / (F.col("qn") * F.col("nrm"))
+        w = Window.partitionBy("q_id").orderBy(
+            cos.desc(), F.col("vec_id")
+        )
+        return (
+            norms.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOPK)
+            .select("q_id", F.col("vec_id").alias("cand_id"))
+        )
+
+    full = ranking(trunc=False)
+    trunc = ranking(trunc=True)
+    overlap = full.join(trunc, ["q_id", "cand_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    qs = full.select("q_id").distinct()
+    return qs.join(overlap, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        (
+            F.coalesce("n_overlap", F.lit(0)).cast("double") / float(TOPK)
+        ).alias("recall_at_k"),
+    )
+
+
 QUERIES = {
     "embedding_pq_encode": q_embedding_pq_encode,
     "pq_adc_topk": q_pq_adc_topk,
     "mmr_rerank": q_mmr_rerank,
+    "truncated_embedding_recall": q_truncated_embedding_recall,
     "pca_power_iteration": q_pca_power_iteration,
     "rank_fusion_rrf": q_rank_fusion_rrf,
     "label_centroid_similarity": q_label_centroid_similarity,
@@ -2153,3 +2218,44 @@ def _mmr_oracle_sql(k: int = MMR_K) -> str:
 
 
 ORACLE["mmr_rerank"] = _mmr_oracle_sql()
+
+
+def _trunc_recall_oracle_sql() -> str:
+    def leg(trunc: bool, name: str) -> str:
+        if trunc:
+            a, b = f"v[1:{TRUNC_DIM}]", f"qv[1:{TRUNC_DIM}]"
+        else:
+            a, b = "v", "qv"
+        return f"""{name} AS (
+  SELECT q_id, cand_id FROM (
+    SELECT q.q_id, n.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product({b}, {a})
+               / (sqrt(list_dot_product({b}, {b}))
+                  * sqrt(list_dot_product({a}, {a}))) DESC,
+             n.vec_id) AS rn
+    FROM n CROSS JOIN q WHERE n.vec_id <> q.q_id
+  ) WHERE rn <= {TOPK})"""
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+{leg(False, "full_top")},
+{leg(True, "trunc_top")},
+overlap AS (
+  SELECT f.q_id, COUNT(*) AS n_overlap
+  FROM full_top f JOIN trunc_top t
+    ON t.q_id = f.q_id AND t.cand_id = f.cand_id
+  GROUP BY 1
+)
+SELECT q.q_id,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / {float(TOPK)}
+         AS recall_at_k
+FROM (SELECT DISTINCT q_id FROM q) q
+LEFT JOIN overlap o ON o.q_id = q.q_id
+"""
+
+
+ORACLE["truncated_embedding_recall"] = _trunc_recall_oracle_sql()

@@ -1140,3 +1140,85 @@ def test_hybrid_search_fuses_both_legs(spark):
     ranks = [r.fused_rank for r in sorted(rows, key=lambda x: x.fused_rank)]
     assert ranks == list(range(1, HYBRID_TOPK + 1))
     assert HYBRID_QVEC not in {r.doc_id for r in rows if r.r_dense is not None}
+
+
+def test_selectivity_estimator_matches_python(spark):
+    from mapreduce_sssp_spark.operators.scale_patterns import (
+        SEL_BUCKETS,
+        SEL_CUTS,
+        q_selectivity_estimator,
+    )
+
+    got = {r.cut_dollars: r for r in q_selectivity_estimator(spark, SF).collect()}
+    rows = _duck(
+        "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " FROM orders"
+    )
+    cents = [int(r[0]) for r in rows]
+    lo, hi, n = min(cents), max(cents), len(cents)
+    hist = {}
+    for c in cents:
+        b = min(int((c - lo) / (hi - lo + 1) * SEL_BUCKETS), SEL_BUCKETS - 1)
+        hist[b] = hist.get(b, 0) + 1
+    width = (hi - lo + 1) / SEL_BUCKETS
+    for cut in SEL_CUTS:
+        cc = cut * 100
+        cutb = min(int((cc - lo) / (hi - lo + 1) * SEL_BUCKETS), SEL_BUCKETS - 1)
+        b_lo = lo + cutb * width
+        frac = max(0.0, min(1.0, 1.0 - (cc - b_lo) / width))
+        est_e6 = sum(
+            bn * 1_000_000 if b > cutb
+            else (round(bn * frac * 1e6) if b == cutb else 0)
+            for b, bn in hist.items()
+        )
+        est = round(est_e6 / 1e6)
+        actual = sum(1 for c in cents if c > cc)
+        r = got[cut]
+        assert r.est_rows == est, cut
+        assert r.actual_rows == actual
+        # the histogram estimate should be in the right ballpark
+        if actual > 50:
+            assert 0.5 < r.est_rows / actual < 2.0
+
+
+def test_truncated_recall_matches_numpy(spark):
+    from mapreduce_sssp_spark.operators.similarity import (
+        QUERY_MOD,
+        TOPK,
+        TRUNC_DIM,
+        q_truncated_embedding_recall,
+    )
+
+    got = {r.q_id: r for r in q_truncated_embedding_recall(spark, SF).collect()}
+    raw = _duck("SELECT vec_id, embedding FROM embeddings")
+    vecs = {vid: np.array(v, dtype=np.float64) for vid, v in raw}
+
+    def topk(qv, dims):
+        sims = {
+            v: float(
+                vecs[v][:dims] @ qv[:dims]
+                / (np.linalg.norm(qv[:dims]) * np.linalg.norm(vecs[v][:dims]))
+            )
+            for v in vecs
+        }
+        return set(sorted(sims, key=lambda v: (-sims[v], v))[:TOPK])
+
+    for q_id in [v for v in vecs if v % QUERY_MOD == 0]:
+        qv = vecs[q_id]
+        others = {v: vecs[v] for v in vecs if v != q_id}
+
+        def rank(dims):
+            sims = {
+                v: float(
+                    o[:dims] @ qv[:dims]
+                    / (np.linalg.norm(qv[:dims]) * np.linalg.norm(o[:dims]))
+                )
+                for v, o in others.items()
+            }
+            return set(sorted(sims, key=lambda v: (-sims[v], v))[:TOPK])
+
+        full = rank(64)
+        trunc = rank(TRUNC_DIM)
+        r = got[q_id]
+        assert r.n_overlap == len(full & trunc), q_id
+        assert r.recall_at_k == len(full & trunc) / TOPK
