@@ -1,0 +1,644 @@
+"""Statistical-model operators — the round-8 third batch.
+
+Extends the model-audit family (spearman_corr, roc_auc_features,
+mann_whitney_u, regression_trend) with the next tier of textbook
+statistics a feature platform runs over warehouse aggregates:
+
+* ``cross_correlation_lag`` — lead-lag Pearson cross-correlation
+  between two daily event-count series (does `click` today predict
+  `purchase` k days later?), the signal-discovery primitive behind
+  marketing-mix and demand-forecast pipelines.
+* ``kendall_tau_daily``    — Kendall's tau-b rank concordance between
+  the daily order count and daily revenue series (the robust "do these
+  two KPIs move together?" check; immune to any monotone transform).
+* ``ols_multifeature``     — closed-form multiple linear regression
+  (2 features + intercept) via the 3x3 normal equations, per group —
+  the sufficient-statistics regression every SQL warehouse can run
+  without an ML runtime.
+* ``weighted_median``      — exact weighted median per group via
+  cumulative-weight histogram selection (the robust location estimate
+  where rows carry unequal mass, e.g. price weighted by quantity).
+* ``pr_auc_features``      — average precision (PR-AUC) of each
+  leading embedding coordinate as a one-vs-rest scorer per class
+  label: the rank metric that, unlike ROC AUC, stays honest under
+  class imbalance — the screen a retrieval/classifier audit actually
+  wants on skewed labels.
+
+Exactness contract (the spearman/mann_whitney/psi devices, reused
+verbatim): every aggregate that can be an integer IS an integer
+(counts, cents, basis points, doubled ranks, concordance pair counts);
+sums of integer products ride exact DECIMAL(38,0) (Spark) / HUGEINT
+(DuckDB); each statistic closes with ONE float expression whose
+operand sequence is written identically in both engines. Where a sum
+of per-group float terms is unavoidable (average precision's
+per-threshold precision terms), each term is ONE correctly-rounded
+double quantized to a BIGINT before aggregation, so no
+order-dependent float accumulation ever crosses an exchange.
+
+At 100 TB every operator here reduces the corpus to a histogram or a
+calendar-bounded daily aggregate in ONE map-side-combined pass:
+
+* the cross-correlation / Kendall pair joins operate on DAY rows —
+  their size is set by the calendar (3 650 rows for a 10-year
+  retention window -> ~6.7M pairs worst case for Kendall), NOT by the
+  data volume, so the quadratic term cannot grow with corpus size;
+* OLS needs exactly nine sufficient statistics per group — one
+  partial-aggregated scan, no matrix library, no iteration;
+* the weighted median and PR-AUC run on (group, value) histograms
+  keyed by the group — the corpus shuffles once.
+
+Reference anchor: extends the aggregate-over-scan family the
+reference's reducers implement (SingleSourceSP.java min-reduction;
+ReverseGraph.java grouped emission) to second-order statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.sources import load_parallel, load_table
+from .similarity import AUC_N_FEATURES
+
+CENTS_EP = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+BP_DISC = "CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+
+XCORR_X = "click"
+XCORR_Y = "purchase"
+XCORR_MAX_LAG = 7  # inclusive: lags 0..7 days
+
+
+def _pearson_from_sums(n, sx, sy, sxx, syy, sxy):
+    """The shared closing expression: Pearson r from the six exact
+    sums, all operands pre-cast to double, written with the same
+    operand sequence as every oracle twin in this module."""
+    return (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+
+
+def q_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: Pearson r between the daily count of
+    '{XCORR_X}' events on day d and the daily count of '{XCORR_Y}'
+    events on day d+lag, for lag = 0..{XCORR_MAX_LAG} — the
+    which-signal-leads scan behind conversion-lag and demand-forecast
+    analyses (the lag with max |r| is the candidate causal delay).
+
+    Missing days count as ZERO events (the day spine is the distinct
+    set of event days, left-joined per series) — a day with no clicks
+    is a real observation of 0, not a hole; this is what makes the
+    pairing deterministic and identical in both engines.
+
+    Exactness: daily counts are exact ints; the six Pearson sums ride
+    DECIMAL(38,0)/HUGEINT; r is ONE closing float expression per lag
+    (the spearman_corr device).
+
+    At 100 TB: one map-side-combined pass builds the (day, type) count
+    histogram — its row count is calendar x |types|, independent of
+    event volume. The lag fan-out (x {XCORR_MAX_LAG + 1}) and the
+    self-join on shifted days run on that calendar-sized aggregate;
+    the big table shuffles once, keyed by day.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    days = ev.select("day").distinct()
+
+    def daily(evt: str, col: str) -> DataFrame:
+        c = (
+            ev.filter(F.col("event_type") == evt)
+            .groupBy("day")
+            .agg(F.count("*").alias("_n"))
+        )
+        return days.join(c, "day", "left").select(
+            "day", F.coalesce("_n", F.lit(0)).cast("long").alias(col)
+        )
+
+    xs = daily(XCORR_X, "x")
+    ys = daily(XCORR_Y, "y")
+    lags = spark.range(0, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    paired = (
+        xs.crossJoin(F.broadcast(lags))
+        .withColumn("yday", F.date_add(F.col("day"), F.col("lag")))
+        .join(ys.withColumnRenamed("day", "yday"), "yday")
+    )
+    dec = "decimal(19,0)"
+    agg = paired.groupBy("lag").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return agg.select(
+        "lag",
+        "n_days",
+        _pearson_from_sums(n, sx, sy, sxx, syy, sxy).alias("xcorr"),
+    )
+
+
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between the daily order count and the daily
+    revenue (sum of o_totalprice) over the order calendar — the
+    tie-corrected rank-concordance test: of all day pairs, how many
+    agree in direction on both KPIs? Spearman's sibling with a
+    cleaner probabilistic reading (P(concordant) - P(discordant)).
+
+    The pair enumeration is EXPLICIT and integer-exact: the daily
+    aggregate self-joins on day_a < day_b; concordant / discordant /
+    tied-in-x / tied-in-y pair counts are conditional COUNTs; tau_b =
+    (C - D) / (sqrt(n0 - n1) * sqrt(n0 - n2)) is ONE closing float
+    expression (n0 = total pairs, n1/n2 = tied pairs per side,
+    counted over the SAME join so the algebra is self-consistent).
+
+    At 100 TB: the self-join is calendar-bounded — TPC-H's order
+    calendar is ~2.4k days -> ~2.9M pairs regardless of scale factor;
+    ten years of daily partitions is 3 650 rows -> 6.7M pairs. The
+    corpus itself contributes one map-side-combined groupBy(day). The
+    daily frame broadcasts, so the pair join never shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("day"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    d = o.groupBy("day").agg(
+        F.count("*").alias("x"), F.sum("cents").alias("y")
+    )
+    a, b = d.alias("a"), F.broadcast(d).alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        (F.col("a.x") - F.col("b.x")).alias("dx"),
+        (F.col("a.y") - F.col("b.y")).alias("dy"),
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum(
+            F.when(
+                ((F.col("dx") > 0) & (F.col("dy") > 0))
+                | ((F.col("dx") < 0) & (F.col("dy") < 0)),
+                1,
+            ).otherwise(0)
+        ).alias("n_conc"),
+        F.sum(
+            F.when(
+                ((F.col("dx") > 0) & (F.col("dy") < 0))
+                | ((F.col("dx") < 0) & (F.col("dy") > 0)),
+                1,
+            ).otherwise(0)
+        ).alias("n_disc"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0)).alias("n_tie_x"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0)).alias("n_tie_y"),
+    )
+    n0 = F.col("n0").cast("double")
+    return agg.select(
+        "n0",
+        F.col("n_conc").cast("long").alias("n_conc"),
+        F.col("n_disc").cast("long").alias("n_disc"),
+        F.col("n_tie_x").cast("long").alias("n_tie_x"),
+        F.col("n_tie_y").cast("long").alias("n_tie_y"),
+        (
+            (
+                F.col("n_conc").cast("double")
+                - F.col("n_disc").cast("double")
+            )
+            / (
+                F.sqrt(n0 - F.col("n_tie_x").cast("double"))
+                * F.sqrt(n0 - F.col("n_tie_y").cast("double"))
+            )
+        ).alias("tau_b"),
+    )
+
+
+def q_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression per l_returnflag:
+    price_cents ~ b0 + b1*quantity + b2*discount_bp, solved from the
+    3x3 normal equations by Cramer's rule on nine sufficient
+    statistics — multi-feature OLS as a pure aggregate, the way a
+    warehouse fits a model without an ML runtime (and the exact
+    solution, not a gradient approximation).
+
+    Inputs are integer-exact (cents, whole quantities, basis points);
+    the nine sums (n, Sx1, Sx2, Sy, Sx1x1, Sx1x2, Sx2x2, Sx1y, Sx2y)
+    ride DECIMAL(38,0)/HUGEINT. The determinant and the three
+    coefficients are closing float expressions — each written with the
+    identical operand sequence in both engines, so the IEEE double
+    results match bitwise (the spearman device, three times over).
+
+    At 100 TB: ONE partial-aggregated scan per group — nine columns of
+    map-side-combined sums keyed by the group; no iteration, no
+    driver-side linear algebra, no collect. Adding features grows the
+    aggregate quadratically (k^2 sums) but never adds a pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.expr(BP_DISC).alias("x2"),
+        F.expr(CENTS_EP).alias("y"),
+    )
+    dec = "decimal(19,0)"
+
+    def s(expr, name):
+        return F.sum(expr).alias(name)
+
+    x1, x2, y = (F.col(c).cast(dec) for c in ("x1", "x2", "y"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        s(x1, "sx1"),
+        s(x2, "sx2"),
+        s(y, "sy"),
+        s(x1 * x1, "sx1x1"),
+        s(x1 * x2, "sx1x2"),
+        s(x2 * x2, "sx2x2"),
+        s(x1 * y, "sx1y"),
+        s(x2 * y, "sx2y"),
+    )
+    n = F.col("n").cast("double")
+    a1, a2 = F.col("sx1").cast("double"), F.col("sx2").cast("double")
+    ay = F.col("sy").cast("double")
+    a11, a12 = F.col("sx1x1").cast("double"), F.col("sx1x2").cast("double")
+    a22 = F.col("sx2x2").cast("double")
+    a1y, a2y = F.col("sx1y").cast("double"), F.col("sx2y").cast("double")
+    # | n   a1   a2  |       | ay  |
+    # | a1  a11  a12 | * b = | a1y |   (X'X b = X'y, expanded 3x3)
+    # | a2  a12  a22 |       | a2y |
+    det = (
+        n * (a11 * a22 - a12 * a12)
+        - a1 * (a1 * a22 - a12 * a2)
+        + a2 * (a1 * a12 - a11 * a2)
+    )
+    det0 = (
+        ay * (a11 * a22 - a12 * a12)
+        - a1 * (a1y * a22 - a12 * a2y)
+        + a2 * (a1y * a12 - a11 * a2y)
+    )
+    det1 = (
+        n * (a1y * a22 - a12 * a2y)
+        - ay * (a1 * a22 - a12 * a2)
+        + a2 * (a1 * a2y - a1y * a2)
+    )
+    det2 = (
+        n * (a11 * a2y - a1y * a12)
+        - a1 * (a1 * a2y - a1y * a2)
+        + ay * (a1 * a12 - a11 * a2)
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (det0 / det).alias("b0_cents"),
+        (det1 / det).alias("b1_cents_per_qty"),
+        (det2 / det).alias("b2_cents_per_bp"),
+    )
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of the unit price (extendedprice cents)
+    per l_returnflag, weighted by l_quantity — "the price of the
+    median UNIT shipped", the location estimate that answers a
+    different question than the row median whenever rows carry
+    unequal mass. Lower-median convention: the smallest value v with
+    2 * cumweight(v) >= total weight (integer comparison — no
+    interpolation, no floats anywhere).
+
+    At 100 TB: the corpus collapses to a (group, cents) -> sum(weight)
+    histogram in one map-side-combined pass; the cumulative-weight
+    window runs per group over histogram rows (distinct prices, not
+    data rows). One shuffle, keyed by the group.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(CENTS_EP).alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    h = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("tw"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = h.select(
+        "l_returnflag",
+        "cents",
+        F.sum("tw").over(wcum).alias("cw"),
+        F.sum("tw").over(wall).alias("tot"),
+    ).filter(F.lit(2) * F.col("cw") >= F.col("tot"))
+    rw = Window.partitionBy("l_returnflag").orderBy("cents")
+    return (
+        c.withColumn("rn", F.row_number().over(rw))
+        .filter("rn = 1")
+        .select(
+            "l_returnflag",
+            F.col("cents").alias("wmedian_cents"),
+            F.col("tot").alias("total_weight"),
+        )
+    )
+
+
+PRAUC_SCALE = 1_000_000_000_000  # 1e12 quantum per precision term
+
+
+def q_pr_auc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) of each of the first
+    {AUC_N_FEATURES} embedding coordinates as a one-vs-rest scorer
+    per class label — roc_auc_features' imbalance-honest sibling: on
+    a skewed label, ROC AUC stays flattering while AP collapses, so a
+    feature screen needs both.
+
+    Tie handling is the deterministic "group" convention: scores
+    descending, ties processed as ONE block; each block contributes
+    delta_TP * precision-at-block-end, and AP = sum(blocks) / P.
+    Because a sum of float precision terms would be
+    accumulation-order-dependent, each block's term is ONE
+    correctly-rounded double quantized to a BIGINT
+    (round(dTP * TP / (TP + FP) * 1e{12})) and the sum is exact int64
+    — the psi device. AP itself is the single closing division.
+
+    At 100 TB: identical shape to roc_auc_features — one corpus pass
+    to a (feature, score, label) histogram, a one-vs-rest fan-out on
+    that histogram, a per-(label, feature) cumulative window over
+    descending scores, then the quantized-term aggregation. The
+    corpus shuffles once, keyed by (feature, score).
+    """
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("feature_idx"),
+                        F.round(
+                            F.col("embedding")[j].cast("double") * 1e6
+                        )
+                        .cast("long")
+                        .alias("score"),
+                    )
+                    for j in range(AUC_N_FEATURES)
+                ]
+            )
+        ).alias("f"),
+    ).select("label", "f.feature_idx", "f.score")
+    lab_h = feats.groupBy("feature_idx", "score", "label").agg(
+        F.count("*").alias("n")
+    )
+    tot_h = lab_h.groupBy("feature_idx", "score").agg(
+        F.sum("n").alias("t_v")
+    )
+    labels = (
+        lab_h.select("label").distinct().withColumnRenamed("label", "target")
+    )
+    grid = (
+        tot_h.crossJoin(F.broadcast(labels))
+        .join(
+            lab_h,
+            (lab_h["feature_idx"] == tot_h["feature_idx"])
+            & (lab_h["score"] == tot_h["score"])
+            & (lab_h["label"] == F.col("target")),
+            "left",
+        )
+        .select(
+            F.col("target"),
+            tot_h["feature_idx"],
+            tot_h["score"],
+            "t_v",
+            F.coalesce("n", F.lit(0)).alias("np_v"),
+        )
+    )
+    w = (
+        Window.partitionBy("target", "feature_idx")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("target", "feature_idx")
+    cum = grid.select(
+        "target",
+        "feature_idx",
+        "np_v",
+        F.sum("np_v").over(w).alias("tp"),
+        (F.sum("t_v").over(w) - F.sum("np_v").over(w)).alias("fp"),
+        F.sum("np_v").over(wall).alias("n_pos"),
+        (F.sum("t_v").over(wall) - F.sum("np_v").over(wall)).alias("n_neg"),
+    ).filter(F.col("np_v") > 0)
+    term = F.round(
+        F.col("np_v").cast("double")
+        * F.col("tp").cast("double")
+        / (F.col("tp") + F.col("fp")).cast("double")
+        * F.lit(float(PRAUC_SCALE))
+    ).cast("long")
+    agg = cum.groupBy("target", "feature_idx").agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.sum(term).alias("ap_e12"),
+    )
+    return agg.select(
+        F.col("target").alias("label"),
+        "feature_idx",
+        "n_pos",
+        "n_neg",
+        (
+            F.col("ap_e12").cast("double")
+            / (F.col("n_pos").cast("double") * F.lit(float(PRAUC_SCALE)))
+        ).alias("avg_precision"),
+    )
+
+
+QUERIES = {
+    "cross_correlation_lag": q_cross_correlation_lag,
+    "kendall_tau_daily": q_kendall_tau_daily,
+    "ols_multifeature": q_ols_multifeature,
+    "weighted_median": q_weighted_median,
+    "pr_auc_features": q_pr_auc_features,
+}
+
+_PEARSON_CLOSE = """
+       (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+"""
+
+ORACLE = {
+    "cross_correlation_lag": f"""
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+days AS (SELECT DISTINCT day FROM ev),
+cx AS (SELECT day, COUNT(*) AS n FROM ev
+       WHERE event_type = '{XCORR_X}' GROUP BY day),
+cy AS (SELECT day, COUNT(*) AS n FROM ev
+       WHERE event_type = '{XCORR_Y}' GROUP BY day),
+xs AS (SELECT d.day, COALESCE(cx.n, 0)::HUGEINT AS x
+       FROM days d LEFT JOIN cx USING (day)),
+ys AS (SELECT d.day, COALESCE(cy.n, 0)::HUGEINT AS y
+       FROM days d LEFT JOIN cy USING (day)),
+lags AS (SELECT CAST(r AS INT) AS lag FROM range(0, {XCORR_MAX_LAG + 1}) t(r)),
+paired AS (
+  SELECT l.lag, xs.x, ys.y
+  FROM xs CROSS JOIN lags l
+  JOIN ys ON ys.day = xs.day + l.lag
+),
+agg AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM paired GROUP BY lag
+)
+SELECT lag, n_days,
+{_PEARSON_CLOSE}
+         AS xcorr
+FROM agg
+""",
+    "kendall_tau_daily": """
+WITH d AS (
+  SELECT o_orderdate AS day, COUNT(*) AS x,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM orders GROUP BY o_orderdate
+),
+pairs AS (
+  SELECT a.x - b.x AS dx, a.y - b.y AS dy
+  FROM d a JOIN d b ON a.day < b.day
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+         CAST(SUM(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+         CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_x,
+         CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_y
+  FROM pairs
+)
+SELECT n0, n_conc, n_disc, n_tie_x, n_tie_y,
+       (CAST(n_conc AS DOUBLE) - CAST(n_disc AS DOUBLE))
+       / (sqrt(CAST(n0 AS DOUBLE) - CAST(n_tie_x AS DOUBLE))
+          * sqrt(CAST(n0 AS DOUBLE) - CAST(n_tie_y AS DOUBLE))) AS tau_b
+FROM agg
+""",
+    "ols_multifeature": f"""
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT)::HUGEINT AS x1,
+         ({BP_DISC})::HUGEINT AS x2,
+         ({CENTS_EP})::HUGEINT AS y
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+         SUM(x1 * x1) AS sx1x1, SUM(x1 * x2) AS sx1x2,
+         SUM(x2 * x2) AS sx2x2,
+         SUM(x1 * y) AS sx1y, SUM(x2 * y) AS sx2y
+  FROM li GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS dn,
+         CAST(sx1 AS DOUBLE) AS a1, CAST(sx2 AS DOUBLE) AS a2,
+         CAST(sy AS DOUBLE) AS ay,
+         CAST(sx1x1 AS DOUBLE) AS a11, CAST(sx1x2 AS DOUBLE) AS a12,
+         CAST(sx2x2 AS DOUBLE) AS a22,
+         CAST(sx1y AS DOUBLE) AS a1y, CAST(sx2y AS DOUBLE) AS a2y
+  FROM agg
+)
+SELECT l_returnflag, n,
+       (ay * (a11 * a22 - a12 * a12)
+          - a1 * (a1y * a22 - a12 * a2y)
+          + a2 * (a1y * a12 - a11 * a2y))
+       / (dn * (a11 * a22 - a12 * a12)
+          - a1 * (a1 * a22 - a12 * a2)
+          + a2 * (a1 * a12 - a11 * a2)) AS b0_cents,
+       (dn * (a1y * a22 - a12 * a2y)
+          - ay * (a1 * a22 - a12 * a2)
+          + a2 * (a1 * a2y - a1y * a2))
+       / (dn * (a11 * a22 - a12 * a12)
+          - a1 * (a1 * a22 - a12 * a2)
+          + a2 * (a1 * a12 - a11 * a2)) AS b1_cents_per_qty,
+       (dn * (a11 * a2y - a1y * a12)
+          - a1 * (a1 * a2y - a1y * a2)
+          + ay * (a1 * a12 - a11 * a2))
+       / (dn * (a11 * a22 - a12 * a12)
+          - a1 * (a1 * a22 - a12 * a2)
+          + a2 * (a1 * a12 - a11 * a2)) AS b2_cents_per_bp
+FROM d
+""",
+    "weighted_median": f"""
+WITH h AS (
+  SELECT l_returnflag, {CENTS_EP} AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tw
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, cents,
+         SUM(tw) OVER (PARTITION BY l_returnflag ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(tw) OVER (PARTITION BY l_returnflag) AS tot
+  FROM h
+),
+q AS (
+  SELECT l_returnflag, cents, tot,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cents) AS rn
+  FROM c WHERE 2 * cw >= tot
+)
+SELECT l_returnflag, cents AS wmedian_cents,
+       CAST(tot AS BIGINT) AS total_weight
+FROM q WHERE rn = 1
+""",
+    "pr_auc_features": f"""
+WITH feats AS (
+  SELECT label, CAST(j AS INT) AS feature_idx,
+         CAST(round(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) * 1e6)
+              AS BIGINT) AS score
+  FROM embeddings, range(0, {AUC_N_FEATURES}) t(j)
+),
+lab_h AS (
+  SELECT feature_idx, score, label, COUNT(*) AS n
+  FROM feats GROUP BY 1, 2, 3
+),
+tot_h AS (
+  SELECT feature_idx, score, SUM(n) AS t_v
+  FROM lab_h GROUP BY 1, 2
+),
+labels AS (SELECT DISTINCT label AS target FROM lab_h),
+grid AS (
+  SELECT l.target, t.feature_idx, t.score, t.t_v,
+         COALESCE(lh.n, 0) AS np_v
+  FROM tot_h t CROSS JOIN labels l
+  LEFT JOIN lab_h lh
+    ON lh.feature_idx = t.feature_idx AND lh.score = t.score
+   AND lh.label = l.target
+),
+cum AS (
+  SELECT target, feature_idx, np_v,
+         SUM(np_v) OVER (PARTITION BY target, feature_idx
+                         ORDER BY score DESC
+                         ROWS UNBOUNDED PRECEDING) AS tp,
+         SUM(t_v - np_v) OVER (PARTITION BY target, feature_idx
+                               ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) AS fp,
+         SUM(np_v) OVER (PARTITION BY target, feature_idx) AS n_pos,
+         SUM(t_v - np_v) OVER (PARTITION BY target, feature_idx) AS n_neg
+  FROM grid
+),
+terms AS (
+  SELECT target, feature_idx, n_pos, n_neg,
+         CAST(round(CAST(np_v AS DOUBLE) * CAST(tp AS DOUBLE)
+                    / CAST(tp + fp AS DOUBLE) * 1e12) AS BIGINT) AS term
+  FROM cum WHERE np_v > 0
+)
+SELECT target AS label, feature_idx,
+       CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+       CAST(MAX(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(term) AS DOUBLE)
+         / (CAST(MAX(n_pos) AS DOUBLE) * 1e12) AS avg_precision
+FROM terms GROUP BY 1, 2
+""",
+}

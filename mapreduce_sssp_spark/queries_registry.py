@@ -21,6 +21,7 @@ from .operators import (
     sampling,
     scale_patterns,
     similarity,
+    stat_models,
     stat_tests,
     text_analysis,
 )
@@ -35,6 +36,7 @@ _MODULES = [
     text_analysis,
     event_windows,
     stat_tests,
+    stat_models,
     multimodal,
     asof,
     stateful,

@@ -774,3 +774,41 @@ def test_skyline_fact_window_is_bucket_partitioned(spark):
     plan = plan_of(R.q_skyline_orders(spark, SF))
     assert "hashpartitioning(bucket" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kendall_pair_join_broadcasts_calendar(spark):
+    """The day-pair self-join runs on the calendar-sized daily aggregate
+    and must be a broadcast (BNLJ on the range predicate) — never a
+    shuffle of row-level data; the corpus contributes exactly one
+    partial-aggregated groupBy(day) pass."""
+    from mapreduce_sssp_spark.operators import stat_models as SM
+
+    plan = plan_of(SM.q_kendall_tau_daily(spark, SF))
+    assert "Broadcast" in plan  # calendar frame broadcasts to the pair join
+    assert "partial" in plan.lower()  # map-side combine on the daily agg
+    assert "o_orderkey" not in plan  # pruned: only date + totalprice read
+
+
+def test_ols_is_one_aggregate_pass_no_join(spark):
+    """Closed-form OLS must stay a single scan → partial agg → final agg
+    plan: no join, no window, no second pass over lineitem."""
+    from mapreduce_sssp_spark.operators import stat_models as SM
+
+    plan = plan_of(SM.q_ols_multifeature(spark, SF))
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+    # formatted mode prints each node twice (tree + details): one scan
+    # node == at most two textual occurrences
+    assert plan.count("Scan parquet") <= 2
+    assert "Window" not in plan
+
+
+def test_weighted_median_window_rides_group_partition(spark):
+    """The cumulative-weight window must be hash-partitioned on the
+    group key (never SinglePartition) and run over histogram rows —
+    the corpus collapses in one partial-aggregated pass first."""
+    from mapreduce_sssp_spark.operators import stat_models as SM
+
+    plan = plan_of(SM.q_weighted_median(spark, SF))
+    assert "hashpartitioning(l_returnflag" in plan
+    assert "partial" in plan.lower()
