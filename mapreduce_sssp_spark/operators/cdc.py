@@ -179,13 +179,111 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEL_MOD = 97  # deletion request batch: every key = 0 (mod 97)
+
+
+def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: given a deletion-request
+    batch (customers with c_custkey = 0 mod {DEL_MOD}, and the same id
+    rule on the user-keyed event store), report — per table — how many
+    rows a compliant erasure would delete, following the FK cascade
+    customer -> orders -> lineitem. This is the dry-run report a
+    governance pipeline emits BEFORE the rewrite job, and the row
+    counts it reconciles after.
+
+    The cascade is computed with semi joins against the actual parent
+    key sets (never by re-deriving the id rule on children): orders
+    die because their customer died, lineitems because their order
+    died — exactly the dependency order a real erasure must follow.
+
+    All counts exact int64; pct is one closing division per row.
+
+    At 100 TB: the deletion batch is ~1/{DEL_MOD} of one dimension —
+    it BROADCASTS; each fact table is ONE scan with a broadcast
+    left-semi join and a map-side-combined count, so no fact row ever
+    shuffles. The orders key set that drives the lineitem cascade is
+    itself 1/{DEL_MOD}-sized (still broadcastable at TPC-H ratios; at
+    web scale it becomes the one shuffled semi join, keyed by
+    l_orderkey).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    cust_del = cust.filter(F.col("c_custkey") % DEL_MOD == 0)
+    orders_del = orders.join(
+        F.broadcast(cust_del.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_semi",
+    )
+    li_del = li.join(
+        F.broadcast(orders_del.select(F.col("o_orderkey").alias("l_orderkey"))),
+        "l_orderkey",
+        "left_semi",
+    )
+    ev_del = ev.filter(F.col("user_id") % DEL_MOD == 0)
+
+    def audit(name: str, deleted: DataFrame, total: DataFrame) -> DataFrame:
+        d = deleted.agg(F.count("*").alias("n_delete"))
+        t = total.agg(F.count("*").alias("n_total"))
+        return d.crossJoin(t).select(
+            F.lit(name).alias("table_name"),
+            "n_delete",
+            "n_total",
+            (
+                F.col("n_delete").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("delete_frac"),
+        )
+
+    return (
+        audit("customer", cust_del, cust)
+        .unionAll(audit("orders", orders_del, orders))
+        .unionAll(audit("lineitem", li_del, li))
+        .unionAll(audit("events", ev_del, ev))
+    )
+
+
 QUERIES = {
     "merge_cdc": q_merge_cdc,
     "latest_per_key": q_latest_per_key,
     "table_diff": q_table_diff,
+    "deletion_cascade_audit": q_deletion_cascade_audit,
 }
 
 ORACLE = {
+    "deletion_cascade_audit": f"""
+WITH cust_del AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {DEL_MOD} = 0
+),
+orders_del AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM cust_del)
+),
+rows_out AS (
+  SELECT 'customer' AS table_name,
+         (SELECT COUNT(*) FROM cust_del) AS n_delete,
+         (SELECT COUNT(*) FROM customer) AS n_total
+  UNION ALL
+  SELECT 'orders',
+         (SELECT COUNT(*) FROM orders_del),
+         (SELECT COUNT(*) FROM orders)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders_del)),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'events',
+         (SELECT COUNT(*) FROM events WHERE user_id % {DEL_MOD} = 0),
+         (SELECT COUNT(*) FROM events)
+)
+SELECT table_name, CAST(n_delete AS BIGINT) AS n_delete,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_delete AS DOUBLE) / CAST(n_total AS DOUBLE) AS delete_frac
+FROM rows_out
+""",
     "merge_cdc": """
 WITH log AS (
   SELECT l_orderkey AS key, l_linenumber AS seq,

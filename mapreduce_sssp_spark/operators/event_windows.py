@@ -3209,6 +3209,36 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral 3-grams: counts of consecutive event-type triples
+    (t1 -> t2 -> t3) per user under the total (ts, event_id) order —
+    the n-gram extension of event_transitions' adjacent pairs, the
+    support table for "view -> click -> purchase"-style path rules and
+    the sequence-model (next-action prediction) training histogram.
+
+    Two stacked leads over the SAME per-user window (one sort, one
+    exchange keyed by user), then a |types|^3-bounded count — exact
+    integers end-to-end, nothing to quantize.
+
+    At 100 TB: the only O(rows) cost is the single hashpartitioning
+    (user_id) sort-window exchange (bounded per-user event counts keep
+    partitions balanced); the trigram aggregate partial-combines
+    map-side into at most |types|^3 = 125 rows.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return tri.groupBy("t1", "t2", "t3").agg(F.count("*").alias("n"))
+
+
 QUERIES = {
     "longest_streaks": q_longest_streaks,
     "share_of_parent": q_share_of_parent,
@@ -3223,6 +3253,7 @@ QUERIES = {
     "attribution_position_based": q_attribution_position_based,
     "ohlc_bars": q_ohlc_bars,
     "seq_pattern_pairs": q_seq_pattern_pairs,
+    "event_trigrams": q_event_trigrams,
     "ab_test_proportions": q_ab_test_proportions,
     "twap_user": q_twap_user,
     "scd2_intervals": q_scd2_intervals,
@@ -4035,6 +4066,19 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
 FROM occ a JOIN occ b ON a.user_id = b.user_id
 WHERE a.event_type <> b.event_type AND a.first_occ < b.last_occ
 GROUP BY a.event_type, b.event_type
+""",
+    "event_trigrams": """
+WITH s AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t3
+  FROM events
+)
+SELECT t1, t2, t3, COUNT(*) AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
 """,
     "ab_test_proportions": """
 WITH users AS (

@@ -2005,6 +2005,61 @@ def _mis_oracle_sql(rounds: int = _MIS_ORACLE_ROUNDS) -> str:
     )
 
 
+WL_ROUNDS = 2
+
+
+def q_wl_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler–Lehman color refinement ({WL_ROUNDS} rounds) over the
+    undirected view of the B1 graph: every node's label is iteratively
+    rehashed from (own label, sorted multiset of neighbor labels) —
+    the graph-isomorphism feature extractor behind WL graph kernels
+    and the expressiveness ceiling of message-passing GNNs. Output:
+    (node, degree, wl_label) — nodes sharing a wl_label have
+    indistinguishable {WL_ROUNDS}-hop neighborhoods.
+
+    Determinism is total-order-by-construction: labels are STRINGS
+    (round 0 = the exact degree; later rounds = md5 hex), the neighbor
+    multiset is sorted lexicographically (binary collation — identical
+    in both engines), serialized with ','/'|' separators, and rehashed
+    with md5 (same bytes -> same hex in Spark and DuckDB). No floats
+    exist anywhere in the operator.
+
+    At 100 TB: exactly {WL_ROUNDS} bounded rounds, each ONE join
+    (neighbor labels onto the edge list, keyed by the neighbor) + ONE
+    groupBy(node) with a map-side partial collect — the reference's
+    adjacency-list build (ReverseGraph.java:102-232, the grouped
+    emission) run twice with a hash in the reducer. Hub nodes
+    serialize O(degree) strings — the same hub cost as any adjacency
+    materialization; the degree-cap seam (_permille_cap) applies
+    unchanged if a power-law graph needs it.
+    """
+    e = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    nbr = e.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).unionAll(
+        e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    )
+    deg = nbr.groupBy("node").agg(F.count("*").alias("degree"))
+    lbl = deg.select("node", "degree", F.col("degree").cast("string").alias("lbl"))
+    for _ in range(WL_ROUNDS):
+        nl = nbr.join(
+            lbl.select(F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")),
+            "nbr",
+        )
+        sig = nl.groupBy("node").agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("nlbl"))).alias("ns")
+        )
+        lbl = (
+            lbl.join(sig, "node")
+            .select(
+                "node",
+                "degree",
+                F.md5(F.concat_ws("|", F.col("lbl"), F.col("ns"))).alias("lbl"),
+            )
+        )
+    return lbl.select("node", "degree", F.col("lbl").alias("wl_label"))
+
+
 QUERIES = {
     "sssp": q_sssp,
     "landmark_distances": q_landmark_distances,
@@ -2048,6 +2103,7 @@ QUERIES = {
     "kcore": q_kcore,
     "label_propagation": q_label_propagation,
     "community_modularity": q_community_modularity,
+    "wl_relabel": q_wl_relabel,
 }
 
 
@@ -2826,5 +2882,33 @@ FROM e
 LEFT JOIN common c ON c.u = e.u AND c.v = e.v
 JOIN deg du ON du.node = e.u
 JOIN deg dv ON dv.node = e.v
+""",
+    "wl_relabel": """
+WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+nbr AS (
+  SELECT src AS node, dst AS nbr FROM e
+  UNION ALL
+  SELECT dst AS node, src AS nbr FROM e
+),
+l0 AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree,
+         CAST(COUNT(*) AS VARCHAR) AS lbl
+  FROM nbr GROUP BY node
+),
+l1 AS (
+  SELECT me.node, me.degree,
+         md5(me.lbl || '|' || string_agg(o.lbl, ',' ORDER BY o.lbl)) AS lbl
+  FROM nbr JOIN l0 me ON me.node = nbr.node
+           JOIN l0 o  ON o.node  = nbr.nbr
+  GROUP BY me.node, me.degree, me.lbl
+),
+l2 AS (
+  SELECT me.node, me.degree,
+         md5(me.lbl || '|' || string_agg(o.lbl, ',' ORDER BY o.lbl)) AS lbl
+  FROM nbr JOIN l1 me ON me.node = nbr.node
+           JOIN l1 o  ON o.node  = nbr.nbr
+  GROUP BY me.node, me.degree, me.lbl
+)
+SELECT node, degree, lbl AS wl_label FROM l2
 """,
 }

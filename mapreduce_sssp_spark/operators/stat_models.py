@@ -450,12 +450,109 @@ def q_pr_auc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATE_STRATA = 5
+CENTS_VAL = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect estimate — the workhorse
+    observational-causal design: treatment = user ever hit an 'error'
+    event, outcome = the user's total purchase value, confounder =
+    activity level (total event count), controlled by exact
+    stratification into {ATE_STRATA} activity bands. Within each
+    stratum the treated-vs-control mean difference is (closer to) an
+    apples-to-apples comparison; the per-stratum table IS the
+    covariate-balance readout an analyst inspects before trusting any
+    pooled number.
+
+    Strata are VALUE-HOMOGENEOUS and integer-exact: the (activity ->
+    n_users) histogram's inclusive cumulative count assigns stratum =
+    ceil({ATE_STRATA} * cw / N) — computed as (5*cw + N - 1) DIV N on
+    exact int64, so users with equal activity always share a stratum
+    and both engines agree bit-for-bit. NO global ntile: the quantile
+    assignment runs on the bounded histogram, never a single-partition
+    row window. Means are each ONE int/int division; the difference is
+    one subtract — IEEE-exact in both engines (the ab_test device).
+    Cells missing a side emit NULL, never a fabricated 0.
+
+    At 100 TB: one map-side-combined pass to per-user rows, one
+    histogram pass (bounded by distinct activity counts), a broadcast
+    join of stratum boundaries, one {ATE_STRATA}-row aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(CENTS_VAL).alias("cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("activity"),
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("treated"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents"))
+            .otherwise(0)
+        ).alias("outcome_cents"),
+    )
+    hist = per_user.groupBy("activity").agg(F.count("*").alias("n"))
+    wcum = Window.orderBy("activity").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bands = hist.select(
+        "activity",
+        F.sum("n").over(wcum).alias("cw"),
+        F.sum("n").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    ).select(
+        "activity",
+        # integer DIV, not float division: ceil on exact int64
+        F.expr(
+            f"CAST(({ATE_STRATA} * cw + n_total - 1) DIV n_total AS INT)"
+        ).alias("stratum"),
+    )
+    cells = (
+        per_user.join(F.broadcast(bands), "activity")
+        .groupBy("stratum")
+        .agg(
+            F.sum(F.col("treated")).alias("n_treated"),
+            F.sum(F.lit(1) - F.col("treated")).alias("n_control"),
+            F.sum(
+                F.when(F.col("treated") == 1, F.col("outcome_cents"))
+                .otherwise(0)
+            ).alias("sum_t"),
+            F.sum(
+                F.when(F.col("treated") == 0, F.col("outcome_cents"))
+                .otherwise(0)
+            ).alias("sum_c"),
+        )
+    )
+    mean_t = F.col("sum_t").cast("double") / F.col("n_treated").cast(
+        "double"
+    )
+    mean_c = F.col("sum_c").cast("double") / F.col("n_control").cast(
+        "double"
+    )
+    both = (F.col("n_treated") > 0) & (F.col("n_control") > 0)
+    return cells.select(
+        "stratum",
+        F.col("n_treated").cast("long").alias("n_treated"),
+        F.col("n_control").cast("long").alias("n_control"),
+        F.when(F.col("n_treated") > 0, mean_t).alias("mean_treated_cents"),
+        F.when(F.col("n_control") > 0, mean_c).alias("mean_control_cents"),
+        F.when(both, mean_t - mean_c).alias("ate_cents"),
+    )
+
+
 QUERIES = {
     "cross_correlation_lag": q_cross_correlation_lag,
     "kendall_tau_daily": q_kendall_tau_daily,
     "ols_multifeature": q_ols_multifeature,
     "weighted_median": q_weighted_median,
     "pr_auc_features": q_pr_auc_features,
+    "stratified_ate": q_stratified_ate,
 }
 
 _PEARSON_CLOSE = """
@@ -640,5 +737,46 @@ SELECT target AS label, feature_idx,
        CAST(SUM(term) AS DOUBLE)
          / (CAST(MAX(n_pos) AS DOUBLE) * 1e12) AS avg_precision
 FROM terms GROUP BY 1, 2
+""",
+    "stratified_ate": f"""
+WITH ev AS (
+  SELECT user_id, event_type, {CENTS_VAL} AS cents FROM events
+),
+per_user AS (
+  SELECT user_id, COUNT(*) AS activity,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS treated,
+         SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+           AS outcome_cents
+  FROM ev GROUP BY user_id
+),
+hist AS (SELECT activity, COUNT(*) AS n FROM per_user GROUP BY activity),
+bands AS (
+  SELECT activity,
+         CAST(({ATE_STRATA} * SUM(n) OVER (ORDER BY activity
+                                           ROWS UNBOUNDED PRECEDING)
+               + SUM(n) OVER () - 1) // SUM(n) OVER () AS INT) AS stratum
+  FROM hist
+),
+cells AS (
+  SELECT stratum,
+         CAST(SUM(treated) AS BIGINT) AS n_treated,
+         CAST(SUM(1 - treated) AS BIGINT) AS n_control,
+         SUM(CASE WHEN treated = 1 THEN outcome_cents ELSE 0 END) AS sum_t,
+         SUM(CASE WHEN treated = 0 THEN outcome_cents ELSE 0 END) AS sum_c
+  FROM per_user JOIN bands USING (activity)
+  GROUP BY stratum
+)
+SELECT stratum, n_treated, n_control,
+       CASE WHEN n_treated > 0
+            THEN CAST(sum_t AS DOUBLE) / CAST(n_treated AS DOUBLE)
+       END AS mean_treated_cents,
+       CASE WHEN n_control > 0
+            THEN CAST(sum_c AS DOUBLE) / CAST(n_control AS DOUBLE)
+       END AS mean_control_cents,
+       CASE WHEN n_treated > 0 AND n_control > 0
+            THEN CAST(sum_t AS DOUBLE) / CAST(n_treated AS DOUBLE)
+                 - CAST(sum_c AS DOUBLE) / CAST(n_control AS DOUBLE)
+       END AS ate_cents
+FROM cells
 """,
 }

@@ -1064,3 +1064,28 @@ def test_dq_audit_detects_planted_violations(spark, tmp_path):
     assert out["orders->customer FK"] == (3, 1)
     assert out["lineitem.l_orderkey NOT NULL"] == (4, 1)
     assert out["lineitem.l_quantity > 0"] == (4, 1)
+
+
+def test_event_trigrams_matches_bruteforce(spark):
+    import duckdb
+
+    from mapreduce_sssp_spark.operators.event_windows import q_event_trigrams
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_type, ts, event_id"
+        f" FROM '{sf}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    seqs = {}
+    for uid, typ, ts, eid in rows:
+        seqs.setdefault(uid, []).append(typ)
+    expected = {}
+    for seq in seqs.values():
+        for i in range(len(seq) - 2):
+            k = (seq[i], seq[i + 1], seq[i + 2])
+            expected[k] = expected.get(k, 0) + 1
+    got = {
+        (r.t1, r.t2, r.t3): r.n for r in q_event_trigrams(spark, sf).collect()
+    }
+    assert got == expected

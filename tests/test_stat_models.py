@@ -185,3 +185,53 @@ def test_pr_auc_matches_bruteforce(spark):
             assert math.isclose(
                 g.avg_precision, ap_e12 / (n_pos * 1e12), rel_tol=1e-12
             )
+
+
+def test_stratified_ate_matches_bruteforce(spark):
+    from mapreduce_sssp_spark.operators.stat_models import (
+        ATE_STRATA,
+        q_stratified_ate,
+    )
+
+    rows = _duck(
+        "SELECT user_id, event_type,"
+        " CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) FROM events"
+    )
+    users = {}
+    for uid, typ, cents in rows:
+        a, t, o = users.get(uid, (0, 0, 0))
+        users[uid] = (
+            a + 1,
+            max(t, 1 if typ == "error" else 0),
+            o + (cents if typ == "purchase" else 0),
+        )
+    n_total = len(users)
+    # value-homogeneous strata from the inclusive activity-histogram CDF
+    acts = sorted({a for a, _, _ in users.values()})
+    cw = 0
+    stratum_of = {}
+    counts = {}
+    for a, _, _ in users.values():
+        counts[a] = counts.get(a, 0) + 1
+    for a in acts:
+        cw += counts[a]
+        stratum_of[a] = (ATE_STRATA * cw + n_total - 1) // n_total
+    cells = {}
+    for a, t, o in users.values():
+        s = stratum_of[a]
+        nt, nc, st, sc = cells.get(s, (0, 0, 0, 0))
+        if t:
+            cells[s] = (nt + 1, nc, st + o, sc)
+        else:
+            cells[s] = (nt, nc + 1, st, sc + o)
+    got = {r.stratum: r for r in q_stratified_ate(spark, SF).collect()}
+    assert set(got) == set(cells)
+    for s, (nt, nc, st, sc) in cells.items():
+        g = got[s]
+        assert (g.n_treated, g.n_control) == (nt, nc)
+        if nt and nc:
+            assert math.isclose(
+                g.ate_cents, st / nt - sc / nc, rel_tol=1e-12
+            )
+        else:
+            assert g.ate_cents is None
