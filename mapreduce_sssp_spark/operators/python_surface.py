@@ -135,14 +135,141 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATERAL_TOPK = 3
+
+
+def q_lateral_topk_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated lateral join (Spark 4 ``DataFrame.lateralJoin`` /
+    SQL ``LATERAL``): for each market segment, the top-{LATERAL_TOPK}
+    orders by total price from that segment's customers — the
+    "per-left-row dependent subquery" surface, the declarative way to
+    express top-k-per-group when the group domain is its own frame.
+    Ties broken on o_orderkey so the k-row cut is total-ordered.
+
+    Catalyst rewrites the correlated limit into a partitioned rank
+    under the hood — the same physical shape as an explicit
+    row_number window keyed by segment — so the lateral form is
+    surface sugar, not a nested-loop: at 100 TB the fact side
+    shuffles once on the correlation key, never once per left row.
+
+    Reference anchor: the reducer-side "emit only the head of each
+    group" pattern (ReverseGraph.java grouped emission), expressed
+    declaratively.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    segs = cust.select(F.col("c_mktsegment").alias("segment")).distinct()
+    co = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    inner = (
+        co.where(F.col("c_mktsegment") == F.col("segment").outer())
+        .orderBy(F.col("cents").desc(), "o_orderkey")
+        .limit(LATERAL_TOPK)
+        .select("o_orderkey", "cents")
+    )
+    return segs.lateralJoin(inner)
+
+
+def q_observed_load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline pipeline observability via ``pyspark.sql.Observation``:
+    attach named aggregate metrics to a scan, run the load action
+    once, and read the metrics off the listener — data-quality
+    counters collected DURING the pass a pipeline already makes,
+    instead of a second audit scan (the batch twin of streaming's
+    ``lastProgress.observedMetrics``).
+
+    Metrics here: row count, null-priority count, order-date min/max
+    (days since epoch, exact ints), and the exact cents sum — a
+    freshness + completeness + reconciliation readout in one pass.
+    The returned 1-row frame is built from the observed values, so
+    the oracle twin (the same aggregates in SQL) hash-checks that the
+    observation pathway loses nothing.
+
+    At 100 TB the observe() aggregates ride the same whole-stage
+    codegen as the load itself — zero extra scans, zero extra
+    shuffles; metrics merge on the driver per task like any partial
+    aggregate.
+    """
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("load_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+        ).alias("n_null_priority"),
+        F.min(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))).alias(
+            "min_date_days"
+        ),
+        F.max(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))).alias(
+            "max_date_days"
+        ),
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).alias("sum_cents"),
+    )
+    observed.count()  # the load action; metrics ride along
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_priority"],
+                m["min_date_days"],
+                m["max_date_days"],
+                m["sum_cents"],
+            )
+        ],
+        "n_rows long, n_null_priority long, min_date_days int,"
+        " max_date_days int, sum_cents long",
+    )
+
+
 QUERIES = {
     "udtf_sentences": q_udtf_sentences,
     "udaf_median": q_udaf_median,
     "arrow_udf_slug": q_arrow_udf_slug,
     "map_in_arrow": q_map_in_arrow,
+    "lateral_topk_segment": q_lateral_topk_segment,
+    "observed_load_metrics": q_observed_load_metrics,
 }
 
 ORACLE = {
+    "lateral_topk_segment": f"""
+WITH segs AS (SELECT DISTINCT c_mktsegment AS segment FROM customer)
+SELECT s.segment, t.o_orderkey, t.cents
+FROM segs s, LATERAL (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = s.segment
+  ORDER BY cents DESC, o_orderkey
+  LIMIT {LATERAL_TOPK}
+) t
+""",
+    "observed_load_metrics": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_priority,
+       CAST(MIN(date_diff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE))) AS INT)
+         AS min_date_days,
+       CAST(MAX(date_diff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE))) AS INT)
+         AS max_date_days,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+""",
     "map_in_arrow": """
 SELECT doc_id,
        CAST(strlen(text) AS INT) AS n_bytes,

@@ -812,3 +812,15 @@ def test_weighted_median_window_rides_group_partition(spark):
     plan = plan_of(SM.q_weighted_median(spark, SF))
     assert "hashpartitioning(l_returnflag" in plan
     assert "partial" in plan.lower()
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL limit must compile to a rank-based
+    WindowGroupLimit (map-side top-k before the exchange) — never a
+    per-left-row nested loop or a cartesian re-scan."""
+    from mapreduce_sssp_spark.operators import python_surface as PS
+
+    plan = plan_of(PS.q_lateral_topk_segment(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
