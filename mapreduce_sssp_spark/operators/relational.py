@@ -2549,7 +2549,62 @@ def q_agg_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality quarantine: classify every lineitem row
+    against 4 business rules into an integer reason BITMASK and report
+    the quarantine census (bitmask, human-readable reasons, row count,
+    corpus share) — where dq_audit counts violations per constraint,
+    this is the row-disposition view: which rows go to the quarantine
+    table and WHY (multi-rule hits stay one row with a composite mask,
+    never double-counted).
+
+    Rules (bit): deep_discount > 6% (1), bulk_qty > 45 (2),
+    high_tax >= 7% (4), status/flag conflict — open status with a
+    non-'N' return flag (8). Rate columns compare as exact basis
+    points (the CENTS device), never as raw floats.
+
+    At 100 TB: pure map-side classification (4 CASEs + adds fused in
+    whole-stage codegen) into a <= 16-row aggregate; the reasons
+    string decodes FROM the mask after aggregation, so no string ever
+    rides the exchange. The share is one closing division against a
+    broadcast 1-row total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bp = "CAST(CAST({c} AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    mask = (
+        F.when(F.expr(bp.format(c="l_discount")) > 600, 1).otherwise(0)
+        + F.when(F.col("l_quantity") > 45, 2).otherwise(0)
+        + F.when(F.expr(bp.format(c="l_tax")) >= 700, 4).otherwise(0)
+        + F.when(
+            (F.col("l_linestatus") == "O") & (F.col("l_returnflag") != "N"),
+            8,
+        ).otherwise(0)
+    )
+    census = (
+        li.select(mask.alias("bitmask"))
+        .groupBy("bitmask")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    total = census.agg(F.sum("n_rows").alias("n_total"))
+    reasons = F.concat_ws(
+        "+",
+        F.when(F.col("bitmask").bitwiseAND(1) > 0, "deep_discount"),
+        F.when(F.col("bitmask").bitwiseAND(2) > 0, "bulk_qty"),
+        F.when(F.col("bitmask").bitwiseAND(4) > 0, "high_tax"),
+        F.when(F.col("bitmask").bitwiseAND(8) > 0, "status_flag_conflict"),
+    )
+    return census.crossJoin(F.broadcast(total)).select(
+        "bitmask",
+        reasons.alias("reasons"),
+        "n_rows",
+        (
+            F.col("n_rows").cast("double") / F.col("n_total").cast("double")
+        ).alias("share"),
+    )
+
+
 QUERIES = {
+    "quarantine_rows": q_quarantine_rows,
     "pareto_cut": q_pareto_cut,
     "k_anonymity_audit": q_k_anonymity_audit,
     "agg_delta_maintenance": q_agg_delta_maintenance,
@@ -2632,6 +2687,30 @@ _SETOP_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.
 
 ORACLE = {
     # the IVM proof: oracle = FULL recompute; engine = base+delta merge
+    "quarantine_rows": """
+WITH census AS (
+  SELECT (CASE WHEN CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    > 600 THEN 1 ELSE 0 END
+        + CASE WHEN l_quantity > 45 THEN 2 ELSE 0 END
+        + CASE WHEN CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    >= 700 THEN 4 ELSE 0 END
+        + CASE WHEN l_linestatus = 'O' AND l_returnflag <> 'N'
+               THEN 8 ELSE 0 END) AS bitmask,
+         COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+total AS (SELECT SUM(n_rows) AS n_total FROM census)
+SELECT CAST(bitmask AS INT) AS bitmask,
+       concat_ws('+',
+         CASE WHEN (bitmask & 1) > 0 THEN 'deep_discount' END,
+         CASE WHEN (bitmask & 2) > 0 THEN 'bulk_qty' END,
+         CASE WHEN (bitmask & 4) > 0 THEN 'high_tax' END,
+         CASE WHEN (bitmask & 8) > 0 THEN 'status_flag_conflict' END)
+         AS reasons,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+FROM census, total
+""",
     "agg_delta_maintenance": """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,

@@ -546,6 +546,266 @@ def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test for every unordered pair of
+    event types on the value column — the parametric sibling of
+    mann_whitney_u (location difference in means, robust to unequal
+    group variances; the default two-sample test since Welch beats
+    Student under heteroscedasticity at no cost).
+
+    Per-type n / sum(cents) / sum(cents^2) are exact int64/DECIMAL
+    aggregates from ONE corpus pass; mean, variance, t, and the
+    Welch–Satterthwaite df are closing float chains written with the
+    identical operand sequence in both engines (every op IEEE
+    correctly-rounded — the ab_test device, no quantization needed).
+
+    At 100 TB: one map-side-combined groupBy(type) to |types| rows;
+    the pair fan-out (|types| choose 2) is driver-trivial.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(CENTS_VAL).alias("cents")
+    )
+    dec = "decimal(19,0)"
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("sx"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias(
+            "sxx"
+        ),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("type_a") < F.col("type_b")
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    m_a = d("sx_a") / d("n_a")
+    m_b = d("sx_b") / d("n_b")
+    v_a = (d("n_a") * d("sxx_a") - d("sx_a") * d("sx_a")) / (
+        d("n_a") * (d("n_a") - F.lit(1.0))
+    )
+    v_b = (d("n_b") * d("sxx_b") - d("sx_b") * d("sx_b")) / (
+        d("n_b") * (d("n_b") - F.lit(1.0))
+    )
+    se_a = v_a / d("n_a")
+    se_b = v_b / d("n_b")
+    se2 = se_a + se_b
+    t = (m_a - m_b) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (se_a * se_a) / (d("n_a") - F.lit(1.0))
+        + (se_b * se_b) / (d("n_b") - F.lit(1.0))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        t.alias("t_stat"),
+        df.alias("welch_df"),
+    )
+
+
+ANOVA_SCALE = 1_000  # e3 quantum: keeps quantized squares inside int64
+
+
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types on the value column: does the
+    mean differ across ANY group? — the k-group generalization of the
+    t-test (F = between-group mean square / within-group mean square,
+    via the sum-of-squares identities SSB = sum(Sx_g^2/n_g) - Sx^2/N
+    and SSW = sum(x^2) - sum(Sx_g^2/n_g), all on exact sums).
+
+    Each group's Sx_g^2/n_g term is ONE correctly-rounded double
+    quantized to e{3} BEFORE the cross-group sum (the psi device —
+    a raw float sum over groups would be accumulation-order-dependent),
+    chosen at e3 because the squared cents terms approach int64 at e6.
+    F is one closing expression; the e3 scales cancel in the ratio.
+
+    At 100 TB: one map-side-combined pass to |types| rows of exact
+    sufficient statistics; everything else is |types|-row algebra.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(CENTS_VAL).alias("cents")
+    )
+    dec = "decimal(19,0)"
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_g"),
+        F.sum(F.col("cents").cast(dec)).alias("sx_g"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias(
+            "sxx_g"
+        ),
+    )
+    term = F.round(
+        (
+            F.col("sx_g").cast("double")
+            * F.col("sx_g").cast("double")
+            / F.col("n_g").cast("double")
+        )
+        * F.lit(float(ANOVA_SCALE))
+    ).cast("long")
+    agg = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("sx_g")).alias("sx"),
+        F.sum(F.col("sxx_g")).alias("sxx"),
+        F.sum(term).alias("s1_e3"),
+    )
+    t_e3 = F.round(
+        (
+            F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / F.col("n").cast("double")
+        )
+        * F.lit(float(ANOVA_SCALE))
+    ).cast("long")
+    sxx_e3 = F.round(
+        F.col("sxx").cast("double") * F.lit(float(ANOVA_SCALE))
+    ).cast("long")
+    withss = agg.select(
+        "k",
+        F.col("n").cast("long").alias("n"),
+        (F.col("s1_e3") - t_e3).alias("ssb_e3"),
+        (sxx_e3 - F.col("s1_e3")).alias("ssw_e3"),
+    )
+    f_stat = (
+        F.col("ssb_e3").cast("double") / (F.col("k") - 1).cast("double")
+    ) / (
+        F.col("ssw_e3").cast("double")
+        / (F.col("n") - F.col("k")).cast("double")
+    )
+    return withss.select("k", "n", "ssb_e3", "ssw_e3", f_stat.alias("f_stat"))
+
+
+TRIM_PERMILLE = 100  # 10% trimmed from EACH tail
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-two-sided trimmed mean of the unit price per l_returnflag —
+    the robust location estimate between mean (trim 0) and median
+    (trim 50): drop the cheapest and priciest 10% of rows, average the
+    middle. Outlier-immune without the median's information loss.
+
+    Fully integer until the last op: trim cut-points lo = N*{100}/1000
+    and hi = N - lo are exact int64; each histogram value contributes
+    include_cnt = max(0, min(cb + c, hi) - max(cb, lo)) rows (cb =
+    cumulative count before the value) — pure integer interval
+    clipping; the trimmed sum is an exact int64 dot product and the
+    mean is ONE closing division.
+
+    At 100 TB: the corpus collapses to a (group, cents) histogram in
+    one map-side-combined pass; the cumulative window runs per group
+    over histogram rows. One shuffle, keyed by the group.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.expr(CENTS_EP).alias("cents")
+    )
+    h = li.groupBy("l_returnflag", "cents").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = h.select(
+        "l_returnflag",
+        "cents",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cb"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    lo = F.expr(f"n * {TRIM_PERMILLE} DIV 1000")
+    hi = F.col("n") - lo
+    inc = F.greatest(
+        F.lit(0),
+        F.least(F.col("cb") + F.col("c"), hi) - F.greatest(F.col("cb"), lo),
+    )
+    agg = c.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        F.sum(inc).alias("n_kept"),
+        F.sum(inc * F.col("cents")).alias("kept_cents"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (
+            F.col("kept_cents").cast("double")
+            / F.col("n_kept").cast("double")
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+# z_(0.975) + z_(0.80): standard 5% two-sided / 80% power design point
+AB_Z_SUM = 2.801585218126088
+
+
+def q_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator from the observed pilot: with the
+    two variants' observed conversion rates as the design assumption,
+    the per-variant n required to detect that difference at alpha=5%
+    two-sided / 80% power — n = (z_a + z_b)^2 * (p_a(1-p_a) +
+    p_b(1-p_b)) / (p_a - p_b)^2 — the "how long must this test run"
+    readout every experimentation platform pairs with the z-test.
+
+    The z-quantile sum is a LITERAL constant ({AB_Z_SUM}); rates and
+    the closing formula are IEEE-exact chains on exact counts (the
+    ab_test device); n_required = ceil(), NULL when the observed
+    delta is zero (an undetectable difference needs infinite n, not a
+    fabricated number).
+
+    At 100 TB: one map-side-combined pass to per-user conversion
+    flags, a 2-row variant aggregate, constant algebra after that.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    pv = (
+        users.select((F.col("user_id") % 2).alias("variant"), "converted")
+        .groupBy("variant")
+        .agg(F.count("*").alias("n"), F.sum("converted").alias("conv"))
+    )
+    a = pv.filter("variant = 0").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = pv.filter("variant = 1").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    delta = p_a - p_b
+    s = p_a * (F.lit(1.0) - p_a) + p_b * (F.lit(1.0) - p_b)
+    n_req = F.ceil(
+        F.lit(AB_Z_SUM) * F.lit(AB_Z_SUM) * s / (delta * delta)
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        delta.alias("observed_delta"),
+        F.when(F.col("conv_a") * F.col("n_b") != F.col("conv_b") * F.col("n_a"), n_req)
+        .cast("long")
+        .alias("n_required_per_variant"),
+    )
+
+
 QUERIES = {
     "cross_correlation_lag": q_cross_correlation_lag,
     "kendall_tau_daily": q_kendall_tau_daily,
@@ -553,6 +813,10 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "pr_auc_features": q_pr_auc_features,
     "stratified_ate": q_stratified_ate,
+    "t_test_welch": q_t_test_welch,
+    "anova_oneway": q_anova_oneway,
+    "trimmed_mean": q_trimmed_mean,
+    "ab_power_analysis": q_ab_power_analysis,
 }
 
 _PEARSON_CLOSE = """
@@ -778,5 +1042,126 @@ SELECT stratum, n_treated, n_control,
                  - CAST(sum_c AS DOUBLE) / CAST(n_control AS DOUBLE)
        END AS ate_cents
 FROM cells
+""",
+    "t_test_welch": f"""
+WITH ev AS (SELECT event_type, {CENTS_VAL} AS cents FROM events),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(cents::HUGEINT) AS sx,
+         SUM(cents::HUGEINT * cents::HUGEINT) AS sxx
+  FROM ev GROUP BY event_type
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+         b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+  FROM g a JOIN g b ON a.event_type < b.event_type
+),
+d AS (
+  SELECT type_a, type_b, n_a, n_b,
+         CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+         CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+         ((CAST(n_a AS DOUBLE) * CAST(sxx_a AS DOUBLE)
+             - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE))
+          / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+           / CAST(n_a AS DOUBLE) AS se_a,
+         ((CAST(n_b AS DOUBLE) * CAST(sxx_b AS DOUBLE)
+             - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE))
+          / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+           / CAST(n_b AS DOUBLE) AS se_b
+  FROM p
+)
+SELECT type_a, type_b, n_a, n_b,
+       (m_a - m_b) / sqrt(se_a + se_b) AS t_stat,
+       ((se_a + se_b) * (se_a + se_b))
+       / ((se_a * se_a) / (CAST(n_a AS DOUBLE) - 1.0)
+          + (se_b * se_b) / (CAST(n_b AS DOUBLE) - 1.0)) AS welch_df
+FROM d
+""",
+    "anova_oneway": f"""
+WITH ev AS (SELECT event_type, {CENTS_VAL} AS cents FROM events),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+         SUM(cents::HUGEINT) AS sx_g,
+         SUM(cents::HUGEINT * cents::HUGEINT) AS sxx_g
+  FROM ev GROUP BY event_type
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         SUM(sx_g) AS sx, SUM(sxx_g) AS sxx,
+         SUM(CAST(round((CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
+                         / CAST(n_g AS DOUBLE)) * {ANOVA_SCALE}.0)
+                  AS BIGINT)) AS s1_e3
+  FROM g
+),
+ss AS (
+  SELECT k, n,
+         CAST(s1_e3 AS BIGINT)
+           - CAST(round((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE)) * {ANOVA_SCALE}.0) AS BIGINT)
+           AS ssb_e3,
+         CAST(round(CAST(sxx AS DOUBLE) * {ANOVA_SCALE}.0) AS BIGINT)
+           - CAST(s1_e3 AS BIGINT) AS ssw_e3
+  FROM agg
+)
+SELECT k, n, ssb_e3, ssw_e3,
+       (CAST(ssb_e3 AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+       / (CAST(ssw_e3 AS DOUBLE) / CAST(n - k AS DOUBLE)) AS f_stat
+FROM ss
+""",
+    "trimmed_mean": f"""
+WITH h AS (
+  SELECT l_returnflag, {CENTS_EP} AS cents, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, cents, c,
+         SUM(c) OVER (PARTITION BY l_returnflag ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) - c AS cb,
+         SUM(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM h
+),
+inc AS (
+  SELECT l_returnflag, cents, n,
+         GREATEST(0, LEAST(cb + c, n - (n * {TRIM_PERMILLE} // 1000))
+                     - GREATEST(cb, n * {TRIM_PERMILLE} // 1000)) AS keep
+  FROM c
+)
+SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(keep * cents) AS DOUBLE) / CAST(SUM(keep) AS DOUBLE)
+         AS trimmed_mean_cents
+FROM inc GROUP BY l_returnflag
+""",
+    "ab_power_analysis": f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id),
+pv AS (
+  SELECT user_id % 2 AS variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM users GROUP BY user_id % 2),
+a AS (SELECT n AS n_a, conv AS conv_a FROM pv WHERE variant = 0),
+b AS (SELECT n AS n_b, conv AS conv_b FROM pv WHERE variant = 1),
+j AS (SELECT * FROM a, b),
+s AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS delta,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           * (1.0 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         + CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           * (1.0 - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS svar
+  FROM j)
+SELECT n_a, conv_a, n_b, conv_b,
+       delta AS observed_delta,
+       CASE WHEN conv_a * n_b <> conv_b * n_a
+            THEN CAST(ceil({AB_Z_SUM!r} * {AB_Z_SUM!r} * svar
+                           / (delta * delta)) AS BIGINT)
+       END AS n_required_per_variant
+FROM s
 """,
 }

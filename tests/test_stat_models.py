@@ -235,3 +235,119 @@ def test_stratified_ate_matches_bruteforce(spark):
             )
         else:
             assert g.ate_cents is None
+
+
+def test_t_test_welch_matches_numpy(spark):
+    from mapreduce_sssp_spark.operators.stat_models import q_t_test_welch
+
+    rows = _duck(
+        "SELECT event_type,"
+        " CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) FROM events"
+    )
+    groups = {}
+    for t, c in rows:
+        groups.setdefault(t, []).append(c)
+    got = {
+        (r.type_a, r.type_b): r for r in q_t_test_welch(spark, SF).collect()
+    }
+    types = sorted(groups)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1:]
+    }
+    for (ta, tb), g in got.items():
+        xa = np.array(groups[ta], dtype=float)
+        xb = np.array(groups[tb], dtype=float)
+        va, vb = xa.var(ddof=1), xb.var(ddof=1)
+        sea, seb = va / len(xa), vb / len(xb)
+        t = (xa.mean() - xb.mean()) / math.sqrt(sea + seb)
+        df = (sea + seb) ** 2 / (
+            sea**2 / (len(xa) - 1) + seb**2 / (len(xb) - 1)
+        )
+        assert (g.n_a, g.n_b) == (len(xa), len(xb))
+        assert math.isclose(g.t_stat, t, rel_tol=1e-9)
+        assert math.isclose(g.welch_df, df, rel_tol=1e-9)
+
+
+def test_anova_oneway_matches_numpy(spark):
+    from mapreduce_sssp_spark.operators.stat_models import q_anova_oneway
+
+    rows = _duck(
+        "SELECT event_type,"
+        " CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) FROM events"
+    )
+    groups = {}
+    for t, c in rows:
+        groups.setdefault(t, []).append(float(c))
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (np.mean(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(((np.array(v) - np.mean(v)) ** 2).sum()
+              for v in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    (got,) = q_anova_oneway(spark, SF).collect()
+    assert (got.k, got.n) == (k, n)
+    # e3 quantization of the group terms bounds the drift well below 1e-6
+    assert math.isclose(got.f_stat, f, rel_tol=1e-6)
+
+
+def test_trimmed_mean_matches_bruteforce(spark):
+    from mapreduce_sssp_spark.operators.stat_models import (
+        TRIM_PERMILLE,
+        q_trimmed_mean,
+    )
+
+    rows = _duck(
+        "SELECT l_returnflag,"
+        " CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " FROM lineitem"
+    )
+    by_flag = {}
+    for flag, cents in rows:
+        by_flag.setdefault(flag, []).append(cents)
+    got = {r.l_returnflag: r for r in q_trimmed_mean(spark, SF).collect()}
+    assert set(got) == set(by_flag)
+    for flag, vals in by_flag.items():
+        vals.sort()
+        n = len(vals)
+        lo = n * TRIM_PERMILLE // 1000
+        hi = n - lo
+        kept = vals[lo:hi]
+        g = got[flag]
+        assert (g.n, g.n_kept) == (n, len(kept))
+        assert math.isclose(
+            g.trimmed_mean_cents, sum(kept) / len(kept), rel_tol=1e-12
+        )
+
+
+def test_ab_power_analysis_matches_formula(spark):
+    from mapreduce_sssp_spark.operators.stat_models import (
+        AB_Z_SUM,
+        q_ab_power_analysis,
+    )
+
+    rows = _duck(
+        "SELECT user_id % 2,"
+        " MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        " FROM events GROUP BY user_id"
+    )
+    n = {0: 0, 1: 0}
+    conv = {0: 0, 1: 0}
+    for v, c in rows:
+        n[v] += 1
+        conv[v] += c
+    p_a, p_b = conv[0] / n[0], conv[1] / n[1]
+    (got,) = q_ab_power_analysis(spark, SF).collect()
+    assert (got.n_a, got.conv_a, got.n_b, got.conv_b) == (
+        n[0], conv[0], n[1], conv[1],
+    )
+    assert math.isclose(got.observed_delta, p_a - p_b, rel_tol=1e-12)
+    if p_a != p_b:
+        want = math.ceil(
+            AB_Z_SUM**2
+            * (p_a * (1 - p_a) + p_b * (1 - p_b))
+            / (p_a - p_b) ** 2
+        )
+        assert got.n_required_per_variant == want
+    else:
+        assert got.n_required_per_variant is None
