@@ -245,14 +245,95 @@ def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: XOR of a 60-bit md5 hash of
+    every row's canonical serialization — the constant-size checksum
+    two replicas exchange to answer "are these tables identical?"
+    WITHOUT moving rows (the cheap precursor to table_diff, which then
+    localizes the difference). XOR is commutative/associative, so the
+    fingerprint is independent of row order, partitioning, and
+    aggregation tree shape — exactly what a distributed checksum needs
+    (and why SUM with wraparound, which ANSI overflow rules reject, is
+    not used).
+
+    Emitted for the orders snapshot AND a deterministically mutated
+    twin (+1 cent on every 1000th key), so the result itself proves
+    single-row-change detection: same n_rows, different fingerprint.
+    The 60-bit hash is the portable md5 device (`conv(hex,16,10)` /
+    `'0x'||hex` — bit-identical across engines, feature_hash's
+    precedent at dedup.py:494).
+
+    At 100 TB: ONE scan per snapshot, map-side XOR partial aggregate,
+    8 bytes per partition to the driver — the cheapest possible
+    whole-table integrity primitive. Collision odds for a single
+    changed row are 2^-60; reconciliation pipelines pair it with
+    per-partition fingerprints (same plan, groupBy(bucket)) to
+    bisect.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.expr(_CENTS.format(col="o_totalprice")).alias("cents"),
+    )
+    mutated = base.select(
+        "key",
+        F.when(F.col("key") % 1000 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+
+    def fp(df: DataFrame, name: str) -> DataFrame:
+        h = F.expr(
+            "CAST(conv(substring(md5(concat_ws('|', key, cents)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        )
+        return df.select(h.alias("h")).agg(
+            F.lit(name).alias("snapshot"),
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fingerprint60"),
+        )
+
+    return fp(base, "orders").unionAll(fp(mutated, "orders_mutated"))
+
+
 QUERIES = {
     "merge_cdc": q_merge_cdc,
     "latest_per_key": q_latest_per_key,
     "table_diff": q_table_diff,
     "deletion_cascade_audit": q_deletion_cascade_audit,
+    "table_fingerprint": q_table_fingerprint,
 }
 
 ORACLE = {
+    "table_fingerprint": """
+WITH base AS (
+  SELECT o_orderkey AS key,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+mutated AS (
+  SELECT key,
+         CASE WHEN key % 1000 = 0 THEN cents + 1 ELSE cents END AS cents
+  FROM base
+),
+hb AS (
+  SELECT CAST(('0x' || substr(md5(concat_ws('|', key, cents)), 1, 15))
+              AS BIGINT) AS h
+  FROM base
+),
+hm AS (
+  SELECT CAST(('0x' || substr(md5(concat_ws('|', key, cents)), 1, 15))
+              AS BIGINT) AS h
+  FROM mutated
+)
+SELECT 'orders' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS fingerprint60
+FROM hb
+UNION ALL
+SELECT 'orders_mutated', CAST(COUNT(*) AS BIGINT),
+       CAST(bit_xor(h) AS BIGINT)
+FROM hm
+""",
     "deletion_cascade_audit": f"""
 WITH cust_del AS (
   SELECT c_custkey FROM customer WHERE c_custkey % {DEL_MOD} = 0

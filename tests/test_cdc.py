@@ -118,3 +118,41 @@ def test_latest_per_key_one_row_per_customer(spark):
             best[k] = cand
     for r in rows:
         assert (r.latest_orderdate, r.latest_orderkey) == best[r.custkey]
+
+
+def test_table_fingerprint_detects_single_row_change(spark):
+    from mapreduce_sssp_spark.operators.cdc import q_table_fingerprint
+
+    rows = {r.snapshot: r for r in
+            q_table_fingerprint(spark, "/root/testdata/sf0.001").collect()}
+    assert rows["orders"].n_rows == rows["orders_mutated"].n_rows
+    assert rows["orders"].fingerprint60 != rows["orders_mutated"].fingerprint60
+
+
+def test_table_fingerprint_is_order_insensitive(spark):
+    """Reversing the scan order must not change the fingerprint —
+    the XOR aggregate is the order-independence proof."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.io.sources import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', key, cents)), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+    fwd = base.select(h.alias("h")).agg(F.expr("bit_xor(h)")).collect()[0][0]
+    rev = (
+        base.orderBy(F.col("key").desc())
+        .repartition(7)
+        .select(h.alias("h"))
+        .agg(F.expr("bit_xor(h)"))
+        .collect()[0][0]
+    )
+    assert fwd == rev
