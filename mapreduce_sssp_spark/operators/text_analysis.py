@@ -1914,7 +1914,83 @@ def q_bigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_MIN_WORDS = 30
+# Gopher's required-stopword list is (the, be, to, of, and, that, have,
+# with); 'be' is swapped for 'a' here because the synthetic corpus's
+# function words are {the, a} — same rule semantics, discriminating
+# thresholds on THIS corpus.
+GOPHER_STOPWORDS = "'the','a','to','of','and','that','have','with'"
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style rule-based quality gate, reported per
+    source: the four applicable repetition-free rules from the Gopher
+    cleaning pipeline (Rae et al. 2021, table A1) — minimum word count,
+    mean word length in [3, 10], >= 2 distinct required English
+    stopwords present, and >= 80% alphabetic words — with per-rule
+    fail counts and the all-rules pass rate. This is the first filter
+    a pretraining corpus meets; the census is what you inspect before
+    committing to thresholds (where text_quality SCORES docs, this
+    GATES them).
+
+    Every rule evaluates as exact integer cross-multiplication on
+    per-doc token statistics (3*n <= sum_len <= 10*n; 5*alpha >= 4*n)
+    — no ratio ever becomes a float; the single closing division is
+    the per-source pass rate.
+
+    At 100 TB: per-doc stats are map-side higher-order functions over
+    the token array (size / aggregate-sum / array_intersect / filter
+    — all codegen'd, no explode, no UDF); the census is one
+    |sources|-row partial-aggregated groupBy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", F.expr(TOKENS_EXPR).alias("toks")).select(
+        "source",
+        F.expr("size(toks)").cast("long").alias("nw"),
+        F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))").alias("sl"),
+        F.expr(
+            "size(array_intersect(array_distinct(toks),"
+            f" array({GOPHER_STOPWORDS})))"
+        ).alias("nsw"),
+        F.expr("size(filter(toks, x -> x rlike '^[a-z]+$'))")
+        .cast("long")
+        .alias("na"),
+    )
+    f_short = F.col("nw") < GOPHER_MIN_WORDS
+    f_wordlen = ~(
+        (F.lit(3) * F.col("nw") <= F.col("sl"))
+        & (F.col("sl") <= F.lit(10) * F.col("nw"))
+    )
+    f_stop = F.col("nsw") < 2
+    f_alpha = F.lit(5) * F.col("na") < F.lit(4) * F.col("nw")
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        cnt(f_short, "n_fail_short"),
+        cnt(f_wordlen, "n_fail_wordlen"),
+        cnt(f_stop, "n_fail_stopwords"),
+        cnt(f_alpha, "n_fail_alpha"),
+        cnt(~(f_short | f_wordlen | f_stop | f_alpha), "n_pass_all"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("n_fail_short").cast("long").alias("n_fail_short"),
+        F.col("n_fail_wordlen").cast("long").alias("n_fail_wordlen"),
+        F.col("n_fail_stopwords").cast("long").alias("n_fail_stopwords"),
+        F.col("n_fail_alpha").cast("long").alias("n_fail_alpha"),
+        F.col("n_pass_all").cast("long").alias("n_pass_all"),
+        (
+            F.col("n_pass_all").cast("double") / F.col("n_docs").cast("double")
+        ).alias("pass_rate"),
+    )
+
+
 QUERIES = {
+    "gopher_quality_rules": q_gopher_quality_rules,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "unigram_doc_logprob": q_unigram_doc_logprob,
@@ -1951,6 +2027,40 @@ QUERIES = {
 _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 ORACLE = {
+    "gopher_quality_rules": f"""
+WITH t AS (SELECT source, {DUCK_TOKENS} AS toks FROM documents),
+d AS (
+  SELECT source,
+         CAST(len(toks) AS BIGINT) AS nw,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS sl,
+         len(list_intersect(list_distinct(toks),
+                            [{GOPHER_STOPWORDS}])) AS nsw,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+              AS BIGINT) AS na
+  FROM t
+),
+flags AS (
+  SELECT source,
+         CASE WHEN nw < {GOPHER_MIN_WORDS} THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN NOT (3 * nw <= sl AND sl <= 10 * nw)
+              THEN 1 ELSE 0 END AS f_wordlen,
+         CASE WHEN nsw < 2 THEN 1 ELSE 0 END AS f_stop,
+         CASE WHEN 5 * na < 4 * nw THEN 1 ELSE 0 END AS f_alpha
+  FROM d
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_short) AS BIGINT) AS n_fail_short,
+       CAST(SUM(f_wordlen) AS BIGINT) AS n_fail_wordlen,
+       CAST(SUM(f_stop) AS BIGINT) AS n_fail_stopwords,
+       CAST(SUM(f_alpha) AS BIGINT) AS n_fail_alpha,
+       CAST(SUM(CASE WHEN f_short + f_wordlen + f_stop + f_alpha = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+       CAST(SUM(CASE WHEN f_short + f_wordlen + f_stop + f_alpha = 0
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+FROM flags GROUP BY source
+""",
     "stump_split_finder": """
 WITH langs AS (SELECT DISTINCT lang AS target FROM documents),
 hist AS (

@@ -178,3 +178,44 @@ def test_bpe_encode_planted_corpus(spark):
         .collect()
     )
     assert [(r.sym, r.freq) for r in freqs] == [("cd", 3), ("aa", 2), ("ab", 2)]
+
+
+def test_gopher_quality_rules_matches_python(spark):
+    import duckdb
+
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        GOPHER_MIN_WORDS,
+        q_gopher_quality_rules,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    required = {"the", "a", "to", "of", "and", "that", "have", "with"}
+    agg = {}
+    for source, text in rows:
+        toks = [t for t in text.strip().split() if t]
+        nw = len(toks)
+        sl = sum(len(t) for t in toks)
+        nsw = len(set(toks) & required)
+        na = sum(1 for t in toks if t.isalpha() and t.islower())
+        f1 = nw < GOPHER_MIN_WORDS
+        f2 = not (3 * nw <= sl <= 10 * nw)
+        f3 = nsw < 2
+        f4 = 5 * na < 4 * nw
+        c = agg.setdefault(source, [0, 0, 0, 0, 0, 0])
+        c[0] += 1
+        c[1] += f1
+        c[2] += f2
+        c[3] += f3
+        c[4] += f4
+        c[5] += not (f1 or f2 or f3 or f4)
+    got = {r.source: r for r in q_gopher_quality_rules(spark, sf).collect()}
+    assert set(got) == set(agg)
+    for s, (n, a1, a2, a3, a4, p) in agg.items():
+        g = got[s]
+        assert (g.n_docs, g.n_fail_short, g.n_fail_wordlen) == (n, a1, a2)
+        assert (g.n_fail_stopwords, g.n_fail_alpha, g.n_pass_all) == (
+            a3, a4, p,
+        )
