@@ -40,9 +40,12 @@ from pyspark.sql import functions as F
 
 from ..io.sources import load_parallel, load_table
 from .text_common import (
+    DUCK_SHINGLES_PRUNED_REL,
     DUCK_SHINGLES_REL,
     DUCK_TOKENS,
+    SHINGLE_MAX_DF,
     TOKENS_EXPR,
+    prune_hot_shingles,
     shingle_postings,
     with_shingles,
 )
@@ -66,6 +69,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_postings(load_table(spark, sf_dir, "documents"))
+
+
+def _pruned_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-df-pruned shingle postings for the PAIR-GENERATING queries
+    (jaccard / containment / estimator-audit / contamination): shingles
+    in more than SHINGLE_MAX_DF documents are dropped BEFORE any
+    shingle-keyed self-join, bounding the join fan-out per shingle by
+    SHINGLE_MAX_DF^2 (see text_common.SHINGLE_MAX_DF — the cap never
+    binds at test scale, so values are unchanged there; at corpus scale
+    it is the difference between a bounded join and a d^2 blow-up on
+    boilerplate shingles).
+
+    Sizes/signatures downstream are computed over the SAME pruned
+    vocabulary, so jaccard/containment remain well-defined set measures
+    (over the discriminative shingle set) and each DuckDB twin mirrors
+    the prune via DUCK_SHINGLES_PRUNED_REL. The linear-path consumers
+    (decontaminate, spans, minhash signatures for LSH banding) keep the
+    unpruned postings.
+
+    Both the raw postings (consumed twice by the prune: df agg + keep
+    join) and the pruned output (consumed by sizes agg + both self-join
+    sides) are multi-branch subtrees — cached per the _cache contract.
+    """
+    post = _cache(_shingle_postings(spark, sf_dir))
+    return _cache(prune_hot_shingles(post))
 
 
 def _cache(df: DataFrame) -> DataFrame:
@@ -96,8 +124,10 @@ def _cache(df: DataFrame) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard >= 0.8 pairs via inverted index."""
-    post = _cache(_shingle_postings(spark, sf_dir))
+    """Exact 3-gram-shingle Jaccard >= 0.8 pairs via inverted index,
+    over the max-df-pruned shingle vocabulary (see _pruned_postings —
+    no-op at test scale, join-bounding at corpus scale)."""
+    post = _pruned_postings(spark, sf_dir)
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = post.alias("a")
     b = post.alias("b")
@@ -136,13 +166,13 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Jaccard pass.
 
     Same inverted-index shape as q_ngram_jaccard_pairs (one
-    shingle-keyed self-join, never all-pairs; candidate pairs exist
-    only where shingles actually collide), but the join keeps BOTH
-    orientations (a != b, not a < b) because containment is directed.
-    Division is the same single int/int double op the Jaccard twin
-    uses.
+    shingle-keyed self-join over the max-df-pruned vocabulary, never
+    all-pairs; candidate pairs exist only where discriminative shingles
+    actually collide), but the join keeps BOTH orientations (a != b,
+    not a < b) because containment is directed. Division is the same
+    single int/int double op the Jaccard twin uses.
     """
-    post = _cache(_shingle_postings(spark, sf_dir))
+    post = _pruned_postings(spark, sf_dir)
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = post.alias("a")
     b = post.alias("b")
@@ -607,9 +637,17 @@ def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     never pairwise-by-rows), and a shingle shared by k sources costs
     C(k,2) aggregate rows, bounded by |sources|^2. overlap is one
     int/int division.
+
+    Postings are max-df-pruned FIRST (doc-level df, the same
+    _pruned_postings cap as the pair queries): a boilerplate shingle in
+    half the corpus is linear cost here (the per-shingle fan-out is
+    already |sources|-bounded) but it dominates the distinct/shuffle
+    volume while carrying zero leakage signal — contamination is about
+    shared *discriminative* content, which is exactly what survives the
+    cap.
     """
     d = (
-        shingle_postings(load_table(spark, sf_dir, "documents"))
+        _pruned_postings(spark, sf_dir)
         .join(
             load_table(spark, sf_dir, "documents").select(
                 "doc_id", "source"
@@ -687,11 +725,14 @@ def q_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*inter >= union in exact integers (no float 0.5 boundary).
 
     At 100 TB: eval pairs come from the term-keyed inverted index
-    (shingle-collision join, never all-pairs); signatures are computed
-    ONLY for documents appearing in eval pairs (semi-join first), so
-    the k x md5 cost scales with the audited pair set, not the corpus.
+    (shingle-collision join over the max-df-pruned vocabulary — see
+    _pruned_postings; never all-pairs, fan-out per shingle bounded by
+    the cap); signatures are computed ONLY for documents appearing in
+    eval pairs (semi-join first) and over the SAME pruned vocabulary,
+    so estimate and exact value measure the same shingle sets and the
+    k x md5 cost scales with the audited pair set, not the corpus.
     """
-    post = _cache(_shingle_postings(spark, sf_dir))
+    post = _pruned_postings(spark, sf_dir)
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = post.alias("a"), post.alias("b")
     inter = (
@@ -801,6 +842,13 @@ GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
 HAVING count(*) / (sa.n + sb.n - count(*)) >= {JACCARD_THRESHOLD}
 """
 
+# Pruned twin for the pair-generating queries (the engine side prunes
+# via _pruned_postings; the LSH family keeps the unpruned exact oracle —
+# its signatures/verification run over the full shingle sets).
+_PRUNED_JACCARD_SQL = _EXACT_JACCARD_SQL.replace(
+    DUCK_SHINGLES_REL, DUCK_SHINGLES_PRUNED_REL
+)
+
 ORACLE = {
     "dedup_rate_by_source": """
 WITH agg AS (
@@ -812,7 +860,7 @@ SELECT source, n_docs, n_unique, n_docs - n_unique AS n_dup,
 FROM agg
 """,
     "cross_source_contamination": f"""
-WITH sh0 AS ({DUCK_SHINGLES_REL}),
+WITH sh0 AS ({DUCK_SHINGLES_PRUNED_REL}),
 d AS (SELECT DISTINCT doc.source, sh0.s
       FROM sh0 JOIN documents doc USING (doc_id)),
 vocab AS (SELECT source, COUNT(*) AS n_vocab FROM d GROUP BY source),
@@ -847,7 +895,7 @@ SELECT size, COUNT(*) AS n_clusters,
 FROM sizes GROUP BY size
 """,
     "minhash_jaccard_error": f"""
-WITH sh AS ({DUCK_SHINGLES_REL}),
+WITH sh AS ({DUCK_SHINGLES_PRUNED_REL}),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -889,7 +937,7 @@ SELECT doc_a, doc_b, inter, un,
 FROM m
 """,
     "shingle_containment": f"""
-WITH sh AS ({DUCK_SHINGLES_REL}),
+WITH sh AS ({DUCK_SHINGLES_PRUNED_REL}),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(*) AS inter, sa.n AS na,
@@ -912,7 +960,7 @@ batch_keep AS (SELECT digest, min(doc_id) AS doc_id
 SELECT doc_id, digest FROM batch_keep
 WHERE digest NOT IN (SELECT digest FROM existing)
 """,
-    "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
+    "ngram_jaccard_pairs": _PRUNED_JACCARD_SQL,
     # The LSH path is exact-verified, so it must match the exact oracle
     # (up to the negligible banding miss probability documented above).
     "dedup_minhash": _EXACT_JACCARD_SQL,

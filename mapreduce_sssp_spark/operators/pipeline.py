@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 
 from ..io.sources import load_parallel
 from .dedup import JACCARD_THRESHOLD
-from .text_common import DUCK_TOKENS, TOKENS_EXPR, shingle_postings
+from .text_common import (
+    DUCK_TOKENS,
+    SHINGLE_MAX_DF,
+    TOKENS_EXPR,
+    prune_hot_shingles,
+    shingle_postings,
+)
 from .text_analysis import STOPWORDS
 
 QUALITY_MIN = 0.5
@@ -109,8 +115,17 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = _quality_exact_survivors(spark, sf_dir)
     with static_rounds(spark):  # clamp = defaultParallelism
         # Near-dedup among exact survivors: inverted-index Jaccard, drop
-        # the higher id of each >= threshold pair.
-        post = shingle_postings(s1.select("doc_id", "text")).persist(
+        # the higher id of each >= threshold pair. Postings are max-df
+        # pruned BEFORE the pair join (text_common.SHINGLE_MAX_DF — the
+        # same posting-skew guard as dedup._pruned_postings; a no-op at
+        # test scale, the d^2 bound on boilerplate shingles at corpus
+        # scale). Raw postings feed the prune twice (df agg + keep
+        # join); the pruned set feeds sizes + both self-join sides —
+        # both cached.
+        post_raw = shingle_postings(s1.select("doc_id", "text")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        post = prune_hot_shingles(post_raw).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         # No eager action: the clamp's effect is the partitioning
@@ -220,11 +235,16 @@ qok AS (
 keepx AS (SELECT min(doc_id) AS doc_id FROM qok GROUP BY text),
 s1 AS (SELECT * FROM qok WHERE doc_id IN (SELECT doc_id FROM keepx)),
 toks1 AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM s1),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
                           || ' ' || t[CAST(i AS INT)+2] AS s
   FROM toks1, range(1, 10000) r(i)
   WHERE CAST(i AS INT) + 2 <= len(t)
+),
+sh AS (
+  SELECT a.doc_id, a.s FROM sh0 a
+  JOIN (SELECT s FROM sh0 GROUP BY s
+        HAVING count(*) <= {SHINGLE_MAX_DF}) keepset USING (s)
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (

@@ -39,6 +39,49 @@ FROM toks, range(1, 10000) r(i)
 WHERE CAST(i AS INT) + 2 <= len(t)
 """
 
+# Max document-frequency for a shingle to stay in the pair-generating
+# inverted index. A shingle shared by d documents yields d^2 rows in a
+# shingle-keyed self-join BEFORE any similarity threshold can filter —
+# one boilerplate 3-gram ("all rights reserved") in a million documents
+# is 10^12 join rows. Ubiquitous shingles also carry no near-dup signal
+# (every Jaccard-0.8 pair shares many RARE shingles), so the standard
+# max-df cut removes the quadratic heavy posting lists while barely
+# moving the similarity values — the same frontier-gating insight as the
+# reference's SSSP round pruning (SingleSourceSP.java:179: prune before
+# the expensive shuffle), and the same device q_sparse_cosine_pairs
+# already applies to term postings (SPARSE_COS_MAX_DF).
+#
+# At the test scales the cap never binds (max observed shingle df: 7 at
+# sf0.01, 25 at sf0.1), so pruned results equal unpruned results there;
+# at corpus scale it bounds every posting list — and therefore the join
+# fan-out per shingle — by SHINGLE_MAX_DF^2 rows.
+SHINGLE_MAX_DF = 400
+
+
+def prune_hot_shingles(post: DataFrame, max_df: int = SHINGLE_MAX_DF) -> DataFrame:
+    """(doc_id, s) postings -> the same postings minus shingles whose
+    document frequency exceeds ``max_df``.
+
+    The df aggregate partial-combines map-side and the keep-set join is
+    shingle-keyed, so the prune itself is linear in the posting count; it
+    must sit BELOW any pair-generating self-join (pinned in
+    tests/test_plans.py) for the d^2 bound to hold.
+    """
+    dfreq = post.groupBy("s").agg(F.count("*").alias("df"))
+    return post.join(
+        dfreq.filter(F.col("df") <= max_df), "s"
+    ).select("doc_id", "s")
+
+
+# Drop-in pruned twin of DUCK_SHINGLES_REL (same columns). Evaluates the
+# shingle CTE twice textually; DuckDB at oracle scale doesn't care.
+DUCK_SHINGLES_PRUNED_REL = f"""
+SELECT a.doc_id, a.s
+FROM ({DUCK_SHINGLES_REL}) a
+JOIN (SELECT s FROM ({DUCK_SHINGLES_REL}) GROUP BY s
+      HAVING count(*) <= {SHINGLE_MAX_DF}) keepset USING (s)
+"""
+
 
 def with_shingles(docs: DataFrame) -> DataFrame:
     """documents -> (doc_id, sh: array<string> distinct 3-gram shingles).

@@ -824,3 +824,29 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "ngram_jaccard_pairs",
+        "shingle_containment",
+        "minhash_jaccard_error",
+        "cross_source_contamination",
+        "pipeline_clean_corpus",
+    ],
+)
+def test_shingle_pair_queries_prune_hot_postings_before_join(spark, qname):
+    """Every shingle-keyed pair query must compile the max-df posting
+    prune (text_common.SHINGLE_MAX_DF) BELOW its self-join: the cached
+    postings relation both join sides scan carries the df filter, so a
+    boilerplate shingle can never reach the pair join (the d^2 guard;
+    behavior proven on a crafted hot-shingle corpus in
+    tests/test_shingle_prune.py)."""
+    from mapreduce_sssp_spark.operators.text_common import SHINGLE_MAX_DF
+    from mapreduce_sssp_spark.queries_registry import QUERIES
+
+    plan = plan_of(QUERIES[qname](spark, SF), "simple")
+    assert f"<= {SHINGLE_MAX_DF})" in plan  # Filter (df#N <= cap)
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
