@@ -38,6 +38,7 @@ from ..io.sources import (
     read_edge_list_text,
     read_tsv_edge_list,
 )
+from .scale_patterns import GLOBAL_ID_SHARDS as GQ_ID_SHARDS
 
 
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1000,16 +1001,27 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge (u, v), a deterministic corrupted partner (u, v') with v'
     pseudo-uniform over the node set and (u, v') NOT a real edge.
 
-    Device chain, all exact and portable: nodes get dense ranks
-    (row_number over the node id — the node table is |V|, tiny next to
-    edges), each edge derives idx = md5(u|v) mod |V| (the engine's
-    md5-bucket sampling device, here as an index map), idx joins back
-    to the rank table for the candidate v', and an anti join against
-    the real edge set discards accidental positives (the standard
-    rejection step — a second hash round would re-admit them
-    probabilistically; one rejection round keeps the oracle exact).
-    Scale: two broadcast-sized joins (rank table) + one edge-keyed
-    anti join; nothing quadratic, nothing random at run time.
+    Device chain, all exact and portable: nodes get dense ranks via the
+    two-pass shard-rank device (q_global_row_ids): shard by node % S,
+    row_number WITHIN each shard (parallel, never a single-partition
+    global sort), cumulative per-shard offsets (a window over S
+    driver-scale rows), idx = offset + in-shard rank. The resulting
+    index is dense over [0, |V|) in (shard, node) order — a total order
+    DuckDB reproduces with ONE row_number() OVER (ORDER BY node % S,
+    node), so the map is exact cross-engine. Each edge derives
+    idx = md5(u|v) mod |V| (the engine's md5-bucket sampling device,
+    here as an index map), idx joins back to the rank table for the
+    candidate v', and an anti join against the real edge set discards
+    accidental positives (the standard rejection step — a second hash
+    round would re-admit them probabilistically; one rejection round
+    keeps the oracle exact).
+
+    Scale: the rank table is built with NO global sort and NO forced
+    |V| broadcast (the idx join is a plain shuffle join; AQE broadcasts
+    it when it actually fits) — both replaced r8's unpartitioned
+    Window.orderBy + F.broadcast(ranked), which serialized and shipped
+    the whole node table. Remaining: one S-row broadcast (offsets), one
+    edge-keyed anti join; nothing quadratic, nothing random at run time.
     """
     from pyspark.sql import Window
 
@@ -1019,11 +1031,18 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    ranked = nodes.select(
-        "node",
-        (F.row_number().over(Window.orderBy("node")) - 1).alias("idx"),
+    sharded = nodes.select((F.col("node") % GQ_ID_SHARDS).alias("shard"), "node")
+    w_in = Window.partitionBy("shard").orderBy("node")
+    in_ranked = sharded.withColumn("in_rank", F.row_number().over(w_in))
+    counts = sharded.groupBy("shard").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "shard", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
     )
-    n_nodes = ranked.count()  # bounded driver scalar (|V|)
+    ranked = in_ranked.join(F.broadcast(offsets), "shard").select(
+        "node", (F.col("offset") + F.col("in_rank") - 1).alias("idx")
+    )
+    n_nodes = nodes.count()  # bounded driver scalar (|V|)
     cand = e.select(
         "src",
         "dst",
@@ -1033,7 +1052,7 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idx"),
     )
     neg = (
-        cand.join(F.broadcast(ranked), "idx")
+        cand.join(ranked, "idx")
         .select("src", "dst", F.col("node").alias("neg_dst"))
         .join(
             e.select(
@@ -1595,7 +1614,11 @@ def q_walk_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the walk corpus IS the big table; the band self-join
     shuffles on the walk key once, the pair aggregate partial-combines,
-    and the occurrence join broadcasts the |nodes|-sized count table.
+    and the |nodes|-sized occurrence table joins back node-keyed as a
+    plain shuffle join — never a forced broadcast (on a billion-node
+    graph the occurrence table is executor-memory-sized; AQE still
+    picks a broadcast at runtime when it actually fits). Only the two
+    1-row scalar totals carry broadcast hints.
     """
     walks = q_random_walks(spark, sf_dir)
     a = walks.select("start", F.col("step").alias("sa"), F.col("node").alias("na"))
@@ -1622,13 +1645,13 @@ def q_walk_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_tot = pairs.agg(F.sum("n_ab").alias("t_tot"))
     j = (
         pairs.join(
-            F.broadcast(occ.select(F.col("node").alias("node_a"),
-                                   F.col("n_occ").alias("occ_a"))),
+            occ.select(F.col("node").alias("node_a"),
+                       F.col("n_occ").alias("occ_a")),
             "node_a",
         )
         .join(
-            F.broadcast(occ.select(F.col("node").alias("node_b"),
-                                   F.col("n_occ").alias("occ_b"))),
+            occ.select(F.col("node").alias("node_b"),
+                       F.col("n_occ").alias("occ_b")),
             "node_b",
         )
         .crossJoin(F.broadcast(n_tot))  # 1-row scalar
@@ -2410,7 +2433,9 @@ WITH e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
 nodes AS (SELECT DISTINCT node
           FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 ranked AS (
-  SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS idx
+  SELECT node, CAST(row_number()
+                    OVER (ORDER BY node % {GQ_ID_SHARDS}, node) - 1
+                    AS BIGINT) AS idx
   FROM nodes
 ),
 nn AS (SELECT count(*) AS n FROM nodes),

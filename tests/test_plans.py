@@ -850,3 +850,19 @@ def test_shingle_pair_queries_prune_hot_postings_before_join(spark, qname):
     assert f"<= {SHINGLE_MAX_DF})" in plan  # Filter (df#N <= cap)
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_negative_sampling_shard_ranks_no_global_sort_no_v_broadcast(spark):
+    """The node rank table must be built with the two-pass shard-rank
+    device: the row_number window rides hashpartitioning(shard) —
+    never an unpartitioned Window.orderBy over every node (a single
+    sort task at 100 TB) — and the only SinglePartition exchange is
+    the GLOBAL_ID_SHARDS-row offsets carry. The |V|-sized rank table
+    must carry no forced broadcast hint (the idx join compiles as a
+    shuffle join statically; AQE may still broadcast when it fits)."""
+    from mapreduce_sssp_spark.operators import graph_queries as GQ
+
+    plan = plan_of(GQ.q_negative_sampling(spark, SF), "simple")
+    assert "hashpartitioning(shard" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "CartesianProduct" not in plan
