@@ -274,10 +274,42 @@ FIXPOINT_QUERIES = [
 ]
 
 # Round-6 record (BENCH_r06 / that round's BENCH_RESULTS.json): the
-# cross-round regression envelope. Totals are only comparable per-query
-# (query counts grow every round), so the assertion is
-# value_norm/n_queries <= 2x the r6 per-query figure.
+# legacy aggregate envelope over the HEADLINE subset, kept for
+# cross-round continuity of the long-benched set. Totals are only
+# comparable per-query (query counts grow every round), so the
+# assertion is value_norm/n_queries <= 2x the r6 per-query figure.
 ENVELOPE_REF = {"round": 6, "value_norm": 133.899, "n_queries": 105}
+
+# Since round 9 the PRIMARY envelope is per-query over the FULL
+# registry: BENCH_RECORD.json pins every query's round-8 normalized
+# time, so a regression in ANY of the 346 is caught, not just the
+# headline set (an aggregate average dilutes a single query's blow-up
+# across the whole denominator). A query regresses when its normalized
+# time exceeds 2x its record AND beats it by more than
+# ENVELOPE_ABS_FLOOR_SEC — the absolute floor keeps sub-second queries
+# from tripping the gate on scheduler jitter (a 0.1s -> 0.25s wobble is
+# noise; a 0.1s -> 1.5s jump is real). Queries without a record (new
+# this round) are reported as new records, never failures.
+ENVELOPE_ABS_FLOOR_SEC = 1.0
+
+
+def _load_records() -> dict[str, float]:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RECORD.json"
+    )
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return {
+            k: float(v)
+            for k, v in data.get("records", {}).items()
+            if isinstance(v, (int, float)) and v >= 0
+        }
+    except (OSError, ValueError):
+        return {}
+
+
+RECORDS = _load_records()
 
 # Queries sharing the checkpointed part co-occurrence graph
 # (graph_queries._part_cooccurrence_edges). The producer cost is paid
@@ -419,21 +451,63 @@ def main() -> None:
             }
         value_norm = round(total / host_speed_ratio, 3)
         envelope = None
-        # The envelope must compare like with like: compute it over the
-        # HEADLINE subset only (the set the r6 reference figure timed),
-        # even when the run covers the full registry — otherwise adding
-        # cheap queries would dilute the per-query average and mask a
-        # real regression in the long-benched set.
+        # Primary envelope: per-query vs the pinned r8 records, over
+        # EVERY timed query (subset "full"). See ENVELOPE_ABS_FLOOR_SEC.
+        if RECORDS and query_set in ("headline", "full"):
+            ratios = {}
+            regressions = {}
+            new_queries = []
+            for n, t in norm.items():
+                if t < 0:
+                    continue
+                rec = RECORDS.get(n)
+                if rec is None:
+                    new_queries.append(n)
+                    continue
+                r = t / rec if rec > 0 else float("inf")
+                ratios[n] = r
+                if t > 2 * rec and t > rec + ENVELOPE_ABS_FLOOR_SEC:
+                    regressions[n] = {
+                        "record": rec, "norm": t, "ratio": round(r, 3)
+                    }
+            agg = (
+                round(
+                    sum(min(r, 10.0) for r in ratios.values()) / len(ratios),
+                    4,
+                )
+                if ratios
+                else None
+            )
+            worst = sorted(
+                ratios.items(), key=lambda kv: kv[1], reverse=True
+            )[:5]
+            envelope = {
+                "ref_round": 8,
+                "subset": "full",
+                "n_with_record": len(ratios),
+                "n_new": len(new_queries),
+                # mean of per-query ratios, each capped at 10x so one
+                # sub-second outlier can't swamp the aggregate signal
+                "mean_ratio_capped": agg,
+                "worst": [
+                    {"query": n, "ratio": round(r, 3)} for n, r in worst
+                ],
+                "regressions": regressions,
+                "ok": not regressions,
+            }
+        # Legacy aggregate figure over the HEADLINE subset (vs the r6
+        # record) — kept for cross-round continuity.
         env_timings = (
             {n: t for n, t in timings.items() if n in set(HEADLINE)}
             if query_set in ("headline", "full")
             else {}
         )
+        headline_env = None
         if env_timings:
             env_total = sum(t for t in env_timings.values() if t >= 0)
             per_q = (env_total / host_speed_ratio) / len(env_timings)
             ref_per_q = ENVELOPE_REF["value_norm"] / ENVELOPE_REF["n_queries"]
-            envelope = {
+            headline_env = {
                 "ref_round": ENVELOPE_REF["round"],
                 "ref_value_norm_per_query": round(ref_per_q, 4),
                 "value_norm_per_query": round(per_q, 4),
@@ -442,6 +516,9 @@ def main() -> None:
                 "subset": "headline",
                 "n_queries": len(env_timings),
             }
+        if envelope is None:
+            envelope = headline_env
+            headline_env = None
         return {
             "metric": "total_query_wall_sec",
             "value": total,
@@ -473,9 +550,12 @@ def main() -> None:
             # — their per-round loop latency makes them the noisiest;
             # the headline `queries` stay min-of-passes.
             "fixpoint_median_sec": fixpoint_medians,
-            # Cross-round regression envelope: per-query value_norm
-            # must stay within 2x the round-6 record.
+            # Cross-round regression envelope: since r9, per-query
+            # norm vs the pinned r8 record (BENCH_RECORD.json) over the
+            # full registry; ok == zero per-query regressions.
             "envelope": envelope,
+            # Legacy r6 aggregate over the HEADLINE subset.
+            "headline_envelope": headline_env,
         }
 
     def flush_results(
@@ -622,12 +702,36 @@ def main() -> None:
 
     final = payload(timings, shared_prep, samples)
     env = final.get("envelope")
-    if env:
+    if env and env.get("subset") == "full":
+        print(
+            f"[bench] envelope vs r{env['ref_round']} records: "
+            f"{'PASS' if env['ok'] else 'FAIL'} "
+            f"({env['n_with_record']} queries, mean ratio "
+            f"{env['mean_ratio_capped']}, {len(env['regressions'])} "
+            f"regressions, {env['n_new']} new)",
+            file=sys.stderr,
+        )
+        for n, r in env["regressions"].items():
+            print(
+                f"[bench]   REGRESSION {n}: {r['norm']}s vs record "
+                f"{r['record']}s ({r['ratio']}x)",
+                file=sys.stderr,
+            )
+    elif env:
         print(
             f"[bench] envelope vs r{ENVELOPE_REF['round']}: "
             f"{'PASS' if env['ok'] else 'FAIL'} "
             f"(per-query value_norm {env['value_norm_per_query']} vs ref "
             f"{env['ref_value_norm_per_query']}, ratio {env['ratio']})",
+            file=sys.stderr,
+        )
+    henv = final.get("headline_envelope")
+    if henv:
+        print(
+            f"[bench] headline envelope vs r{ENVELOPE_REF['round']}: "
+            f"{'PASS' if henv['ok'] else 'FAIL'} "
+            f"(per-query value_norm {henv['value_norm_per_query']} vs ref "
+            f"{henv['ref_value_norm_per_query']}, ratio {henv['ratio']})",
             file=sys.stderr,
         )
     print(json.dumps(final), flush=True)

@@ -149,12 +149,24 @@ def _driver_history():
     return red, set(latest)
 
 
+# Never-checked entries to surface FIRST within the never-checked group:
+# the driver samples ~50/round in registry order, and these would
+# otherwise sit just past the window for another round (r8 verdict task:
+# approx_quantiles_verified is the last sketch query without a driver
+# row — once it lands, every registry entry is either hash-green or
+# rows-only-by-design with a green verified twin).
+_NEVER_PRIORITY = ["approx_quantiles_verified"]
+
+
 def _registry_order(names):
     red, checked = _driver_history()
     if checked is None:  # fallback: static r2-r3 snapshot
         red, checked = set(_RECHECK_FIRST), _DRIVER_CHECKED_R2_R3
     front = [n for n in names if n in red]
     never = [n for n in names if n not in checked and n not in red]
+    never = [n for n in _NEVER_PRIORITY if n in never] + [
+        n for n in never if n not in _NEVER_PRIORITY
+    ]
     green = [n for n in names if n in checked and n not in red]
     # Within each group, oracle-backed entries go first: a driver check of
     # a rows-only entry can only ever yield a weak rows-only row, so it
