@@ -258,12 +258,14 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shapes, per class: uniqueness is a groupBy-count-filter (partial
     agg, shuffle keyed on the PK); FK integrity is a LEFT ANTI join
-    against the distinct parent key set (the parent side is the small
-    one — broadcast; violations ship, matches don't); NOT NULL and
-    domain rules are scan-level conditional counts (one pass, zero
-    shuffle, all such rules fused into ONE aggregate). At 100 TB each
-    constraint stays in its cheapest class instead of a generic
-    rule-engine join; the union of 7 one-row frames is driver-trivial.
+    against the distinct parent key set as a plain key-keyed shuffle
+    join — no forced broadcast, because a parent can be fact-sized
+    (orders' key set at 100 TB is ~12 GB; AQE still broadcasts the
+    genuinely dim-sized parents at runtime); NOT NULL and domain rules
+    are scan-level conditional counts (one pass, zero shuffle, all
+    such rules fused into ONE aggregate). At 100 TB each constraint
+    stays in its cheapest class instead of a generic rule-engine join;
+    the union of 7 one-row frames is driver-trivial.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -302,7 +304,7 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             child.select(F.col(key).alias("k"))
             .filter(F.col(key).isNotNull())
             .join(
-                F.broadcast(parent.select(F.col(pkey).alias("k")).distinct()),
+                parent.select(F.col(pkey).alias("k")).distinct(),
                 "k",
                 "anti",
             )
