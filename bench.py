@@ -483,7 +483,9 @@ def main() -> None:
             )[:5]
             envelope = {
                 "ref_round": 8,
-                "subset": "full",
+                # reflects the run's coverage: "full" on the default
+                # whole-registry run, "headline" when subset-invoked
+                "subset": query_set,
                 "n_with_record": len(ratios),
                 "n_new": len(new_queries),
                 # mean of per-query ratios, each capped at 10x so one
