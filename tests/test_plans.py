@@ -866,3 +866,17 @@ def test_negative_sampling_shard_ranks_no_global_sort_no_v_broadcast(spark):
     assert "hashpartitioning(shard" in plan
     assert plan.count("Exchange SinglePartition") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_walk_pmi_only_scalar_broadcast_hints(spark):
+    """The |nodes|-sized occurrence table must join back WITHOUT a
+    forced broadcast (r8 verdict: a billion-node occ table cannot
+    ship to every executor; AQE may still broadcast at runtime when it
+    fits). The only broadcast hints allowed in the optimized logical
+    plan are the two 1-row scalar totals (n_occ_tot, t_tot)."""
+    from mapreduce_sssp_spark.operators import graph_queries as GQ
+
+    df = GQ.q_walk_pmi_pairs(spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("strategy=broadcast") <= 2, logical
+    spark.catalog.clearCache()
