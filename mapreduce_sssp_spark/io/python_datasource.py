@@ -95,6 +95,14 @@ class EdgeListReader(DataSourceReader):
                 end = min(start + self.split_bytes, size)
                 parts.append(_SplitPartition(f, start, end))
                 start = end
+        if not parts:
+            # Zero-byte input (or a dir of only metadata files): the
+            # Python DataSource API hands read() a None partition when
+            # partitions() is empty, so return one zero-range dummy —
+            # read() yields nothing for an empty range.
+            parts.append(
+                _SplitPartition(files[0] if files else self.path, 0, 0)
+            )
         return parts
 
     def read(self, partition):
@@ -108,6 +116,8 @@ class EdgeListReader(DataSourceReader):
         then reads whole lines while the line's starting offset is
         <= end. Every line is read exactly once across splits.
         """
+        if partition.end <= partition.start:
+            return  # zero-range dummy for empty inputs: no rows
         with open(partition.path, "rb") as fh:
             fh.seek(partition.start)
             if partition.start > 0:

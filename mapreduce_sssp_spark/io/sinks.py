@@ -297,7 +297,13 @@ def q_sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(compact)
     after = parquet_files(compact)
-    assert len(before) > len(after), (len(before), len(after))
+    # The shrink pin is the point of the demo on any real data; a
+    # degenerate (empty) input fragments to <= 1 data file and cannot
+    # shrink further — vacuous, not a failure.
+    assert len(before) > len(after) or len(before) <= 1, (
+        len(before),
+        len(after),
+    )
     back = spark.read.parquet(compact)
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),

@@ -41,10 +41,20 @@ from ..io.sources import (
 from .scale_patterns import GLOBAL_ID_SHARDS as GQ_ID_SHARDS
 
 
+def _min_source(edges: DataFrame, default: int = 0) -> int:
+    """Deterministic seed election: min src — a bounded driver scalar
+    (ONE aggregate row, never data-sized). On an EMPTY edge table the
+    min is NULL; return ``default`` instead of crashing driver-side
+    (int(None) was the empty-input TypeError class) — every downstream
+    fixpoint already maps (empty edges, any source) to a typed empty
+    result, so the default never changes a non-degenerate answer."""
+    v = edges.agg(F.min("src")).collect()[0][0]
+    return default if v is None else int(v)
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges_from_lineitem(spark, sf_dir)
-    source = edges.agg(F.min("src")).collect()[0][0]
-    return sssp(edges, int(source))
+    return sssp(edges, _min_source(edges))
 
 
 # Converged DAG-SSSP shared by q_sssp_dag and q_compat_final_lines: a
@@ -72,7 +82,7 @@ def _sssp_dag_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _DAG_STATE_MEMO.get(key)
     if df is None:
         edges = edges_order_chain(spark, sf_dir)
-        source = int(edges.agg(F.min("src")).collect()[0][0])
+        source = _min_source(edges)
         df = sssp(edges, source).checkpoint()
         if len(_DAG_STATE_MEMO) > 8:  # bound growth across many sessions
             _DAG_STATE_MEMO.clear()
@@ -103,7 +113,7 @@ def q_longest_path_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = edges_order_chain(spark, sf_dir)
     # Bounded driver scalar, same source election as _sssp_dag_converged.
-    source = int(edges.agg(F.min("src")).collect()[0][0])
+    source = _min_source(edges)
     neg = edges.withColumn("weight", -F.col("weight"))
     st = sssp(neg, source, native_nulls=True)
     return st.filter(F.col("dist").isNotNull()).select(
@@ -370,7 +380,7 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = _sssp_dag_converged(spark, sf_dir)
     edges = edges_order_chain(spark, sf_dir)
-    source = int(edges.agg(F.min("src")).collect()[0][0])
+    source = _min_source(edges)
     ec = edges.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
     reach = st.filter(F.col("dist") < 65535.0).select("node", "dist")
     du = reach.select(F.col("node").alias("u"), F.col("dist").alias("d_u"))
@@ -1190,7 +1200,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.pagerank import pagerank
 
     edges = edges_from_lineitem(spark, sf_dir)
-    source = int(edges.agg(F.min("src")).collect()[0][0])
+    source = _min_source(edges)
     ranks = pagerank(edges.select("src", "dst"), iterations=6, source=source)
     return ranks.select(
         "node", F.round(F.col("rank") * 1e9, 0).cast("long").alias("rank_e9")
@@ -1404,18 +1414,22 @@ def q_graph_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("weight", F.lit(1.0))
     )
-    src0 = int(und.agg(F.min("src")).collect()[0][0])
+    src0 = _min_source(und)
+    out_schema = "sweep_start long, far_a long, far_b long, est_diameter double"
     # native_nulls + isNotNull: unreachable nodes must not win the
     # argmax (the compat 65535.0 sentinel would).
     d1 = sssp(und, src0, native_nulls=True).filter(F.col("dist").isNotNull())
-    far_a = d1.orderBy(F.col("dist").desc(), "node").limit(1).collect()[0]
+    far_a_rows = d1.orderBy(F.col("dist").desc(), "node").limit(1).collect()
+    if not far_a_rows:  # empty graph: no sweep to run, typed empty result
+        return spark.createDataFrame([], out_schema)
+    far_a = far_a_rows[0]
     d2 = sssp(und, int(far_a.node), native_nulls=True).filter(
         F.col("dist").isNotNull()
     )
     far_b = d2.orderBy(F.col("dist").desc(), "node").limit(1).collect()[0]
     return spark.createDataFrame(
         [(src0, int(far_a.node), int(far_b.node), float(far_b.dist))],
-        "sweep_start long, far_a long, far_b long, est_diameter double",
+        out_schema,
     )
 
 
@@ -1820,7 +1834,7 @@ def q_compat_state_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     (grammar ``nodeId<SP>dist|dst:w,...|Y-or-N``, SingleSourceSP.java:114-121,
     140-145): source seeded 0.0/Y, everything else sentinel/N."""
     edges = edges_from_lineitem(spark, sf_dir)
-    source = int(edges.agg(F.min("src")).collect()[0][0])
+    source = _min_source(edges)
     adj = adjacency_list(edges)
     state = adj.select(
         "node",

@@ -308,7 +308,11 @@ def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("split")
         .parquet(path)
     )
-    back = spark.read.parquet(path)
+    # Explicit schema on the read-back: an empty corpus writes zero
+    # part files (only _SUCCESS), which leaves nothing to infer from;
+    # the schema includes the partition column, which Spark fills from
+    # the directory names when shards exist.
+    back = spark.read.schema(assigned.schema).parquet(path)
     return back.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),

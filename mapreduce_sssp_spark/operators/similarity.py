@@ -949,7 +949,10 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees unconditionally.
     """
     vec = _vectors(spark, sf_dir)
-    dim = len(vec.select("v").first()[0])
+    first = vec.select("v").first()  # 1-row driver probe for the dim
+    if first is None:  # empty embeddings: typed empty result, no crash
+        return spark.createDataFrame([], "j int, w_q long, loading double")
+    dim = len(first[0])
     v = [1.0] * dim
     w = None
     for _ in range(PCA_ROUNDS):

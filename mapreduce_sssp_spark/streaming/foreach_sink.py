@@ -74,6 +74,12 @@ def q_streaming_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    if not os.path.isdir(out_dir):
+        # Zero micro-batches ran (empty source): foreachBatch never
+        # created the partials dir — typed empty result, no crash.
+        return spark.createDataFrame(
+            [], "event_type string, n bigint, sum_value double"
+        )
     partials = spark.read.parquet(out_dir)
     return partials.groupBy("event_type").agg(
         F.sum("n").alias("n"),
@@ -118,7 +124,13 @@ def q_streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    if not os.path.isdir(out_dir):
+        # Zero micro-batches (empty source): the file sink never
+        # materialized — same typed-empty contract as the batch ops.
+        return spark.createDataFrame([], ev.schema)
+    # Explicit schema: a sink dir whose only content is _spark_metadata
+    # (all batches empty) has nothing to infer from.
+    return spark.read.schema(ev.schema).parquet(out_dir)
 
 
 QUERIES = {
