@@ -48,7 +48,10 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders_by_status",
     )
     write_partitioned(orders, path, "o_orderstatus")
-    back = spark.read.parquet(path)
+    # Explicit schema (partition column included — Spark fills it from
+    # the directory names): an empty source writes zero part files,
+    # which leaves nothing to infer from.
+    back = spark.read.schema(orders.schema).parquet(path)
     return (
         back.groupBy("o_orderstatus")
         .agg(

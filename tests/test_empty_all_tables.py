@@ -36,6 +36,7 @@ FIXED = [
     "streaming_parquet_sink",
     "export_training_shards",
     "sink_compaction_roundtrip",
+    "sink_partitioned_roundtrip",
     "pyds_edges_roundtrip",
     "pyds_edges_writer_roundtrip",
 ]
