@@ -2881,7 +2881,10 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             baseline,
             baseline - diffs[c],
             diffs[c],
-            diffs[c] / baseline,
+            # baseline == 0 iff no journey converts at all (degenerate
+            # corpora): the removal effect is undefined, same NULL
+            # posture as the zero-sum share below
+            (diffs[c] / baseline) if baseline else None,
             (diffs[c] / sum_diff) if sum_diff else None,
         )
         for c in states

@@ -77,3 +77,26 @@ def test_streaming_demo_guards_fail_loudly_on_empty(
     with pytest.raises(AssertionError, match=GUARDED[qname]):
         QUERIES[qname](spark, all_empty_dir).count()
     spark.catalog.clearCache()
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("onerow")
+    for t in TABLES:
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(
+            1
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_markov_attribution_survives_single_event(spark, one_row_dir):
+    """One event -> no journey ever converts -> baseline 0: the removal
+    effect is undefined (NULL), not a ZeroDivisionError (found by the
+    r9 singleton sweep — the only crash among 346 queries)."""
+    from mapreduce_sssp_spark.queries_registry import QUERIES
+
+    out = QUERIES["markov_attribution"](spark, one_row_dir)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].removal_effect is None
+    spark.catalog.clearCache()
