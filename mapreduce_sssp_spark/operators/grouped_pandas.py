@@ -155,12 +155,19 @@ def _merge_user(key: tuple, orders: pd.DataFrame, events: pd.DataFrame) -> pd.Da
     cent = Decimal("0.01")
     # Exact decimal accumulation mirrors the oracle's DECIMAL sums — no
     # float-order sensitivity.
+    # .dropna(): SQL SUM skips NULLs, so the pandas fold must too (a
+    # NULL value arrives as NaN, and Decimal(NaN).quantize crashes).
+    # Row counts below stay len() — count(*) includes NULL-value rows.
     o_sum = sum(
-        (Decimal(float(v)).quantize(cent) for v in orders["o_totalprice"]),
+        (
+            Decimal(float(v)).quantize(cent)
+            for v in orders["o_totalprice"].dropna()
+        ),
         Decimal(0),
     )
     e_sum = sum(
-        (Decimal(float(v)).quantize(cent) for v in events["value"]), Decimal(0)
+        (Decimal(float(v)).quantize(cent) for v in events["value"].dropna()),
+        Decimal(0),
     )
     return pd.DataFrame(
         {
@@ -184,10 +191,19 @@ def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: both sides shuffle once on the key; per-key state is one
     user's rows on each side — the same bound as a regular cogroup join.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    # NULL keys are not users: dropped BEFORE the cogroup (the handler
+    # materializes int(key), which a NULL group would NaN-crash), with
+    # the same WHERE in the oracle's group-bys.
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+        .filter(F.col("user_id").isNotNull())
     )
-    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .filter(F.col("user_id").isNotNull())
+    )
     # Pre-hash-partition both sides on the key (the bounded-fleet pattern
     # used by every applyInPandas entry here): the cogroup exchange is
     # satisfied by the existing layout, so the Python worker fleet is 8
@@ -233,12 +249,12 @@ ORACLE = {
 WITH o AS (
   SELECT o_custkey AS user_id, count(*) AS n_orders,
          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS o_sum
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 ),
 e AS (
   SELECT user_id, count(*) AS n_events,
          SUM(CAST(value AS DECIMAL(18,2))) AS e_sum
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 )
 SELECT coalesce(o.user_id, e.user_id) AS user_id,
        CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,

@@ -87,8 +87,16 @@ def _fake_decode(content: bytes) -> dict:
 
 
 def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, content binary, meta struct<mime,n_bytes>)."""
-    docs = load_parallel(spark, sf_dir, "documents")
+    """documents -> (doc_id, content binary, meta struct<mime,n_bytes>).
+
+    NULL-text rows (normal in web corpora) carry no payload and are
+    dropped at ingest — a NULL content cell would otherwise reach the
+    pandas decode UDFs as None and crash len()/indexing mid-batch.
+    Mirrored in the three multimodal oracles (WHERE text IS NOT NULL).
+    """
+    docs = load_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("content"),
@@ -457,6 +465,7 @@ SELECT doc_id,
        CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
        'text/plain' AS mime
 FROM documents
+WHERE text IS NOT NULL
 """,
     "multimodal_resize": f"""
 SELECT doc_id,
@@ -467,6 +476,7 @@ SELECT doc_id,
        CASE WHEN strlen(text) > 0 THEN CAST(ascii(substr(text, 1, 1)) AS INT)
             ELSE -1 END AS out_head
 FROM documents
+WHERE text IS NOT NULL
 """,
     "multimodal_frames": f"""
 SELECT doc_id,
@@ -479,6 +489,7 @@ FROM (
            UNNEST(range(0, CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT),
                         {FRAME_STEP})) AS f
     FROM documents
+    WHERE text IS NOT NULL
 )
 """,
 }

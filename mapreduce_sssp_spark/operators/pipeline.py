@@ -52,9 +52,14 @@ def _quality_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup survivors, (doc_id, source, text, n_tokens), cached under the
     core-count clamp (see q_pipeline_clean_corpus notes)."""
     docs = load_parallel(spark, sf_dir, "documents")
+    # Zero-token documents (empty/NULL text — normal in web corpora)
+    # are dropped BEFORE the ratio divisions, which would otherwise
+    # throw under ANSI mode and kill the whole pipeline; an empty doc
+    # could never pass the quality gate anyway. Mirrored in both
+    # pipeline oracles' comp CTEs.
     t = docs.select(
         "doc_id", "source", "text", F.expr(TOKENS_EXPR).alias("toks")
-    )
+    ).filter(F.size("toks") > 0)
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     comp = t.select(
         "doc_id",
@@ -225,6 +230,7 @@ comp AS (
          CAST(CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0 ELSE 0.0 END
               AS DOUBLE) AS len_ok
   FROM t
+  WHERE len(toks) > 0
 ),
 qok AS (
   SELECT doc_id, source, text, n_tokens
@@ -281,6 +287,7 @@ comp AS (
          CAST(CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0 ELSE 0.0 END
               AS DOUBLE) AS len_ok
   FROM t
+  WHERE len(toks) > 0
 ),
 qok AS (
   SELECT doc_id, source, text

@@ -158,11 +158,20 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(_MIX_REMAINDER) / F.col("n_unlisted"),
     )
+    # A source whose char mass is zero (all-empty docs — normal in web
+    # corpora) has no share to rebalance: keep-all instead of dividing
+    # by zero, which throws under ANSI mode. Same CASE shape in the
+    # oracle so the double stays bit-identical.
     rates = per_src.crossJoin(F.broadcast(totals)).select(
         "source",
-        F.least(
-            F.lit(1.0), share * F.col("total_chars") / F.col("chars_s")
-        ).alias("rate"),
+        F.when(
+            F.col("chars_s") > 0,
+            F.least(
+                F.lit(1.0), share * F.col("total_chars") / F.col("chars_s")
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("rate"),
     )
     return (
         docs.join(F.broadcast(rates), "source")
@@ -589,8 +598,13 @@ def length_buckets(docs: DataFrame) -> DataFrame:
         F.expr(f"size({TOKENS_EXPR})").alias("n_tokens")
     ).select(
         "n_tokens",
+        # get(), not [0]: a NULL-text doc (NULL n_tokens) or one longer
+        # than the top rung filters to an empty ladder, where [0]
+        # throws under ANSI; get() yields a NULL bucket, matching
+        # DuckDB's out-of-bounds list semantics — such docs surface as
+        # a visible NULL-bucket row instead of killing the job.
         F.expr(
-            f"filter(array({ladder}), b -> b >= n_tokens)[0]"
+            f"get(filter(array({ladder}), b -> b >= n_tokens), 0)"
         ).alias("bucket"),
     )
     return t.groupBy("bucket").agg(
@@ -786,10 +800,12 @@ totals AS (
 ),
 rates AS (
   SELECT source,
-         least(CAST(1.0 AS DOUBLE),
-               (CASE {" ".join(f"WHEN source = '{s}' THEN CAST({w!r} AS DOUBLE)" for s, w in _MIX_TARGETS.items())}
-                     ELSE CAST({_MIX_REMAINDER!r} AS DOUBLE) / n_unlisted END)
-               * total_chars / chars_s) AS rate
+         CASE WHEN chars_s > 0 THEN
+           least(CAST(1.0 AS DOUBLE),
+                 (CASE {" ".join(f"WHEN source = '{s}' THEN CAST({w!r} AS DOUBLE)" for s, w in _MIX_TARGETS.items())}
+                       ELSE CAST({_MIX_REMAINDER!r} AS DOUBLE) / n_unlisted END)
+                 * total_chars / chars_s)
+         ELSE CAST(1.0 AS DOUBLE) END AS rate
   FROM per_src, totals
 )
 SELECT doc_id, source, lang, n_chars

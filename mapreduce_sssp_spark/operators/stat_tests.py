@@ -540,7 +540,11 @@ def _stopword_score(docs: DataFrame) -> DataFrame:
     from .text_analysis import STOPWORDS
 
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    return docs.select(
+    # Zero-token documents (empty/NULL text — normal in web corpora)
+    # have no defined score: filtered BEFORE the division, which would
+    # otherwise throw under ANSI mode and kill the whole job. Mirrored
+    # in _SCORE_REL's WHERE.
+    return docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")).select(
         "doc_id",
         (
             F.expr(f"size(filter({TOKENS_EXPR}, x -> x IN ({en})))")
@@ -765,6 +769,7 @@ scored AS (
            / len({DUCK_TOKENS}) AS score,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
   FROM documents
+  WHERE len({DUCK_TOKENS}) > 0
 )
 """
 
