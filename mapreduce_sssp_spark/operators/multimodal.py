@@ -14,7 +14,10 @@ decode with zero plan change.
 The driver testdata has no binary table, so ``multimodal_features``
 derives one deterministically: content = utf-8 bytes of documents.text
 with a typed metadata struct — letting the DuckDB oracle verify the
-whole mapInPandas path via octet_length arithmetic.
+whole mapInPandas path via octet_length arithmetic. The oracles' head
+bytes use char-indexed ascii(substr(...)), which equals the engine's
+byte indexing only while the corpus is ASCII (true of the testdata by
+construction); a multibyte corpus needs blob-indexed twins.
 
 At 100 TB: binary payloads ride in parquet pages; mapInPandas streams
 Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch bounds peak

@@ -2610,21 +2610,26 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM tok LEFT JOIN vocab v USING (token)
 GROUP BY doc_id
 """,
+    # length(), not strlen(): Spark's length() counts CHARACTERS and
+    # both engines' substr() is character-indexed, so the DuckDB twin
+    # must use the char-based length() too — strlen() is bytes and
+    # silently diverges on any multibyte corpus (identical on the
+    # ASCII testdata, which is why a hash check alone can't catch it).
     "rolling_fingerprint": f"""
 SELECT doc_id,
-       CASE WHEN strlen(text) >= {RH_K} THEN
+       CASE WHEN length(text) >= {RH_K} THEN
          list_min([
             list_reduce([CAST(ascii(substr(text, i + j, 1)) AS BIGINT)
                          for j in range(1, {RH_K} + 1)],
                         (a, b) -> (a * {RH_B} + b) % {RH_M})
-            for i in range(0, strlen(text) - {RH_K} + 1)])
+            for i in range(0, length(text) - {RH_K} + 1)])
        END AS winnow_min,
-       CASE WHEN strlen(text) > 0 THEN
+       CASE WHEN length(text) > 0 THEN
          list_reduce([CAST(ascii(substr(text, j, 1)) AS BIGINT)
-                      for j in range(1, strlen(text) + 1)],
+                      for j in range(1, length(text) + 1)],
                      (a, b) -> (a * {RH_B} + b) % {RH_M})
        END AS content_hash,
-       greatest(strlen(text) - {RH_K - 1}, 0) AS n_windows
+       greatest(length(text) - {RH_K - 1}, 0) AS n_windows
 FROM documents
 """,
 }

@@ -77,3 +77,42 @@ def test_length_buckets_null_text_lands_in_null_bucket(spark, poison_dir):
     rows = QUERIES["length_buckets"](spark, poison_dir).collect()
     assert any(r.bucket is None for r in rows)
     spark.catalog.clearCache()
+
+
+def test_rolling_fingerprint_multibyte_parity(spark, tmp_path):
+    """Spark length()/substring() are CHARACTER-based; the DuckDB twin
+    must be too (length(), not byte-wise strlen()) or any multibyte
+    corpus silently diverges — invisible to the ASCII-testdata hash
+    check, so pinned here on genuinely multibyte text."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld ünïcode — teşt çöntent ğüzel"),
+            (2, "日本語のテキストです、これは指紋テスト"),
+            (3, "plain ascii control row for the same path"),
+        ],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id", "text", "'xx' AS lang", "'srcU' AS source",
+        "cast(length(text) AS long) AS n_chars",
+    )
+    d = tmp_path / "mb"
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    from mapreduce_sssp_spark.operators.text_analysis import ORACLE
+    from mapreduce_sssp_spark.queries_registry import QUERIES
+
+    got = {
+        (r.doc_id, r.winnow_min, r.content_hash, r.n_windows)
+        for r in QUERIES["rolling_fingerprint"](spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = set(map(tuple, con.execute(ORACLE["rolling_fingerprint"]).fetchall()))
+    assert got == want
+    spark.catalog.clearCache()
