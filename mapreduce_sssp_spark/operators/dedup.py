@@ -222,12 +222,37 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+
+# Max docs per LSH band bucket kept in candidate generation. Band hashes
+# of DISTINCT signatures spread uniformly, but b documents with the SAME
+# signature (boilerplate mirrors, near-identical template pages) land in
+# one bucket in EVERY band and generate b^2 candidate pairs — the same
+# quadratic the shingle family's SHINGLE_MAX_DF closes, one level up.
+# Buckets above the cap are dropped from candidate generation: the pair
+# OUTPUT for such a cluster is itself Theta(b^2), so no generator can
+# keep it and scale — production pipelines run exact dedup FIRST
+# (pipeline_clean_corpus's stage order), which collapses identical docs
+# before LSH ever sees them, and cluster-level survivors (not pair
+# lists) are the deliverable for what remains. Never binds at test
+# scale (max observed bucket: 4 at sf0.1), so results there equal the
+# uncapped generator and the exact-jaccard oracle contract holds.
+LSH_MAX_BUCKET = 400
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band hash.
 
-    Docs are grouped by (band_id, band_hash); only same-bucket docs join.
-    At 100 TB the bucket join is the only shuffle and is keyed by a
-    64-bit hash — uniform by construction, no skew.
+    Docs are grouped by (band_id, band_hash); only same-bucket docs
+    join, and buckets larger than ``max_bucket`` are dropped BEFORE the
+    self-join (see LSH_MAX_BUCKET), bounding per-bucket fan-out at
+    cap^2. At 100 TB the bucket join is the only shuffle, keyed by a
+    64-bit hash — uniform across DISTINCT signatures; the cap is the
+    rail for identical-signature clusters, which no hash can spread.
     """
     banded = sigs.select(
         "doc_id",
@@ -238,8 +263,15 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH
             )
         ).alias("band_id", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    kept = banded.join(
+        sizes.filter(F.col("bucket_n") <= max_bucket),
+        ["band_id", "band_hash"],
+    ).select("doc_id", "band_id", "band_hash")
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
         a.join(
             b,

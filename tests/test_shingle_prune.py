@@ -112,3 +112,27 @@ def test_containment_matches_oracle_on_hot_fixture(spark, hot_dir):
     }
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_lsh_bucket_cap_bounds_identical_signature_clusters(spark):
+    """b documents with the SAME minhash signature land in one bucket in
+    every band and would generate b^2 candidates; buckets above
+    max_bucket must be dropped BEFORE the pair self-join, while
+    small-bucket (genuine near-dup) candidates survive."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.operators.dedup import lsh_candidate_pairs
+
+    # 8 docs share signature [1,1,...]; 2 docs share signature [2,2,...].
+    sig_len = 64
+    rows = [(i, [1] * sig_len) for i in range(8)]
+    rows += [(100, [2] * sig_len), (101, [2] * sig_len)]
+    sigs = spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+    capped = lsh_candidate_pairs(sigs, max_bucket=4)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # The 8-doc cluster (bucket size 8 > 4) is dropped; the pair survives.
+    assert got == {(100, 101)}
+    # Uncapped default keeps everything (cap never binds at test scale).
+    full = lsh_candidate_pairs(sigs)
+    assert full.count() == 8 * 7 // 2 + 1
+    spark.catalog.clearCache()
