@@ -52,6 +52,27 @@ def _min_source(edges: DataFrame, default: int = 0) -> int:
     return default if v is None else int(v)
 
 
+def _cache(df: DataFrame) -> DataFrame:
+    """Short-lived cache for an edge/incidence subtree referenced by
+    several plan branches (the dedup._cache / similarity._cache device):
+    exchange reuse is unreliable for self-join shapes under AQE, so
+    without it the scan + distinct chain runs once per branch — measured
+    1.4-2x whole-query overhead on the two_hop/bipartite/negative_sampling
+    family at sf0.1. A few MB per query; entries die with the session.
+
+    Registered under the core-count shuffle-partition clamp: cached plans
+    compile their exchanges at persist() time and are exempt from AQE
+    coalescing, so on a stock 200-partition session every cached-subtree
+    stage would otherwise launch 200 tasks regardless of data size
+    (asserted in tests/test_cache_clamp.py)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..graph.sssp import static_rounds
+
+    with static_rounds(df.sparkSession):  # clamp = defaultParallelism
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges_from_lineitem(spark, sf_dir)
     return sssp(edges, _min_source(edges))
@@ -310,7 +331,7 @@ def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles residual heat. Degrees broadcast back onto the pair
     aggregate, corpus-sized data shuffles once.
     """
-    inc = (
+    inc = _cache(
         load_table(spark, sf_dir, "lineitem")
         .select(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
@@ -624,7 +645,7 @@ def q_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard FoF truncation) and AQE skew-split handles the rest; the
     uncapped version here is the exact semantics the oracle can check.
     """
-    e = (
+    e = _cache(
         edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
     )
     a, b = e.alias("a"), e.alias("b")
@@ -705,7 +726,7 @@ def q_two_hop_paths_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumed broadcastable) keyed on the same column as the path
     self-join, so it rides the identical shuffle partitioning.
     """
-    e = (
+    e = _cache(
         edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
     )
     outd = e.groupBy(F.col("src").alias("mid")).agg(
@@ -770,7 +791,7 @@ def q_bipartite_projection_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     _permille_cap: exact integer order statistic, hash-checkable
     against the same-threshold SQL twin.
     """
-    inc = (
+    inc = _cache(
         load_table(spark, sf_dir, "lineitem")
         .select(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
@@ -1035,7 +1056,9 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    e = _cache(
+        edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -1159,7 +1182,9 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     list — each join keyed on an endpoint, so the edge table shuffles
     twice and nothing else moves.
     """
-    e = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    e = _cache(
+        edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    )
     outd = e.groupBy("src").agg(F.count("*").alias("x"))
     ind = e.groupBy("dst").agg(F.count("*").alias("y"))
     pairs = e.join(outd, "src").join(ind, "dst")
@@ -2071,10 +2096,15 @@ def q_wl_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged if a power-law graph needs it.
     """
     e = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
-    nbr = e.select(
-        F.col("src").alias("node"), F.col("dst").alias("nbr")
-    ).unionAll(
-        e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    # nbr feeds the degree aggregate AND every WL round's neighbor join
+    # (WL_ROUNDS + 1 plan branches) — cache or the scan + distinct +
+    # union chain replays once per round.
+    nbr = _cache(
+        e.select(
+            F.col("src").alias("node"), F.col("dst").alias("nbr")
+        ).unionAll(
+            e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
     )
     deg = nbr.groupBy("node").agg(F.count("*").alias("degree"))
     lbl = deg.select("node", "degree", F.col("degree").cast("string").alias("lbl"))

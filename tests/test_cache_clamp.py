@@ -61,6 +61,28 @@ def test_similarity_cache_ignores_stock_200(spark):
     spark.catalog.clearCache()
 
 
+def test_graph_query_edge_caches_ignore_stock_200(spark):
+    """The r9 multi-branch edge/incidence caches (two_hop/bipartite/
+    negative_sampling/wl_relabel) must engage AND compile under the
+    clamp, not at a stock session's 200 shuffle partitions."""
+    from mapreduce_sssp_spark.operators.graph_queries import (
+        q_two_hop_paths_capped,
+        q_wl_relabel,
+    )
+
+    with stock_conf(spark):
+        for q in (q_two_hop_paths_capped, q_wl_relabel):
+            assert q(spark, SF_SMOKE).count() > 0
+    jsc = spark.sparkContext._jsc.sc()
+    infos = jsc.getRDDStorageInfo()
+    assert infos, "expected the edge/nbr subtrees to be persisted"
+    for info in infos:
+        assert info.numPartitions() < 200, (
+            f"cached RDD {info.name()} compiled at stock 200 partitions"
+        )
+    spark.catalog.clearCache()
+
+
 def test_sssp_prelude_caches_ignore_stock_200(spark):
     from mapreduce_sssp_spark.graph.sssp import sssp
 
