@@ -254,6 +254,8 @@ def lsh_candidate_pairs(
     64-bit hash — uniform across DISTINCT signatures; the cap is the
     rail for identical-signature clusters, which no hash can spread.
     """
+    from pyspark.sql import Window
+
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -263,13 +265,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    sizes = banded.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_n")
+    # Bucket size as a window count over the band key (ONE exchange on
+    # the same key the self-join shuffles on — no second aggregate+join
+    # pass over `banded`), cached because both self-join legs read it.
+    w_bucket = Window.partitionBy("band_id", "band_hash")
+    kept = _cache(
+        banded.withColumn("bucket_n", F.count("*").over(w_bucket))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select("doc_id", "band_id", "band_hash")
     )
-    kept = banded.join(
-        sizes.filter(F.col("bucket_n") <= max_bucket),
-        ["band_id", "band_hash"],
-    ).select("doc_id", "band_id", "band_hash")
     a = kept.alias("a")
     b = kept.alias("b")
     return (
@@ -678,7 +682,9 @@ def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared *discriminative* content, which is exactly what survives the
     cap.
     """
-    d = (
+    # (source, shingle) feeds THREE branches (vocab agg + both self-join
+    # legs) — cache it or the doc-source join + distinct replays per leg.
+    d = _cache(
         _pruned_postings(spark, sf_dir)
         .join(
             load_table(spark, sf_dir, "documents").select(
