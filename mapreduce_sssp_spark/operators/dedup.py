@@ -786,7 +786,9 @@ def q_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    pairs = (
+    # pairs feeds THREE branches (both docs_in union legs + the final
+    # signature join) and is the expensive self-join + aggregate; cache.
+    pairs = _cache(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -815,7 +817,8 @@ def q_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"h{i}")
         for i in range(MINHASH_ERR_K)
     ]
-    sig = post_f.groupBy("doc_id").agg(*aggs)
+    # sig (k x md5 min-aggs) feeds both sides of the signature join.
+    sig = _cache(post_f.groupBy("doc_id").agg(*aggs))
     sig_a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(MINHASH_ERR_K)],
