@@ -53,12 +53,18 @@ def _min_source(edges: DataFrame, default: int = 0) -> int:
 
 
 def _cache(df: DataFrame) -> DataFrame:
-    """Short-lived cache for an edge/incidence subtree referenced by
-    several plan branches (the dedup._cache / similarity._cache device):
-    exchange reuse is unreliable for self-join shapes under AQE, so
-    without it the scan + distinct chain runs once per branch — measured
-    1.4-2x whole-query overhead on the two_hop/bipartite/negative_sampling
-    family at sf0.1. A few MB per query; entries die with the session.
+    """Short-lived cache for an edge/incidence subtree that feeds a
+    SELF-JOIN (the dedup._cache / similarity._cache device): exchange
+    reuse is unreliable for self-join shapes under AQE, so without it
+    the scan + distinct chain runs once per join leg — measured 0.75x
+    (two_hop_paths) to 0.44x (minhash pair audit) whole-query time at
+    sf0.1. Cache ONLY those shapes: for subtrees whose branches are
+    distinct aggregates/joins (wl_relabel's nbr, negative_sampling's
+    edge set, the capped bipartite incidence) AQE exchange reuse already
+    shares the work and an explicit persist measured ~2x SLOWER
+    (min-of-3 interleaved A/B at sf0.1) — materialization cost plus the
+    loss of AQE replanning inside the cached subtree dominate. A few MB
+    per query; entries die with the session.
 
     Registered under the core-count shuffle-partition clamp: cached plans
     compile their exchanges at persist() time and are exempt from AQE
@@ -791,7 +797,11 @@ def q_bipartite_projection_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     _permille_cap: exact integer order statistic, hash-checkable
     against the same-threshold SQL twin.
     """
-    inc = _cache(
+    # NOT cached (unlike the uncapped twin): here the pair self-join runs
+    # over the semi-joined `kept`, not `inc` itself — inc's branches are
+    # aggregates, which AQE exchange reuse already shares (persist
+    # measured 2.2x slower, min-of-3 at sf0.1).
+    inc = (
         load_table(spark, sf_dir, "lineitem")
         .select(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
@@ -1056,9 +1066,7 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = _cache(
-        edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
-    )
+    e = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -1182,9 +1190,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     list — each join keyed on an endpoint, so the edge table shuffles
     twice and nothing else moves.
     """
-    e = _cache(
-        edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
-    )
+    e = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
     outd = e.groupBy("src").agg(F.count("*").alias("x"))
     ind = e.groupBy("dst").agg(F.count("*").alias("y"))
     pairs = e.join(outd, "src").join(ind, "dst")
@@ -2096,15 +2102,15 @@ def q_wl_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged if a power-law graph needs it.
     """
     e = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
-    # nbr feeds the degree aggregate AND every WL round's neighbor join
-    # (WL_ROUNDS + 1 plan branches) — cache or the scan + distinct +
-    # union chain replays once per round.
-    nbr = _cache(
-        e.select(
-            F.col("src").alias("node"), F.col("dst").alias("nbr")
-        ).unionAll(
-            e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
-        )
+    # nbr feeds the degree aggregate and every WL round's neighbor join,
+    # but all consumers are distinct-branch joins/aggregates — AQE
+    # exchange reuse shares them, and an explicit persist measured 2.4x
+    # SLOWER (min-of-3 at sf0.1). Cache only true self-join subtrees
+    # (see _cache).
+    nbr = e.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).unionAll(
+        e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
     )
     deg = nbr.groupBy("node").agg(F.count("*").alias("degree"))
     lbl = deg.select("node", "degree", F.col("degree").cast("string").alias("lbl"))

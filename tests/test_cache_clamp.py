@@ -62,16 +62,16 @@ def test_similarity_cache_ignores_stock_200(spark):
 
 
 def test_graph_query_edge_caches_ignore_stock_200(spark):
-    """The r9 multi-branch edge/incidence caches (two_hop/bipartite/
-    negative_sampling/wl_relabel) must engage AND compile under the
-    clamp, not at a stock session's 200 shuffle partitions."""
+    """The r9 self-join edge/incidence caches (two_hop pair,
+    bipartite_projection) must engage AND compile under the clamp, not
+    at a stock session's 200 shuffle partitions."""
     from mapreduce_sssp_spark.operators.graph_queries import (
+        q_bipartite_projection,
         q_two_hop_paths_capped,
-        q_wl_relabel,
     )
 
     with stock_conf(spark):
-        for q in (q_two_hop_paths_capped, q_wl_relabel):
+        for q in (q_two_hop_paths_capped, q_bipartite_projection):
             assert q(spark, SF_SMOKE).count() > 0
     jsc = spark.sparkContext._jsc.sc()
     infos = jsc.getRDDStorageInfo()
