@@ -725,6 +725,44 @@ def main() -> None:
         for name in fixpoints:
             run_one(name, queries[name], passes + 1)
 
+    # Regression re-trial: a query can fail the envelope because BOTH
+    # main passes landed on the same external load burst (observed:
+    # untouched multimodal_pcm_stats measured 5.2 norm-s in two
+    # consecutive passes of one run and 0.9 in the runs before and
+    # after — the same correlated-phase pathology the pass reversal
+    # mitigates, when the burst outlasts a whole pass). Before
+    # reporting, re-measure just the would-be regressions in isolation,
+    # up to two extra trials each: run_one keeps the per-query MIN, so
+    # one clean trial clears a false positive while a real algorithmic
+    # blow-up fails every trial and still reports.
+    for retrial in (1, 2):
+        probe = payload(timings, shared_prep, samples)
+        regs = [
+            n
+            for n in (probe.get("envelope") or {}).get("regressions", {})
+            if n in queries
+        ]
+        if not regs:
+            break
+        print(
+            f"[bench] re-trial {retrial} for would-be regressions: "
+            f"{', '.join(regs)}",
+            file=sys.stderr,
+        )
+        clear_convergence_memo()
+        clear_bpe_memo()
+        if COOC_CONSUMERS & set(regs):
+            from mapreduce_sssp_spark.operators.graph_queries import (
+                _part_cooccurrence_edges,
+            )
+
+            try:
+                _part_cooccurrence_edges(spark, sf_dir)
+            except Exception:
+                traceback.print_exc(file=sys.stderr)
+        for name in regs:
+            run_one(name, queries[name], passes + 1 + retrial)
+
     final = payload(timings, shared_prep, samples)
     env = final.get("envelope")
     if env and env.get("subset") == "full":
