@@ -822,9 +822,12 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_true",
             "n_false_pos",
-            (
+            # NULL (not 0/0 -> ANSI crash) when every probe is a true
+            # match: the FP rate is undefined with no negative probes.
+            F.when(
+                F.col("n_probes") > F.col("n_true"),
                 F.col("n_false_pos").cast("double")
-                / (F.col("n_probes") - F.col("n_true")).cast("double")
+                / (F.col("n_probes") - F.col("n_true")).cast("double"),
             ).alias("fp_rate"),
         )
     )
@@ -879,9 +882,11 @@ SELECT (SELECT COUNT(*) FROM cust) AS n_build_keys,
        CAST(SUM(is_true) AS BIGINT) AS n_true,
        CAST(SUM(CASE WHEN is_candidate = 1 AND is_true = 0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
-       CAST(SUM(CASE WHEN is_candidate = 1 AND is_true = 0
-                     THEN 1 ELSE 0 END) AS DOUBLE)
-         / CAST(COUNT(*) - SUM(is_true) AS DOUBLE) AS fp_rate
+       CASE WHEN COUNT(*) > SUM(is_true)
+            THEN CAST(SUM(CASE WHEN is_candidate = 1 AND is_true = 0
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) - SUM(is_true) AS DOUBLE)
+       END AS fp_rate
 FROM flagged
 """
 
