@@ -716,12 +716,16 @@ def gini_value(ev: DataFrame) -> DataFrame:
     return r.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("sum_cents"),
-        (
+        # NULL (not 0/0 -> ANSI crash) when the per-type value mass is
+        # exactly zero (all-zero or sign-cancelling values): Gini is
+        # undefined without positive total mass.
+        F.when(
+            F.sum("cents") != 0,
             (
                 2 * F.sum(F.col("rn") * F.col("cents"))
                 - (F.count("*") + 1) * F.sum("cents")
             ).cast("double")
-            / (F.count("*") * F.sum("cents")).cast("double")
+            / (F.count("*") * F.sum("cents")).cast("double"),
         ).alias("gini"),
     )
 
@@ -2815,8 +2819,10 @@ r AS (
 )
 SELECT event_type, count(*) AS n,
        CAST(SUM(cents) AS BIGINT) AS sum_cents,
-       CAST(2*SUM(rn*cents) - (count(*)+1)*SUM(cents) AS DOUBLE)
-         / CAST(count(*)*SUM(cents) AS DOUBLE) AS gini
+       CASE WHEN SUM(cents) <> 0 THEN
+         CAST(2*SUM(rn*cents) - (count(*)+1)*SUM(cents) AS DOUBLE)
+           / CAST(count(*)*SUM(cents) AS DOUBLE)
+       END AS gini
 FROM r GROUP BY event_type
 """,
     "rfm_segments": f"""

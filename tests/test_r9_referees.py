@@ -260,6 +260,25 @@ def test_sink_clustered_write_roundtrip(spark, sf_dir):
     )
 
 
+def test_gini_zero_mass_is_null_not_crash(spark):
+    # Same ANSI 0/0 class as bloom's fp_rate: a type whose value mass
+    # sums to exactly zero must yield NULL gini, not DIVIDE_BY_ZERO.
+    from mapreduce_sssp_spark.operators.relational import gini_value
+
+    ev = _events(
+        spark,
+        [(1, 1, "zero", 0.0), (2, 1, "zero", 0.0),
+         (1, 1, "cancel", -5.0), (2, 1, "cancel", 5.0),
+         (1, 1, "ok", 1.0), (2, 1, "ok", 3.0)],
+    )
+    out = {r.event_type: r for r in gini_value(ev).collect()}
+    assert out["zero"].gini is None
+    assert out["cancel"].gini is None
+    # referee: n=2, values 1.00/3.00 -> G = (2*(1*100+2*300)-(3)*400)
+    #          / (2*400) = 200/800 = 0.25
+    assert abs(out["ok"].gini - 0.25) < 1e-12
+
+
 def test_geo_catchment_brute_force_referee(spark, monkeypatch):
     from mapreduce_sssp_spark.operators import geo as GEO
 
