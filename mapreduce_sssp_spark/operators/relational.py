@@ -716,11 +716,14 @@ def gini_value(ev: DataFrame) -> DataFrame:
     return r.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("sum_cents"),
-        # NULL (not 0/0 -> ANSI crash) when the per-type value mass is
-        # exactly zero (all-zero or sign-cancelling values): Gini is
-        # undefined without positive total mass.
+        # NULL (not 0/0 -> ANSI crash, not a sign-flipped number) unless
+        # the per-type value mass is strictly POSITIVE: Gini is
+        # undefined without positive total mass, and a partially-
+        # cancelling mix with negative sum would otherwise pass a mere
+        # != 0 guard and emit a meaningless sign-flipped value (the
+        # SCALE.md degenerate-denominator convention: guard denom > 0).
         F.when(
-            F.sum("cents") != 0,
+            F.sum("cents") > 0,
             (
                 2 * F.sum(F.col("rn") * F.col("cents"))
                 - (F.count("*") + 1) * F.sum("cents")
@@ -2819,7 +2822,7 @@ r AS (
 )
 SELECT event_type, count(*) AS n,
        CAST(SUM(cents) AS BIGINT) AS sum_cents,
-       CASE WHEN SUM(cents) <> 0 THEN
+       CASE WHEN SUM(cents) > 0 THEN
          CAST(2*SUM(rn*cents) - (count(*)+1)*SUM(cents) AS DOUBLE)
            / CAST(count(*)*SUM(cents) AS DOUBLE)
        END AS gini

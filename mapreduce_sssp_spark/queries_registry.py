@@ -104,8 +104,11 @@ _RECHECK_FIRST = ["json_extract", "dedup_simhash", "sssp", "pagerank", "kcore"]
 def _latest_rows():
     """Most recent driver row per query from CORRECTNESS_r*.json (later
     rounds override earlier; files sort lexicographically by round), or
-    None when no history is readable."""
+    None when no history is readable. Each row gains a ``_round`` key —
+    the round number of the file it came from — so the ordering below
+    can rank green entries by evidence freshness."""
     import json
+    import re
     from pathlib import Path
 
     latest = {}
@@ -116,10 +119,12 @@ def _latest_rows():
                 data = json.loads(p.read_text())
             except (OSError, ValueError):
                 continue
+            m = re.search(r"r(\d+)", p.name)
+            rnd = int(m.group(1)) if m else 0
             if isinstance(data, dict):
-                latest.update(
-                    {k: v for k, v in data.items() if isinstance(v, dict)}
-                )
+                for k, v in data.items():
+                    if isinstance(v, dict):
+                        latest[k] = dict(v, _round=rnd)
     except OSError:
         return None
     return latest or None
@@ -157,17 +162,57 @@ def _driver_history():
 # rows-only-by-design with a green verified twin).
 _NEVER_PRIORITY = ["approx_quantiles_verified"]
 
+# Queries whose ENGINE-SIDE behavior changed since their latest driver
+# row: they jump the green queue (right after red/never-checked) so the
+# change earns a fresh driver row the next round instead of riding stale
+# evidence. Maintained by hand when a semantics-affecting commit lands;
+# prune entries once the fresh row is in a CORRECTNESS_r*.json. The
+# round recorded here is the round the change SHIPPED — an entry is
+# stale only while its latest driver row predates that round.
+_CHANGED_SINCE = {
+    # r9 behavior changes (r9 verdict, "Next round" #7):
+    "gini_value": 9,                    # zero-mass NULL fix (271ae6a)
+    "rolling_fingerprint": 9,           # oracle change (d79cadb)
+    "sink_partitioned_roundtrip": 9,    # explicit schema (1cba9d4)
+    # r10 behavior changes:
+    "dedup_minhash": 10,                # portable LSH + mirrored bucket cap
+    "dedup_minhash_clusters": 10,
+    "dedup_keep_best": 10,
+    "near_dup_cluster_stats": 10,
+}
+
 
 def _registry_order(names):
     red, checked = _driver_history()
+    latest = _latest_rows() or {}
     if checked is None:  # fallback: static r2-r3 snapshot
         red, checked = set(_RECHECK_FIRST), _DRIVER_CHECKED_R2_R3
+
+    def last_round(n):
+        return latest.get(n, {}).get("_round", 0)
+
     front = [n for n in names if n in red]
     never = [n for n in names if n not in checked and n not in red]
     never = [n for n in _NEVER_PRIORITY if n in never] + [
         n for n in never if n not in _NEVER_PRIORITY
     ]
     green = [n for n in names if n in checked and n not in red]
+    # Changed-since-last-row entries jump the green queue: their driver
+    # evidence predates the behavior change, so a fresh row is worth
+    # more than re-greening an unchanged query.
+    stale_changed = [
+        n for n in green
+        if n in _CHANGED_SINCE and last_round(n) < _CHANGED_SINCE[n]
+    ]
+    rest_green = [n for n in green if n not in stale_changed]
+    # Staleness rotation (r9 verdict, "Next round" #2): order the green
+    # tier by ASCENDING last-checked round instead of static module
+    # order — the driver's ~50 slots then rotate through the whole
+    # registry every ~7 rounds instead of re-checking the same
+    # front-of-module entries while late-module entries sit on r2-r3
+    # evidence forever. Name tiebreak keeps the order deterministic.
+    rest_green.sort(key=lambda n: (last_round(n), n))
+
     # Within each group, oracle-backed entries go first: a driver check of
     # a rows-only entry can only ever yield a weak rows-only row, so it
     # should not consume budget ahead of an entry that can earn a full
@@ -178,7 +223,12 @@ def _registry_order(names):
             n for n in group if n not in ORACLE
         ]
 
-    return by_oracle(front) + by_oracle(never) + by_oracle(green)
+    return (
+        by_oracle(front)
+        + by_oracle(never)
+        + by_oracle(stale_changed)
+        + by_oracle(rest_green)
+    )
 
 
 QUERIES = {n: QUERIES[n] for n in _registry_order(list(QUERIES))}

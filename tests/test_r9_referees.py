@@ -269,11 +269,16 @@ def test_gini_zero_mass_is_null_not_crash(spark):
         spark,
         [(1, 1, "zero", 0.0), (2, 1, "zero", 0.0),
          (1, 1, "cancel", -5.0), (2, 1, "cancel", 5.0),
+         (1, 1, "negsum", -5.0), (2, 1, "negsum", 3.0),
          (1, 1, "ok", 1.0), (2, 1, "ok", 3.0)],
     )
     out = {r.event_type: r for r in gini_value(ev).collect()}
     assert out["zero"].gini is None
     assert out["cancel"].gini is None
+    # Guard is sum > 0, not sum != 0: a partially-cancelling type with
+    # NEGATIVE total mass (-5.00 + 3.00 = -2.00) passes a != 0 guard and
+    # yields a sign-flipped, meaningless Gini — it must be NULL too.
+    assert out["negsum"].gini is None
     # referee: n=2, values 1.00/3.00 -> G = (2*(1*100+2*300)-(3)*400)
     #          / (2*400) = 200/800 = 0.25
     assert abs(out["ok"].gini - 0.25) < 1e-12
