@@ -14,9 +14,15 @@ Each method is a first-class oracle-checked query:
 * ``dedup_minhash``    — MinHash signatures + LSH banding: 64 hashes,
   16 bands x 4 rows. Candidate pairs come from band-bucket joins (only
   docs sharing a band hash ever meet — no all-pairs anywhere), then are
-  exact-verified so output equals the exact oracle modulo the
-  1-(1-s^4)^16 miss probability (< 3e-4 at s = 0.8, < 1e-11 for the
-  planted near-dups at s >= 0.95).
+  exact-verified to Jaccard >= 0.8. Signatures use a PORTABLE universal
+  hash family (one md5 per shingle -> 60-bit int, then 64 affine maps
+  mod the Mersenne prime 2^31-1), so the DuckDB twin mirrors the ENTIRE
+  pipeline — signatures, banding, the bucket-size cap, verification —
+  and the hash check proves the exact plan that ships, cap included
+  (r9 verdict: the cap must be contract, not caveat). The banding miss
+  probability 1-(1-s^4)^16 (< 3e-4 at s = 0.8, < 1e-11 for planted
+  near-dups at s >= 0.95) is now symmetric across both engines rather
+  than a divergence risk.
 * ``dedup_simhash``    — 32-bit SimHash per document, computed in ONE
   pass over the token array with aggregate/zip_with (no 32x row blowup;
   the oracle uses the blowup formulation, the engine does not).
@@ -54,6 +60,37 @@ JACCARD_THRESHOLD = 0.8
 MINHASH_K = 64
 LSH_BANDS = 16
 LSH_ROWS = 4
+
+# Universal-hash minhash device (portable across Spark and DuckDB):
+# each shingle is hashed ONCE to a 60-bit integer H via md5 (both
+# engines produce identical bits — the minhash_jaccard_error device),
+# then sig[i] = min over shingles of (a_i * (H % P) + b_i) % P with
+# P = 2^31 - 1 (Mersenne). a_i < P and H % P < P keep every product
+# under 2^62, so the arithmetic is exact int64 in both engines — no
+# engine-private hash (xxhash64) anywhere in the signature path, which
+# is what lets the DuckDB twin mirror banding and the bucket cap
+# bit-for-bit. Cost: ONE md5 per posting plus 64 integer affine maps,
+# vs the previous 64 xxhash64 string hashes per posting.
+MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine maps: a fixed-seed
+    64-bit LCG (Knuth MMIX multiplier), reduced to a_i in [1, P) and
+    b_i in [0, P). Pure integers — both engines embed them as literals,
+    so there is no RNG to keep in sync."""
+    coeffs = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x >> 17) % (MINHASH_P - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (x >> 17) % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+MINHASH_COEFFS = _minhash_coeffs()
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,19 +241,31 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig: array<bigint> of k min-hashes over shingles).
 
-    sig[i] = min over shingles s of xxhash64(i, s), computed as k MIN
-    aggregates over the exploded (doc_id, shingle) postings — whole-stage
-    codegen with map-side partial mins, ~10x faster than evaluating k
-    higher-order array scans per document and identical bit-for-bit.
+    sig[i] = min over shingles s of (a_i * (H(s) % P) + b_i) % P where
+    H(s) is the portable 60-bit md5 device (see MINHASH_P) — computed as
+    ONE md5 projection per posting followed by k MIN aggregates over the
+    exploded (doc_id, shingle) postings. Whole-stage codegen with
+    map-side partial mins, and every value is reproducible in DuckDB
+    (the oracle twins re-derive the same signatures), which is what
+    makes the LSH bucket cap a checkable contract rather than an
+    engine-private caveat.
     """
     # shingle-less docs emit no postings and so vanish naturally, matching
     # the "only docs with shingles get signatures" contract.
     post = shingle_postings(docs)
+    hv = post.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+            % MINHASH_P
+        ).alias("h"),
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
     ]
     return (
-        post.groupBy("doc_id")
+        hv.groupBy("doc_id")
         .agg(*aggs)
         .select("doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
     )
@@ -233,9 +282,11 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
 # keep it and scale — production pipelines run exact dedup FIRST
 # (pipeline_clean_corpus's stage order), which collapses identical docs
 # before LSH ever sees them, and cluster-level survivors (not pair
-# lists) are the deliverable for what remains. Never binds at test
-# scale (max observed bucket: 4 at sf0.1), so results there equal the
-# uncapped generator and the exact-jaccard oracle contract holds.
+# lists) are the deliverable for what remains. Rarely binds at test
+# scale (max observed bucket: 4 at sf0.1), and since r10 the cap is
+# CONTRACT, not caveat: the DuckDB twins mirror signatures, banding and
+# this cap (see _LSH_PAIRS_SQL), so a bucket that binds produces the
+# same dropped pairs in both engines and the hash check still holds.
 LSH_MAX_BUCKET = 400
 
 
@@ -253,9 +304,27 @@ def lsh_candidate_pairs(
     cap^2. At 100 TB the bucket join is the only shuffle, keyed by a
     64-bit hash — uniform across DISTINCT signatures; the cap is the
     rail for identical-signature clusters, which no hash can spread.
-    """
-    from pyspark.sql import Window
 
+    The cap is applied as a partial-aggregating OVERSIZED-buckets table
+    anti-joined back, NOT a window count: a window must route and
+    buffer the ENTIRE hot bucket in one task before its filter can drop
+    a row — re-concentrating exactly the pathological bucket the cap
+    exists to rail against — while the groupBy map-side combines a hot
+    bucket to one row per input partition and the anti join streams.
+    The oversized table is small whenever the cap is doing its job (one
+    row per over-cap bucket), so AQE plans the anti join as a broadcast
+    at runtime; no explicit hint, so a degenerate corpus where most
+    buckets exceed the cap still gets a shuffled anti join instead of a
+    driver OOM.
+
+    The engine buckets by xxhash64 of the band row for an 8-byte
+    shuffle key; the DuckDB twin buckets by the raw 4-value row itself.
+    Membership is identical up to a 2^-64 band-hash collision (which
+    could only MERGE two buckets engine-side) — the same negligible
+    class as the banding miss probability, and the only engine-private
+    hash left in the pipeline (the signature values themselves are
+    portable, see minhash_signatures).
+    """
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -265,14 +334,17 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    # Bucket size as a window count over the band key (ONE exchange on
-    # the same key the self-join shuffles on — no second aggregate+join
-    # pass over `banded`), cached because both self-join legs read it.
-    w_bucket = Window.partitionBy("band_id", "band_hash")
+    oversized = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+        .select("band_id", "band_hash")
+    )
+    # Cached because both self-join legs read it; `banded` itself is a
+    # cheap posexplode over the caller-cached signatures, so its two
+    # consumers (the sizes agg and the anti-join probe) recompute it.
     kept = _cache(
-        banded.withColumn("bucket_n", F.count("*").over(w_bucket))
-        .filter(F.col("bucket_n") <= max_bucket)
-        .select("doc_id", "band_id", "band_hash")
+        banded.join(oversized, ["band_id", "band_hash"], "left_anti")
     )
     a = kept.alias("a")
     b = kept.alias("b")
@@ -295,11 +367,10 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     into components)."""
     docs = load_parallel(spark, sf_dir, "documents")
     sh = _cache(with_shingles(docs))
-    # sigs has one consumer since the bucket cap became a window, but
-    # removing this persist measured neutral-to-worse (1.04x min-of-3
-    # A/B at sf0.1): the materialization rides the kept-cache's first
-    # pass, and the clamped partitioning it pins downstream is worth
-    # more than the write it costs. Kept on measurement.
+    # sigs feeds the banded explode TWICE (the oversized-bucket agg and
+    # the anti-join probe), so the persist keeps the 64-agg signature
+    # pass from running twice; the clamped partitioning it pins
+    # downstream rides along (see _cache).
     cand = lsh_candidate_pairs(_cache(minhash_signatures(docs)))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -895,6 +966,65 @@ _PRUNED_JACCARD_SQL = _EXACT_JACCARD_SQL.replace(
     DUCK_SHINGLES_REL, DUCK_SHINGLES_PRUNED_REL
 )
 
+# Literal (i, a, b) coefficient rows for the DuckDB signature mirror —
+# the SAME integers minhash_signatures embeds Spark-side.
+_COEFF_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_COEFFS)
+)
+
+# Full mirror of the ENGINE LSH pipeline (r9 verdict "Next round" #4):
+# portable universal-hash signatures -> 16 bands x 4 rows -> bucket-size
+# cap -> candidate pairs -> exact Jaccard verification. Buckets are
+# keyed by the raw 4-value band row (the engine compresses the same row
+# to an xxhash64 shuffle key — identical membership up to a 2^-64
+# collision). With this twin, a bucket that exceeds LSH_MAX_BUCKET drops
+# the same candidate pairs in BOTH engines, so the cap is part of the
+# checked contract (pinned in tests/test_shingle_prune.py with a
+# cap-binding fixture).
+_LSH_PAIRS_SQL = f"""
+WITH sh AS ({DUCK_SHINGLES_REL}),
+coeff(i, a, b) AS (VALUES {_COEFF_VALUES}),
+hv AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT hv.doc_id, c.i, MIN((c.a * hv.h + c.b) % {MINHASH_P}) AS v
+  FROM hv, coeff c
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, i // {LSH_ROWS} AS band_id, list(v ORDER BY i) AS key
+  FROM sig GROUP BY doc_id, i // {LSH_ROWS}
+),
+bucket AS (
+  SELECT band_id, key FROM banded GROUP BY band_id, key
+  HAVING count(*) <= {LSH_MAX_BUCKET}
+),
+kept AS (
+  SELECT b.doc_id, b.band_id, b.key
+  FROM banded b JOIN bucket USING (band_id, key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       i.inter / (sa.n + sb.n - i.inter) AS jaccard
+FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+             JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+"""
+
 ORACLE = {
     "dedup_rate_by_source": """
 WITH agg AS (
@@ -922,7 +1052,7 @@ FROM shared JOIN vocab va ON va.source = src_a
             JOIN vocab vb ON vb.source = src_b
 """,
     "near_dup_cluster_stats": f"""
-WITH RECURSIVE pairs AS ({_EXACT_JACCARD_SQL}),
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
 und AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -1007,15 +1137,15 @@ SELECT doc_id, digest FROM batch_keep
 WHERE digest NOT IN (SELECT digest FROM existing)
 """,
     "ngram_jaccard_pairs": _PRUNED_JACCARD_SQL,
-    # The LSH path is exact-verified, so it must match the exact oracle
-    # (up to the negligible banding miss probability documented above).
-    "dedup_minhash": _EXACT_JACCARD_SQL,
-    # Connected components of the exact pair graph (the engine's LSH
-    # pairs equal the exact pairs modulo the documented banding miss
-    # probability), closed by recursive reachability — terminating
-    # because the label lattice is finite (the wcc_cyclic device).
+    # The full engine-LSH mirror: signatures, banding, bucket cap and
+    # exact verification all reproduced in DuckDB (_LSH_PAIRS_SQL), so
+    # the hash check proves the exact plan that ships, cap included.
+    "dedup_minhash": _LSH_PAIRS_SQL,
+    # Connected components of the mirrored LSH pair graph, closed by
+    # recursive reachability — terminating because the label lattice is
+    # finite (the wcc_cyclic device).
     "dedup_minhash_clusters": f"""
-WITH RECURSIVE pairs AS ({_EXACT_JACCARD_SQL}),
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
 und AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -1033,7 +1163,7 @@ FROM reach GROUP BY node
     # Same recursive closure as dedup_minhash_clusters, then the
     # quality argmax per cluster (n_chars DESC, doc_id ASC).
     "dedup_keep_best": f"""
-WITH RECURSIVE pairs AS ({_EXACT_JACCARD_SQL}),
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
 und AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION

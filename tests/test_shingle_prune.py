@@ -114,6 +114,52 @@ def test_containment_matches_oracle_on_hot_fixture(spark, hot_dir):
     spark.catalog.clearCache()
 
 
+def test_lsh_bucket_cap_binding_agrees_with_duckdb_mirror(
+    spark, tmp_path_factory
+):
+    """The cap as CONTRACT (r9 verdict #4): on a fixture where an
+    identical-text cluster exceeds LSH_MAX_BUCKET, the engine's capped
+    LSH pipeline and the DuckDB mirror (_LSH_PAIRS_SQL) must drop the
+    SAME pairs — the oversized cluster contributes none, the small
+    near-dup pair survives — and agree value-for-value."""
+    from mapreduce_sssp_spark.operators.dedup import (
+        LSH_MAX_BUCKET,
+        ORACLE,
+        q_dedup_minhash,
+    )
+
+    n_hot = LSH_MAX_BUCKET + 50
+    rows = [(i, "tmpl alpha beta gamma delta epsilon") for i in range(n_hot)]
+    # Near-dup pair sharing 4 of 5 shingles (jaccard 4/6... use high
+    # overlap): identical 7-token texts -> jaccard 1.0, bucket size 2.
+    rows.append((9001, "zeta eta theta iota kappa lambda mu"))
+    rows.append((9002, "zeta eta theta iota kappa lambda mu"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id",
+        "text",
+        "'en' AS lang",
+        "concat('src', cast(doc_id % 3 AS string)) AS source",
+        "cast(length(text) AS long) AS n_chars",
+    )
+    d = tmp_path_factory.mktemp("hotlsh")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in q_dedup_minhash(spark, str(d)).collect()
+    }
+    # The 450-doc identical cluster occupies one bucket per band, every
+    # bucket over the cap -> zero pairs from it; only the small pair
+    # survives.
+    assert got == {(9001, 9002, 1.0)}
+    want = {
+        (a, b, round(j, 9))
+        for a, b, j in _duck(str(d), ORACLE["dedup_minhash"])
+    }
+    assert got == want
+    spark.catalog.clearCache()
+
+
 def test_lsh_bucket_cap_bounds_identical_signature_clusters(spark):
     """b documents with the SAME minhash signature land in one bucket in
     every band and would generate b^2 candidates; buckets above
