@@ -62,15 +62,26 @@ def prune_hot_shingles(post: DataFrame, max_df: int = SHINGLE_MAX_DF) -> DataFra
     """(doc_id, s) postings -> the same postings minus shingles whose
     document frequency exceeds ``max_df``.
 
-    The df aggregate partial-combines map-side and the keep-set join is
-    shingle-keyed, so the prune itself is linear in the posting count; it
-    must sit BELOW any pair-generating self-join (pinned in
-    tests/test_plans.py) for the d^2 bound to hold.
+    Implemented as an ANTI join against the HOT set (df > max_df), not
+    an inner join against the keep set (df <= max_df): the two are the
+    same filter, but the keep set is nearly the whole vocabulary — the
+    join must shuffle every posting to meet it — while the hot set is
+    tiny whenever the cap is doing its job (empty at test scale, one
+    row per boilerplate shingle at corpus scale), so AQE plans the anti
+    join as a broadcast at runtime and the postings never shuffle for
+    the prune. No hint, so a degenerate corpus where most shingles are
+    hot still gets a shuffled anti join instead of a driver OOM. The df
+    aggregate partial-combines map-side; the prune must sit BELOW any
+    pair-generating self-join (pinned in tests/test_plans.py) for the
+    d^2 bound to hold.
     """
-    dfreq = post.groupBy("s").agg(F.count("*").alias("df"))
-    return post.join(
-        dfreq.filter(F.col("df") <= max_df), "s"
-    ).select("doc_id", "s")
+    hot = (
+        post.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("s")
+    )
+    return post.join(hot, "s", "left_anti").select("doc_id", "s")
 
 
 # Drop-in pruned twin of DUCK_SHINGLES_REL (same columns). Evaluates the

@@ -847,7 +847,13 @@ def test_shingle_pair_queries_prune_hot_postings_before_join(spark, qname):
     from mapreduce_sssp_spark.queries_registry import QUERIES
 
     plan = plan_of(QUERIES[qname](spark, SF), "simple")
-    assert f"<= {SHINGLE_MAX_DF})" in plan  # Filter (df#N <= cap)
+    # Since r10 the prune is an ANTI join against the HOT shingle set
+    # (df > cap, tiny/broadcastable) instead of an inner join against
+    # the keep set — same filter, no postings shuffle. The plan must
+    # carry the hot-set filter and the LeftAnti join below the pair
+    # self-join.
+    assert f"> {SHINGLE_MAX_DF})" in plan  # Filter (df#N > cap)
+    assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
 
