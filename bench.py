@@ -61,7 +61,13 @@ HEADLINE = [
     "personalized_pagerank",
     "scc",
     "degree_assortativity",
-    "two_hop_paths",
+    # two_hop_paths / bipartite_projection were swapped for their capped
+    # twins in r10: the uncapped forms are oracle-honesty twins that are
+    # hub-quadratic by design (docstring-flagged, SCALE.md "degree
+    # caps"), and the headline set should time the plans a cluster
+    # would actually run. Both remain timed by the full-registry
+    # default set and keep their per-query records.
+    "two_hop_paths_capped",
     "graph_sample_khop",
     "negative_sampling",
     "reverse_graph",
@@ -72,7 +78,7 @@ HEADLINE = [
     "ktruss",
     "graph_reciprocity",
     "edge_jaccard",
-    "bipartite_projection",
+    "bipartite_projection_capped",
     "compat_final_lines",
     # relational / SQL
     "sql_tpch_q2",
@@ -337,6 +343,122 @@ COOC_CONSUMERS = {
     "ktruss",
     "community_modularity",
 }
+
+# Memo-sharing producer -> consumer pairs: the producer must run before
+# its consumer in every timed pass so the consumer's record measures its
+# MARGINAL cost (the memo lookup + its own work), never the producer's
+# fixpoint/induction. Used both by the per-pass ordering constraint and
+# by the regression re-trial (which must replay the producer untimed
+# before re-timing a consumer, or the consumer pays the full fixpoint
+# and a contention false positive can never clear).
+MEMO_FAMILIES = (
+    ("sssp_dag", "compat_final_lines"),
+    ("bpe_merges", "bpe_encode"),
+    ("triangle_counts", "kcore"),
+    ("triangle_counts", "label_propagation"),
+    ("kcore", "label_propagation"),
+    # Checkpoint-memo families (the _LANDMARK_MEMO/_SCC_MEMO
+    # device): without the pin, a reversed pass runs a consumer
+    # first, the consumer pays the fixpoint, and the producer's
+    # min-of-passes becomes a dict lookup (r7 measured
+    # landmark_distances "min" 0.12s vs its real 12.6s median).
+    ("landmark_distances", "closeness_landmark"),
+    ("landmark_distances", "harmonic_centrality"),
+    ("scc", "condensation_dag"),
+)
+
+
+# --- Crafted power-law skew probe (r9 verdict #6) -----------------------
+# The AQE-skew / salting / permille-cap claims are plan-pinned in
+# tests/test_degree_cap.py but were never MEASURED on skewed data at
+# bench scale — the TPC-H-derived graph has near-uniform degrees, so the
+# caps never bind in the main suite. Once per full run, build a crafted
+# skewed graph (uniform base + a few extreme hub relays), inject it
+# through the same loader seam the tests use, and time the capped
+# two-hop next to its uncapped oracle-honesty twin plus the two other
+# skew-sensitive graph queries. Sizing: the base is ~2x the sf0.1 edge
+# count and each hub relay carries deg^2 = 36M pairs; hub degree is kept
+# at 6k (not the n/10 a real crawl can show) precisely so the UNCAPPED
+# twin stays timeable — the point is the measured capped-vs-uncapped
+# gap, not a DoS of the bench.
+SKEW_N_NODES = 100_000
+SKEW_N_EDGES = 1_000_000
+SKEW_HUBS = 5
+SKEW_HUB_DEG = 6_000
+
+
+def skew_probe(spark) -> dict | None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.operators import graph_queries as GQ
+
+    n, e = SKEW_N_NODES, SKEW_N_EDGES
+    base = spark.range(e).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n)).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    hub_edges = SKEW_HUBS * SKEW_HUB_DEG
+    hub_in = spark.range(hub_edges).select(
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n)).alias("src"),
+        (F.lit(n) + F.col("id") % SKEW_HUBS).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    hub_out = spark.range(hub_edges).select(
+        (F.lit(n) + F.col("id") % SKEW_HUBS).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(n)).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    tmp = tempfile.mkdtemp(prefix="skew_probe_")
+    out: dict[str, float] = {}
+    orig = GQ.edges_from_lineitem
+    try:
+        # Materialized once so every probe query scans parquet like the
+        # main suite instead of replaying the range lineage per round.
+        base.union(hub_in).union(hub_out).write.mode("overwrite").parquet(
+            f"{tmp}/edges"
+        )
+        GQ.edges_from_lineitem = lambda s, _sf: s.read.parquet(
+            f"{tmp}/edges"
+        )
+        for name in (
+            "two_hop_paths_capped",
+            "two_hop_paths",  # uncapped oracle-honesty twin: the contrast
+            "link_prediction_scores",
+            "sssp",
+        ):
+            t0 = time.time()
+            try:
+                GQ.QUERIES[name](spark, "skew-probe").write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                out[name] = round(time.time() - t0, 3)
+            except Exception:
+                traceback.print_exc(file=sys.stderr)
+                out[name] = -1.0
+            spark.catalog.clearCache()
+            print(
+                f"[bench] skew_probe {name}: {out[name]}s", file=sys.stderr
+            )
+    finally:
+        GQ.edges_from_lineitem = orig
+        shutil.rmtree(tmp, ignore_errors=True)
+    caps = out.get("two_hop_paths_capped")
+    unc = out.get("two_hop_paths")
+    return {
+        "n_nodes": SKEW_N_NODES,
+        "n_edges": SKEW_N_EDGES + 2 * hub_edges,
+        "hubs": SKEW_HUBS,
+        "hub_degree": SKEW_HUB_DEG,
+        "seconds": out,
+        "capped_over_uncapped": (
+            round(caps / unc, 3) if caps and unc and caps > 0 and unc > 0
+            else None
+        ),
+    }
 
 
 def cpu_calibration() -> float:
@@ -683,21 +805,7 @@ def main() -> None:
         # for the 3-way co-occurrence family the pair order below
         # bubble-sorts any permutation into triangle_counts -> kcore ->
         # label_propagation.
-        for prod, cons in (
-            ("sssp_dag", "compat_final_lines"),
-            ("bpe_merges", "bpe_encode"),
-            ("triangle_counts", "kcore"),
-            ("triangle_counts", "label_propagation"),
-            ("kcore", "label_propagation"),
-            # Checkpoint-memo families (the _LANDMARK_MEMO/_SCC_MEMO
-            # device): without the pin, a reversed pass runs a consumer
-            # first, the consumer pays the fixpoint, and the producer's
-            # min-of-passes becomes a dict lookup (r7 measured
-            # landmark_distances "min" 0.12s vs its real 12.6s median).
-            ("landmark_distances", "closeness_landmark"),
-            ("landmark_distances", "harmonic_centrality"),
-            ("scc", "condensation_dag"),
-        ):
+        for prod, cons in MEMO_FAMILIES:
             names = [n for n, _ in ordered]
             if prod in names and cons in names:
                 i, j = names.index(prod), names.index(cons)
@@ -760,10 +868,54 @@ def main() -> None:
                 _part_cooccurrence_edges(spark, sf_dir)
             except Exception:
                 traceback.print_exc(file=sys.stderr)
+        # Producers before their consumers within the retrial batch
+        # (same bubble constraint as the main passes).
+        for prod, cons in MEMO_FAMILIES:
+            if prod in regs and cons in regs:
+                i, j = regs.index(prod), regs.index(cons)
+                if i > j:
+                    regs[i], regs[j] = regs[j], regs[i]
         for name in regs:
+            # A memo-consumer retried in isolation would pay its
+            # producer's full fixpoint/induction and could never clear
+            # a contention false positive: replay the producer first,
+            # UNTIMED (unless the producer itself is in this retrial
+            # batch, in which case its own run_one below re-primes the
+            # memo), so the retrial measures the same marginal cost the
+            # record pinned.
+            prods = [
+                p for p, c in MEMO_FAMILIES
+                if c == name and p in queries and p not in regs
+            ]
+            for p in dict.fromkeys(prods):
+                try:
+                    queries[p](spark, sf_dir).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
+                    spark.catalog.clearCache()
+                except Exception:
+                    traceback.print_exc(file=sys.stderr)
             run_one(name, queries[name], passes + 1 + retrial)
 
+    # Crafted-skew probe: once per full run (skippable via env for
+    # quick iteration). Its numbers live in their own section — never
+    # in `queries`/records — because the graph is synthetic.
+    skew = None
+    if query_set == "full" and os.environ.get(
+        "SPARK_GRAFT_SKEW_PROBE", "1"
+    ) != "0":
+        try:
+            skew = skew_probe(spark)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+
     final = payload(timings, shared_prep, samples)
+    if skew is not None:
+        final["skew_probe"] = skew
+        tmp = results_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(final, f)
+        os.replace(tmp, results_path)
     env = final.get("envelope")
     if env and env.get("subset") == "full":
         print(

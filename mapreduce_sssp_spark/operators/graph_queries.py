@@ -325,6 +325,14 @@ def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to edge_jaccard, which scores EXISTING edges; this one
     CREATES the projected graph).
 
+    ORACLE-HONESTY TWIN — DO NOT RUN UNCAPPED AT CORPUS SCALE. Exact,
+    uncapped semantics kept so the DuckDB oracle can check the full
+    answer; hub-part-quadratic by construction. The production entry
+    point is ``bipartite_projection_capped`` (permille pivot-degree cap
+    as a semi-join BEFORE the pair join, plan-pinned in
+    tests/test_degree_cap.py); see SCALE.md "degree caps". Excluded
+    from the bench HEADLINE set since r10 for the same reason.
+
     Exact: shared counts and degrees are int64; Jaccard is one int/int
     double division. Support >= 2 prunes the long tail before the
     degree joins.
@@ -640,6 +648,14 @@ def q_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct friend-of-friend set size (2-hop endpoints that are neither
     the node itself nor a direct neighbor) — the candidate-generation
     stage of link prediction / recommendation.
+
+    ORACLE-HONESTY TWIN — DO NOT RUN UNCAPPED AT CORPUS SCALE. This is
+    the exact, uncapped semantics kept so the DuckDB oracle can check
+    the full answer; it is hub-quadratic by construction. The
+    production entry point is ``two_hop_paths_capped`` (permille relay-
+    degree cap as a semi-join BEFORE the pair join, plan-pinned in
+    tests/test_degree_cap.py); see SCALE.md "degree caps". Excluded
+    from the bench HEADLINE set since r10 for the same reason.
 
     Plan: one self-join keyed on the RELAY node (the only join key that
     exists for path assembly — both hops shuffle once on mid), then a
