@@ -171,7 +171,7 @@ _NEVER_PRIORITY = ["approx_quantiles_verified"]
 # stale only while its latest driver row predates that round.
 _CHANGED_SINCE = {
     # r9 behavior changes (r9 verdict, "Next round" #7):
-    "gini_value": 9,                    # zero-mass NULL fix (271ae6a)
+    "gini_value": 10,                   # r9 zero-mass NULL + r10 sum>0 guard
     "rolling_fingerprint": 9,           # oracle change (d79cadb)
     "sink_partitioned_roundtrip": 9,    # explicit schema (1cba9d4)
     # r10 behavior changes:
