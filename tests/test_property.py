@@ -381,3 +381,71 @@ def test_skyline_2d_matches_bruteforce(spark, rows):
         if not any(qx < x and qy > y for qx, qy in rows)
     }
     assert got == want
+
+
+# --- portable minhash-LSH mirror (r10) ---------------------------------
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "theta"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=3, max_size=8),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_strategy, dup_mask=st.lists(st.booleans(), max_size=8))
+def test_dedup_minhash_engine_matches_duckdb_mirror(
+    spark, tmp_path_factory, docs, dup_mask
+):
+    """The portable LSH pipeline (universal-hash signatures -> banding
+    -> bucket cap -> exact verify) must agree with its DuckDB mirror
+    (_LSH_PAIRS_SQL) on arbitrary corpora — including planted exact and
+    near duplicates, which exercise the identical-signature bucket path
+    the banding device exists for. This is the randomized referee for
+    the r10 'cap is contract' claim."""
+    import duckdb
+
+    from mapreduce_sssp_spark.operators.dedup import ORACLE, q_dedup_minhash
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # Plant duplicates/near-duplicates for masked docs: an exact copy
+    # and a one-token-dropped near copy (high but <1 Jaccard when the
+    # doc is long enough).
+    nid = 100
+    for i, dup in enumerate(dup_mask[: len(docs)]):
+        if dup:
+            rows.append((nid, " ".join(docs[i])))
+            rows.append((nid + 1, " ".join(docs[i][:-1])))
+            nid += 10
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id",
+        "text",
+        "'en' AS lang",
+        "'src' AS source",
+        "cast(length(text) AS long) AS n_chars",
+    )
+    d = tmp_path_factory.mktemp("mh_prop")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in q_dedup_minhash(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (a, b, round(j, 9))
+        for a, b, j in con.execute(ORACLE["dedup_minhash"]).fetchall()
+    }
+    assert got == want
+    spark.catalog.clearCache()
