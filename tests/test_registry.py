@@ -105,3 +105,52 @@ def test_registry_order_fallback_without_history():
     assert sorted(ordered) == sorted(names)
     front = {n for n in qr._RECHECK_FIRST if n in names}
     assert set(ordered[: len(front)]) == front
+
+
+def test_green_tier_sorted_by_evidence_staleness_and_changed_bump():
+    """r10 ordering: within the green tier, entries last checked in an
+    EARLIER round precede fresher ones (ascending _round), and a query
+    listed in _CHANGED_SINCE whose last row predates the change jumps
+    to the front of the greens. Synthetic history fixture, same device
+    as test_rows_only_entries_with_new_oracle_are_red."""
+    names = list(qr.QUERIES)
+    oracle_backed = [n for n in names if n in qr.ORACLE]
+    if len(oracle_backed) < 4:
+        return
+    stale, fresh, mid, changed = oracle_backed[:4]
+
+    def green(rnd):
+        return {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "err": None, "_round": rnd,
+        }
+
+    fixture = {n: green(5) for n in names}
+    fixture[stale] = green(2)
+    fixture[fresh] = green(9)
+    fixture[mid] = green(4)
+    fixture[changed] = green(3)
+    orig_rows = qr._latest_rows
+    orig_changed = qr._CHANGED_SINCE
+    qr._latest_rows = lambda: fixture
+    qr._CHANGED_SINCE = {changed: 9}  # changed after its r3 row
+    try:
+        ordered = qr._registry_order(names)
+    finally:
+        qr._latest_rows = orig_rows
+        qr._CHANGED_SINCE = orig_changed
+    # The changed entry precedes every plain green, including the
+    # stalest one.
+    assert ordered.index(changed) < ordered.index(stale)
+    # Plain greens: ascending last-checked round.
+    assert ordered.index(stale) < ordered.index(mid)
+    assert ordered.index(mid) < ordered.index(fresh)
+    # A changed entry whose fresh row POSTdates the change is ordinary.
+    qr._latest_rows = lambda: fixture
+    qr._CHANGED_SINCE = {changed: 3}  # change shipped in the checked round
+    try:
+        ordered2 = qr._registry_order(names)
+    finally:
+        qr._latest_rows = orig_rows
+        qr._CHANGED_SINCE = orig_changed
+    assert ordered2.index(stale) < ordered2.index(changed)
