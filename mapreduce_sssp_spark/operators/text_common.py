@@ -1,10 +1,21 @@
 """Shared tokenization / shingling expression fragments for the text
 operators (dedup, text analysis).
 
-Both engines must tokenize identically for the oracles to hash-match:
+Both engines must tokenize identically for the oracles to hash-match.
+The token contract is: non-empty runs between ASCII whitespace
+``[ \\t\\n\\x0B\\f\\r]`` — exactly Java's default (non-UNICODE) ``\\s``
+class, which is what Spark's ``split(text, '\\s+')`` evaluates.
 
-* Spark:  ``filter(split(trim(text), '\\s+'), x -> x != '')``
-* DuckDB: ``list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')``
+The DuckDB twin spells the class EXPLICITLY and uses no ``trim``:
+RE2's ``\\s`` lacks ``\\x0B`` (vertical tab), and DuckDB's ``trim``
+strips UNICODE spaces (U+3000 etc.) that Java ``\\s`` does not — with
+``trim(text)`` on the oracle side, a CJK document with ideographic
+spaces tokenized differently in the two engines (probed r10; ASCII
+testdata masks it). ``trim`` is redundant under the empty-string
+filter anyway (leading/trailing separators only ever produce ``''``
+pieces), so the Spark side keeps its idiomatic spelling and the DuckDB
+side matches it character-class-for-character-class. Parity pinned in
+tests/test_text_io.py::test_tokenizer_unicode_whitespace_parity.
 
 Shingles are word 3-grams joined with a single space, de-duplicated
 (set semantics — Jaccard is over shingle *sets*).
@@ -25,8 +36,12 @@ SHINGLES_EXPR = (
     " cast(array() as array<string>))"
 )
 
-# DuckDB twins.
-DUCK_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+# DuckDB twins. Explicit ASCII class == Java \s; no trim (see module
+# docstring — DuckDB trim strips unicode spaces Java \s does not).
+DUCK_TOKENS = (
+    "list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),"
+    " x -> x <> '')"
+)
 
 # (doc_id, s) exploded distinct shingles; 1-based list indexing.
 DUCK_SHINGLES_REL = f"""

@@ -219,3 +219,46 @@ def test_gopher_quality_rules_matches_python(spark):
         assert (g.n_fail_stopwords, g.n_fail_alpha, g.n_pass_all) == (
             a3, a4, p,
         )
+
+
+def test_tokenizer_unicode_whitespace_parity(spark):
+    """The token contract is Java's default (non-unicode) \\s class:
+    [ \\t\\n\\x0B\\f\\r]. The DuckDB twin must tokenize IDENTICALLY on
+    text the ASCII testdata never exercises — unicode spaces (U+3000,
+    NBSP, zero-width), vertical tab, CRLF — because every text/dedup
+    oracle hash rides on it. Probed r10: DuckDB's trim() strips U+3000
+    while Java \\s does not, so the twin now uses the explicit class
+    with no trim (text_common module docstring)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.operators.text_common import (
+        DUCK_TOKENS,
+        TOKENS_EXPR,
+    )
+
+    texts = [
+        "a b",
+        "  lead trail  ",
+        "a\tb\x0bc\fd\re",
+        "a\r\nb",
+        "　x　",   # ideographic space: NOT \s in Java
+        "a​b",         # zero-width space: not whitespace
+        "a\xa0b",           # NBSP: not \s in Java
+        "",
+        "   ",
+        "one",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: r.toks
+        for r in df.select("i", F.expr(TOKENS_EXPR).alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            f"SELECT {DUCK_TOKENS.replace('text', '?')}", [t]
+        ).fetchone()[0]
+        assert got[i] == want, (i, t, got[i], want)
