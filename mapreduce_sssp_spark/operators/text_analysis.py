@@ -2533,10 +2533,14 @@ SELECT doc_id, n_tokens, stopword_ratio, ttr, len_ok,
        len_ok * 0.4 + ttr * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.2 AS quality
 FROM comp
 """,
+    # trim(text, ' ') mirrors Spark trim exactly (0x20 only — bare
+    # DuckDB trim also strips unicode spaces), and the explicit ASCII
+    # class mirrors Java \s (RE2 \s lacks \x0B) — the DUCK_TOKENS
+    # parity rule (text_common docstring).
     "text_scrub": r"""
 SELECT doc_id,
-       regexp_replace(regexp_replace(trim(text), '[0-9]+', '<NUM>', 'g'),
-                      '\s+', ' ', 'g') AS scrubbed,
+       regexp_replace(regexp_replace(trim(text, ' '), '[0-9]+', '<NUM>', 'g'),
+                      '[ \t\n\x0b\f\r]+', ' ', 'g') AS scrubbed,
        CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_masked
 FROM documents
 """,
@@ -2731,7 +2735,7 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES, emit: str = "merges") -> str:
         # still hash-mismatch without the cast (r4 false-negative).
         "SELECT z[1] AS lhs, z[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS n FROM (\n"
         "  SELECT unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS z, cnt\n"
-        "  FROM (SELECT list_filter(string_split(trim(s), ' '),"
+        "  FROM (SELECT list_filter(string_split(trim(s, ' '), ' '),"
         " x -> x <> '') AS sy, cnt FROM {w})\n"
         "  WHERE len(sy) >= 2\n"
         ") GROUP BY 1, 2"
@@ -2768,7 +2772,7 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES, emit: str = "merges") -> str:
     if emit == "encoded":
         finals = (
             "SELECT sym, CAST(SUM(cnt) AS BIGINT) AS freq FROM (\n"
-            "  SELECT unnest(list_filter(string_split(trim(s), ' '),"
+            "  SELECT unnest(list_filter(string_split(trim(s, ' '), ' '),"
             " x -> x <> '')) AS sym, cnt"
             f" FROM w{n_merges}\n"
             ") GROUP BY sym ORDER BY freq DESC, sym"

@@ -262,3 +262,44 @@ def test_tokenizer_unicode_whitespace_parity(spark):
             f"SELECT {DUCK_TOKENS.replace('text', '?')}", [t]
         ).fetchone()[0]
         assert got[i] == want, (i, t, got[i], want)
+
+
+def test_text_scrub_unicode_whitespace_parity(spark, tmp_path):
+    """text_scrub's twin must mirror Spark trim (0x20 only) and Java \\s
+    on unicode text — same divergence class as the tokenizer (bare
+    DuckDB trim strips U+3000; RE2 \\s lacks \\x0B)."""
+    import duckdb
+
+    from mapreduce_sssp_spark.operators.text_analysis import (
+        ORACLE,
+        q_text_scrub,
+    )
+
+    texts = [
+        "　abc 123　",      # ideographic-space padded: trim must NOT eat
+        " x\x0by 42 ",        # vertical tab must collapse like Java \s
+        "a\xa0b 7",           # NBSP preserved
+        "  plain 99 text  ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src' AS source",
+        "cast(length(text) AS long) AS n_chars",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.scrubbed, r.n_masked)
+        for r in q_text_scrub(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        d: (s, n) for d, s, n in con.execute(ORACLE["text_scrub"]).fetchall()
+    }
+    assert got == want
