@@ -475,6 +475,85 @@ def skew_probe(spark) -> dict | None:
     }
 
 
+# Text twin of the graph skew probe: the shingle max-df prune's scale
+# claim is "a boilerplate shingle shared by d documents would be d^2
+# join rows; the prune drops it before the pair join". The crafted
+# corpus below plants a boilerplate sentence in SKEW_HOT_DOCS documents
+# — sum(df^2) over its shingles is ~1.6e9, so the UNPRUNED join is
+# infeasible to time (unlike the graph probe's uncapped twin); instead
+# the probe reports the prune's removed join mass (sum over shingles of
+# df^2, before vs after — the link_prediction_scores accounting device)
+# next to the pruned query's wall time, which is the evidence that the
+# rail both bites and stays fast when it does.
+SKEW_HOT_DOCS = 15_000
+SKEW_COLD_DOCS = 5_000
+
+
+def text_skew_probe(spark) -> dict | None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sssp_spark.operators.dedup import q_ngram_jaccard_pairs
+    from mapreduce_sssp_spark.operators.text_common import (
+        SHINGLE_MAX_DF,
+        shingle_postings,
+    )
+
+    boiler = "all rights reserved contact support for template footer text"
+    hot = spark.range(SKEW_HOT_DOCS).selectExpr(
+        "id AS doc_id",
+        f"concat('{boiler}', ' u', id, ' v', id, ' w', id) AS text",
+    )
+    cold = spark.range(SKEW_COLD_DOCS).selectExpr(
+        f"id + {SKEW_HOT_DOCS} AS doc_id",
+        "concat('x', id, ' y', id, ' z', id, ' q', id, ' r', id) AS text",
+    )
+    docs = hot.unionByName(cold).selectExpr(
+        "doc_id", "text", "'en' AS lang",
+        "concat('src', cast(doc_id % 3 AS string)) AS source",
+        "cast(length(text) AS long) AS n_chars",
+    )
+    tmp = tempfile.mkdtemp(prefix="text_skew_probe_")
+    try:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        post = shingle_postings(
+            spark.read.parquet(f"{tmp}/documents.parquet")
+        )
+        dfreq = post.groupBy("s").agg(F.count("*").alias("df"))
+        mass = dfreq.agg(
+            F.sum(F.col("df") * F.col("df")).alias("before"),
+            F.sum(
+                F.when(
+                    F.col("df") <= SHINGLE_MAX_DF,
+                    F.col("df") * F.col("df"),
+                ).otherwise(F.lit(0))
+            ).alias("after"),
+        ).collect()[0]
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n_pairs = q_ngram_jaccard_pairs(spark, tmp).count()
+        wall = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        out = {
+            "n_docs": SKEW_HOT_DOCS + SKEW_COLD_DOCS,
+            "hot_docs": SKEW_HOT_DOCS,
+            "shingle_max_df": SHINGLE_MAX_DF,
+            "join_mass_df2_unpruned": int(mass.before),
+            "join_mass_df2_pruned": int(mass.after),
+            "pruned_query_sec": wall,
+            "n_pairs": int(n_pairs),
+        }
+        print(f"[bench] text_skew_probe: {out}", file=sys.stderr)
+        return out
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        return None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def cpu_calibration() -> float:
     """Fixed single-thread CPU probe (best of 3: sha256 over 32 MiB in
     4 KiB chunks), reported as ``calib_sec`` in the payload.
@@ -922,6 +1001,9 @@ def main() -> None:
             skew = skew_probe(spark)
         except Exception:
             traceback.print_exc(file=sys.stderr)
+        ts = text_skew_probe(spark)
+        if ts is not None and skew is not None:
+            skew["text"] = ts
 
     final = payload(timings, shared_prep, samples)
     if skew is not None:
