@@ -267,9 +267,13 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
             % MINHASH_P
         ).alias("h"),
     )
+    # The LCG stream is deterministic for any k, so a caller asking for
+    # more than the precomputed MINHASH_K hashes gets a longer prefix of
+    # the SAME sequence (coeffs[i] never depends on k).
+    coeffs = _minhash_coeffs(k) if k > len(MINHASH_COEFFS) else MINHASH_COEFFS[:k]
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+        for i, (a, b) in enumerate(coeffs)
     ]
     return (
         hv.groupBy("doc_id")

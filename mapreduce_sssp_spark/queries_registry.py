@@ -101,16 +101,24 @@ _DRIVER_CHECKED_R2_R3 = {
 _RECHECK_FIRST = ["json_extract", "dedup_simhash", "sssp", "pagerank", "kcore"]
 
 
+_LATEST_ROWS_CACHE: list = []
+
+
 def _latest_rows():
     """Most recent driver row per query from CORRECTNESS_r*.json (later
-    rounds override earlier; files sort lexicographically by round), or
-    None when no history is readable. Each row gains a ``_round`` key —
-    the round number of the file it came from — so the ordering below
-    can rank green entries by evidence freshness."""
+    rounds override earlier; files sort lexicographically by round —
+    the driver zero-pads round numbers), or None when no history is
+    readable. Each row gains a ``_round`` key — the round number of the
+    file it came from — so the ordering below can rank green entries by
+    evidence freshness. Parsed once per process (module-level memo):
+    both _driver_history() and the staleness ranking consume it during
+    the same import."""
     import json
     import re
     from pathlib import Path
 
+    if _LATEST_ROWS_CACHE:
+        return _LATEST_ROWS_CACHE[0]
     latest = {}
     try:
         root = Path(__file__).resolve().parents[1]
@@ -127,7 +135,9 @@ def _latest_rows():
                         latest[k] = dict(v, _round=rnd)
     except OSError:
         return None
-    return latest or None
+    result = latest or None
+    _LATEST_ROWS_CACHE.append(result)
+    return result
 
 
 def _driver_history():

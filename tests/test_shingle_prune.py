@@ -130,8 +130,9 @@ def test_lsh_bucket_cap_binding_agrees_with_duckdb_mirror(
 
     n_hot = LSH_MAX_BUCKET + 50
     rows = [(i, "tmpl alpha beta gamma delta epsilon") for i in range(n_hot)]
-    # Near-dup pair sharing 4 of 5 shingles (jaccard 4/6... use high
-    # overlap): identical 7-token texts -> jaccard 1.0, bucket size 2.
+    # Surviving pair: identical 7-token texts -> jaccard 1.0, bucket
+    # size 2 (the identical-signature path; sub-1.0 near-dup banding is
+    # exercised by the hypothesis property test in test_property.py).
     rows.append((9001, "zeta eta theta iota kappa lambda mu"))
     rows.append((9002, "zeta eta theta iota kappa lambda mu"))
     df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
