@@ -530,9 +530,16 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       BPE-vocab trick: 50s -> ~1s at sf0.1) and per-row results come
       from a cheap join-back on name.
 
-    Deterministic: Levenshtein is an exact integer metric with the same
-    definition in both engines; ties break on the lexicographically
-    smallest candidate name, so the driver hash is exact.
+    Deterministic: Levenshtein is an exact integer metric and ties
+    break on the lexicographically smallest candidate name, so the
+    driver hash is exact. CONTRACT CAVEAT (probed r10): Spark's
+    levenshtein counts CHARACTERS while DuckDB's counts BYTES, so the
+    two agree only on ASCII names ('naïve' vs 'naive' is 1 in Spark,
+    2 in DuckDB). Both consumers here run on TPC-H part/supplier names
+    (ASCII by construction — parity pinned in
+    tests/test_scale_patterns.py); matching on a unicode catalog would
+    need a byte-normalized key (e.g. distance over an ASCII transliteration)
+    before the oracle hash could hold.
     """
     parts = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("key"), F.col("p_name").alias("name")

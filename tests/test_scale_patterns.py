@@ -174,3 +174,42 @@ def test_interval_self_join_banded_matches_naive(spark, sf_dir):
         if gaps:
             want[cust] = (len(gaps), max(gaps), min(gaps))
     assert got == want
+
+
+def test_levenshtein_ascii_parity_and_unicode_divergence(spark):
+    """Pin the levenshtein contract (probed r10): Spark counts CHARS,
+    DuckDB counts BYTES. They agree on ASCII — which is why the
+    fuzzy_match_parts / entity_clusters oracles hold on TPC-H names —
+    and DIVERGE on multibyte text. If either engine changes semantics,
+    this test flags the contract note in fuzzy_nearest's docstring."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("kitten", "sitting"),
+        ("", "abc"),
+        ("ab", "ba"),
+        ("MFGR#12", "MFGR#21"),
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)],
+        "i long, a string, b string",
+    )
+    got = {
+        r.i: r.d
+        for r in df.select("i", F.levenshtein("a", "b").alias("d")).collect()
+    }
+    con = duckdb.connect()
+    for i, (a, b) in enumerate(cases):
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got[i] == want, (a, b, got[i], want)
+    # The documented divergence: chars vs bytes on multibyte input.
+    spark_d = (
+        df.sparkSession.createDataFrame([("naïve", "naive")], "a string, b string")
+        .select(F.levenshtein("a", "b").alias("d"))
+        .collect()[0]
+        .d
+    )
+    duck_d = con.execute("SELECT levenshtein('naïve', 'naive')").fetchone()[0]
+    assert spark_d == 1 and duck_d == 2
