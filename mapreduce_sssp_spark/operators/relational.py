@@ -1469,7 +1469,17 @@ def q_scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_partkey") % 7).alias("key_mod"),
         F.floor("p_retailprice").alias("price_floor"),
         F.ceil("p_retailprice").alias("price_ceil"),
-        F.round("p_retailprice", 1).alias("price_round"),
+        # One-decimal round via scale-0 round on x*10: fractional
+        # round(x, n) DIVERGES between engines on half-boundary decimal
+        # representations (Spark HALF_UPs the shortest decimal string,
+        # DuckDB rounds the binary value: round(1.005, 2) -> 1.01 vs
+        # 1.00 — probed r10), while scale-0 rounding of the same binary
+        # value is identical in both. No .x5 price exists in the
+        # testdata, so values are unchanged there; this makes the twin
+        # equal by construction everywhere.
+        (F.round(F.col("p_retailprice") * 10).cast("bigint") / 10.0).alias(
+            "price_round"
+        ),
         F.sqrt(F.col("p_retailprice")).alias("price_sqrt"),
         F.greatest("p_size", F.lit(10)).alias("size_min10"),
     )
@@ -3431,7 +3441,7 @@ SELECT p_partkey,
        p_partkey % 7 AS key_mod,
        CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
        CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
-       round(p_retailprice, 1) AS price_round,
+       CAST(round(p_retailprice * 10) AS BIGINT) / 10.0 AS price_round,
        sqrt(p_retailprice) AS price_sqrt,
        CAST(greatest(p_size, 10) AS INT) AS size_min10
 FROM part
