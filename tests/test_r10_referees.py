@@ -48,3 +48,49 @@ def test_price_round_device_agrees_on_half_boundaries(spark, tmp_path):
         "SELECT round(CAST(1.005 AS DOUBLE), 2)"
     ).fetchone()[0]
     assert spark_r == 1.01 and duck_r == 1.0
+
+
+def test_sqrt_bit_parity_and_benford_log_constants(spark):
+    """Transcendental parity audit (r10): JVM Math and DuckDB libm
+    disagree at the last ulp on ln/exp/pow for ~7-10% of random doubles
+    (which is why every ln in an oracle-checked query follows the
+    quantize-after ln-contract), but sqrt is IEEE-754 correctly-rounded
+    and therefore bit-exact — the cosine/norm family
+    (similarity._dot -> F.sqrt) relies on that. Pin sqrt over a dense
+    sweep, and pin the nine Benford log10(1 + 1/d) constants the
+    benford_digits oracle compares directly."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(50_000).selectExpr(
+        "id", "abs(cast(xxhash64(id) as double)) / 9.3e13 AS m"
+    )
+    sp = df.select("id", F.sqrt("m").alias("s")).toPandas()
+    con = duckdb.connect()
+    con.register("sp", sp)
+    inp = df.toPandas()
+    con.register("inp", inp)
+    n_diff = con.execute(
+        "SELECT SUM(CASE WHEN sqrt(i.m) <> s.s THEN 1 ELSE 0 END) "
+        "FROM inp i JOIN sp s USING (id)"
+    ).fetchone()[0]
+    assert n_diff == 0
+
+    got = {
+        r.d: r.v
+        for r in spark.range(1, 10)
+        .selectExpr("id AS d")
+        .select(
+            "d",
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double")).alias(
+                "v"
+            ),
+        )
+        .collect()
+    }
+    for d in range(1, 10):
+        want = con.execute(
+            "SELECT log10(1.0 + 1.0 / CAST(? AS DOUBLE))", [d]
+        ).fetchone()[0]
+        assert got[d] == want, (d, got[d], want)
