@@ -94,3 +94,33 @@ def test_sqrt_bit_parity_and_benford_log_constants(spark):
             "SELECT log10(1.0 + 1.0 / CAST(? AS DOUBLE))", [d]
         ).fetchone()[0]
         assert got[d] == want, (d, got[d], want)
+
+
+def test_string_ordering_parity_beyond_bmp(spark):
+    """Every row_number/min/max/ORDER BY tie-break on a string column
+    assumes both engines compare strings identically. Spark's
+    UTF8String compares UTF-8 BYTES (not Java UTF-16 code units), which
+    is exactly DuckDB's comparator — so the parity extends beyond the
+    BMP (astral chars sort after U+E000, unlike a UTF-16 code-unit
+    comparison). Pin it, private-use and astral chars included."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    vals = ["a", "Z", "z", "~", "é", "", "𝄞", "￮", "b", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    sp_order = [r.s for r in df.orderBy("s").collect()]
+    con = duckdb.connect()
+    duck_order = [
+        r[0]
+        for r in con.execute(
+            "SELECT s FROM (SELECT unnest(?) AS s) ORDER BY s", [vals]
+        ).fetchall()
+    ]
+    assert sp_order == duck_order
+    assert (
+        df.agg(F.max("s")).collect()[0][0]
+        == con.execute(
+            "SELECT max(s) FROM (SELECT unnest(?) AS s)", [vals]
+        ).fetchone()[0]
+    )
