@@ -124,3 +124,31 @@ def test_string_ordering_parity_beyond_bmp(spark):
             "SELECT max(s) FROM (SELECT unnest(?) AS s)", [vals]
         ).fetchone()[0]
     )
+
+
+def test_bench_record_repins_are_consistent():
+    """BENCH_RECORD.json's _repins section is the audit trail for every
+    record moved since the r8 pin (ADVICE r9). Keep it honest: every
+    re-pinned query must still exist in records, its `to` value must
+    equal the LIVE record (a later move must append a new entry, not
+    silently overwrite), and from/to must differ."""
+    import json
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "BENCH_RECORD.json"
+    data = json.loads(path.read_text())
+    records = data["records"]
+    repins = {
+        k: v for k, v in data.get("_repins", {}).items() if isinstance(v, dict)
+    }
+    assert repins, "audit section missing"
+    for name, entry in repins.items():
+        assert name in records, name
+        assert entry["from"] != entry["to"], name
+        assert records[name] == entry["to"], (
+            name,
+            "live record moved without a fresh _repins entry",
+            records[name],
+            entry["to"],
+        )
+        assert entry.get("commit") and entry.get("source_round"), name
