@@ -279,9 +279,9 @@ FROM documents
     "udtf_sentences": """
 SELECT doc_id,
        CAST(length(s) AS BIGINT) AS n_chars,
-       CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_words
+       CAST(len(string_split(trim(s, ' '), ' ')) AS BIGINT) AS n_words
 FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s FROM documents)
-WHERE trim(s) <> ''
+WHERE trim(s, ' ') <> ''
 """,
     "udaf_median": """
 SELECT l_suppkey,
