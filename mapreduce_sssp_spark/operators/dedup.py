@@ -497,12 +497,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Token hash = first 8 md5 hex chars as uint32 (md5 exists in both
     engines, so the oracle can reproduce the exact bits). Bit j of the
     output is the sign of sum over tokens of ±1 per token-hash bit j.
+
+    Token-less documents (empty or whitespace-only text) get NO
+    signature — the minhash convention ("only docs with shingles get
+    signatures"), and what the twin's unnest naturally produces; the
+    engine's aggregate over an empty token array would otherwise emit
+    simhash 0, pairing every blank page with every other (probed r10
+    on an adversarial corpus: 22 vs 20 rows).
     """
     docs = load_parallel(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.expr(f"array_distinct({TOKENS_EXPR})").alias("toks"),
-    ).select(
+    ).filter(F.size("toks") > 0).select(
         "doc_id",
         F.expr(
             "aggregate("

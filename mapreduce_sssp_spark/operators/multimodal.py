@@ -461,11 +461,20 @@ SELECT md5(text) AS digest,
 FROM corpus GROUP BY 1
 HAVING count(*) > 1
 """,
+    # head bytes are BYTES of the utf-8 payload, not code points:
+    # ascii(substr(text,1,1)) returns the first CHARACTER's code point
+    # (233 for 'é') where the engine reads the first payload BYTE (195)
+    # — identical on ASCII, divergent on multibyte (probed r10 on an
+    # adversarial corpus). hex(encode(text)) is the byte-accurate view:
+    # byte k (0-based) is substr(hex, 2k+1, 2). Empty payloads mirror
+    # the engine's -1 sentinel.
     "multimodal_features": f"""
 SELECT doc_id,
        strlen(text) AS byte_len,
        CAST(ceil(strlen(text) / {CHUNK}.0) AS BIGINT) AS n_chunks,
-       CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
+       CASE WHEN strlen(text) = 0 THEN -1
+            ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT)
+       END AS head_byte,
        'text/plain' AS mime
 FROM documents
 WHERE text IS NOT NULL
@@ -476,7 +485,8 @@ SELECT doc_id,
        least(strlen(text), {RESIZE_W * RESIZE_H}) AS out_len,
        CAST({RESIZE_W} AS INT) AS target_w,
        CAST({RESIZE_H} AS INT) AS target_h,
-       CASE WHEN strlen(text) > 0 THEN CAST(ascii(substr(text, 1, 1)) AS INT)
+       CASE WHEN strlen(text) > 0
+            THEN CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT)
             ELSE -1 END AS out_head
 FROM documents
 WHERE text IS NOT NULL
@@ -486,7 +496,9 @@ SELECT doc_id,
        f AS frame_idx,
        f * {FRAME_BYTES} AS frame_off,
        least({FRAME_BYTES}, strlen(text) - f * {FRAME_BYTES}) AS frame_len,
-       CAST(ascii(substr(text, f * {FRAME_BYTES} + 1, 1)) AS INT) AS frame_head
+       CAST(('0x' || substr(hex(encode(text)),
+                            f * {FRAME_BYTES} * 2 + 1, 2)) AS INT)
+         AS frame_head
 FROM (
     SELECT doc_id, text,
            UNNEST(range(0, CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT),
