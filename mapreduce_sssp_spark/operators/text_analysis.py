@@ -46,21 +46,32 @@ def _with_tokens(docs: DataFrame) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics: counts, type-token ratio, lengths."""
+    """Per-document token statistics: counts, type-token ratio, lengths.
+
+    Ratio denominators are guarded (n_tokens > 0 else NULL — the
+    SCALE.md degenerate-denominator convention): a token-less document
+    (empty or whitespace-only text, normal in web corpora) would
+    otherwise ANSI-crash the whole scan, and NULL is exactly what the
+    DuckDB twin's x/0 produces (probed r10 on an adversarial corpus).
+    """
     docs = load_table(spark, sf_dir, "documents")
     t = _with_tokens(docs)
+    nz = F.size("toks") > 0
     return t.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_uniq"),
-        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
+        F.when(
+            nz, F.size(F.array_distinct("toks")) / F.size("toks")
+        ).alias("ttr"),
         F.expr(
             "aggregate(toks, 0L, (acc, x) -> acc + length(x))"
         ).alias("sum_tok_len"),
-        (
+        F.when(
+            nz,
             F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
-            / F.size("toks")
+            / F.size("toks"),
         ).alias("avg_tok_len"),
         F.expr("aggregate(toks, 0, (acc, x) -> greatest(acc, length(x)))").alias(
             "max_tok_len"
@@ -81,13 +92,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = _with_tokens(docs)
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    # n_tokens > 0 guards (NULL otherwise): token-less docs would
+    # ANSI-crash the scan; the twin's x/0 is NULL and the quality
+    # formula NULL-propagates identically in both engines (Spark and
+    # DuckDB `least` both skip NULL operands).
+    nz = F.size("toks") > 0
     comp = t.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
-        (F.expr(f"size(filter(toks, x -> x IN ({en})))") / F.size("toks")).alias(
-            "stopword_ratio"
+        F.when(
+            nz, F.expr(f"size(filter(toks, x -> x IN ({en})))") / F.size("toks")
+        ).alias("stopword_ratio"),
+        F.when(nz, F.size(F.array_distinct("toks")) / F.size("toks")).alias(
+            "ttr"
         ),
-        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
         F.when((F.size("toks") >= 20) & (F.size("toks") <= 100), F.lit(1.0))
         .otherwise(F.lit(0.0))
         .alias("len_ok"),
@@ -1127,9 +1145,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
-        (F.lit(1.0) - F.size(F.array_distinct("toks")) / F.size("toks")).alias(
-            "dup_token_ratio"
-        ),
+        # n_tokens > 0 guard: token-less docs never REACH the output
+        # (the top-token inner join drops them — explode of an empty
+        # array emits nothing, in both engines), but ANSI evaluates
+        # this projection before the join prunes the row.
+        F.when(
+            F.size("toks") > 0,
+            F.lit(1.0) - F.size(F.array_distinct("toks")) / F.size("toks"),
+        ).alias("dup_token_ratio"),
         F.expr(
             "if(size(toks) >= 3,"
             " 1.0 - size(array_distinct(transform(sequence(0, size(toks) - 3),"
@@ -2350,11 +2373,16 @@ SELECT doc_id,
        CAST(len(toks) AS INT) AS n_tokens,
        CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
        len(list_distinct(toks)) / len(toks) AS ttr,
-       CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
-            AS BIGINT) AS sum_tok_len,
+       -- COALESCE to 0 on token-less docs: the engine's 0-seeded folds
+       -- are total (aggregate(toks, 0L, ...) = 0 on an empty array)
+       -- while list_sum/list_max over an empty list are NULL.
+       CAST(COALESCE(list_sum(list_transform(toks,
+                                             x -> CAST(length(x) AS BIGINT))),
+                     0) AS BIGINT) AS sum_tok_len,
        list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) / len(toks)
          AS avg_tok_len,
-       CAST(list_max(list_transform(toks, x -> length(x))) AS INT) AS max_tok_len,
+       CAST(COALESCE(list_max(list_transform(toks, x -> length(x))), 0)
+            AS INT) AS max_tok_len,
        CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
 FROM t
 """,
