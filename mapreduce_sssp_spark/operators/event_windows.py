@@ -3525,9 +3525,18 @@ it AS (
   WHERE i.iter < {MARKOV_ITERS} AND p.next_type IN (SELECT state FROM states)
   GROUP BY 1, 2
 )
-SELECT state AS event_type, v_e12 AS stationary_e12,
-       v_e12 / 1e12 AS prob
-FROM it WHERE iter = {MARKOV_ITERS}
+-- Re-anchor on the FULL state set: a state with zero inflow at some
+-- iteration emits no row from the recursive join and would silently
+-- vanish from the output, while the engine keeps it at mass 0 (probed
+-- r10 on an adversarial corpus with a source-only event type). A
+-- dropped state carries v = 0, so it contributes nothing as a source
+-- either — the LEFT JOIN + COALESCE is a complete patch.
+SELECT s.state AS event_type,
+       CAST(COALESCE(f.v_e12, 0) AS BIGINT) AS stationary_e12,
+       COALESCE(f.v_e12, 0) / 1e12 AS prob
+FROM states s
+LEFT JOIN (SELECT state, v_e12 FROM it WHERE iter = {MARKOV_ITERS}) f
+       USING (state)
 """,
     "longest_streaks": """
 WITH daily AS (

@@ -1024,12 +1024,15 @@ def q_moments_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed skewness and excess kurtosis per event type — the
     distribution-shape profile (heavy tails, asymmetry) a feature-
     quality monitor computes at ingest, via ONE pass of exact integer
-    power sums: values quantize to integer dollars (floor), s1..s4
-    accumulate as int64 (d <= ~561 here, so d^4 <= 1e11 and even
-    billion-row groups stay under int64; beyond that the same plan
-    swaps the accumulators to DECIMAL(38,0)), and the closed-form
-    float chain runs ONCE per group on identical operands in both
-    engines (exactly-rounded ops only — see _MOMENTS_EXPRS).
+    power sums: values quantize to integer dollars (floor) and s1..s4
+    accumulate EXACTLY in wide decimals — DECIMAL(38,0) outputs, with
+    the engine computing through Spark's capped-at-38 decimal products
+    and the twin through HUGEINT (both exact below 1e38). Domain:
+    |dollars| < 1e9, so d^4 <= 1e36 stays exact; int64 accumulators
+    (the r2-r9 form) overflowed at d ~ 55k — a single $100k event
+    ANSI-crashed the scan (probed r10 on an adversarial corpus). The
+    closed-form float chain runs ONCE per group on identical operands
+    in both engines (exactly-rounded ops only — see _MOMENTS_EXPRS).
 
     This is the moment-sketch pattern: power sums are associative and
     mergeable, so partial aggregation collapses map-side and a rollup
@@ -1038,14 +1041,17 @@ def q_moments_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
-        "event_type", F.expr("CAST(floor(value) AS BIGINT)").alias("d")
+        "event_type",
+        F.expr("CAST(CAST(floor(value) AS BIGINT) AS DECIMAL(9,0))").alias(
+            "d"
+        ),
     )
     stats = d.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("d").alias("s1"),
-        F.sum(F.expr("d * d")).alias("s2"),
-        F.sum(F.expr("d * d * d")).alias("s3"),
-        F.sum(F.expr("d * d * d * d")).alias("s4"),
+        F.expr("CAST(SUM(d) AS DECIMAL(38,0))").alias("s1"),
+        F.expr("CAST(SUM(d * d) AS DECIMAL(38,0))").alias("s2"),
+        F.expr("CAST(SUM(d * d * d) AS DECIMAL(38,0))").alias("s3"),
+        F.expr("CAST(SUM((d * d) * (d * d)) AS DECIMAL(38,0))").alias("s4"),
     )
     return stats.select(
         "event_type",
@@ -3236,15 +3242,17 @@ FROM nested
 """,
     "moments_value": f"""
 WITH d AS (
-  SELECT event_type, CAST(floor(value) AS BIGINT) AS d FROM events
+  SELECT event_type,
+         CAST(CAST(floor(value) AS BIGINT) AS HUGEINT) AS d
+  FROM events
 ),
 stats AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(SUM(d) AS BIGINT) AS s1,
-         CAST(SUM(d * d) AS BIGINT) AS s2,
-         CAST(SUM(d * d * d) AS BIGINT) AS s3,
-         CAST(SUM(d * d * d * d) AS BIGINT) AS s4
+         CAST(SUM(d) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(d * d) AS DECIMAL(38,0)) AS s2,
+         CAST(SUM(d * d * d) AS DECIMAL(38,0)) AS s3,
+         CAST(SUM(d * d * d * d) AS DECIMAL(38,0)) AS s4
   FROM d GROUP BY event_type
 )
 SELECT event_type, n, s1, s2, s3, s4,

@@ -71,10 +71,15 @@ XCORR_MAX_LAG = 7  # inclusive: lags 0..7 days
 def _pearson_from_sums(n, sx, sy, sxx, syy, sxy):
     """The shared closing expression: Pearson r from the six exact
     sums, all operands pre-cast to double, written with the same
-    operand sequence as every oracle twin in this module."""
-    return (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    )
+    operand sequence as every oracle twin in this module.
+
+    NULL when either series has zero variance (a constant series has
+    no defined correlation — the SCALE.md degenerate-denominator
+    convention): the twins' x/0 is NULL in DuckDB while Spark's ANSI
+    division would crash the scan (probed r10 on an adversarial
+    corpus with a constant daily count)."""
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return F.when(den > 0, (n * sxy - sx * sy) / den)
 
 
 def q_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,20 +599,29 @@ def q_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m_a = d("sx_a") / d("n_a")
     m_b = d("sx_b") / d("n_b")
-    v_a = (d("n_a") * d("sxx_a") - d("sx_a") * d("sx_a")) / (
-        d("n_a") * (d("n_a") - F.lit(1.0))
+    # Degenerate-input guards (the SCALE.md NULL convention, mirrored
+    # by the twin's natural x/0 -> NULL in DuckDB): a single-event
+    # group has no sample variance (n(n-1) = 0 would ANSI-crash the
+    # scan — probed r10), and a zero-variance pair has no t/df. NULL
+    # propagates through se2/t/df identically in both engines.
+    v_a = F.when(
+        d("n_a") >= 2,
+        (d("n_a") * d("sxx_a") - d("sx_a") * d("sx_a"))
+        / (d("n_a") * (d("n_a") - F.lit(1.0))),
     )
-    v_b = (d("n_b") * d("sxx_b") - d("sx_b") * d("sx_b")) / (
-        d("n_b") * (d("n_b") - F.lit(1.0))
+    v_b = F.when(
+        d("n_b") >= 2,
+        (d("n_b") * d("sxx_b") - d("sx_b") * d("sx_b"))
+        / (d("n_b") * (d("n_b") - F.lit(1.0))),
     )
     se_a = v_a / d("n_a")
     se_b = v_b / d("n_b")
     se2 = se_a + se_b
-    t = (m_a - m_b) / F.sqrt(se2)
-    df = (se2 * se2) / (
-        (se_a * se_a) / (d("n_a") - F.lit(1.0))
-        + (se_b * se_b) / (d("n_b") - F.lit(1.0))
+    t = F.when(se2 > 0, (m_a - m_b) / F.sqrt(se2))
+    df_den = (se_a * se_a) / (d("n_a") - F.lit(1.0)) + (se_b * se_b) / (
+        d("n_b") - F.lit(1.0)
     )
+    df = F.when(df_den > 0, (se2 * se2) / df_den)
     return pairs.select(
         "type_a",
         "type_b",
@@ -633,6 +647,9 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     a raw float sum over groups would be accumulation-order-dependent),
     chosen at e3 because the squared cents terms approach int64 at e6.
     F is one closing expression; the e3 scales cancel in the ratio.
+    Quantized magnitudes past 2^53 are OUT OF DOMAIN and yield NULL
+    sums-of-squares/F (rail in the body; crash- and divergence-free at
+    any value magnitude).
 
     At 100 TB: one map-side-combined pass to |types| rows of exact
     sufficient statistics; everything else is |types|-row algebra.
@@ -648,37 +665,58 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sxx_g"
         ),
     )
-    term = F.round(
+    # Portable-domain rail (probed r10 on an adversarial corpus): the
+    # e3-quantized terms are exact only while they fit a double's
+    # integer range (< 2^53). Beyond that the long cast ANSI-crashes —
+    # a single $10M-value group did — and a wider decimal carrier is
+    # NOT portable either: Spark casts a double to decimal via its
+    # shortest decimal representation while DuckDB casts the exact
+    # binary value, so past 2^53 the two engines disagree in the low
+    # digits. The rail compares the IDENTICAL pre-cast doubles in both
+    # engines, so both take the same branch: in-domain groups compute
+    # as before, out-of-domain inputs yield NULL ssb/ssw/f_stat (the
+    # SCALE.md degenerate convention) instead of a crash.
+    _DLIM = 9007199254740992.0  # 2^53
+    term_d = F.round(
         (
             F.col("sx_g").cast("double")
             * F.col("sx_g").cast("double")
             / F.col("n_g").cast("double")
         )
         * F.lit(float(ANOVA_SCALE))
-    ).cast("long")
+    )
+    term = F.when(term_d < F.lit(_DLIM), term_d.cast("long"))
     agg = g.agg(
         F.count("*").alias("k"),
         F.sum("n_g").alias("n"),
         F.sum(F.col("sx_g")).alias("sx"),
         F.sum(F.col("sxx_g")).alias("sxx"),
         F.sum(term).alias("s1_e3"),
+        F.max(
+            F.when(term_d >= F.lit(_DLIM), F.lit(1)).otherwise(F.lit(0))
+        ).alias("oob"),
     )
-    t_e3 = F.round(
+    t_d = F.round(
         (
             F.col("sx").cast("double")
             * F.col("sx").cast("double")
             / F.col("n").cast("double")
         )
         * F.lit(float(ANOVA_SCALE))
-    ).cast("long")
-    sxx_e3 = F.round(
+    )
+    sxx_d = F.round(
         F.col("sxx").cast("double") * F.lit(float(ANOVA_SCALE))
-    ).cast("long")
+    )
+    in_dom = (
+        (F.col("oob") == 0)
+        & (t_d < F.lit(_DLIM))
+        & (sxx_d < F.lit(_DLIM))
+    )
     withss = agg.select(
         "k",
         F.col("n").cast("long").alias("n"),
-        (F.col("s1_e3") - t_e3).alias("ssb_e3"),
-        (sxx_e3 - F.col("s1_e3")).alias("ssw_e3"),
+        F.when(in_dom, F.col("s1_e3") - t_d.cast("long")).alias("ssb_e3"),
+        F.when(in_dom, sxx_d.cast("long") - F.col("s1_e3")).alias("ssw_e3"),
     )
     f_stat = (
         F.col("ssb_e3").cast("double") / (F.col("k") - 1).cast("double")
@@ -1087,22 +1125,51 @@ g AS (
   FROM ev GROUP BY event_type
 ),
 agg AS (
+  -- Portable-domain rail mirroring the engine: quantized terms fit a
+  -- double's integer range (< 2^53) or the group is out-of-domain and
+  -- every sum-of-squares output is NULL (see the engine docstring —
+  -- long carriers overflow there and double->decimal casts diverge
+  -- between engines past 2^53).
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(n_g) AS BIGINT) AS n,
          SUM(sx_g) AS sx, SUM(sxx_g) AS sxx,
-         SUM(CAST(round((CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
-                         / CAST(n_g AS DOUBLE)) * {ANOVA_SCALE}.0)
-                  AS BIGINT)) AS s1_e3
+         SUM(CASE WHEN round((CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
+                              / CAST(n_g AS DOUBLE)) * {ANOVA_SCALE}.0)
+                       < 9007199254740992.0
+                  THEN CAST(round((CAST(sx_g AS DOUBLE)
+                                   * CAST(sx_g AS DOUBLE)
+                                   / CAST(n_g AS DOUBLE))
+                                  * {ANOVA_SCALE}.0) AS BIGINT)
+             END) AS s1_e3,
+         MAX(CASE WHEN round((CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
+                              / CAST(n_g AS DOUBLE)) * {ANOVA_SCALE}.0)
+                       >= 9007199254740992.0
+                  THEN 1 ELSE 0 END) AS oob
   FROM g
 ),
 ss AS (
   SELECT k, n,
-         CAST(s1_e3 AS BIGINT)
-           - CAST(round((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                         / CAST(n AS DOUBLE)) * {ANOVA_SCALE}.0) AS BIGINT)
-           AS ssb_e3,
-         CAST(round(CAST(sxx AS DOUBLE) * {ANOVA_SCALE}.0) AS BIGINT)
-           - CAST(s1_e3 AS BIGINT) AS ssw_e3
+         CASE WHEN oob = 0
+               AND round((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                          / CAST(n AS DOUBLE)) * {ANOVA_SCALE}.0)
+                    < 9007199254740992.0
+               AND round(CAST(sxx AS DOUBLE) * {ANOVA_SCALE}.0)
+                    < 9007199254740992.0
+              THEN CAST(s1_e3 AS BIGINT)
+                   - CAST(round((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                 / CAST(n AS DOUBLE)) * {ANOVA_SCALE}.0)
+                          AS BIGINT)
+         END AS ssb_e3,
+         CASE WHEN oob = 0
+               AND round((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                          / CAST(n AS DOUBLE)) * {ANOVA_SCALE}.0)
+                    < 9007199254740992.0
+               AND round(CAST(sxx AS DOUBLE) * {ANOVA_SCALE}.0)
+                    < 9007199254740992.0
+              THEN CAST(round(CAST(sxx AS DOUBLE) * {ANOVA_SCALE}.0)
+                        AS BIGINT)
+                   - CAST(s1_e3 AS BIGINT)
+         END AS ssw_e3
   FROM agg
 )
 SELECT k, n, ssb_e3, ssw_e3,

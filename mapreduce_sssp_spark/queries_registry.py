@@ -189,6 +189,7 @@ _CHANGED_SINCE = {
     "dedup_minhash_clusters": 10,
     "dedup_keep_best": 10,
     "near_dup_cluster_stats": 10,
+    "moments_value": 10,                # s1..s4 widened to DECIMAL(38,0)
 }
 
 

@@ -107,3 +107,88 @@ def test_engine_matches_duckdb_on_adversarial_corpus(spark, adv_dir, qname):
     )
     assert got == want, qname
     spark.catalog.clearCache()
+
+
+EVENTS_QUERIES_UNDER_TEST = [
+    "moments_value",
+    "anova_oneway",
+    "t_test_welch",
+    "cross_correlation_lag",
+    "markov_stationary",
+    "gini_value",
+    "max_drawdown",
+    "ewma_value",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_ev_dir(spark, tmp_path_factory):
+    """Adversarial events: duplicate timestamps, single-event users and
+    types, zero/negative/cancelling values, zero-variance groups,
+    constant daily series, and large-but-legal magnitudes ($10M) — the
+    structures that surfaced the r10 crash/divergence classes
+    (int64/quantization overflow, n(n-1)=0 variance, zero-variance
+    Pearson, the recursive twin dropping zero-mass states)."""
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(t, user, typ, val, props='{"k": 1}'):
+        nonlocal eid
+        rows.append((eid, t, user, typ, val, props))
+        eid += 1
+
+    for _ in range(6):
+        add(T0 + dt.timedelta(minutes=10), 1, "view", 5.0)
+    add(T0 + dt.timedelta(minutes=100), 2, "purchase", 0.0)
+    add(T0 + dt.timedelta(minutes=200), 3, "view", 0.0)
+    add(T0 + dt.timedelta(minutes=201), 3, "view", -5.0)
+    add(T0 + dt.timedelta(minutes=202), 3, "purchase", 5.0)
+    add(T0 + dt.timedelta(minutes=203), 3, "refund", -10.0)
+    for i in range(10):
+        add(T0 + dt.timedelta(minutes=400 + i), 6, "purchase", float(i))
+    for i in range(10):
+        add(T0 + dt.timedelta(minutes=500 + i), 7, "purchase", float(10 - i))
+    for i in range(8):
+        add(T0 + dt.timedelta(minutes=600 + 10 * i), 8, "error", 7.77)
+    add(T0 + dt.timedelta(minutes=700), 9, "rare_type", 3.14)
+    add(T0 + dt.timedelta(minutes=710), 9, "view", 1.0, None)
+    add(T0 + dt.timedelta(minutes=720), 10, "purchase", 9_999_999.99)
+    add(T0 + dt.timedelta(minutes=721), 10, "refund", -9_999_999.99)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    d = tmp_path_factory.mktemp("adv_events")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("qname", EVENTS_QUERIES_UNDER_TEST)
+def test_engine_matches_duckdb_on_adversarial_events(spark, adv_ev_dir, qname):
+    from mapreduce_sssp_spark import queries_registry as qr
+
+    sdf = qr.QUERIES[qname](spark, adv_ev_dir)
+    scols = sorted(sdf.columns)
+    got = sorted(
+        (tuple(_canon(r[c]) for c in scols) for r in sdf.collect()),
+        key=_key,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{adv_ev_dir}/events.parquet/*.parquet')"
+    )
+    rel = con.execute(qr.ORACLE[qname])
+    dcols = [d[0] for d in rel.description]
+    rows = rel.fetchall()
+    assert sorted(dcols) == scols, (qname, dcols, scols)
+    order = [dcols.index(c) for c in scols]
+    want = sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows), key=_key
+    )
+    assert got == want, qname
+    spark.catalog.clearCache()
