@@ -14,10 +14,11 @@ decode with zero plan change.
 The driver testdata has no binary table, so ``multimodal_features``
 derives one deterministically: content = utf-8 bytes of documents.text
 with a typed metadata struct — letting the DuckDB oracle verify the
-whole mapInPandas path via octet_length arithmetic. The oracles' head
-bytes use char-indexed ascii(substr(...)), which equals the engine's
-byte indexing only while the corpus is ASCII (true of the testdata by
-construction); a multibyte corpus needs blob-indexed twins.
+whole mapInPandas path via octet_length arithmetic. The oracles index
+head bytes BYTE-ACCURATELY via hex(encode(text)) (byte k, 0-based, is
+substr(hex, 2k+1, 2)) — since r10; char-indexed ascii(substr(...))
+reads a code point (233 for 'é') where the engine reads the first
+payload byte (195), and only coincides on ASCII corpora.
 
 At 100 TB: binary payloads ride in parquet pages; mapInPandas streams
 Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch bounds peak

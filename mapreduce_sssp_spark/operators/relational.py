@@ -977,13 +977,22 @@ def q_corr_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("x * x")).alias("sxx"),
         F.sum(F.expr("y * y")).alias("syy"),
     )
+    # Radicand-guarded (the _pearson_from_sums convention, r10): a
+    # constant side makes a radicand 0 (ANSI crash) and a rounding-
+    # negative one splits the engines (Spark sqrt NaN vs DuckDB raise).
     corr = (
-        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0"
+        "      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0"
+        " THEN"
+        " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
         " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
         " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
         "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
         "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
         "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " END"
     )
     return stats.select(
         "l_returnflag", "n", F.expr(corr).alias("corr_qty_price")
@@ -991,7 +1000,8 @@ def q_corr_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared float chain for q_moments_value and its oracle: ONE textual
-# expression evaluated by both engines on identical exact-int64 inputs.
+# expression evaluated by both engines on identical exact DECIMAL(38,0)
+# power-sum inputs (int64 until r10 — see q_moments_value).
 # Every op in it is IEEE exactly-rounded (+ - * / sqrt; pow/ln banned —
 # libm ulps differ between JVM and DuckDB), so the doubles match
 # bit-for-bit. m2 <= 0 (degenerate group) guards to NULL on both sides.
@@ -1037,7 +1047,8 @@ def q_moments_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the moment-sketch pattern: power sums are associative and
     mergeable, so partial aggregation collapses map-side and a rollup
     of shards is a sum of tiny vectors — never a rescan. The exact
-    int64 sums ship alongside the derived moments as the hash anchor.
+    DECIMAL(38,0) sums ship alongside the derived moments as the hash
+    anchor.
     """
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
@@ -3279,13 +3290,18 @@ stats AS (
   FROM d GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-         AS corr_qty_price
+       END AS corr_qty_price
 FROM stats
 """,
     "winsorize_values": """

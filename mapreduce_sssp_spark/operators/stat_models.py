@@ -73,13 +73,20 @@ def _pearson_from_sums(n, sx, sy, sxx, syy, sxy):
     sums, all operands pre-cast to double, written with the same
     operand sequence as every oracle twin in this module.
 
-    NULL when either series has zero variance (a constant series has
-    no defined correlation — the SCALE.md degenerate-denominator
-    convention): the twins' x/0 is NULL in DuckDB while Spark's ANSI
-    division would crash the scan (probed r10 on an adversarial
-    corpus with a constant daily count)."""
-    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    return F.when(den > 0, (n * sxy - sx * sy) / den)
+    NULL when either series has zero-or-negative variance NUMERATOR (a
+    constant series has no defined correlation — the SCALE.md
+    degenerate-denominator convention). The guard is on the RADICANDS,
+    not the sqrt product: a near-constant huge-magnitude series can
+    round n*sxx - sx^2 to a tiny NEGATIVE double, where Spark's sqrt
+    yields NaN (and NaN > 0 is TRUE in Spark's ordering) while
+    DuckDB's sqrt RAISES — guarding the radicands keeps both engines
+    on the same branch (r10 review finding). The twin mirrors this
+    CASE textually."""
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return F.when(
+        (vx > 0) & (vy > 0), (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    )
 
 
 def q_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,7 +216,13 @@ def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_disc").cast("long").alias("n_disc"),
         F.col("n_tie_x").cast("long").alias("n_tie_x"),
         F.col("n_tie_y").cast("long").alias("n_tie_y"),
-        (
+        # NULL when every pair ties on a side (n0 == n_tie): tau-b's
+        # denominator is 0 there — DuckDB's x/0 is NULL, Spark's ANSI
+        # division would crash. Radicands are exact ints, never
+        # rounding-negative, so guarding at 0 is complete.
+        F.when(
+            (n0 - F.col("n_tie_x").cast("double") > 0)
+            & (n0 - F.col("n_tie_y").cast("double") > 0),
             (
                 F.col("n_conc").cast("double")
                 - F.col("n_disc").cast("double")
@@ -217,7 +230,7 @@ def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (
                 F.sqrt(n0 - F.col("n_tie_x").cast("double"))
                 * F.sqrt(n0 - F.col("n_tie_y").cast("double"))
-            )
+            ),
         ).alias("tau_b"),
     )
 
@@ -617,11 +630,17 @@ def q_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     se_a = v_a / d("n_a")
     se_b = v_b / d("n_b")
     se2 = se_a + se_b
+    # se2 can round NEGATIVE for constant huge-magnitude groups (exact
+    # n*sxx == sx^2 but the double products disagree past 2^53): the
+    # se2 > 0 guard must cover BOTH t and df — squared se terms make
+    # df_den positive even when se2 < 0, which produced a bogus df
+    # while the twin's sqrt(negative) raised (r10 review finding; the
+    # twin now carries the same CASE).
     t = F.when(se2 > 0, (m_a - m_b) / F.sqrt(se2))
     df_den = (se_a * se_a) / (d("n_a") - F.lit(1.0)) + (se_b * se_b) / (
         d("n_b") - F.lit(1.0)
     )
-    df = F.when(df_den > 0, (se2 * se2) / df_den)
+    df = F.when((se2 > 0) & (df_den > 0), (se2 * se2) / df_den)
     return pairs.select(
         "type_a",
         "type_b",
@@ -857,13 +876,21 @@ QUERIES = {
     "ab_power_analysis": q_ab_power_analysis,
 }
 
+# Radicand-guarded (mirrors _pearson_from_sums): DuckDB's sqrt RAISES
+# on a rounding-negative variance numerator instead of returning NaN.
 _PEARSON_CLOSE = """
+       CASE WHEN CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN
        (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END
 """
 
 ORACLE = {
@@ -1110,10 +1137,18 @@ d AS (
   FROM p
 )
 SELECT type_a, type_b, n_a, n_b,
-       (m_a - m_b) / sqrt(se_a + se_b) AS t_stat,
-       ((se_a + se_b) * (se_a + se_b))
-       / ((se_a * se_a) / (CAST(n_a AS DOUBLE) - 1.0)
-          + (se_b * se_b) / (CAST(n_b AS DOUBLE) - 1.0)) AS welch_df
+       -- se_a + se_b > 0 guard on BOTH stats, mirroring the engine:
+       -- constant huge-magnitude groups round se2 negative, where
+       -- sqrt would RAISE here and df would compute a bogus positive.
+       CASE WHEN se_a + se_b > 0
+            THEN (m_a - m_b) / sqrt(se_a + se_b) END AS t_stat,
+       CASE WHEN se_a + se_b > 0
+             AND (se_a * se_a) / (CAST(n_a AS DOUBLE) - 1.0)
+                 + (se_b * se_b) / (CAST(n_b AS DOUBLE) - 1.0) > 0
+            THEN ((se_a + se_b) * (se_a + se_b))
+                 / ((se_a * se_a) / (CAST(n_a AS DOUBLE) - 1.0)
+                    + (se_b * se_b) / (CAST(n_b AS DOUBLE) - 1.0))
+       END AS welch_df
 FROM d
 """,
     "anova_oneway": f"""
@@ -1124,6 +1159,15 @@ g AS (
          SUM(cents::HUGEINT * cents::HUGEINT) AS sxx_g
   FROM ev GROUP BY event_type
 ),
+gq AS (
+  -- The quantized per-group term, computed ONCE (r10 review: edits to
+  -- the quantization must never have to hit multiple textual copies —
+  -- a missed copy breaks the both-take-the-same-branch rail).
+  SELECT g.*,
+         round((CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
+                / CAST(n_g AS DOUBLE)) * {ANOVA_SCALE}.0) AS term_d
+  FROM g
+),
 agg AS (
   -- Portable-domain rail mirroring the engine: quantized terms fit a
   -- double's integer range (< 2^53) or the group is out-of-domain and
@@ -1133,44 +1177,30 @@ agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(n_g) AS BIGINT) AS n,
          SUM(sx_g) AS sx, SUM(sxx_g) AS sxx,
-         SUM(CASE WHEN round((CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
-                              / CAST(n_g AS DOUBLE)) * {ANOVA_SCALE}.0)
-                       < 9007199254740992.0
-                  THEN CAST(round((CAST(sx_g AS DOUBLE)
-                                   * CAST(sx_g AS DOUBLE)
-                                   / CAST(n_g AS DOUBLE))
-                                  * {ANOVA_SCALE}.0) AS BIGINT)
-             END) AS s1_e3,
-         MAX(CASE WHEN round((CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
-                              / CAST(n_g AS DOUBLE)) * {ANOVA_SCALE}.0)
-                       >= 9007199254740992.0
+         SUM(CASE WHEN term_d < 9007199254740992.0
+                  THEN CAST(term_d AS BIGINT) END) AS s1_e3,
+         MAX(CASE WHEN term_d >= 9007199254740992.0
                   THEN 1 ELSE 0 END) AS oob
-  FROM g
+  FROM gq
+),
+qd AS (
+  SELECT k, n, s1_e3, oob,
+         round((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE)) * {ANOVA_SCALE}.0) AS t_d,
+         round(CAST(sxx AS DOUBLE) * {ANOVA_SCALE}.0) AS sxx_d
+  FROM agg
 ),
 ss AS (
   SELECT k, n,
-         CASE WHEN oob = 0
-               AND round((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                          / CAST(n AS DOUBLE)) * {ANOVA_SCALE}.0)
-                    < 9007199254740992.0
-               AND round(CAST(sxx AS DOUBLE) * {ANOVA_SCALE}.0)
-                    < 9007199254740992.0
-              THEN CAST(s1_e3 AS BIGINT)
-                   - CAST(round((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                                 / CAST(n AS DOUBLE)) * {ANOVA_SCALE}.0)
-                          AS BIGINT)
+         CASE WHEN oob = 0 AND t_d < 9007199254740992.0
+                          AND sxx_d < 9007199254740992.0
+              THEN CAST(s1_e3 AS BIGINT) - CAST(t_d AS BIGINT)
          END AS ssb_e3,
-         CASE WHEN oob = 0
-               AND round((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                          / CAST(n AS DOUBLE)) * {ANOVA_SCALE}.0)
-                    < 9007199254740992.0
-               AND round(CAST(sxx AS DOUBLE) * {ANOVA_SCALE}.0)
-                    < 9007199254740992.0
-              THEN CAST(round(CAST(sxx AS DOUBLE) * {ANOVA_SCALE}.0)
-                        AS BIGINT)
-                   - CAST(s1_e3 AS BIGINT)
+         CASE WHEN oob = 0 AND t_d < 9007199254740992.0
+                          AND sxx_d < 9007199254740992.0
+              THEN CAST(sxx_d AS BIGINT) - CAST(s1_e3 AS BIGINT)
          END AS ssw_e3
-  FROM agg
+  FROM qd
 )
 SELECT k, n, ssb_e3, ssw_e3,
        (CAST(ssb_e3 AS DOUBLE) / CAST(k - 1 AS DOUBLE))

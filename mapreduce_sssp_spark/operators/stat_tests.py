@@ -182,11 +182,16 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
+    # Radicand guard (the _pearson_from_sums convention, r10): an
+    # all-tied side makes a radicand 0 (ANSI crash), and a rounding-
+    # negative one makes Spark sqrt NaN where DuckDB sqrt RAISES.
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
     return agg.select(
         "n",
-        (
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        F.when(
+            (vx > 0) & (vy > 0),
+            (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
         ).alias("spearman_rho"),
     )
 
@@ -893,13 +898,18 @@ agg AS (
   FROM ranked
 )
 SELECT n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-         AS spearman_rho
+       END AS spearman_rho
 FROM agg
 """,
     "cramers_v": """

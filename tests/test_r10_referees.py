@@ -152,3 +152,44 @@ def test_bench_record_repins_are_consistent():
             entry["to"],
         )
         assert entry.get("commit") and entry.get("source_round"), name
+
+
+def test_welch_constant_large_groups_null_in_both_engines(spark, tmp_path):
+    """r10 review reproduction: two event types each holding five
+    identical $600,000.01 events. n*sxx == sx^2 exactly, but the double
+    products disagree past 2^53, rounding se2 NEGATIVE — the unguarded
+    engine emitted a bogus positive welch_df while the twin's
+    sqrt(negative) RAISED. Both must now yield NULL t/df."""
+    import datetime as dt
+
+    import duckdb
+
+    from mapreduce_sssp_spark import queries_registry as qr
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(5):
+        rows.append((i, T0 + dt.timedelta(minutes=i), 1, "alpha",
+                     600000.01, "{}"))
+        rows.append((10 + i, T0 + dt.timedelta(minutes=i), 2, "beta",
+                     600000.01, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = qr.QUERIES["t_test_welch"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].t_stat is None and got[0].welch_df is None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = con.execute(qr.ORACLE["t_test_welch"]).fetchall()
+    assert len(want) == 1
+    assert want[0][4] is None and want[0][5] is None
+    spark.catalog.clearCache()
