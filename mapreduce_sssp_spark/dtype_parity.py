@@ -14,6 +14,32 @@ audits the whole registry).
 
 from __future__ import annotations
 
+# Output-dtype whitelist (r11, closes the r4/r6/r10 dtype-hash incident
+# class structurally): every registry query's OUTPUT columns must be one
+# of these canonical dtypes.  The driver's value hash stringifies
+# per-dtype, and anything outside this set has bitten at least once
+# (decimal: r10 moments_value red row with bit-identical values; the
+# list is the proven-portable survivor set — int32 driver-green since
+# r2 across ~30 queries).  Wide decimals/arrays are fine INTERNALLY;
+# cast to STRING at the output projection.  Enforced by
+# tests/test_output_dtypes.py (registry sweep) and tools/check_oracle.py
+# (per-run DTYPE-RISK flag).
+OUTPUT_DTYPE_WHITELIST = frozenset(
+    {"int64", "int32", "float64", "string", "bool", "date", "timestamp"}
+)
+
+
+def output_dtype_risks(sdf_schema) -> list[str]:
+    """Columns of a Spark result schema whose canonical dtype is outside
+    OUTPUT_DTYPE_WHITELIST — flagged even when values match the oracle,
+    because dtype-hash divergence is load-order/fetch-path dependent and
+    a green local compare does not imply a green driver hash."""
+    return [
+        f"{f.name}:{canon_spark_dtype(f.dataType)}"
+        for f in sdf_schema
+        if canon_spark_dtype(f.dataType) not in OUTPUT_DTYPE_WHITELIST
+    ]
+
 
 def canon_spark_dtype(dt) -> str:
     """Spark DataType -> canonical dtype string (shared vocabulary with

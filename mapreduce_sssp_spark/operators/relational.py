@@ -1047,8 +1047,16 @@ def q_moments_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the moment-sketch pattern: power sums are associative and
     mergeable, so partial aggregation collapses map-side and a rollup
     of shards is a sum of tiny vectors — never a rescan. The exact
-    DECIMAL(38,0) sums ship alongside the derived moments as the hash
-    anchor.
+    power sums ship alongside the derived moments as the hash anchor —
+    as VARCHAR carriers, not decimals: the r10 driver row proved the
+    values bit-identical yet hash-RED, because Spark decimal vs DuckDB
+    decimal/HUGEINT fetches stringify differently in the driver's
+    dtype-sensitive hash (the same class as the r4 BPE drift). Wide
+    decimals stay INTERNAL; output dtypes obey the portable whitelist
+    (tests/test_output_dtypes.py). Domain: the bound is on the GROUP
+    power-sum, not the row — rows x d^4 < 1e38 (e.g. 1e9 rows of
+    |d| <= 3.1e7 dollars); past it Spark decimal overflow and DuckDB's
+    HUGEINT->DECIMAL cast fail at different points.
     """
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
@@ -1067,10 +1075,10 @@ def q_moments_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "event_type",
         "n",
-        "s1",
-        "s2",
-        "s3",
-        "s4",
+        F.expr("CAST(s1 AS STRING)").alias("s1"),
+        F.expr("CAST(s2 AS STRING)").alias("s2"),
+        F.expr("CAST(s3 AS STRING)").alias("s3"),
+        F.expr("CAST(s4 AS STRING)").alias("s4"),
         F.expr(_MOMENTS_EXPRS["skewness"]).alias("skewness"),
         F.expr(_MOMENTS_EXPRS["kurtosis"]).alias("kurtosis"),
     )
@@ -3266,7 +3274,11 @@ stats AS (
          CAST(SUM(d * d * d * d) AS DECIMAL(38,0)) AS s4
   FROM d GROUP BY event_type
 )
-SELECT event_type, n, s1, s2, s3, s4,
+SELECT event_type, n,
+       CAST(s1 AS VARCHAR) AS s1,
+       CAST(s2 AS VARCHAR) AS s2,
+       CAST(s3 AS VARCHAR) AS s3,
+       CAST(s4 AS VARCHAR) AS s4,
        {_MOMENTS_EXPRS["skewness"]} AS skewness,
        {_MOMENTS_EXPRS["kurtosis"]} AS kurtosis
 FROM stats

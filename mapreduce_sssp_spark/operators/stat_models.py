@@ -667,8 +667,10 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen at e3 because the squared cents terms approach int64 at e6.
     F is one closing expression; the e3 scales cancel in the ratio.
     Quantized magnitudes past 2^53 are OUT OF DOMAIN and yield NULL
-    sums-of-squares/F (rail in the body; crash- and divergence-free at
-    any value magnitude).
+    sums-of-squares/F — railed at BOTH levels: each per-group term AND
+    their cross-group sum (DECIMAL(38,0)/HUGEINT carrier + s1 < 2^53
+    check, r11), so the claim of crash- and divergence-freedom at any
+    value magnitude holds even for thousands of near-limit groups.
 
     At 100 TB: one map-side-combined pass to |types| rows of exact
     sufficient statistics; everything else is |types|-row algebra.
@@ -704,7 +706,16 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(float(ANOVA_SCALE))
     )
-    term = F.when(term_d < F.lit(_DLIM), term_d.cast("long"))
+    # The SUM of in-domain terms is carried in DECIMAL(38,0), not
+    # BIGINT: each term is < 2^53 but ~1000+ groups near the limit
+    # could push a BIGINT sum past 2^63, where Spark's ANSI sum raises
+    # while DuckDB sums into HUGEINT and only fails later (r10 ADVICE).
+    # The decimal sum is exact in both engines, and in_dom below also
+    # requires s1_e3 < 2^53 — the same branch in both engines — so the
+    # rail now covers the sum, not just each per-group term.
+    term = F.when(
+        term_d < F.lit(_DLIM), term_d.cast("decimal(38,0)")
+    )
     agg = g.agg(
         F.count("*").alias("k"),
         F.sum("n_g").alias("n"),
@@ -730,12 +741,18 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("oob") == 0)
         & (t_d < F.lit(_DLIM))
         & (sxx_d < F.lit(_DLIM))
+        # exact decimal-vs-int compare, identical branch in both engines
+        & (F.col("s1_e3") < F.lit(9007199254740992))
     )
     withss = agg.select(
         "k",
         F.col("n").cast("long").alias("n"),
-        F.when(in_dom, F.col("s1_e3") - t_d.cast("long")).alias("ssb_e3"),
-        F.when(in_dom, sxx_d.cast("long") - F.col("s1_e3")).alias("ssw_e3"),
+        F.when(
+            in_dom, F.col("s1_e3").cast("long") - t_d.cast("long")
+        ).alias("ssb_e3"),
+        F.when(
+            in_dom, sxx_d.cast("long") - F.col("s1_e3").cast("long")
+        ).alias("ssw_e3"),
     )
     f_stat = (
         F.col("ssb_e3").cast("double") / (F.col("k") - 1).cast("double")
@@ -1173,12 +1190,16 @@ agg AS (
   -- double's integer range (< 2^53) or the group is out-of-domain and
   -- every sum-of-squares output is NULL (see the engine docstring —
   -- long carriers overflow there and double->decimal casts diverge
-  -- between engines past 2^53).
+  -- between engines past 2^53).  s1_e3 sums BIGINT terms into HUGEINT
+  -- (exact, like the engine's DECIMAL(38,0) carrier); the ss rail
+  -- below also requires s1_e3 < 2^53 so the SUM itself is railed, not
+  -- just each term (r10 ADVICE: ~1000+ near-limit groups could pass
+  -- every per-term check yet overflow an int64 sum).
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(n_g) AS BIGINT) AS n,
          SUM(sx_g) AS sx, SUM(sxx_g) AS sxx,
          SUM(CASE WHEN term_d < 9007199254740992.0
-                  THEN CAST(term_d AS BIGINT) END) AS s1_e3,
+                  THEN CAST(term_d AS BIGINT) END)::HUGEINT AS s1_e3,
          MAX(CASE WHEN term_d >= 9007199254740992.0
                   THEN 1 ELSE 0 END) AS oob
   FROM gq
@@ -1194,10 +1215,12 @@ ss AS (
   SELECT k, n,
          CASE WHEN oob = 0 AND t_d < 9007199254740992.0
                           AND sxx_d < 9007199254740992.0
+                          AND s1_e3 < 9007199254740992
               THEN CAST(s1_e3 AS BIGINT) - CAST(t_d AS BIGINT)
          END AS ssb_e3,
          CASE WHEN oob = 0 AND t_d < 9007199254740992.0
                           AND sxx_d < 9007199254740992.0
+                          AND s1_e3 < 9007199254740992
               THEN CAST(sxx_d AS BIGINT) - CAST(s1_e3 AS BIGINT)
          END AS ssw_e3
   FROM qd

@@ -189,8 +189,57 @@ _CHANGED_SINCE = {
     "dedup_minhash_clusters": 10,
     "dedup_keep_best": 10,
     "near_dup_cluster_stats": 10,
-    "moments_value": 10,                # s1..s4 widened to DECIMAL(38,0)
+    # r10 adversarial-sweep changes the r10 bump list missed (r10 verdict
+    # "What's missing" #1 — the backfill; latest driver rows r4-r9 all
+    # predate the commits 3841e2a/9f3d03d/ad1e9f9/127d9ab/e78a728 that
+    # changed them; scalar_string_math is NOT here because its r10 row
+    # postdates 1bb0c16):
+    "dedup_simhash": 10,                # unicode-safe simhash (3841e2a)
+    "multimodal_features": 10,          # oracle bytes-not-codepoints
+    "multimodal_frames": 10,            # oracle bytes-not-codepoints
+    "text_scrub": 10,                   # ASCII-\s token contract
+    "text_quality": 10,                 # denom guards (9f3d03d)
+    "text_repetition": 10,              # denom guards (9f3d03d)
+    "udtf_sentences": 10,               # space-only trim twin (e78a728)
+    "fuzzy_match_parts": 10,            # levenshtein chars contract
+    "corr_measures": 10,                # radicand guard (127d9ab)
+    "benford_digits": 10,               # log10 constant pin (ac52440)
+    "markov_stationary": 10,            # sweep fix
+    "anova_oneway": 10,                 # 2^53 rail (ad1e9f9)
+    "t_test_welch": 10,                 # radicand guard
+    "spearman_corr": 10,                # radicand guard
+    "kendall_tau_daily": 10,            # radicand guard
+    "cross_correlation_lag": 10,        # XCORR guard (ad1e9f9)
+    # r11 behavior changes:
+    "moments_value": 11,                # s1..s4 emitted as STRING carriers
 }
+
+
+def _changed_since():
+    """Hand list merged with the mechanical fingerprint snapshot
+    (ORACLE_HASHES.json, maintained by tools/update_fingerprints.py and
+    pinned fresh by tests/test_fingerprints.py): per query, the latest
+    round at which its semantics are known to have changed.  The hand
+    list survives for helper classes the fingerprint closure cannot see
+    and for the pre-r11 backfill; the snapshot catches everything the
+    hand forgot — the r10 failure mode this closes (r10 verdict,
+    "What's wrong" #2)."""
+    import json
+    from pathlib import Path
+
+    merged = dict(_CHANGED_SINCE)
+    try:
+        snap = json.loads(
+            (Path(__file__).resolve().parents[1] / "ORACLE_HASHES.json")
+            .read_text()
+        ).get("queries", {})
+    except (OSError, ValueError):
+        return merged
+    for name, ent in snap.items():
+        rnd = ent.get("round", 0)
+        if rnd > merged.get(name, 0):
+            merged[name] = rnd
+    return merged
 
 
 def _registry_order(names):
@@ -211,9 +260,10 @@ def _registry_order(names):
     # Changed-since-last-row entries jump the green queue: their driver
     # evidence predates the behavior change, so a fresh row is worth
     # more than re-greening an unchanged query.
+    changed_since = _changed_since()
     stale_changed = [
         n for n in green
-        if n in _CHANGED_SINCE and last_round(n) < _CHANGED_SINCE[n]
+        if n in changed_since and last_round(n) < changed_since[n]
     ]
     rest_green = [n for n in green if n not in stale_changed]
     # Staleness rotation (r9 verdict, "Next round" #2): order the green

@@ -75,6 +75,72 @@ def test_exact_dedup_groups(spark):
     assert got == {(10, 3), (11, 1)}
 
 
+def test_lsh_verified_equals_exact_jaccard_when_cap_unbound(spark):
+    """Recall parity (r10 ADVICE #1): since r10 the dedup_minhash oracle
+    mirrors the engine's own LSH pipeline (shared MINHASH_COEFFS), so
+    the driver hash can no longer catch a recall loss COMMON to both
+    sides — e.g. a degenerate coefficient edit that stops similar docs
+    from colliding in any band. This fixture closes that hole locally:
+    on a corpus where neither the LSH bucket cap nor the shingle max-df
+    prune binds, the LSH-candidate -> exact-verify pipeline must return
+    EXACTLY the brute-force >= 0.8-Jaccard pairs (banding at b=16, r=4
+    has a ~2e-4 miss probability at J = 0.8; the planted pairs sit at
+    J >= 0.85 where it is ~1e-6, and the corpus is fixed, so the
+    outcome is deterministic — if an edit to the signature scheme makes
+    this fail, the recall REALLY dropped)."""
+    from mapreduce_sssp_spark.operators.dedup import JACCARD_THRESHOLD
+
+    fam = [
+        BASE,
+        BASE.replace("morning", "evening"),
+        BASE.replace("quick", "swift"),
+        UNRELATED,
+        UNRELATED.replace("columnar", "vectorized"),
+        "completely different short text about nothing in particular "
+        "with enough words to form shingles of its own here",
+        BASE,  # exact dup of doc 0
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fam)], "doc_id long, text string"
+    )
+    # Brute-force exact pairs over distinct shingle sets.
+    sh = {r.doc_id: set(r.sh) for r in with_shingles(docs).collect()}
+    exact = set()
+    ids = sorted(sh)
+    for i in ids:
+        for j in ids:
+            if i < j and sh[i] and sh[j]:
+                jac = len(sh[i] & sh[j]) / len(sh[i] | sh[j])
+                if jac >= JACCARD_THRESHOLD:
+                    exact.add((i, j))
+    assert exact, "fixture must plant at least one >= 0.8 pair"
+    # The engine pipeline: LSH candidates exact-verified, same shape as
+    # q_dedup_minhash (candidates from banded signatures, verify via
+    # shingle-set intersection).
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    a = with_shingles(docs).select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = with_shingles(docs).select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter / (F.size("sh_a") + F.size("sh_b") - inter)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    got = {(r.doc_a, r.doc_b) for r in verified.collect()}
+    assert got == exact
+
+
 def test_minhash_clusters_transitive_closure(spark):
     """Near-dup CLUSTERS close over non-transitive pair evidence: with
     pairs (0,1) and (1,4) but NOT (0,4), all three land in one component

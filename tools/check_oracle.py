@@ -18,7 +18,10 @@ sys.path.insert(0, ".")
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
-from mapreduce_sssp_spark.dtype_parity import dtype_drift  # noqa: E402
+from mapreduce_sssp_spark.dtype_parity import (  # noqa: E402
+    dtype_drift,
+    output_dtype_risks,
+)
 from mapreduce_sssp_spark.io.sources import TABLES  # noqa: E402
 from mapreduce_sssp_spark.session import get_spark  # noqa: E402
 
@@ -135,6 +138,16 @@ def main():
                   f"canonicalizer cannot hash list/dict cells; serialize "
                   f"to a canonical string (array_join/concat_ws)")
             failures.append((name, f"nested output columns: {nested}"))
+            continue
+        # Output-dtype whitelist (r11): flag non-portable output dtypes
+        # even when every value matches — dtype-hash divergence is
+        # fetch-path dependent (r10 moments_value: bit-identical values,
+        # driver hash RED on decimal outputs).
+        risks = output_dtype_risks(sdf.schema)
+        if risks:
+            print(f"  {name:28s} DTYPE-RISK {risks} — cast to "
+                  f"STRING/BIGINT at the output projection")
+            failures.append((name, f"non-whitelisted output dtypes: {risks}"))
             continue
         scols = list(sdf.columns)
         srows = [tuple(r) for r in sdf.collect()]

@@ -7,7 +7,15 @@ crafted `events` (duplicate timestamps, single-event users/types,
 zero/negative/cancelling values, zero-variance groups, constant series,
 $10M magnitudes), a degenerate-structure `lineitem` slice (single-line
 orders, childless orders, duplicate (orderkey, linenumber) rows,
-boundary discounts/quantities), and sf0.001 copies of everything else.
+boundary discounts/quantities, half-cent prices, negative return
+amounts, a many-line hub order and a hub part), crafted `orders`
+(duplicate order keys, zero/negative/half-cent/$10M totalprices, exact
+price ties, orphan customer keys, hub customers, leap-day and
+1999-boundary dates, duplicate timestamps), crafted `embeddings`
+(zero vector, exact duplicates, negated and scaled copies, one-hot,
+1e-7 near-ties, float32-overflow magnitudes, denormals, -0.0
+components, singleton labels), and sf0.001 copies of everything else
+(r11 campaign — the r10 sweep crafted only documents/events).
 
 Usage:
     python tools/make_adversarial_sf.py [/tmp/sf_adversarial]
@@ -127,17 +135,109 @@ def adversarial_events(spark):
     )
 
 
+def adversarial_orders(spark):
+    """Crafted orders: key/price/date degeneracies the generated TPC-H
+    slice never produces.  A base slice keeps join mass for the
+    customer/nation queries; the injected rows are the hunt."""
+    T = dt.datetime
+    rows = []
+    oid = 10_000_000  # far above sf0.001's key range
+
+    def add(key, cust, status, price, date, prio):
+        rows.append((key, cust, status, price, date, prio))
+
+    # Duplicate o_orderkey (PK break): same key, different rows.
+    add(oid + 1, 1, "O", 100.00, T(1997, 6, 1), "1-URGENT")
+    add(oid + 1, 1, "F", 200.00, T(1997, 6, 2), "5-LOW")
+    # Exact price ties across many orders: rank/percentile plateaus.
+    for i in range(10):
+        add(oid + 10 + i, 2, "O", 5000.00, T(1997, 7, 1 + i), "3-MEDIUM")
+    # Zero / tiny / negative (credit) / huge totalprice.
+    add(oid + 30, 3, "F", 0.00, T(1996, 2, 29), "2-HIGH")   # leap day
+    add(oid + 31, 3, "F", 0.01, T(2000, 2, 29), "2-HIGH")   # leap day
+    add(oid + 32, 3, "F", -500.25, T(1998, 12, 31), "4-NOT SPECIFIED")
+    add(oid + 33, 3, "P", 9_999_999.99, T(1999, 1, 1), "1-URGENT")
+    # Half-cent / .x5 boundaries (round() divergence class, probed r10
+    # on part prices — 1bb0c16).
+    add(oid + 40, 4, "O", 100.005, T(1998, 12, 31), "5-LOW")
+    add(oid + 41, 4, "O", 0.005, T(1999, 1, 1), "5-LOW")
+    add(oid + 42, 4, "O", 1234.565, T(1999, 1, 2), "5-LOW")
+    # Hub customer: one customer with 40 orders, same date cluster.
+    for i in range(40):
+        add(oid + 100 + i, 5, "O", 10.00 + i, T(1997, 3, 15), "3-MEDIUM")
+    # Single-order customers with identical timestamps (dupe-ts windows).
+    for i in range(5):
+        add(oid + 200 + i, 100 + i, "F", 777.77, T(1995, 1, 1), "2-HIGH")
+    # Orphan o_custkey (no such customer): outer-join / anti-join paths.
+    add(oid + 300, 99_999_999, "O", 314.15, T(1997, 9, 9), "1-URGENT")
+    # Unseen status value: pivot/conditional robustness.
+    add(oid + 301, 6, "X", 42.42, T(1997, 10, 10), "3-MEDIUM")
+    crafted = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string",
+    )
+    base = spark.read.parquet(f"{SRC}/orders.parquet").filter(
+        "o_orderkey % 3 = 0"
+    )
+    return base.unionByName(crafted.selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate", "o_orderpriority",
+    ))
+
+
+def adversarial_embeddings(spark):
+    """Crafted embeddings: norm-zero / tie / float32-edge vectors.  All
+    dim 64 (the generated dim); values chosen exactly representable in
+    float32 so both engines read identical bits."""
+    DIM = 64
+    rows = []
+    vid = 1_000_000
+
+    def add(vec, label):
+        nonlocal vid
+        rows.append((vid, [float(x) for x in vec], label))
+        vid += 1
+
+    base_vec = [((i * 37) % 19 - 9) / 8.0 for i in range(DIM)]
+    add([0.0] * DIM, 0)                       # zero vector: norm 0
+    add(base_vec, 1)
+    add(base_vec, 1)                          # exact duplicate (tie)
+    add([-x for x in base_vec], 1)            # negated: cosine -1
+    add([2.0 * x for x in base_vec], 1)       # scaled: cosine +1
+    one_hot = [0.0] * DIM
+    one_hot[7] = 1.0
+    add(one_hot, 2)                           # one-hot
+    near = list(base_vec)
+    near[0] += 2.0 ** -23                     # 1-ulp-ish near-tie
+    add(near, 2)
+    add([1.0e19] * DIM, 3)                    # dot overflows float32
+    add([1.0e-40] * DIM, 3)                   # float32 denormal
+    add([-0.0] * DIM, 4)                      # sign-of-zero components
+    add([1.0] * DIM, 5)                       # constant vector
+    add([(-1.0) ** i for i in range(DIM)], 9)  # singleton label 9
+    crafted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    base = spark.read.parquet(f"{SRC}/embeddings.parquet").filter(
+        "vec_id % 5 != 4"
+    )
+    return base.unionByName(crafted)
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_adversarial"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "embeddings"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
 
     con = duckdb.connect()
     # Degenerate lineitem: slice (single-line + childless orders) +
-    # exact duplicate (orderkey, linenumber) rows + boundary rows.
+    # exact duplicate (orderkey, linenumber) rows + boundary rows +
+    # (r11) half-cent prices, negative return amounts, a 60-line hub
+    # order and a hub part shared by every hub line.
     con.execute(
         f"""
 COPY (
@@ -149,10 +249,30 @@ COPY (
   bounds AS (
     SELECT * REPLACE (0.00 AS l_discount, 1.0 AS l_quantity)
     FROM base WHERE l_orderkey % 35 = 0
+  ),
+  halfcent AS (
+    SELECT * REPLACE (123.455 AS l_extendedprice, 0.05 AS l_discount)
+    FROM base WHERE l_orderkey % 77 = 0
+  ),
+  negret AS (
+    SELECT * REPLACE (-l_extendedprice AS l_extendedprice,
+                      'R' AS l_returnflag)
+    FROM base WHERE l_orderkey % 91 = 0
+  ),
+  hub AS (
+    SELECT 20000001 AS l_orderkey, 42 AS l_partkey, 7 AS l_suppkey,
+           CAST(i AS INT) AS l_linenumber, 5.0 AS l_quantity,
+           1000.00 AS l_extendedprice, 0.04 AS l_discount,
+           0.02 AS l_tax, 'N' AS l_returnflag, 'O' AS l_linestatus,
+           TIMESTAMP '1997-05-05 00:00:00' AS l_shipdate
+    FROM range(1, 61) r(i)
   )
   SELECT * FROM base
   UNION ALL SELECT * FROM dupes
   UNION ALL SELECT * FROM bounds
+  UNION ALL SELECT * FROM halfcent
+  UNION ALL SELECT * FROM negret
+  UNION ALL SELECT * FROM hub
 ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
 """
     )
@@ -162,6 +282,8 @@ COPY (
     spark = get_spark(app_name="make-adversarial-sf")
     _flatten(adversarial_documents(spark), f"{out}/documents.parquet")
     _flatten(adversarial_events(spark), f"{out}/events.parquet")
+    _flatten(adversarial_orders(spark), f"{out}/orders.parquet")
+    _flatten(adversarial_embeddings(spark), f"{out}/embeddings.parquet")
     print(f"adversarial sf dir written: {out}")
 
 
