@@ -150,32 +150,41 @@ COGROUP_SCHEMA = T.StructType(
 
 
 def _merge_user(key: tuple, orders: pd.DataFrame, events: pd.DataFrame) -> pd.DataFrame:
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
-    cent = Decimal("0.01")
-    # Exact decimal accumulation mirrors the oracle's DECIMAL sums — no
-    # float-order sensitivity.
+    # Exact integer-cents accumulation via scale-0 rounding of the SAME
+    # IEEE product v*100 the oracle rounds (the r10 price_round device):
+    # DuckDB's CAST(double AS DECIMAL(18,2)) rounds the SHORTEST DECIMAL
+    # repr half-up (100.005 -> 100.01) while Decimal(float).quantize
+    # rounds the true binary value (100.00499... -> 100.00) — probed
+    # r11 on half-cent orders. Decimal(v*100) is the exact binary
+    # product and ROUND_HALF_UP == round-half-away == DuckDB round(),
+    # so both engines round identical operands identically.
     # .dropna(): SQL SUM skips NULLs, so the pandas fold must too (a
-    # NULL value arrives as NaN, and Decimal(NaN).quantize crashes).
+    # NULL value arrives as NaN, and Decimal(NaN) ops crash).
     # Row counts below stay len() — count(*) includes NULL-value rows.
-    o_sum = sum(
-        (
-            Decimal(float(v)).quantize(cent)
-            for v in orders["o_totalprice"].dropna()
-        ),
-        Decimal(0),
-    )
-    e_sum = sum(
-        (Decimal(float(v)).quantize(cent) for v in events["value"].dropna()),
-        Decimal(0),
-    )
+    one = Decimal(1)
+
+    def cents_sum(col: pd.Series) -> Decimal:
+        return sum(
+            (
+                Decimal(float(v) * 100.0).quantize(
+                    one, rounding=ROUND_HALF_UP
+                )
+                for v in col.dropna()
+            ),
+            Decimal(0),
+        )
+
+    o_sum = cents_sum(orders["o_totalprice"])
+    e_sum = cents_sum(events["value"])
     return pd.DataFrame(
         {
             "user_id": [int(key[0])],
             "n_orders": [len(orders)],
             "n_events": [len(events)],
-            "sum_order_value": [float(o_sum)],
-            "sum_event_value": [float(e_sum)],
+            "sum_order_value": [float(o_sum / 100)],
+            "sum_event_value": [float(e_sum / 100)],
         }
     )
 
@@ -247,20 +256,24 @@ HAVING count(*) >= 2
 ORACLE = {
     "cogroup_user_activity": """
 WITH o AS (
+  -- scale-0 cents rounding, NOT CAST(.. AS DECIMAL(18,2)): the decimal
+  -- cast rounds the shortest decimal repr (100.005 -> 100.01) while the
+  -- engine's pandas fold rounds the binary product — round(x*100) is
+  -- the shared-operand device (see _merge_user).
   SELECT o_custkey AS user_id, count(*) AS n_orders,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS o_sum
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS o_sum
   FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 ),
 e AS (
   SELECT user_id, count(*) AS n_events,
-         SUM(CAST(value AS DECIMAL(18,2))) AS e_sum
+         SUM(CAST(round(value * 100) AS BIGINT)) AS e_sum
   FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 )
 SELECT coalesce(o.user_id, e.user_id) AS user_id,
        CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
        CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
-       CAST(coalesce(o_sum, 0) AS DOUBLE) AS sum_order_value,
-       CAST(coalesce(e_sum, 0) AS DOUBLE) AS sum_event_value
+       CAST(coalesce(o_sum, 0) AS DOUBLE) / 100.0 AS sum_order_value,
+       CAST(coalesce(e_sum, 0) AS DOUBLE) / 100.0 AS sum_event_value
 FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
 """,
     "order_gaps": _ORDER_GAPS_SQL_TPL.format(

@@ -416,7 +416,8 @@ def _hybrid_oracle_sql() -> str:
 WITH lex AS (
   SELECT doc_id, rank AS r_lex FROM ({bm25})
 ),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 qv AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = {HYBRID_QVEC}),
 dense AS (

@@ -38,8 +38,42 @@ SIG_BITS = 8
 LSH_TABLES = 4
 
 
+# Vector-domain rail (r11 adversarial campaign): every similarity /
+# clustering / quantization query operates on finite vectors with
+# norm > 0 and |component| <= EMB_ABS_MAX; out-of-domain vectors are
+# EXCLUDED at load, identically in both engines.  Why exclusion, not
+# guards per expression: a zero-norm vector makes every cosine a
+# 0/0 (Spark ANSI raises, DuckDB returns NULL — a crash/divergence
+# split probed on a crafted corpus), and a 1e19 component blows every
+# e6-quantization carrier past int64 (round(x*1e6) overflows at
+# |x| ~ 9.2e12; kmeans/pca/auc all crashed).  |x| <= 1e6 keeps
+# round(x*1e6) <= 1e12, so column sums over 1e6+ rows stay inside
+# int64 — generous for unit-norm-ish embeddings, and on the generated
+# testdata no vector is excluded so all values are unchanged.  NaN
+# components are out-of-domain too (NaN orders differently across
+# engines).  The DuckDB twins carry the textually-mirrored WHERE.
+EMB_ABS_MAX = 1_000_000.0
+
+_VEC_DOMAIN = (
+    "NOT exists({c}, x -> abs(x) > cast(1000000.0 as {t}) OR isnan(x))"
+    " AND exists({c}, x -> x != cast(0.0 as {t}))"
+)
+
+DUCK_VEC_WHERE = (
+    "len(list_filter(CAST(embedding AS DOUBLE[]),"
+    " x -> abs(x) > 1000000.0 OR isnan(x))) = 0"
+    " AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0"
+)
+
+
+def vec_domain(df: DataFrame, col: str = "embedding",
+               elem: str = "float") -> DataFrame:
+    """Filter a DataFrame to in-domain vectors (see the rail note)."""
+    return df.filter(F.expr(_VEC_DOMAIN.format(c=col, t=elem)))
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_parallel(spark, sf_dir, "embeddings").select(
+    return vec_domain(load_parallel(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
@@ -467,7 +501,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, never inflated.
     """
     B = NEARDUP_BLOCKS
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = vec_domain(load_table(spark, sf_dir, "embeddings"))
     vec = emb.filter(F.col("label") < NEARDUP_LABELS).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -530,7 +564,7 @@ def q_roc_auc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    emb = load_parallel(spark, sf_dir, "embeddings")
+    emb = vec_domain(load_parallel(spark, sf_dir, "embeddings"))
     feats = emb.select(
         "label",
         F.explode(
@@ -1067,15 +1101,23 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined, |labels| x dim rows); the |labels|^2/2 pair matrix is
     driver-trivial.
     """
-    vec = load_parallel(spark, sf_dir, "embeddings").select(
+    vec = vec_domain(load_parallel(spark, sf_dir, "embeddings")).select(
         "label",
         F.expr(
             "transform(cast(embedding as array<double>),"
             " x -> cast(round(x * 1e6) as bigint))"
         ).alias("vq"),
     )
+    # posexplode_OUTER + null-filter, NOT posexplode: a non-outer
+    # Generate lets InferFiltersFromGenerate add size(transform(...))>0
+    # to the SCAN's DataFilters, where it is evaluated as an independent
+    # predicate (no AND short-circuit with vec_domain) — the quantizing
+    # ANSI cast then runs on out-of-domain rows the rail already
+    # rejected and crashes (probed r11 on a 1e19-component vector).
+    # Same device as text_common.shingle_postings.
     sums = (
-        vec.select("label", F.posexplode("vq").alias("pos", "x"))
+        vec.select("label", F.posexplode_outer("vq").alias("pos", "x"))
+        .filter(F.col("x").isNotNull())
         .groupBy("label", "pos")
         .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
     )
@@ -1096,6 +1138,11 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_vecs").alias("n_b"),
         F.col("cv").alias("cv_b"),
     )
+    # Zero-centroid guard (r11): members can CANCEL (v and -v in one
+    # label), leaving an all-zero integer centroid whose cosine is 0/0
+    # — Spark ANSI raises, DuckDB NaNs. NULL by the SCALE.md degenerate
+    # convention; output rows are keyed by (label_a, label_b) so a NULL
+    # value needs no ordering care.
     return (
         a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
         .select(
@@ -1103,9 +1150,10 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_b",
             "n_a",
             "n_b",
-            (
+            F.when(
+                (_dot("cv_a", "cv_a") > 0.0) & (_dot("cv_b", "cv_b") > 0.0),
                 _dot("cv_a", "cv_b")
-                / (F.sqrt(_dot("cv_a", "cv_a")) * F.sqrt(_dot("cv_b", "cv_b")))
+                / (F.sqrt(_dot("cv_a", "cv_a")) * F.sqrt(_dot("cv_b", "cv_b"))),
             ).alias("centroid_cosine"),
         )
     )
@@ -1135,7 +1183,7 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, per-label top-k window. The corpus shuffles once (the
     label partition for the window).
     """
-    vec = load_parallel(spark, sf_dir, "embeddings").select(
+    vec = vec_domain(load_parallel(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.expr(
@@ -1143,8 +1191,13 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> cast(round(x * 1e6) as bigint))"
         ).alias("vq"),
     )
+    # posexplode_OUTER + null-filter (see q_label_centroid_similarity:
+    # a non-outer Generate's inferred size(transform(...))>0 scan
+    # predicate evaluates the ANSI quantize cast on rows vec_domain
+    # already rejected).
     sums = (
-        vec.select("label", F.posexplode("vq").alias("pos", "x"))
+        vec.select("label", F.posexplode_outer("vq").alias("pos", "x"))
+        .filter(F.col("x").isNotNull())
         .groupBy("label", "pos")
         .agg(F.sum("x").alias("s"))
     )
@@ -1154,19 +1207,32 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             " t -> cast(t.s as double))"
         ).alias("cv")
     )
+    # Quantized-norm guard (r11): a vector of sub-quantum components
+    # (|x| < 0.5e-6, e.g. float32 denormals) is IN the vec_domain rail
+    # yet quantizes to the all-zero vq, and a label's centroid sum can
+    # cancel to zero — either way the cosine is 0/0 (Spark ANSI raises,
+    # DuckDB NaNs). Undefined scores become NULL and are DROPPED before
+    # ranking (NULL order in a window differs between engines: Spark
+    # sorts NULLs first ascending, DuckDB last).
+    _vq2 = (
+        "aggregate(zip_with(transform(vq, x -> cast(x as double)),"
+        " transform(vq, x -> cast(x as double)), (x, y) -> x * y),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    _cv2 = (
+        "aggregate(zip_with(cv, cv, (x, y) -> x * y),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
     scored = vec.join(F.broadcast(cent), "label").select(
         "label",
         "vec_id",
         F.expr(
+            f"CASE WHEN {_vq2} > 0.0 AND {_cv2} > 0.0 THEN "
             "aggregate(zip_with(transform(vq, x -> cast(x as double)), cv,"
             " (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-            " / (sqrt(aggregate(zip_with(transform(vq, x -> cast(x as"
-            " double)), transform(vq, x -> cast(x as double)), (x, y) ->"
-            " x * y), cast(0.0 as double), (acc, x) -> acc + x))"
-            " * sqrt(aggregate(zip_with(cv, cv, (x, y) -> x * y),"
-            " cast(0.0 as double), (acc, x) -> acc + x)))"
+            f" / (sqrt({_vq2}) * sqrt({_cv2})) END"
         ).alias("centroid_cosine"),
-    )
+    ).filter(F.col("centroid_cosine").isNotNull())
     w = Window.partitionBy("label").orderBy(
         F.col("centroid_cosine").asc(), "vec_id"
     )
@@ -1575,7 +1641,8 @@ def _pca_oracle_sql(dim: int = PCA_DIM, rounds: int = PCA_ROUNDS) -> str:
     ones = "[" + ", ".join(["1.0"] * dim) + "]"
     ctes = [
         "e AS MATERIALIZED (SELECT vec_id,"
-        " embedding::DOUBLE[] AS v FROM embeddings)"
+        " embedding::DOUBLE[] AS v FROM embeddings"
+        f" WHERE {DUCK_VEC_WHERE})"
     ]
     prev_vec = ones
     for t in range(1, rounds + 1):
@@ -1611,12 +1678,13 @@ def _pca_oracle_sql(dim: int = PCA_DIM, rounds: int = PCA_ROUNDS) -> str:
 
 ORACLE = {
     "pca_power_iteration": _pca_oracle_sql(),
-    "embedding_quantize": """
+    "embedding_quantize": f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                  x -> abs(x))) AS mx
   FROM embeddings
+  WHERE {DUCK_VEC_WHERE}
 ),
 comp AS (
   SELECT vec_id, mx,
@@ -1631,7 +1699,8 @@ SELECT vec_id, dim,
 FROM comp
 """,
     "kmeans_update": f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {KMEANS_K}),
 scored AS (
   SELECT e.vec_id, s.seed_id, e.v,
@@ -1661,7 +1730,8 @@ FROM comp
 GROUP BY seed_id, dim
 """,
     "embedding_pq_encode": f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {PQ_K}),
 scored AS (
   SELECT e.vec_id, s.seed_id,
@@ -1696,7 +1766,8 @@ FROM m0 JOIN m1 USING (vec_id) JOIN m2 USING (vec_id) JOIN m3 USING (vec_id)
 """,
     "mmr_rerank": None,  # filled below (unrolled greedy rounds)
     "pq_adc_topk": f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {PQ_K}),
 scored AS (
   SELECT e.vec_id, s.seed_id,
@@ -1770,7 +1841,8 @@ JOIN qs q ON q.q_id = t.q_id
 WHERE t.rn <= {TOPK}
 """,
     "kmeans_assign": f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {KMEANS_K}),
 scored AS (
   SELECT e.vec_id, s.seed_id,
@@ -1805,7 +1877,7 @@ WITH feats AS (
                    " 'score': CAST(round(CAST(embedding[%d] AS DOUBLE) * 1e6)"
                    " AS BIGINT)}" % (j, j + 1)
                    for j in range(AUC_N_FEATURES))}]) AS f
-        FROM embeddings)),
+        FROM embeddings WHERE {DUCK_VEC_WHERE})),
 lab_h AS (SELECT feature_idx, score, label, COUNT(*) AS n
           FROM feats GROUP BY 1, 2, 3),
 tot_h AS (SELECT feature_idx, score, SUM(n) AS t_v
@@ -1841,7 +1913,8 @@ SELECT vec_id,
 FROM embeddings
 """,
     "similarity_topk": f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
          list_dot_product(q.v, c.v)
@@ -1859,7 +1932,7 @@ SELECT q_id, cand_id, cosine, CAST(rn AS INT) AS rn FROM (
     "embedding_neardup": f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE label < {NEARDUP_LABELS}
+  FROM embeddings WHERE label < {NEARDUP_LABELS} AND {DUCK_VEC_WHERE}
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.v, b.v)
@@ -1883,7 +1956,8 @@ def _ivf_oracle(k: int, with_rank: bool) -> str:
         ", CAST(rank AS INT) AS rank" if with_rank else ""
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
           WHERE vec_id % {IVF_CENTROID_MOD} = 0),
@@ -1953,7 +2027,8 @@ c{r} AS (
 )""")
     body = ",".join(stages)
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 c0 AS (SELECT vec_id AS seed_id, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
 {body}
 SELECT seed_id, dim, n_members, sum_e6, centroid FROM g{rounds}
@@ -1968,7 +2043,8 @@ def _ann_recall_oracle() -> str:
     referee; the report is deterministic because both sides are."""
     return f"""
 WITH ann AS ({{ann_sql}}),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 ex AS (
   SELECT q_id, nn_id AS true_nn FROM (
@@ -1993,7 +2069,8 @@ FROM joined
 """
 
 ORACLE["pipeline_embedding_index"] = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 comp AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
          CAST(floor(list_max(list_transform(v, x -> abs(x)))
@@ -2021,7 +2098,8 @@ FROM assigned GROUP BY bucket
 # matrix (sliced to the data's dim), joins within (table, bucket), and
 # re-ranks — the approximation is deterministic, so the hash matches.
 ORACLE["similarity_ann_lsh"] = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 b AS (
   SELECT vec_id, t,
@@ -2055,7 +2133,8 @@ ORACLE["ann_recall_report"] = _ann_recall_oracle().format(
 )
 
 ORACLE["rank_fusion_rrf"] = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
          list_dot_product(q.v, c.v)
@@ -2092,12 +2171,13 @@ SELECT q_id, cand_id, rrf_e12, CAST(rn AS INT) AS rn FROM (
 ) WHERE rn <= {TOPK}
 """
 
-ORACLE["label_centroid_similarity"] = """
+ORACLE["label_centroid_similarity"] = f"""
 WITH vq AS (
   SELECT label,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(round(x * 1e6) AS BIGINT)) AS vq
   FROM embeddings
+  WHERE {DUCK_VEC_WHERE}
 ),
 sums AS (
   SELECT label, CAST(i AS INT) AS pos,
@@ -2113,9 +2193,12 @@ cent AS (
 )
 SELECT a.label AS label_a, b.label AS label_b,
        CAST(a.n_vecs AS BIGINT) AS n_a, CAST(b.n_vecs AS BIGINT) AS n_b,
-       list_dot_product(a.cv, b.cv)
+       CASE WHEN list_dot_product(a.cv, a.cv) > 0.0
+             AND list_dot_product(b.cv, b.cv) > 0.0
+       THEN list_dot_product(a.cv, b.cv)
          / (sqrt(list_dot_product(a.cv, a.cv))
-            * sqrt(list_dot_product(b.cv, b.cv))) AS centroid_cosine
+            * sqrt(list_dot_product(b.cv, b.cv)))
+       END AS centroid_cosine
 FROM cent a JOIN cent b ON a.label < b.label
 """
 
@@ -2125,6 +2208,7 @@ WITH vq AS (
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(round(x * 1e6) AS BIGINT)) AS vq
   FROM embeddings
+  WHERE {DUCK_VEC_WHERE}
 ),
 sums AS (
   SELECT label, CAST(i AS INT) AS pos, SUM(vq[CAST(i AS INT)]) AS s
@@ -2137,11 +2221,19 @@ cent AS (
   FROM sums GROUP BY label
 ),
 scored AS (
+  -- Quantized-norm guard mirroring the engine: undefined (0/0) scores
+  -- are NULL and dropped BEFORE ranking (NULL window order differs
+  -- between engines).
   SELECT v.label, v.vec_id,
+         CASE WHEN list_dot_product(list_transform(v.vq, x -> CAST(x AS DOUBLE)),
+                                    list_transform(v.vq, x -> CAST(x AS DOUBLE))) > 0.0
+               AND list_dot_product(c.cv, c.cv) > 0.0
+         THEN
          list_dot_product(list_transform(v.vq, x -> CAST(x AS DOUBLE)), c.cv)
            / (sqrt(list_dot_product(list_transform(v.vq, x -> CAST(x AS DOUBLE)),
                                     list_transform(v.vq, x -> CAST(x AS DOUBLE))))
-              * sqrt(list_dot_product(c.cv, c.cv))) AS centroid_cosine
+              * sqrt(list_dot_product(c.cv, c.cv)))
+         END AS centroid_cosine
   FROM vq v JOIN cent c USING (label)
 )
 SELECT label, vec_id, centroid_cosine,
@@ -2152,6 +2244,7 @@ FROM (
          row_number() OVER (PARTITION BY label
                             ORDER BY centroid_cosine ASC, vec_id) AS rn
   FROM scored
+  WHERE centroid_cosine IS NOT NULL
 ) WHERE rn <= {OUTLIER_TOPK}
 """
 
@@ -2163,7 +2256,8 @@ def _mmr_oracle_sql(k: int = MMR_K) -> str:
     one_m = (10 - MMR_LAMBDA_10) / 10.0
     ctes = [
         "e AS MATERIALIZED (SELECT vec_id,"
-        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+        f" WHERE {DUCK_VEC_WHERE})",
         "n AS MATERIALIZED (SELECT vec_id, v,"
         " sqrt(list_dot_product(v, v)) AS nrm FROM e)",
         f"q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n"
@@ -2241,7 +2335,8 @@ def _trunc_recall_oracle_sql() -> str:
   ) WHERE rn <= {TOPK})"""
 
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1000000.0 OR isnan(x))) = 0 AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0),
 n AS (SELECT vec_id, v FROM e),
 q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
 {leg(False, "full_top")},

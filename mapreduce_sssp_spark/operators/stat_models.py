@@ -385,7 +385,11 @@ def q_pr_auc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     descending scores, then the quantized-term aggregation. The
     corpus shuffles once, keyed by (feature, score).
     """
-    emb = load_parallel(spark, sf_dir, "embeddings")
+    # In-domain vectors only (similarity.vec_domain — the r11 rail:
+    # a 1e19 component overflows the round(x*1e6) BIGINT score).
+    from .similarity import vec_domain
+
+    emb = vec_domain(load_parallel(spark, sf_dir, "embeddings"))
     feats = emb.select(
         "label",
         F.explode(
@@ -1041,6 +1045,9 @@ WITH feats AS (
          CAST(round(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) * 1e6)
               AS BIGINT) AS score
   FROM embeddings, range(0, {AUC_N_FEATURES}) t(j)
+  WHERE len(list_filter(CAST(embedding AS DOUBLE[]),
+                        x -> abs(x) > 1000000.0 OR isnan(x))) = 0
+    AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0
 ),
 lab_h AS (
   SELECT feature_idx, score, label, COUNT(*) AS n

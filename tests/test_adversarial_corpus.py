@@ -136,3 +136,103 @@ def test_engine_matches_duckdb_on_adversarial_events(spark, adv_ev_dir, qname):
     )
     assert got == want, qname
     spark.catalog.clearCache()
+
+
+# --- r11 campaign: embeddings / orders ---------------------------------------
+# The r11 sweep over crafted embeddings (zero vector, float32 denormals,
+# 1e19-magnitude components, exact dup / negated / scaled copies) and
+# crafted orders (half-cent prices, duplicate keys, negative credits)
+# found 21 failures: 19 crashes (zero-norm cosine 0/0 under ANSI; e6
+# quantization carriers overflowing int64 at |x|*1e6; the inferred
+# size(transform(...))>0 scan predicate evaluating the quantize cast on
+# rows the vec_domain rail had already rejected) and 2 value
+# divergences (DuckDB's double->DECIMAL cast rounding the shortest
+# decimal repr on half-cent prices; a value-envelope check on a
+# rank-guaranteed sketch).  The riskiest queries stay pinned here.
+
+EMB_QUERIES_UNDER_TEST = [
+    "similarity_topk",
+    "embedding_neardup",
+    "label_centroid_similarity",
+    "embedding_label_outliers",
+    "rank_fusion_rrf",
+    "embedding_quantize",
+    "roc_auc_features",
+    "pr_auc_features",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_emb_dir(spark, tmp_path_factory):
+    df = _mk.adversarial_embeddings(spark)
+    d = tmp_path_factory.mktemp("adv_embeddings")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("qname", EMB_QUERIES_UNDER_TEST)
+def test_engine_matches_duckdb_on_adversarial_embeddings(
+    spark, adv_emb_dir, qname
+):
+    from mapreduce_sssp_spark import queries_registry as qr
+
+    sdf = qr.QUERIES[qname](spark, adv_emb_dir)
+    scols = sorted(sdf.columns)
+    got = sorted(
+        (tuple(_canon(r[c]) for c in scols) for r in sdf.collect()),
+        key=_key,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{adv_emb_dir}/embeddings.parquet/*.parquet')"
+    )
+    rel = con.execute(qr.ORACLE[qname])
+    dcols = [d[0] for d in rel.description]
+    rows = rel.fetchall()
+    assert sorted(dcols) == scols, (qname, dcols, scols)
+    order = [dcols.index(c) for c in scols]
+    want = sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows), key=_key
+    )
+    assert got == want, qname
+    spark.catalog.clearCache()
+
+
+def test_vec_domain_excludes_exactly_the_crafted_outliers(spark):
+    """The rail's semantics pinned value-for-value: of the crafted
+    vectors, exactly the zero vector and the -0.0 vector (norm 0) and
+    the 1e19 vector (|x| > 1e6) are excluded; denormals, negations,
+    duplicates and one-hots stay in."""
+    from mapreduce_sssp_spark.operators.similarity import vec_domain
+
+    df = _mk.adversarial_embeddings(spark).filter("vec_id >= 1000000")
+    kept = {r.vec_id for r in vec_domain(df).select("vec_id").collect()}
+    all_ids = {r.vec_id for r in df.select("vec_id").collect()}
+    excluded = all_ids - kept
+    # vec_id layout (see adversarial_embeddings): 1000000 zero vector,
+    # 1000007 the 1e19 vector, 1000009 the -0.0 vector.
+    assert excluded == {1000000, 1000007, 1000009}
+
+
+def test_cents_rounding_matches_duckdb_on_half_cent_boundaries():
+    """The cogroup cents device (Decimal(v*100) ROUND_HALF_UP) agrees
+    with DuckDB round(v*100) on the exact boundary values that diverged
+    under CAST(.. AS DECIMAL(18,2)) — probed r11: DuckDB's decimal cast
+    rounds the SHORTEST repr (100.005 -> 100.01) while the binary value
+    is below the half (100.00499...)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    con = duckdb.connect()
+    for v in (100.005, 0.005, 1234.565, -500.255, 0.015, 2.675, 8.835):
+        duck = con.execute(
+            f"SELECT CAST(round(CAST({v!r} AS DOUBLE) * 100) AS BIGINT)"
+        ).fetchone()[0]
+        eng = int(
+            Decimal(float(v) * 100.0).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        assert eng == duck, (v, eng, duck)

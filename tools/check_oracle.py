@@ -123,64 +123,81 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        # Driver-canonicalizer parity: the external driver sorts the pandas
-        # frame by every column before hashing, and list/dict cells raise
-        # "unhashable type" there (the exact r7 inverted_index red row).
-        # The local tuple-izing canon_cell() tolerated them — reject nested
-        # output columns outright so local green implies driver green.
-        nested = [
-            f.name for f in sdf.schema.fields
-            if f.dataType.typeName() in ("array", "map", "struct")
-        ]
-        if nested:
-            print(f"  {name:28s} NESTED-OUTPUT {nested} — driver "
-                  f"canonicalizer cannot hash list/dict cells; serialize "
-                  f"to a canonical string (array_join/concat_ws)")
-            failures.append((name, f"nested output columns: {nested}"))
-            continue
-        # Output-dtype whitelist (r11): flag non-portable output dtypes
-        # even when every value matches — dtype-hash divergence is
-        # fetch-path dependent (r10 moments_value: bit-identical values,
-        # driver hash RED on decimal outputs).
-        risks = output_dtype_risks(sdf.schema)
-        if risks:
-            print(f"  {name:28s} DTYPE-RISK {risks} — cast to "
-                  f"STRING/BIGINT at the output projection")
-            failures.append((name, f"non-whitelisted output dtypes: {risks}"))
-            continue
-        scols = list(sdf.columns)
-        srows = [tuple(r) for r in sdf.collect()]
-        spark_t = time.time() - t0
-        # Per-query isolation, same as bench.py: fixpoint queries leave
-        # their final state persisted; across 136 queries the executor
-        # memory pressure inflates later timings (wcc measured 8.6s
-        # isolated vs 15.4s late-sweep polluted). Reliable checkpoints
-        # (e.g. the memoized DAG state) survive this by design.
-        spark.catalog.clearCache()
-        if name not in oracles:
-            print(f"  {name:28s} rows={len(srows):7d}  (rows-only, no oracle) "
-                  f"[spark {spark_t:.1f}s]")
-            if len(srows) == 0:
-                failures.append((name, "zero rows"))
-            continue
-        t0 = time.time()
-        # Arrow fetch (not fetchall) so column dtypes survive: fetchall
-        # erases HUGEINT -> int / DECIMAL -> Decimal-or-float and hides
-        # the drift that fails the driver's dtype-sensitive hash.
-        tbl = con.execute(oracles[name]).fetch_arrow_table()
-        dcols = list(tbl.column_names)
-        cols_py = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
-        drows = list(zip(*cols_py)) if cols_py else []
-        duck_t = time.time() - t0
-        status, detail = compare(name, scols, srows, dcols, drows)
-        drifts = dtype_drift(sdf.schema, tbl.schema)
-        if drifts and status == "OK":
-            status, detail = "DTYPE-DRIFT", "; ".join(drifts)
-        print(f"  {name:28s} rows={len(srows):7d}  {status:18s} "
-              f"[spark {spark_t:.1f}s duck {duck_t:.1f}s] {detail}")
-        if status != "OK":
-            failures.append((name, detail))
+        # One crashing query must not abort a whole-registry sweep: the
+        # external driver records err per query and keeps going, and the
+        # adversarial campaigns need the FULL breakage list in one pass.
+        try:
+            sdf = fn(spark, sf_dir)
+            # Driver-canonicalizer parity: the external driver sorts the
+            # pandas frame by every column before hashing, and list/dict
+            # cells raise "unhashable type" there (the exact r7
+            # inverted_index red row). The local tuple-izing canon_cell()
+            # tolerated them — reject nested output columns outright so
+            # local green implies driver green.
+            nested = [
+                f.name for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if nested:
+                print(f"  {name:28s} NESTED-OUTPUT {nested} — driver "
+                      f"canonicalizer cannot hash list/dict cells; "
+                      f"serialize to a canonical string "
+                      f"(array_join/concat_ws)")
+                failures.append((name, f"nested output columns: {nested}"))
+                continue
+            # Output-dtype whitelist (r11): flag non-portable output
+            # dtypes even when every value matches — dtype-hash
+            # divergence is fetch-path dependent (r10 moments_value:
+            # bit-identical values, driver hash RED on decimal outputs).
+            risks = output_dtype_risks(sdf.schema)
+            if risks:
+                print(f"  {name:28s} DTYPE-RISK {risks} — cast to "
+                      f"STRING/BIGINT at the output projection")
+                failures.append(
+                    (name, f"non-whitelisted output dtypes: {risks}")
+                )
+                continue
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+            spark_t = time.time() - t0
+            # Per-query isolation, same as bench.py: fixpoint queries
+            # leave their final state persisted; across 136 queries the
+            # executor memory pressure inflates later timings (wcc
+            # measured 8.6s isolated vs 15.4s late-sweep polluted).
+            # Reliable checkpoints (e.g. the memoized DAG state) survive
+            # this by design.
+            spark.catalog.clearCache()
+            if name not in oracles:
+                print(f"  {name:28s} rows={len(srows):7d}  "
+                      f"(rows-only, no oracle) [spark {spark_t:.1f}s]")
+                if len(srows) == 0:
+                    failures.append((name, "zero rows"))
+                continue
+            t0 = time.time()
+            # Arrow fetch (not fetchall) so column dtypes survive:
+            # fetchall erases HUGEINT -> int / DECIMAL -> Decimal-or-
+            # float and hides the drift that fails the driver's
+            # dtype-sensitive hash.
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = list(tbl.column_names)
+            cols_py = [
+                tbl.column(i).to_pylist() for i in range(tbl.num_columns)
+            ]
+            drows = list(zip(*cols_py)) if cols_py else []
+            duck_t = time.time() - t0
+            status, detail = compare(name, scols, srows, dcols, drows)
+            drifts = dtype_drift(sdf.schema, tbl.schema)
+            if drifts and status == "OK":
+                status, detail = "DTYPE-DRIFT", "; ".join(drifts)
+            print(f"  {name:28s} rows={len(srows):7d}  {status:18s} "
+                  f"[spark {spark_t:.1f}s duck {duck_t:.1f}s] {detail}")
+            if status != "OK":
+                failures.append((name, detail))
+        except Exception as e:  # noqa: BLE001 — sweep must see them all
+            first = str(e).splitlines()[0][:300] if str(e) else repr(e)
+            print(f"  {name:28s} CRASH              {first}")
+            failures.append((name, f"CRASH: {first}"))
+            spark.catalog.clearCache()
     print()
     if failures:
         print("FAILURES:")
