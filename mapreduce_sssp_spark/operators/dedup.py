@@ -259,7 +259,20 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """
     # shingle-less docs emit no postings and so vanish naturally, matching
     # the "only docs with shingles get signatures" contract.
-    post = shingle_postings(docs)
+    return minhash_signatures_from_postings(shingle_postings(docs), k)
+
+
+def minhash_signatures_from_postings(
+    post: DataFrame, k: int = MINHASH_K
+) -> DataFrame:
+    """Signature aggregation over PRE-BUILT (doc_id, s) postings — the
+    shared-subtree entry point (r11 claw-back, r10 verdict #3): callers
+    that already hold a cached shingle relation (minhash_verified_pairs
+    caches with_shingles for its exact-verify side) explode THAT instead
+    of letting the signature path re-run the whole tokenize+shingle
+    pipeline a second time over the corpus (the r10 portable-signature
+    change was billed for a regression that was really this duplicated
+    shingling)."""
     hv = post.select(
         "doc_id",
         (
@@ -378,11 +391,17 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     into components)."""
     docs = load_parallel(spark, sf_dir, "documents")
     sh = _cache(with_shingles(docs))
+    # The signature path explodes the SAME cached shingle relation the
+    # exact-verify side reads (minhash_signatures_from_postings) — one
+    # tokenize+shingle pass per query, not two (r11 claw-back).
+    post = sh.select("doc_id", F.explode_outer("sh").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
     # sigs feeds the banded explode TWICE (the oversized-bucket agg and
     # the anti-join probe), so the persist keeps the 64-agg signature
     # pass from running twice; the clamped partitioning it pins
     # downstream rides along (see _cache).
-    cand = lsh_candidate_pairs(_cache(minhash_signatures(docs)))
+    cand = lsh_candidate_pairs(_cache(minhash_signatures_from_postings(post)))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
