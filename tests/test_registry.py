@@ -130,15 +130,19 @@ def test_green_tier_sorted_by_evidence_staleness_and_changed_bump():
     fixture[fresh] = green(9)
     fixture[mid] = green(4)
     fixture[changed] = green(3)
+    # Patch the MERGED view (_changed_since), not the hand dict: since
+    # r11 _registry_order reads the hand list merged with the
+    # ORACLE_HASHES.json fingerprint snapshot, whose live round-11
+    # entries would pollute this synthetic fixture.
     orig_rows = qr._latest_rows
-    orig_changed = qr._CHANGED_SINCE
+    orig_changed = qr._changed_since
     qr._latest_rows = lambda: fixture
-    qr._CHANGED_SINCE = {changed: 9}  # changed after its r3 row
+    qr._changed_since = lambda: {changed: 9}  # changed after its r3 row
     try:
         ordered = qr._registry_order(names)
     finally:
         qr._latest_rows = orig_rows
-        qr._CHANGED_SINCE = orig_changed
+        qr._changed_since = orig_changed
     # The changed entry precedes every plain green, including the
     # stalest one.
     assert ordered.index(changed) < ordered.index(stale)
@@ -147,10 +151,10 @@ def test_green_tier_sorted_by_evidence_staleness_and_changed_bump():
     assert ordered.index(mid) < ordered.index(fresh)
     # A changed entry whose fresh row POSTdates the change is ordinary.
     qr._latest_rows = lambda: fixture
-    qr._CHANGED_SINCE = {changed: 3}  # change shipped in the checked round
+    qr._changed_since = lambda: {changed: 3}  # shipped in the checked round
     try:
         ordered2 = qr._registry_order(names)
     finally:
         qr._latest_rows = orig_rows
-        qr._CHANGED_SINCE = orig_changed
+        qr._changed_since = orig_changed
     assert ordered2.index(stale) < ordered2.index(changed)
