@@ -1505,7 +1505,13 @@ def q_scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("p_retailprice") * 10).cast("bigint") / 10.0).alias(
             "price_round"
         ),
-        F.sqrt(F.col("p_retailprice")).alias("price_sqrt"),
+        # Radicand guard (r11 wave-2 sweep): Spark sqrt(negative) is NaN
+        # while DuckDB RAISES — the Pearson-family split (127d9ab), here
+        # on a crafted negative retail price. NULL per the degenerate
+        # convention.
+        F.when(
+            F.col("p_retailprice") >= 0, F.sqrt(F.col("p_retailprice"))
+        ).alias("price_sqrt"),
         F.greatest("p_size", F.lit(10)).alias("size_min10"),
     )
 
@@ -3478,7 +3484,8 @@ SELECT p_partkey,
        CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
        CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
        CAST(round(p_retailprice * 10) AS BIGINT) / 10.0 AS price_round,
-       sqrt(p_retailprice) AS price_sqrt,
+       CASE WHEN p_retailprice >= 0 THEN sqrt(p_retailprice) END
+         AS price_sqrt,
        CAST(greatest(p_size, 10) AS INT) AS size_min10
 FROM part
 """,

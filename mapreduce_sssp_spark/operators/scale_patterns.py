@@ -560,14 +560,15 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic: Levenshtein is an exact integer metric and ties
     break on the lexicographically smallest candidate name, so the
-    driver hash is exact. CONTRACT CAVEAT (probed r10): Spark's
-    levenshtein counts CHARACTERS while DuckDB's counts BYTES, so the
-    two agree only on ASCII names ('naïve' vs 'naive' is 1 in Spark,
-    2 in DuckDB). Both consumers here run on TPC-H part/supplier names
-    (ASCII by construction — parity pinned in
-    tests/test_scale_patterns.py); matching on a unicode catalog would
-    need a byte-normalized key (e.g. distance over an ASCII transliteration)
-    before the oracle hash could hold.
+    driver hash is exact. CONTRACT (r11 — was a caveat until the wave-2
+    adversarial sweep hit it): Spark's levenshtein counts CHARACTERS
+    while DuckDB's counts BYTES ('naïve' vs 'naive' is 1 in Spark, 2 in
+    DuckDB; 'ウィジェット 大' vs '... 小' is 1 vs 6), so the match
+    domain is ASCII names, ENFORCED in-plan in both engines (the
+    ascii-only filter below + its twin mirror) — non-ASCII names are
+    excluded from matching identically on both sides, the same
+    caveat-to-contract move as the r10 LSH bucket cap. Matching a
+    unicode catalog would need a byte-normalized distance key.
     """
     parts = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("key"), F.col("p_name").alias("name")
@@ -583,6 +584,9 @@ def fuzzy_nearest(records: DataFrame) -> DataFrame:
     names = (
         records.select("name")
         .distinct()
+        # ASCII match domain (see q_fuzzy_match_parts contract note):
+        # levenshtein semantics diverge between engines off-ASCII.
+        .filter(F.col("name").rlike("^[\\x00-\\x7F]*$"))
         .withColumn("block", F.substring_index("name", " ", 1))
     )
     a = names.select("block", F.col("name").alias("name_a"))
@@ -1175,10 +1179,14 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("key").alias("name_id"), F.count("*").alias("n_parts"))
         .withColumn("block", F.substring_index("name", " ", 1))
     )
-    a = names.select(
+    # Edges only among ASCII names (the fuzzy_nearest contract: the
+    # levenshtein metric is cross-engine exact only there); non-ASCII
+    # names still appear below as singleton clusters via the left join.
+    match_names = names.filter(F.col("name").rlike("^[\\x00-\\x7F]*$"))
+    a = match_names.select(
         "block", F.col("name").alias("name_a"), F.col("name_id").alias("id_a")
     )
-    b = names.select(
+    b = match_names.select(
         "block", F.col("name").alias("name_b"), F.col("name_id").alias("id_b")
     )
     edges = (
@@ -1202,8 +1210,15 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_names"),
         F.sum("n_parts").cast("long").alias("n_parts"),
     )
-    canon = labeled.filter(F.col("name_id") == F.col("cluster")).select(
-        "cluster", F.col("name").alias("canonical_name")
+    # MIN-aggregate, not a bare filter: name_id = MIN(p_partkey) per
+    # name COLLIDES when duplicate part keys carry different names
+    # (probed r11 wave-2 — two names, one id, so the id==cluster filter
+    # matched both and the join fanned the cluster row out twice while
+    # the twin's MIN(CASE..) kept one). min(name) mirrors the twin.
+    canon = (
+        labeled.filter(F.col("name_id") == F.col("cluster"))
+        .groupBy("cluster")
+        .agg(F.min("name").alias("canonical_name"))
     )
     return agg.join(canon, "cluster")
 
@@ -1747,10 +1762,14 @@ WITH RECURSIVE names AS (
   FROM part GROUP BY p_name
 ),
 edges AS (
+  -- ASCII match domain (engine mirror): levenshtein is chars in Spark
+  -- and bytes in DuckDB, exact cross-engine only on ASCII names.
   SELECT a.name_id AS src, b.name_id AS dst
   FROM names a JOIN names b
     ON a.block = b.block AND a.name < b.name
   WHERE levenshtein(a.name, b.name) <= {ER_MAX_LEV}
+    AND regexp_matches(a.name, '^[\\x00-\\x7f]*$')
+    AND regexp_matches(b.name, '^[\\x00-\\x7f]*$')
 ),
 und AS (
   SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
@@ -2015,8 +2034,10 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
 """,
     "fuzzy_match_parts": """
 WITH names AS (
+  -- ASCII match domain (engine mirror — see fuzzy_nearest).
   SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 1) AS block
   FROM part
+  WHERE regexp_matches(p_name, '^[\\x00-\\x7f]*$')
 ),
 pairs AS (
   SELECT a.name AS name_a, b.name AS name_b,

@@ -236,3 +236,56 @@ def test_cents_rounding_matches_duckdb_on_half_cent_boundaries():
             )
         )
         assert eng == duck, (v, eng, duck)
+
+
+# --- r11 wave 2: part / customer / supplier ----------------------------------
+# Crafted part (unicode names, duplicate keys, duplicate names, negative
+# and half-cent prices), customer (dup keys, orphan nations, unseen
+# segment) and supplier (dup key, tied balances) found 3 more classes:
+# sqrt(negative retail price) — Spark NaN vs DuckDB raise; the
+# levenshtein chars-vs-bytes split on unicode names (now an ENFORCED
+# ASCII match domain, both engines); and a canonical-name fan-out when
+# duplicate part keys collide two names onto one MIN(p_partkey) id.
+
+PART_QUERIES_UNDER_TEST = [
+    "fuzzy_match_parts",
+    "entity_clusters",
+    "scalar_string_math",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_part_dir(spark, tmp_path_factory):
+    df = _mk.adversarial_part(spark)
+    d = tmp_path_factory.mktemp("adv_part")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "part.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("qname", PART_QUERIES_UNDER_TEST)
+def test_engine_matches_duckdb_on_adversarial_parts(
+    spark, adv_part_dir, qname
+):
+    from mapreduce_sssp_spark import queries_registry as qr
+
+    sdf = qr.QUERIES[qname](spark, adv_part_dir)
+    scols = sorted(sdf.columns)
+    got = sorted(
+        (tuple(_canon(r[c]) for c in scols) for r in sdf.collect()),
+        key=_key,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{adv_part_dir}/part.parquet/*.parquet')"
+    )
+    rel = con.execute(qr.ORACLE[qname])
+    dcols = [d[0] for d in rel.description]
+    rows = rel.fetchall()
+    assert sorted(dcols) == scols, (qname, dcols, scols)
+    order = [dcols.index(c) for c in scols]
+    want = sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows), key=_key
+    )
+    assert got == want, qname
+    spark.catalog.clearCache()

@@ -226,11 +226,92 @@ def adversarial_embeddings(spark):
     return base.unionByName(crafted)
 
 
+def adversarial_part(spark):
+    """Crafted parts: unicode names (levenshtein/fuzzy chars-vs-bytes
+    paths), duplicate keys, duplicate names, half-cent and zero/negative
+    retail prices, zero/huge sizes."""
+    rows = []
+    pid = 10_000_000
+
+    def add(key, name, brand, typ, size, price):
+        rows.append((key, name, brand, typ, size, price))
+
+    add(pid + 1, "café widget", "Brand#13", "ECONOMY", 5, 100.005)
+    add(pid + 2, "cafe widget", "Brand#13", "ECONOMY", 5, 100.004)
+    add(pid + 3, "naïve bölt", "Brand#5", "PROMO", 0, 0.005)
+    add(pid + 4, "naive bolt", "Brand#5", "PROMO", 0, 0.004)
+    add(pid + 5, "ウィジェット 大", "Brand#19", "STANDARD", 50, 1234.565)
+    add(pid + 6, "ウィジェット 小", "Brand#19", "STANDARD", 1, 1234.564)
+    # duplicate p_partkey, different rows (PK break)
+    add(pid + 7, "dup key a", "Brand#1", "ECONOMY", 7, 77.77)
+    add(pid + 7, "dup key b", "Brand#2", "PROMO", 8, 88.88)
+    # duplicate names across keys (fuzzy self-match mass)
+    for i in range(5):
+        add(pid + 10 + i, "identical widget", "Brand#3", "ECONOMY", 10, 10.0)
+    add(pid + 20, "", "Brand#4", "ECONOMY", 0, 0.0)          # empty name
+    add(pid + 21, "x", "Brand#4", "ECONOMY", 2_000_000, 9_999_999.99)
+    add(pid + 22, "negative price part", "Brand#6", "PROMO", 3, -12.34)
+    crafted = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    base = spark.read.parquet(f"{SRC}/part.parquet")
+    return base.unionByName(crafted)
+
+
+def adversarial_customer(spark):
+    """Crafted customers: duplicate keys, orphan nation keys, unseen
+    segment, zero/negative/half-cent balances, unicode names."""
+    rows = []
+    cid = 10_000_000
+
+    def add(key, name, nat, bal, seg):
+        rows.append((key, name, nat, bal, seg))
+
+    add(cid + 1, "dup key customer a", 0, 100.00, "MACHINERY")
+    add(cid + 1, "dup key customer b", 1, -100.00, "HOUSEHOLD")
+    add(cid + 2, "orphan nation", 9_999, 50.005, "BUILDING")
+    add(cid + 3, "zérø bàlance 客户", 2, 0.0, "AUTOMOBILE")
+    add(cid + 4, "deep debt", 3, -999_999.99, "FURNITURE")
+    add(cid + 5, "unseen segment", 4, 777.77, "AEROSPACE")
+    for i in range(5):
+        add(cid + 10 + i, "tied balance", 5, 123.45, "MACHINERY")
+    crafted = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    base = spark.read.parquet(f"{SRC}/customer.parquet")
+    return base.unionByName(crafted)
+
+
+def adversarial_supplier(spark):
+    """Crafted suppliers: duplicate key, orphan nation, negative and
+    tied balances (the table is 10 rows — supplier-keyed aggregates and
+    broadcast joins see every degeneracy at once)."""
+    rows = [
+        (10_000_001, "dup supp a", 0, 11.11),
+        (10_000_001, "dup supp b", 1, -11.11),
+        (10_000_002, "orphan supp", 9_999, 0.005),
+        (10_000_003, "tied supp x", 2, 500.00),
+        (10_000_004, "tied supp y", 3, 500.00),
+    ]
+    crafted = spark.createDataFrame(
+        rows,
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    base = spark.read.parquet(f"{SRC}/supplier.parquet")
+    return base.unionByName(crafted)
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_adversarial"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    for t in ("region", "nation", "customer", "supplier", "part"):
+    # nation/region stay verbatim: 25/5-row dimensions whose exact
+    # contents several queries treat as referential ground truth.
+    for t in ("region", "nation"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
 
     con = duckdb.connect()
@@ -284,6 +365,9 @@ COPY (
     _flatten(adversarial_events(spark), f"{out}/events.parquet")
     _flatten(adversarial_orders(spark), f"{out}/orders.parquet")
     _flatten(adversarial_embeddings(spark), f"{out}/embeddings.parquet")
+    _flatten(adversarial_part(spark), f"{out}/part.parquet")
+    _flatten(adversarial_customer(spark), f"{out}/customer.parquet")
+    _flatten(adversarial_supplier(spark), f"{out}/supplier.parquet")
     print(f"adversarial sf dir written: {out}")
 
 
