@@ -560,7 +560,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing side is a bucketed digest table so the anti join rides the
     bucket layout with no exchange (see sink_bucketed_join).
     """
-    docs = load_parallel(spark, sf_dir, "documents")
+    # text IS NOT NULL (r11 NULL sweep): a NULL-text doc has no digest
+    # and takes part in no dedup; twin mirrors (and uses NOT EXISTS —
+    # its former NOT IN form collapsed to zero rows on one NULL digest).
+    docs = load_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     digests = docs.select("doc_id", F.sha2("text", 256).alias("digest"))
     existing = digests.filter(F.col("doc_id") % 10 != 0)
     incoming = digests.filter(F.col("doc_id") % 10 == 0)
@@ -1165,13 +1170,19 @@ SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY text
 """,
     "dedup_incremental": """
-WITH digests AS (SELECT doc_id, sha256(text) AS digest FROM documents),
+-- text IS NOT NULL: a NULL-text doc has no digest and takes part in no
+-- dedup (engine mirror). NOT EXISTS, not NOT IN: one NULL digest in
+-- the existing corpus made NOT IN return ZERO rows (the classic
+-- three-valued-logic trap — probed r11) while the engine's anti join
+-- kept every non-matching doc.
+WITH digests AS (SELECT doc_id, sha256(text) AS digest FROM documents
+                 WHERE text IS NOT NULL),
 existing AS (SELECT * FROM digests WHERE doc_id % 10 <> 0),
 incoming AS (SELECT * FROM digests WHERE doc_id % 10 = 0),
 batch_keep AS (SELECT digest, min(doc_id) AS doc_id
                FROM incoming GROUP BY digest)
-SELECT doc_id, digest FROM batch_keep
-WHERE digest NOT IN (SELECT digest FROM existing)
+SELECT doc_id, digest FROM batch_keep b
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.digest = b.digest)
 """,
     "ngram_jaccard_pairs": _PRUNED_JACCARD_SQL,
     # The full engine-LSH mirror: signatures, banding, bucket cap and

@@ -935,10 +935,14 @@ def q_streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TUMBLING_SQL = """
+-- ts IS NOT NULL mirrors Spark's window(): a NULL timestamp is in no
+-- time window (r11 NULL sweep — DuckDB's time_bucket(NULL) otherwise
+-- forms a NULL-window group Spark never emits).
 SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -1381,7 +1385,10 @@ def seasonality_dow(ev: DataFrame) -> DataFrame:
     """See q_seasonality_dow. ev needs (event_type, ts)."""
     from pyspark.sql import Window
 
-    d = ev.select(
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    d = ev.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
         "event_type",
         (F.weekday(F.col("ts").cast("date")) + F.lit(1)).alias("dow"),
     )
@@ -1481,6 +1488,16 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         load_table(spark, sf_dir, "events")
+        # Required-column rail (r11 NULL sweep): an event without a
+        # timestamp, type, or value is malformed for a drawdown curve —
+        # NULL day/type would otherwise hit the engines' OPPOSITE
+        # window NULL ordering (Spark NULLS FIRST asc, DuckDB LAST).
+        # Twin mirrors the WHERE.
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
         .select(
             "event_type",
             F.col("ts").cast("date").alias("day"),
@@ -1817,6 +1834,8 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = (
         load_table(spark, sf_dir, "events")
+        # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
         .select(
             "event_type",
             F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
@@ -2050,8 +2069,11 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("date").alias("day")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
     )
     dau = ev.groupBy("day").agg(
         F.count_distinct("user_id").alias("n_active")
@@ -2353,13 +2375,22 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "ts",
-        "event_id",
-        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
-            "cents"
-        ),
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
     )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     cum = ev.select(
@@ -2923,7 +2954,12 @@ def q_holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitudes: daily cents * 1e4 ~ 1e12 at sf0.1 — DECIMAL(38) would
     take over near 2^53, noted, not needed at any tested sf.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
     daily = (
         ev.groupBy(
             "event_type", F.to_date("ts").alias("day")
@@ -2993,7 +3029,12 @@ def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
@@ -3062,7 +3103,10 @@ def q_queue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count("*").alias("arrivals")
     )
@@ -3118,7 +3162,12 @@ def q_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum(
             F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
@@ -3301,11 +3350,13 @@ WITH assigned AS (
   SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
          event_type, value
   FROM events
+  WHERE ts IS NOT NULL
   UNION ALL
   SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
            - INTERVAL '30 minutes' AS window_start,
          event_type, value
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT window_start, event_type, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -3318,6 +3369,10 @@ WITH ordered AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
          lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
   FROM events
+  -- ts IS NOT NULL mirrors Spark's session_window(): a NULL timestamp
+  -- is in no session (r11 NULL sweep). NULL user_id is KEPT — groupBy
+  -- keeps NULL group keys in both engines.
+  WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, ts, value,
@@ -3434,7 +3489,9 @@ ORACLE = {
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
 ),
 pts AS (
   SELECT event_type, day,
@@ -3542,7 +3599,9 @@ LEFT JOIN (SELECT state, v_e12 FROM it WHERE iter = {MARKOV_ITERS}) f
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
 ),
 flagged AS (
   SELECT event_type, day,
@@ -3594,7 +3653,9 @@ FROM cells
     "queue_backlog": f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS arrivals
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
 ),
 capd AS (
   SELECT event_type, day, arrivals,
@@ -3709,7 +3770,9 @@ WITH RECURSIVE daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) * 10000
            AS x_e6
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
 ),
 idx AS (
   SELECT event_type, x_e6,
@@ -3776,7 +3839,9 @@ GROUP BY 1, 2, 3
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
 curve AS (
   SELECT event_type, day,
          CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
@@ -3891,7 +3956,9 @@ WITH hist AS (
   SELECT event_type,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
          COUNT(*) AS n
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
 types AS (SELECT DISTINCT event_type FROM hist),
 pairs AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b
@@ -3931,7 +3998,8 @@ SELECT type_a, type_b, n_a, n_b,
 FROM agg
 """,
     "cumulative_distinct_users": """
-WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
 dau AS (SELECT day, COUNT(DISTINCT user_id) AS n_active
         FROM ev GROUP BY day),
 fs AS (SELECT day, COUNT(*) AS n_new
@@ -4127,7 +4195,8 @@ FROM s
 WITH base AS (
   SELECT event_type, ts, event_id,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM events),
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
 cum AS (
   SELECT event_type, ts, event_id,
          CAST(SUM(cents) OVER (
@@ -4583,7 +4652,9 @@ LIMIT 20
 WITH c AS (
   SELECT event_type, CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
          count(*) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
 ),
 t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_type
       FROM c GROUP BY 1)

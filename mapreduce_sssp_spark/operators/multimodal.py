@@ -305,10 +305,18 @@ def pcm_waveform_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth is recomputable arithmetically."""
     import numpy as np
 
-    docs = load_parallel(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.least(F.col("n_chars"), F.lit(PCM_MAX_SAMPLES)).alias("n"),
-    ).filter(F.col("n") > 0)
+    # Filter on n_chars BEFORE least(): Spark's least() SKIPS NULL
+    # arguments (least(NULL, 256) = 256), so filtering on the least
+    # output kept a NULL-n_chars doc with a synthetic 256-sample clip
+    # while the twin's WHERE n_chars > 0 dropped it (r11 NULL sweep).
+    docs = (
+        load_parallel(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.least(F.col("n_chars"), F.lit(PCM_MAX_SAMPLES)).alias("n"),
+        )
+    )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Batch-wide vectorization: one flat sample array for the whole

@@ -702,6 +702,12 @@ def gini_value(ev: DataFrame) -> DataFrame:
     """See q_gini_value. ev needs (event_type, event_id, value)."""
     from pyspark.sql import Window
 
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE):
+    # a NULL cents would sit at OPPOSITE ends of the two engines' rank
+    # windows (Spark NULLS FIRST asc, DuckDB LAST) and shift every rank.
+    ev = ev.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
     base = ev.select(
         "event_type",
         "event_id",
@@ -2854,6 +2860,7 @@ WITH base AS (
   SELECT event_type, event_id,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
 ),
 r AS (
   SELECT event_type, cents,

@@ -665,7 +665,13 @@ def q_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline constant — rotating it is the documented re-keying story
     (tokens change, linkage within one salt epoch remains).
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL user rail (r11 NULL sweep): a NULL user_id is not a user —
+    # and unguarded it DIVERGES, because Spark's concat_ws SKIPS NULL
+    # args (token = hash of the bare salt) while the twin's || nulls
+    # out. Twin mirrors the WHERE.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     tok = ev.select(
         F.substring(
             F.sha2(
@@ -738,7 +744,9 @@ SELECT substr(sha256('{PSEUDO_SALT}' || '|' || CAST(user_id AS VARCHAR)),
        count(*) AS n_events,
        count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_active_days,
        count(DISTINCT event_type) AS n_event_types
-FROM events GROUP BY 1
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY 1
 """,
     "weighted_sample": f"""
 WITH mx AS (

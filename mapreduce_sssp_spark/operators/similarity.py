@@ -564,7 +564,12 @@ def q_roc_auc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    emb = vec_domain(load_parallel(spark, sf_dir, "embeddings"))
+    # label IS NOT NULL beyond the vec_domain rail (r11 NULL sweep): a
+    # NULL one-vs-rest target matches no row (NULL = NULL is NULL), so
+    # its n_pos is 0 and the AUC denominator divides by zero.
+    emb = vec_domain(load_parallel(spark, sf_dir, "embeddings")).filter(
+        F.col("label").isNotNull()
+    )
     feats = emb.select(
         "label",
         F.explode(
@@ -671,7 +676,13 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions vs 0.7s at 1 for 2000 vectors — the UDF itself is
     # trivial). Four partitions bound the fleet; a 100 TB table arrives
     # pre-split and skips the repartition entirely.
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL-embedding rows carry no stats (r11 NULL sweep: the pandas
+    # UDF's numpy path and DuckDB's len(NULL) disagree on what a NULL
+    # vector's "stats" are — neither answer is meaningful). Twin
+    # mirrors the WHERE.
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     if emb.rdd.getNumPartitions() < 4:
         emb = emb.repartition(4)
     return emb.select("vec_id", vec_stats("embedding").alias("s")).select(
@@ -1877,7 +1888,8 @@ WITH feats AS (
                    " 'score': CAST(round(CAST(embedding[%d] AS DOUBLE) * 1e6)"
                    " AS BIGINT)}" % (j, j + 1)
                    for j in range(AUC_N_FEATURES))}]) AS f
-        FROM embeddings WHERE {DUCK_VEC_WHERE})),
+        FROM embeddings
+        WHERE label IS NOT NULL AND {DUCK_VEC_WHERE})),
 lab_h AS (SELECT feature_idx, score, label, COUNT(*) AS n
           FROM feats GROUP BY 1, 2, 3),
 tot_h AS (SELECT feature_idx, score, SUM(n) AS t_v
@@ -1911,6 +1923,7 @@ SELECT vec_id,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
        CAST(list_position(embedding, list_max(embedding)) - 1 AS INT) AS argmax_idx
 FROM embeddings
+WHERE embedding IS NOT NULL
 """,
     "similarity_topk": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

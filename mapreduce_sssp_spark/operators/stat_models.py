@@ -386,10 +386,14 @@ def q_pr_auc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffles once, keyed by (feature, score).
     """
     # In-domain vectors only (similarity.vec_domain — the r11 rail:
-    # a 1e19 component overflows the round(x*1e6) BIGINT score).
+    # a 1e19 component overflows the round(x*1e6) BIGINT score) and
+    # label IS NOT NULL (a NULL one-vs-rest target matches no row —
+    # the roc_auc_features div-zero class).
     from .similarity import vec_domain
 
-    emb = vec_domain(load_parallel(spark, sf_dir, "embeddings"))
+    emb = vec_domain(load_parallel(spark, sf_dir, "embeddings")).filter(
+        F.col("label").isNotNull()
+    )
     feats = emb.select(
         "label",
         F.explode(
@@ -1045,7 +1049,8 @@ WITH feats AS (
          CAST(round(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) * 1e6)
               AS BIGINT) AS score
   FROM embeddings, range(0, {AUC_N_FEATURES}) t(j)
-  WHERE len(list_filter(CAST(embedding AS DOUBLE[]),
+  WHERE label IS NOT NULL
+    AND len(list_filter(CAST(embedding AS DOUBLE[]),
                         x -> abs(x) > 1000000.0 OR isnan(x))) = 0
     AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0.0)) > 0
 ),

@@ -66,6 +66,8 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = (
         load_table(spark, sf_dir, "events")
+        # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
         .select("event_type", F.expr(CENTS).alias("cents"))
         .groupBy("event_type", "cents")
         .agg(F.count("*").alias("n"))
@@ -686,8 +688,13 @@ def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+    # source/n_chars required (r11 NULL sweep; twin mirrors the WHERE):
+    # NULL n_chars sorts first in Spark's ntile order and last in
+    # DuckDB's, shifting every tile boundary.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .select("doc_id", "source", "n_chars")
     )
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     wg = Window.orderBy("n_chars", "doc_id")
@@ -743,7 +750,9 @@ QUERIES = {
 _HIST = f"""
 hist AS (
   SELECT event_type, {CENTS} AS cents, COUNT(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
 ),
 pairs AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b
@@ -788,6 +797,7 @@ WITH tiled AS (
          CAST(ntile({QN_TILES}) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
            AS gtile
   FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
 ),
 global_ref AS (
   SELECT gtile AS tile,

@@ -54,7 +54,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise ANSI-crash the whole scan, and NULL is exactly what the
     DuckDB twin's x/0 produces (probed r10 on an adversarial corpus).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # text IS NOT NULL (r11 NULL sweep): NULL-text docs have no token
+    # stats, and NULL propagation through size()/len() differs between
+    # engines. Twin mirrors the WHERE.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     t = _with_tokens(docs)
     nz = F.size("toks") > 0
     return t.select(
@@ -131,7 +136,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly-greater fold over alphabetically-ordered languages — ties
     resolve to the alphabetically-first language.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # text IS NOT NULL (r11 NULL sweep; twin mirrors the WHERE).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     t = _with_tokens(docs)
     scores = [
         F.struct(
@@ -314,7 +322,14 @@ def q_stump_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    # lang/n_chars required (r11 NULL sweep; twin mirrors the WHERE):
+    # a NULL threshold value hits the engines' opposite window NULL
+    # ordering, and a NULL target label matches no row.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+        .select("lang", "n_chars")
+    )
     langs = docs.select(F.col("lang").alias("target")).distinct()
     hist = (
         docs.crossJoin(F.broadcast(langs))
@@ -431,10 +446,15 @@ def q_kfold_cv_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % KFOLDS).alias("fold"),
-        "n_chars",
-        (F.col("lang") == "en").cast("long").alias("is_pos"),
+    # lang/n_chars required (r11 NULL sweep; twin mirrors the WHERE).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            (F.col("doc_id") % KFOLDS).alias("fold"),
+            "n_chars",
+            (F.col("lang") == "en").cast("long").alias("is_pos"),
+        )
     )
     fh = docs.groupBy("fold", "n_chars").agg(
         F.count("*").alias("n"), F.sum("is_pos").alias("n_pos")
@@ -1966,7 +1986,10 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     — all codegen'd, no explode, no UDF); the census is one
     |sources|-row partial-aggregated groupBy.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # text/source required (r11 NULL sweep; twin mirrors the WHERE).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
     d = docs.select("source", F.expr(TOKENS_EXPR).alias("toks")).select(
         "source",
         F.expr("size(toks)").cast("long").alias("nw"),
@@ -2051,7 +2074,8 @@ _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 ORACLE = {
     "gopher_quality_rules": f"""
-WITH t AS (SELECT source, {DUCK_TOKENS} AS toks FROM documents),
+WITH t AS (SELECT source, {DUCK_TOKENS} AS toks FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
 d AS (
   SELECT source,
          CAST(len(toks) AS BIGINT) AS nw,
@@ -2085,11 +2109,13 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM flags GROUP BY source
 """,
     "stump_split_finder": """
-WITH langs AS (SELECT DISTINCT lang AS target FROM documents),
+WITH base AS (SELECT lang, n_chars FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+langs AS (SELECT DISTINCT lang AS target FROM base),
 hist AS (
   SELECT l.target, d.n_chars, COUNT(*) AS n,
          SUM(CASE WHEN d.lang = l.target THEN 1 ELSE 0 END) AS n_pos
-  FROM documents d CROSS JOIN langs l
+  FROM base d CROSS JOIN langs l
   GROUP BY 1, 2),
 cum AS (
   SELECT target, n_chars AS threshold,
@@ -2367,7 +2393,8 @@ SELECT b.doc_id, b.n_tokens, b.dup_token_ratio, b.dup_3gram_ratio,
 FROM base b JOIN top USING (doc_id)
 """,
     "text_stats": f"""
-WITH t AS (SELECT doc_id, text, {DUCK_TOKENS} AS toks FROM documents)
+WITH t AS (SELECT doc_id, text, {DUCK_TOKENS} AS toks FROM documents
+           WHERE text IS NOT NULL)
 SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars,
        CAST(len(toks) AS INT) AS n_tokens,
@@ -2466,6 +2493,7 @@ WITH docs AS (
   SELECT doc_id % {KFOLDS} AS fold, n_chars,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
   FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
 ),
 fh AS (
   SELECT fold, n_chars, COUNT(*) AS n, CAST(SUM(is_pos) AS BIGINT) AS n_pos
@@ -2677,7 +2705,8 @@ _LANG_UNION = " UNION ALL ".join(
     for lang, ws in sorted(STOPWORDS.items())
 )
 ORACLE["lang_id"] = f"""
-WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+           WHERE text IS NOT NULL),
 s AS ({_LANG_UNION}),
 m AS (SELECT doc_id, max(hits) AS mh FROM s GROUP BY doc_id)
 SELECT s.doc_id, min(s.lang) AS pred_lang, CAST(m.mh AS INT) AS hits
@@ -2729,7 +2758,8 @@ WHERE NOT sp.is_train
 """
 
 ORACLE["lang_confusion"] = f"""
-WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+           WHERE text IS NOT NULL),
 s AS ({_LANG_UNION}),
 m AS (SELECT doc_id, max(hits) AS mh FROM s GROUP BY doc_id),
 pred AS (

@@ -64,7 +64,7 @@ def _sessionize(
 
     out: list[tuple] = []
     start_us = prev_us = None
-    n = 0
+    n = n_vals = 0
     total = Decimal(0)
 
     def flush() -> None:
@@ -74,7 +74,8 @@ def _sessionize(
                 pd.to_datetime(start_us, unit="us"),
                 pd.to_datetime(prev_us + GAP_US, unit="us"),
                 n,
-                float(total),
+                # SQL SUM over zero non-NULL values is NULL, not 0.
+                float(total) if n_vals else None,
             )
         )
 
@@ -82,12 +83,15 @@ def _sessionize(
         ts_us = int(ts_us)
         if prev_us is not None and ts_us - prev_us > GAP_US:
             flush()
-            start_us, n, total = None, 0, Decimal(0)
+            start_us, n, n_vals, total = None, 0, 0, Decimal(0)
         if start_us is None:
             start_us = ts_us
         prev_us = ts_us
         n += 1
-        total += Decimal(float(val)).quantize(_CENT)
+        # SQL SUM skips NULLs (NaN here); count(*) still counts the row.
+        if not pd.isna(val):
+            n_vals += 1
+            total += Decimal(float(val)).quantize(_CENT)
     if prev_us is not None:
         flush()
 
@@ -110,7 +114,12 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.unix_micros(F.col("ts"))
     )
     sessions = (
-        ev.select("user_id", "ts", "value")
+        # NULL rail (r11 NULL sweep): a NULL timestamp is in no session
+        # and a NULL user is no state key — int(key[0]) / int(ts_us) in
+        # the handler would crash the whole stream on one bad row.
+        # Mirrored in the oracle's WHERE.
+        ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize,
@@ -142,6 +151,8 @@ WITH ordered AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
          lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
   FROM events
+  -- engine mirror: NULL ts is in no session; NULL user is no state key
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, ts, value,

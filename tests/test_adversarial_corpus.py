@@ -213,8 +213,9 @@ def test_vec_domain_excludes_exactly_the_crafted_outliers(spark):
     all_ids = {r.vec_id for r in df.select("vec_id").collect()}
     excluded = all_ids - kept
     # vec_id layout (see adversarial_embeddings): 1000000 zero vector,
-    # 1000007 the 1e19 vector, 1000009 the -0.0 vector.
-    assert excluded == {1000000, 1000007, 1000009}
+    # 1000007 the 1e19 vector, 1000009 the -0.0 vector, 1000012 the
+    # NULL embedding (wave 3; exists() over NULL is NULL -> dropped).
+    assert excluded == {1000000, 1000007, 1000009, 1000012}
 
 
 def test_cents_rounding_matches_duckdb_on_half_cent_boundaries():

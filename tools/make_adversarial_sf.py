@@ -90,6 +90,9 @@ def adversarial_documents(spark):
         (i, t, "en" if i % 3 else "de", f"src{i % 4}", len(t))
         for i, t in texts
     ]
+    # NULL cells (r11 wave 3): NULL text / lang / source / n_chars.
+    rows.append((22, None, "en", "src0", None))
+    rows.append((23, "null lang and source doc with words", None, None, 35))
     return spark.createDataFrame(
         rows,
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -128,6 +131,12 @@ def adversarial_events(spark):
     add(T0 + dt.timedelta(minutes=711), 9, "view", 1.0, "{}")
     add(T0 + dt.timedelta(minutes=720), 10, "purchase", 9_999_999.99)
     add(T0 + dt.timedelta(minutes=721), 10, "refund", -9_999_999.99)
+    # NULL-cell rows (r11 wave 3): NULL value / type / user / ts — the
+    # ordering-by-NULL and NULL-group-key classes.
+    add(T0 + dt.timedelta(minutes=800), 11, "view", None)
+    add(T0 + dt.timedelta(minutes=801), 11, None, 2.0)
+    add(T0 + dt.timedelta(minutes=802), None, "view", 3.0)
+    add(None, 12, "view", 4.0)
     return spark.createDataFrame(
         rows,
         "event_id long, ts timestamp_ntz, user_id long, event_type string,"
@@ -172,6 +181,12 @@ def adversarial_orders(spark):
     add(oid + 300, 99_999_999, "O", 314.15, T(1997, 9, 9), "1-URGENT")
     # Unseen status value: pivot/conditional robustness.
     add(oid + 301, 6, "X", 42.42, T(1997, 10, 10), "3-MEDIUM")
+    # r12 TODO (wave-3 catalogue, SCALE.md): NULL o_totalprice /
+    # o_orderdate / o_custkey / o_orderpriority rows — the offline
+    # probe showed ~14 orders-family divergences (NULL window-order
+    # keys sort NULLS FIRST asc in Spark, LAST in DuckDB; NULL group
+    # keys; pyds roundtrips). Needs a per-twin required-column
+    # contract before these rows can join the default corpus.
     crafted = spark.createDataFrame(
         rows,
         "o_orderkey long, o_custkey long, o_orderstatus string,"
@@ -217,6 +232,8 @@ def adversarial_embeddings(spark):
     add([-0.0] * DIM, 4)                      # sign-of-zero components
     add([1.0] * DIM, 5)                       # constant vector
     add([(-1.0) ** i for i in range(DIM)], 9)  # singleton label 9
+    rows.append((vid, None, 6))               # NULL embedding (wave 3)
+    rows.append((vid + 1, [1.0] * DIM, None))  # NULL label
     crafted = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
@@ -251,6 +268,7 @@ def adversarial_part(spark):
     add(pid + 20, "", "Brand#4", "ECONOMY", 0, 0.0)          # empty name
     add(pid + 21, "x", "Brand#4", "ECONOMY", 2_000_000, 9_999_999.99)
     add(pid + 22, "negative price part", "Brand#6", "PROMO", 3, -12.34)
+    # r12 TODO: NULL name/price/size rows (see SCALE.md wave-3 note).
     crafted = spark.createDataFrame(
         rows,
         "p_partkey long, p_name string, p_brand string, p_type string,"
@@ -277,6 +295,7 @@ def adversarial_customer(spark):
     add(cid + 5, "unseen segment", 4, 777.77, "AEROSPACE")
     for i in range(5):
         add(cid + 10 + i, "tied balance", 5, 123.45, "MACHINERY")
+    # r12 TODO: NULL balance/segment/nation rows (see SCALE.md).
     crafted = spark.createDataFrame(
         rows,
         "c_custkey long, c_name string, c_nationkey int,"
@@ -348,6 +367,11 @@ COPY (
            TIMESTAMP '1997-05-05 00:00:00' AS l_shipdate
     FROM range(1, 61) r(i)
   )
+  -- r12 TODO (wave-3 catalogue, SCALE.md): NULL quantity / price /
+  -- discount / returnflag / shipdate rows — the offline probe showed
+  -- adjacency weight-string corruption (concat_ws silently drops a
+  -- NULL weight), trimmed-mean histogram drift, and NULL-group-key
+  -- splits. Needs the per-twin required-column contract first.
   SELECT * FROM base
   UNION ALL SELECT * FROM dupes
   UNION ALL SELECT * FROM bounds
