@@ -74,9 +74,16 @@ def adjacency_list(edges: DataFrame) -> DataFrame:
 
     Returns (node, adj ARRAY<STRUCT<dst,weight>> sorted by (dst, weight)).
     Duplicate edges are preserved, as in the reference.
+
+    Edges with a NULL weight are DROPPED (r11 NULL sweep): the B1 text
+    grammar is ``dst:weight`` and a weightless edge is malformed input
+    — unguarded, concat_ws silently skips the NULL and emits a bare
+    ``dst`` token the reference parser (SingleSourceSP.java:224-250)
+    would crash on. Twins mirror with ``l_quantity IS NOT NULL``.
     """
     return (
-        edges.groupBy(F.col("src").alias("node"))
+        edges.filter(F.col("weight").isNotNull())
+        .groupBy(F.col("src").alias("node"))
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("dst"), F.col("weight")))

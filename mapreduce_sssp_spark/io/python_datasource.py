@@ -281,8 +281,11 @@ QUERIES = {
 }
 
 _B1_SQL = (
+    # B1 edge contract (io.sources.EDGES_SQL mirror): weight non-null —
+    # the text format is "src dst:weight" and the writer cannot render
+    # a weightless edge (r11 NULL sweep: f-string of None crashed it).
     "SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight"
-    " FROM lineitem"
+    " FROM lineitem WHERE l_quantity IS NOT NULL"
 )
 
 ORACLE = {

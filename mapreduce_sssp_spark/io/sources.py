@@ -144,7 +144,12 @@ def edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     benign — SingleSourceSP.java:224-250).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
+    # B1 contract: weights are strictly positive — a NULL l_quantity is
+    # a malformed edge and is DROPPED at the source (r11 NULL sweep:
+    # concat_ws silently skipped the NULL in the dst:weight grammar and
+    # emitted a bare token the reference parser would crash on).
+    # EDGES_SQL and every raw-lineitem graph twin carry the same WHERE.
+    return li.filter(F.col("l_quantity").isNotNull()).select(
         F.col("l_suppkey").alias("src"),
         F.col("l_partkey").alias("dst"),
         F.col("l_quantity").alias("weight"),
@@ -186,7 +191,8 @@ def edges_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SQL twin of edges_from_lineitem, reused inside oracle queries.
 EDGES_SQL = (
-    "SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight FROM lineitem"
+    "SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight"
+    " FROM lineitem WHERE l_quantity IS NOT NULL"
 )
 
 # SQL twin of edges_order_chain.

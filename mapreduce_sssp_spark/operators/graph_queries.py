@@ -345,8 +345,12 @@ def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles residual heat. Degrees broadcast back onto the pair
     aggregate, corpus-sized data shuffles once.
     """
+    # l_quantity IS NOT NULL: the B1 edge contract (see
+    # io.sources.edges_from_lineitem) — the twin's inc CTE carries the
+    # same WHERE.
     inc = _cache(
         load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())
         .select(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
         )
@@ -819,6 +823,8 @@ def q_bipartite_projection_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     # measured 2.2x slower, min-of-3 at sf0.1).
     inc = (
         load_table(spark, sf_dir, "lineitem")
+        # B1 edge contract (twin mirrors): weight non-null.
+        .filter(F.col("l_quantity").isNotNull())
         .select(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
         )
@@ -1511,7 +1517,7 @@ def _ktruss_oracle_sql(
     round (the MIS oracle's inlining hazard)."""
     ctes = [
         "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
-        " l_partkey AS p FROM lineitem)",
+        " l_partkey AS p FROM lineitem WHERE l_quantity IS NOT NULL)",
         "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v\n"
         "      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
     ]
@@ -1628,7 +1634,7 @@ def _random_walks_oracle_sql(steps: int = WALK_STEPS) -> str:
     same inlining hazard as the MIS oracle)."""
     ctes = [
         "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
-        " l_partkey AS p FROM lineitem)",
+        " l_partkey AS p FROM lineitem WHERE l_quantity IS NOT NULL)",
         "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v\n"
         "      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
         "und AS MATERIALIZED (SELECT u AS src, v AS dst FROM e"
@@ -2260,8 +2266,10 @@ FROM walk GROUP BY landmark, node
 WITH RECURSIVE und AS (
   SELECT DISTINCT src, dst FROM (
     SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
+    WHERE l_quantity IS NOT NULL
     UNION ALL
-    SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem)
+    SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem
+    WHERE l_quantity IS NOT NULL)
 ),
 s0 AS (SELECT min(src) AS n FROM und),
 walk1(r, node, dist) AS (
@@ -2401,7 +2409,8 @@ SELECT (SELECT s FROM srcq) AS source, pw.node, b.dist,
 FROM pw JOIN best b ON b.node = pw.node
 """,
     "bipartite_projection": """
-WITH inc AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+WITH inc AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+             WHERE l_quantity IS NOT NULL),
 deg AS (SELECT s, COUNT(*) AS deg FROM inc GROUP BY s),
 pairs AS (
   SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n_shared
@@ -2558,7 +2567,8 @@ SELECT src, count(*) AS n_paths2,
 FROM flagged GROUP BY src
 """,
     "bipartite_projection_capped": """
-WITH inc AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+WITH inc AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+             WHERE l_quantity IS NOT NULL),
 deg AS (SELECT s, COUNT(*) AS deg FROM inc GROUP BY s),
 pdeg AS (SELECT p, COUNT(*) AS d FROM inc GROUP BY p),
 hist AS (SELECT d, COUNT(*) AS c FROM pdeg GROUP BY 1),
@@ -2752,7 +2762,7 @@ SELECT node, min(label) AS component FROM reach GROUP BY node
     "wcc_cyclic": """
 WITH RECURSIVE e AS (
   SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
-  WHERE l_quantity < 1.5
+  WHERE l_quantity IS NOT NULL AND l_quantity < 1.5
 ),
 und AS (SELECT DISTINCT src, dst FROM e UNION SELECT DISTINCT dst, src FROM e),
 reach(node, label) AS (
@@ -2975,7 +2985,8 @@ JOIN deg du ON du.node = e.u
 JOIN deg dv ON dv.node = e.v
 """,
     "wl_relabel": """
-WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
+           WHERE l_quantity IS NOT NULL),
 nbr AS (
   SELECT src AS node, dst AS nbr FROM e
   UNION ALL

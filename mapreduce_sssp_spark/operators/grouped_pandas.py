@@ -78,7 +78,10 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_custkey").alias("o_custkey"))
     )
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    # o_orderdate required (r11 NULL rail; twin mirrors the WHERE).
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    ).select("o_custkey", "o_orderdate")
     seg = orders.join(F.broadcast(cust), "o_custkey", "left_semi")
     # Pre-partition BY THE GROUPING KEY into a bounded partition count:
     # the groupBy's required distribution is already satisfied, so no
@@ -132,7 +135,10 @@ def q_order_gaps_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs ~3x faster than the applyInPandas twin on many small groups
     (7s vs 21s at sf0.1 on local[32]); the pattern of choice when group
     logic only needs numpy."""
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select("o_custkey", "o_orderdate")
     return orders.groupBy("o_custkey").applyInArrow(
         _gaps_arrow, GAPS_SCHEMA.simpleString().removeprefix("struct<").removesuffix(">")
     )
@@ -278,9 +284,12 @@ FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
 """,
     "order_gaps": _ORDER_GAPS_SQL_TPL.format(
         where=(
-            " WHERE o_custkey % 3 = 0 AND o_custkey IN"
+            " WHERE o_orderdate IS NOT NULL AND o_custkey % 3 = 0"
+            " AND o_custkey IN"
             f" (SELECT c_custkey FROM customer WHERE c_mktsegment = '{GAPS_SEGMENT}')"
         )
     ),
-    "order_gaps_arrow": _ORDER_GAPS_SQL_TPL.format(where=""),
+    "order_gaps_arrow": _ORDER_GAPS_SQL_TPL.format(
+        where=" WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL"
+    ),
 }

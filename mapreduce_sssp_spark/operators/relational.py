@@ -142,7 +142,10 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: quartile bucket, percent_rank and
     cume_dist per order-status partition. Tie-broken by the unique
     orderkey so every engine assigns identical bucket boundaries."""
-    orders = load_table(spark, sf_dir, "orders")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     w = (
         Window.partitionBy("o_orderstatus")
         .orderBy("o_totalprice", "o_orderkey")
@@ -418,7 +421,10 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     readable NOT EXISTS spelling so the hash check proves the
     decomposition equivalent.
     """
-    o = load_table(spark, sf_dir, "orders").select(
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
         "o_orderkey",
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
             "price_cents"
@@ -917,7 +923,12 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~sf10 here); beyond that, bucket the day index or re-origin the
     epoch per partition before summing.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     d = o.select(
         "o_orderpriority",
         F.datediff(
@@ -1109,7 +1120,10 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands. At 100 TB: two scans + one decile aggregate + one
     20-row rollup; the snapshots never join row-to-row.
     """
-    o = load_table(spark, sf_dir, "orders").select(
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
         (F.col("o_orderkey") % 2 == 0).alias("is_base"),
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
         .alias("cents"),
@@ -1177,7 +1191,10 @@ def q_nested_order_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers CONTENT AND ORDER of the nested array, not just summary
     stats. Exact ints end to end.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     items = li.select(
         "l_orderkey",
         F.struct(
@@ -1304,7 +1321,12 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order-over-order price delta via lag/lead."""
-    orders = load_table(spark, sf_dir, "orders")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_custkey",
@@ -1318,7 +1340,12 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving 3-order sum/avg per customer (ROWS 2 PRECEDING frame)."""
-    orders = load_table(spark, sf_dir, "orders")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -1415,7 +1442,12 @@ def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one window sort per customer, frame state bounded at 5 —
     the same shape as every trailing window here.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -2359,7 +2391,11 @@ def q_percent_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group sort is the textbook use of range partitioning inside a
     window exchange, and AQE splits any skewed group's sort spill.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
     w = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
@@ -2378,6 +2414,7 @@ SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
                             ORDER BY l_extendedprice, l_orderkey,
                                      l_linenumber) AS pr
 FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
 """
 
 
@@ -2560,7 +2597,13 @@ def q_agg_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization (metadata scale); only the delta is scanned — the
     entire point. The merge is a broadcast-sized full-outer join.
     """
-    o = load_table(spark, sf_dir, "orders").select(
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        # a row without a date falls through the state/delta cut split
+        & F.col("o_orderdate").isNotNull()
+    ).select(
         "o_orderpriority",
         "o_orderdate",
         F.expr(
@@ -2774,7 +2817,10 @@ SELECT o_orderpriority,
             AS BIGINT) AS sum_cents,
        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cents
-FROM orders GROUP BY o_orderpriority
+FROM orders
+WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+  AND o_orderdate IS NOT NULL
+GROUP BY o_orderpriority
 """,
     "k_anonymity_audit": f"""
 WITH classes AS (
@@ -3006,6 +3052,7 @@ SELECT o_orderkey, o_orderstatus,
        percent_rank() OVER w AS pct_rank,
        cume_dist() OVER w AS cume
 FROM orders
+WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """,
     "agg_multi": """
@@ -3082,7 +3129,9 @@ SELECT o_custkey, o_orderkey,
 FROM (SELECT o_custkey, o_orderkey, o_orderdate,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS cents
-      FROM orders)
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_totalprice IS NOT NULL)
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN {MOVMED_FRAME - 1} PRECEDING AND CURRENT ROW)
 """,
@@ -3092,7 +3141,8 @@ WITH o AS (
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
            AS price_cents,
          CAST(o_orderdate AS DATE) AS odate
-  FROM orders)
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)
 SELECT o_orderkey, price_cents, odate
 FROM o p
 WHERE NOT EXISTS (
@@ -3205,6 +3255,7 @@ WITH o AS (
   SELECT (o_orderkey % 2 = 0) AS is_base,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM orders
+  WHERE o_totalprice IS NOT NULL
 ),
 edges AS (
   SELECT [quantile_cont(CAST(cents AS DOUBLE), 0.1),
@@ -3253,6 +3304,7 @@ WITH items AS (
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
            AS cents
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
 ),
 nested AS (
   SELECT l_orderkey,
@@ -3380,6 +3432,8 @@ WITH d AS (
          -- both engines, unlike DuckDB's double-rounding DECIMAL cast
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
   FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL
 ),
 stats AS (
   SELECT o_orderpriority,
@@ -3459,6 +3513,8 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        o_totalprice - lag(o_totalprice) OVER w AS price_delta,
        lead(o_orderkey) OVER w AS next_orderkey
 FROM orders
+WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  AND o_totalprice IS NOT NULL
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
     "window_moving": """
@@ -3467,6 +3523,8 @@ SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
          / count(*) OVER w AS moving_avg
 FROM orders
+WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  AND o_totalprice IS NOT NULL
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,

@@ -350,9 +350,11 @@ def q_approx_quantiles_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB remains the single-pass mergeable GK sketch in
     ``approx_quantiles``.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
-    )
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    ).select("l_returnflag", "l_extendedprice")
     qs = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             "l_extendedprice", [0.25, 0.5, 0.75], 10_000
@@ -420,7 +422,12 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sketch_merge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_linestatus").isNotNull()
+        & F.col("l_partkey").isNotNull()
+    )
     partials = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.expr("hll_sketch_agg(l_partkey, 12)").alias("sk")
     )
@@ -2007,7 +2014,10 @@ SELECT l_returnflag,
        count(DISTINCT l_partkey) AS exact,
        TRUE AS union_tracks_direct,
        TRUE AS merged_in_envelope
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  AND l_partkey IS NOT NULL
+GROUP BY l_returnflag
 """,
     "approx_quantiles_verified": """
 SELECT l_returnflag,
@@ -2017,7 +2027,9 @@ SELECT l_returnflag,
        TRUE AS q1_in_envelope,
        TRUE AS median_in_envelope,
        TRUE AS q3_in_envelope
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+GROUP BY l_returnflag
 """,
     "global_row_ids": f"""
 SELECT doc_id, doc_id % {GLOBAL_ID_SHARDS} AS shard,
@@ -2028,7 +2040,9 @@ FROM documents
     "degree_distribution": """
 WITH deg AS (
   SELECT l_suppkey AS src, count(*) AS degree
-  FROM lineitem GROUP BY l_suppkey
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL
+  GROUP BY l_suppkey
 )
 SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
 """,

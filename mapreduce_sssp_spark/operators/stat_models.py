@@ -255,7 +255,15 @@ def q_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side linear algebra, no collect. Adding features grows the
     aggregate quadratically (k^2 sums) but never adds a pass.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE):
+    # one NULL feature makes a whole normal-equation column NULL and
+    # the closing Cramer division 0/0.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    ).select(
         "l_returnflag",
         F.col("l_quantity").cast("bigint").alias("x1"),
         F.expr(BP_DISC).alias("x2"),
@@ -791,9 +799,11 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combined pass; the cumulative window runs per group
     over histogram rows. One shuffle, keyed by the group.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", F.expr(CENTS_EP).alias("cents")
-    )
+    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    ).select("l_returnflag", F.expr(CENTS_EP).alias("cents"))
     h = li.groupBy("l_returnflag", "cents").agg(F.count("*").alias("c"))
     wcum = (
         Window.partitionBy("l_returnflag")
@@ -980,6 +990,8 @@ WITH li AS (
          ({BP_DISC})::HUGEINT AS x2,
          ({CENTS_EP})::HUGEINT AS y
   FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
 ),
 agg AS (
   SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1245,7 +1257,9 @@ FROM ss
     "trimmed_mean": f"""
 WITH h AS (
   SELECT l_returnflag, {CENTS_EP} AS cents, COUNT(*) AS c
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
 ),
 c AS (
   SELECT l_returnflag, cents, c,

@@ -290,3 +290,88 @@ def test_engine_matches_duckdb_on_adversarial_parts(
     )
     assert got == want, qname
     spark.catalog.clearCache()
+
+
+# --- r11 wave 4: orders / lineitem NULL cells --------------------------------
+
+ORDERS_QUERIES_UNDER_TEST = [
+    "window_lag",
+    "window_ntile",
+    "window_moving",
+    "agg_delta_maintenance",
+    "distribution_drift",
+    "skyline_orders",
+    "regression_trend",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_orders_dir(spark, tmp_path_factory):
+    df = _mk.adversarial_orders(spark)
+    d = tmp_path_factory.mktemp("adv_orders")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("qname", ORDERS_QUERIES_UNDER_TEST)
+def test_engine_matches_duckdb_on_adversarial_orders(
+    spark, adv_orders_dir, qname
+):
+    from mapreduce_sssp_spark import queries_registry as qr
+
+    sdf = qr.QUERIES[qname](spark, adv_orders_dir)
+    scols = sorted(sdf.columns)
+    got = sorted(
+        (tuple(_canon(r[c]) for c in scols) for r in sdf.collect()),
+        key=_key,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{adv_orders_dir}/orders.parquet/*.parquet')"
+    )
+    rel = con.execute(qr.ORACLE[qname])
+    dcols = [d[0] for d in rel.description]
+    rows = rel.fetchall()
+    assert sorted(dcols) == scols, (qname, dcols, scols)
+    order = [dcols.index(c) for c in scols]
+    want = sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows), key=_key
+    )
+    assert got == want, qname
+    spark.catalog.clearCache()
+
+
+def test_b1_edge_contract_drops_null_weights(spark):
+    """The B1 edge contract (io.sources.edges_from_lineitem): a NULL
+    l_quantity is a malformed edge and never reaches the graph family —
+    unguarded, concat_ws silently emitted a bare `dst` token in the
+    dst:weight adjacency grammar (r11 wave-4 finding)."""
+    import pathlib
+    import tempfile
+
+    from mapreduce_sssp_spark.graph.reverse import adjacency_list
+    from mapreduce_sssp_spark.io.sources import edges_from_lineitem
+
+    li = spark.createDataFrame(
+        [
+            (1, 10, 1, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", None),
+            (1, 11, 2, 2, None, 1.0, 0.0, 0.0, "N", "O", None),
+            (2, 12, 1, 1, 7.0, 1.0, 0.0, 0.0, "N", "O", None),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.mode("overwrite").parquet(str(pathlib.Path(d) / "lineitem.parquet"))
+        edges = edges_from_lineitem(spark, d)
+        rows = edges.collect()
+        assert len(rows) == 2  # the NULL-weight edge is dropped
+        assert all(r.weight is not None for r in rows)
+        adj = {r.node: r.adj for r in adjacency_list(edges).collect()}
+        # no bare-dst token can exist: every entry carries a weight
+        assert all(
+            e.weight is not None for entries in adj.values() for e in entries
+        )

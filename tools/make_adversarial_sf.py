@@ -181,12 +181,12 @@ def adversarial_orders(spark):
     add(oid + 300, 99_999_999, "O", 314.15, T(1997, 9, 9), "1-URGENT")
     # Unseen status value: pivot/conditional robustness.
     add(oid + 301, 6, "X", 42.42, T(1997, 10, 10), "3-MEDIUM")
-    # r12 TODO (wave-3 catalogue, SCALE.md): NULL o_totalprice /
-    # o_orderdate / o_custkey / o_orderpriority rows — the offline
-    # probe showed ~14 orders-family divergences (NULL window-order
-    # keys sort NULLS FIRST asc in Spark, LAST in DuckDB; NULL group
-    # keys; pyds roundtrips). Needs a per-twin required-column
-    # contract before these rows can join the default corpus.
+    # NULL-cell rows (r11 wave 4): NULL price / date / custkey /
+    # priority — NULL window-order keys and NULL group keys.
+    add(oid + 400, 7, "O", None, T(1997, 11, 1), "1-URGENT")
+    add(oid + 401, 7, "O", 55.55, None, "2-HIGH")
+    add(oid + 402, None, "F", 66.66, T(1997, 11, 3), "3-MEDIUM")
+    add(oid + 403, 8, "P", 77.77, T(1997, 11, 4), None)
     crafted = spark.createDataFrame(
         rows,
         "o_orderkey long, o_custkey long, o_orderstatus string,"
@@ -268,7 +268,10 @@ def adversarial_part(spark):
     add(pid + 20, "", "Brand#4", "ECONOMY", 0, 0.0)          # empty name
     add(pid + 21, "x", "Brand#4", "ECONOMY", 2_000_000, 9_999_999.99)
     add(pid + 22, "negative price part", "Brand#6", "PROMO", 3, -12.34)
-    # r12 TODO: NULL name/price/size rows (see SCALE.md wave-3 note).
+    # NULL cells (r11 wave 4)
+    add(pid + 30, None, "Brand#7", "ECONOMY", 4, 44.44)
+    add(pid + 31, "null price part", "Brand#7", "PROMO", 5, None)
+    add(pid + 32, "null size part", "Brand#7", "STANDARD", None, 55.55)
     crafted = spark.createDataFrame(
         rows,
         "p_partkey long, p_name string, p_brand string, p_type string,"
@@ -295,7 +298,10 @@ def adversarial_customer(spark):
     add(cid + 5, "unseen segment", 4, 777.77, "AEROSPACE")
     for i in range(5):
         add(cid + 10 + i, "tied balance", 5, 123.45, "MACHINERY")
-    # r12 TODO: NULL balance/segment/nation rows (see SCALE.md).
+    # NULL cells (r11 wave 4)
+    add(cid + 20, "null balance", 6, None, "MACHINERY")
+    add(cid + 21, "null segment", 7, 10.0, None)
+    add(cid + 22, "null nation", None, 20.0, "BUILDING")
     crafted = spark.createDataFrame(
         rows,
         "c_custkey long, c_name string, c_nationkey int,"
@@ -366,18 +372,33 @@ COPY (
            0.02 AS l_tax, 'N' AS l_returnflag, 'O' AS l_linestatus,
            TIMESTAMP '1997-05-05 00:00:00' AS l_shipdate
     FROM range(1, 61) r(i)
+  ),
+  -- NULL-cell rows (r11 wave 4): NULL quantity / price / discount /
+  -- returnflag (NULL group key) / shipdate.
+  nullcells AS (
+    SELECT * FROM (VALUES
+      (CAST(20000002 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(1 AS INT), CAST(NULL AS DOUBLE), 500.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-06-01 00:00:00'),
+      (20000003, 2, 2, 1, 3.0, CAST(NULL AS DOUBLE), 0.01, 0.02,
+       'A', 'F', TIMESTAMP '1997-06-02 00:00:00'),
+      (20000004, 3, 3, 1, 4.0, 600.00, CAST(NULL AS DOUBLE), 0.02,
+       'R', 'F', TIMESTAMP '1997-06-03 00:00:00'),
+      (20000005, 4, 4, 1, 5.0, 700.00, 0.03, 0.02,
+       CAST(NULL AS VARCHAR), 'O', TIMESTAMP '1997-06-04 00:00:00'),
+      (20000006, 5, 5, 1, 6.0, 800.00, 0.04, 0.02,
+       'N', 'O', CAST(NULL AS TIMESTAMP))
+    ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        l_shipdate)
   )
-  -- r12 TODO (wave-3 catalogue, SCALE.md): NULL quantity / price /
-  -- discount / returnflag / shipdate rows — the offline probe showed
-  -- adjacency weight-string corruption (concat_ws silently drops a
-  -- NULL weight), trimmed-mean histogram drift, and NULL-group-key
-  -- splits. Needs the per-twin required-column contract first.
   SELECT * FROM base
   UNION ALL SELECT * FROM dupes
   UNION ALL SELECT * FROM bounds
   UNION ALL SELECT * FROM halfcent
   UNION ALL SELECT * FROM negret
   UNION ALL SELECT * FROM hub
+  UNION ALL SELECT * FROM nullcells
 ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
 """
     )
