@@ -281,11 +281,14 @@ QUERIES = {
 }
 
 _B1_SQL = (
-    # B1 edge contract (io.sources.EDGES_SQL mirror): weight non-null —
-    # the text format is "src dst:weight" and the writer cannot render
-    # a weightless edge (r11 NULL sweep: f-string of None crashed it).
+    # B1 edge contract (io.sources.EDGES_SQL mirror, r12: endpoints
+    # too): the text format is "src dst:weight" and the writer cannot
+    # render a weightless or endpoint-less edge (r11 NULL sweep:
+    # f-string of None crashed it; r12 NULL-node-id sweep extended the
+    # contract to src/dst).
     "SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight"
-    " FROM lineitem WHERE l_quantity IS NOT NULL"
+    " FROM lineitem WHERE l_suppkey IS NOT NULL"
+    " AND l_partkey IS NOT NULL AND l_quantity IS NOT NULL"
 )
 
 ORACLE = {

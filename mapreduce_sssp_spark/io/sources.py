@@ -144,12 +144,20 @@ def edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     benign — SingleSourceSP.java:224-250).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # B1 contract: weights are strictly positive — a NULL l_quantity is
-    # a malformed edge and is DROPPED at the source (r11 NULL sweep:
-    # concat_ws silently skipped the NULL in the dst:weight grammar and
-    # emitted a bare token the reference parser would crash on).
+    # B1 contract (r11 weight, r12 endpoints): a NULL in ANY of
+    # src/dst/weight is a malformed edge and is DROPPED at the source —
+    # the engine analogue of the reference's Character.isDigit line
+    # guard (a text line with a missing token never parses as an edge).
+    # r11 found concat_ws silently skipping a NULL weight in the
+    # dst:weight grammar; the r12 NULL-node-id sweep found NULL
+    # endpoints corrupting adjacency/compat lines, shifting pagerank's
+    # node count N, and crashing the TSV roundtrip read-back.
     # EDGES_SQL and every raw-lineitem graph twin carry the same WHERE.
-    return li.filter(F.col("l_quantity").isNotNull()).select(
+    return li.filter(
+        F.col("l_suppkey").isNotNull()
+        & F.col("l_partkey").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    ).select(
         F.col("l_suppkey").alias("src"),
         F.col("l_partkey").alias("dst"),
         F.col("l_quantity").alias("weight"),
@@ -172,7 +180,17 @@ def edges_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
-    step = li.groupBy("l_orderkey", "l_linenumber").agg(
+    # DAG contract (r12): all four read columns non-null. A NULL
+    # l_linenumber is a malformed chain position AND an ordering trap
+    # (Spark windows sort NULLS FIRST, DuckDB NULLS LAST — the lead()
+    # chains would differ row-for-row); NULL orderkey/partkey/quantity
+    # are malformed node/weight material. EDGES_DAG_SQL mirrors.
+    step = li.filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+        & F.col("l_partkey").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    ).groupBy("l_orderkey", "l_linenumber").agg(
         F.min("l_partkey").alias("pk"), F.min("l_quantity").alias("qty")
     )
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
@@ -190,9 +208,16 @@ def edges_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # SQL twin of edges_from_lineitem, reused inside oracle queries.
+# EDGES_WHERE is the B1 edge contract (endpoints + weight non-null),
+# f-stringed into the raw-lineitem graph twins that can't compose
+# EDGES_SQL directly (unweighted incidence views, custom weight preds).
+EDGES_WHERE = (
+    "l_suppkey IS NOT NULL AND l_partkey IS NOT NULL"
+    " AND l_quantity IS NOT NULL"
+)
 EDGES_SQL = (
     "SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight"
-    " FROM lineitem WHERE l_quantity IS NOT NULL"
+    f" FROM lineitem WHERE {EDGES_WHERE}"
 )
 
 # SQL twin of edges_order_chain.
@@ -206,7 +231,10 @@ FROM (
   FROM (
     SELECT l_orderkey, l_linenumber,
            min(l_partkey) AS pk, min(l_quantity) AS qty
-    FROM lineitem GROUP BY l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+      AND l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+    GROUP BY l_orderkey, l_linenumber
   )
 )
 WHERE next_node IS NOT NULL

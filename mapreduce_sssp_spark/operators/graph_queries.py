@@ -345,12 +345,15 @@ def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles residual heat. Degrees broadcast back onto the pair
     aggregate, corpus-sized data shuffles once.
     """
-    # l_quantity IS NOT NULL: the B1 edge contract (see
-    # io.sources.edges_from_lineitem) — the twin's inc CTE carries the
-    # same WHERE.
+    # Required-column contract (r12): exactly the columns this query
+    # READS — the two incidence endpoints, which must be non-null
+    # (NULL-node-id sweep; the r11 l_quantity rail was dropped because
+    # the weight is never read). Twin mirrors the WHERE.
     inc = _cache(
         load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity").isNotNull())
+        .filter(
+            F.col("l_suppkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
         .select(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
         )
@@ -821,10 +824,13 @@ def q_bipartite_projection_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     # over the semi-joined `kept`, not `inc` itself — inc's branches are
     # aggregates, which AQE exchange reuse already shares (persist
     # measured 2.2x slower, min-of-3 at sf0.1).
+    # Endpoint contract (r12, mirrors the uncapped twin): s and p
+    # non-null, no weight rail — see q_bipartite_projection.
     inc = (
         load_table(spark, sf_dir, "lineitem")
-        # B1 edge contract (twin mirrors): weight non-null.
-        .filter(F.col("l_quantity").isNotNull())
+        .filter(
+            F.col("l_suppkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
         .select(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
         )
@@ -1274,7 +1280,12 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
-    step = li.select("l_orderkey", "l_linenumber").distinct()
+    # Chain contract (r12): orderkey/linenumber non-null — a NULL
+    # linenumber is also a NULLS FIRST/LAST window-ordering trap
+    # (Spark vs DuckDB lead() would chain different rows). Twin mirrors.
+    step = li.filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_linenumber").isNotNull()
+    ).select("l_orderkey", "l_linenumber").distinct()
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
     chain = step.select(
         "l_orderkey",
@@ -1303,7 +1314,13 @@ def q_wcc_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.wcc import wcc
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = li.filter(F.col("l_quantity") < 1.5).select(
+    # Endpoint contract (r12) on top of the quantity subgraph filter
+    # (which already drops NULL weights: NULL < 1.5 is never true).
+    edges = li.filter(
+        F.col("l_suppkey").isNotNull()
+        & F.col("l_partkey").isNotNull()
+        & (F.col("l_quantity") < 1.5)
+    ).select(
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     return wcc(edges)
@@ -1349,7 +1366,14 @@ def _part_cooccurrence_edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     from ..graph.triangles import canonical_edges
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # Incidence contract (r12 NULL-node-id sweep): o and p non-null —
+    # Spark's groupBy KEEPS a NULL order-key group (lumping every
+    # orphan part into one pseudo-basket that mints spurious pairs)
+    # while the twins' a.o = b.o equi-join DROPS it; caught by the
+    # crafted two-NULL-orderkey rows. All op-incidence twins mirror.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    ).select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
     grp = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("parts"))
@@ -1406,7 +1430,13 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # Sequence contract (r12): o/ln/p non-null — NULL ln is the
+    # NULLS FIRST/LAST window-ordering trap. Twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+        & F.col("l_partkey").isNotNull()
+    ).select(
         F.col("l_orderkey").alias("o"),
         F.col("l_linenumber").alias("ln"),
         F.col("l_partkey").alias("p"),
@@ -1497,6 +1527,12 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving edges with their within-truss supports. The DuckDB twin
     unrolls the support-recount rounds (_ktruss_oracle_sql), making
     this the second removal fixpoint with a full value-hash check.
+
+    NULL contract (r12): the co-occurrence incidence reads only
+    (l_orderkey, l_partkey) — no l_quantity rail, matching
+    _part_cooccurrence_edges_plan and the other six op-incidence twins
+    (the r11 wave briefly added a WHERE here the engine never had;
+    caught by the pair-forming NULL-quantity adversarial row).
     """
     from ..graph.ktruss import ktruss
 
@@ -1517,7 +1553,7 @@ def _ktruss_oracle_sql(
     round (the MIS oracle's inlining hazard)."""
     ctes = [
         "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
-        " l_partkey AS p FROM lineitem WHERE l_quantity IS NOT NULL)",
+        " l_partkey AS p FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)",
         "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v\n"
         "      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
     ]
@@ -1634,7 +1670,7 @@ def _random_walks_oracle_sql(steps: int = WALK_STEPS) -> str:
     same inlining hazard as the MIS oracle)."""
     ctes = [
         "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
-        " l_partkey AS p FROM lineitem WHERE l_quantity IS NOT NULL)",
+        " l_partkey AS p FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)",
         "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v\n"
         "      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
         "und AS MATERIALIZED (SELECT u AS src, v AS dst FROM e"
@@ -2049,7 +2085,7 @@ def _mis_oracle_sql(rounds: int = _MIS_ORACLE_ROUNDS) -> str:
     from ..graph.mis import MIS_PRI_MOD, MIS_PRI_MULT, _PRI_INF
 
     ctes = [
-        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)",
         "e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v\n"
         "      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
         "und AS MATERIALIZED (SELECT u AS src, v AS dst FROM e"
@@ -2207,7 +2243,7 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
     every node's majority neighbor label from the previous stage, ties
     to the smallest label."""
     ctes = [
-        "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)",
         "e AS (SELECT DISTINCT a.p AS u, b.p AS v\n"
         "      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
         "und AS (SELECT u AS src, v AS dst FROM e"
@@ -2244,7 +2280,8 @@ ORACLE = {
 WITH RECURSIVE edges AS (
   SELECT src, dst, min(weight) AS weight FROM
     (SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight
-     FROM lineitem) GROUP BY src, dst
+     FROM lineitem WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+       AND l_quantity IS NOT NULL) GROUP BY src, dst
 ),
 lms AS (SELECT DISTINCT src AS landmark FROM edges
         ORDER BY src LIMIT {LANDMARKS_K}),
@@ -2266,10 +2303,12 @@ FROM walk GROUP BY landmark, node
 WITH RECURSIVE und AS (
   SELECT DISTINCT src, dst FROM (
     SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
-    WHERE l_quantity IS NOT NULL
+    WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+      AND l_quantity IS NOT NULL
     UNION ALL
     SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem
-    WHERE l_quantity IS NOT NULL)
+    WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+      AND l_quantity IS NOT NULL)
 ),
 s0 AS (SELECT min(src) AS n FROM und),
 walk1(r, node, dist) AS (
@@ -2301,7 +2340,8 @@ SELECT (SELECT n FROM s0) AS sweep_start,
 WITH RECURSIVE edges AS (
   SELECT src, dst, min(weight) AS weight FROM
     (SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight
-     FROM lineitem) GROUP BY src, dst
+     FROM lineitem WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+       AND l_quantity IS NOT NULL) GROUP BY src, dst
 ),
 lms AS (SELECT DISTINCT src AS landmark FROM edges
         ORDER BY src LIMIT {LANDMARKS_K}),
@@ -2410,7 +2450,7 @@ FROM pw JOIN best b ON b.node = pw.node
 """,
     "bipartite_projection": """
 WITH inc AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
-             WHERE l_quantity IS NOT NULL),
+             WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
 deg AS (SELECT s, COUNT(*) AS deg FROM inc GROUP BY s),
 pairs AS (
   SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n_shared
@@ -2568,7 +2608,7 @@ FROM flagged GROUP BY src
 """,
     "bipartite_projection_capped": """
 WITH inc AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
-             WHERE l_quantity IS NOT NULL),
+             WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
 deg AS (SELECT s, COUNT(*) AS deg FROM inc GROUP BY s),
 pdeg AS (SELECT p, COUNT(*) AS d FROM inc GROUP BY p),
 hist AS (SELECT d, COUNT(*) AS c FROM pdeg GROUP BY 1),
@@ -2748,7 +2788,8 @@ WITH RECURSIVE e AS (
     SELECT l_orderkey * 8 + l_linenumber AS node,
            lead(l_orderkey * 8 + l_linenumber)
              OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_node
-    FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+    FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+          WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
   ) WHERE next_node IS NOT NULL
 ),
 und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
@@ -2762,7 +2803,8 @@ SELECT node, min(label) AS component FROM reach GROUP BY node
     "wcc_cyclic": """
 WITH RECURSIVE e AS (
   SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
-  WHERE l_quantity IS NOT NULL AND l_quantity < 1.5
+  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_quantity < 1.5
 ),
 und AS (SELECT DISTINCT src, dst FROM e UNION SELECT DISTINCT dst, src FROM e),
 reach(node, label) AS (
@@ -2821,7 +2863,7 @@ FROM edges GROUP BY dst
     # dominate the 5 rounds sf0.01 needs; stable levels are no-ops.
     "kcore": """
 WITH RECURSIVE
-op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
 e AS (SELECT DISTINCT a.p AS u, b.p AS v
       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
 und AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
@@ -2849,7 +2891,7 @@ SELECT c.node,
 FROM core c
 """,
     "triangle_counts": """
-WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
 e AS (SELECT DISTINCT a.p AS u, b.p AS v
       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
 t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -2863,8 +2905,8 @@ SELECT node, count(*) AS n_tri FROM corners GROUP BY node
     "community_modularity": f"""
 WITH lab AS ({_lpa_oracle_sql()}),
 ee AS (SELECT DISTINCT a.p AS u, b.p AS v
-       FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
-       JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+       FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL) a
+       JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL) b
          ON a.o = b.o AND a.p < b.p),
 m AS (SELECT count(*) AS m FROM ee),
 internal AS (
@@ -2923,7 +2965,7 @@ CROSS JOIN n_tot n CROSS JOIN t_tot t
 """,
     "ktruss": _ktruss_oracle_sql(),
     "clustering_coefficient": """
-WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
 e AS (SELECT DISTINCT a.p AS u, b.p AS v
       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
 und AS (SELECT u AS src, v AS dst FROM e
@@ -2945,7 +2987,9 @@ FROM deg d LEFT JOIN nt ON nt.node = d.node
 """,
     "graph_reciprocity": """
 WITH seq AS (SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p
-             FROM lineitem),
+             FROM lineitem
+             WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+               AND l_partkey IS NOT NULL),
 nxt AS (SELECT p AS src,
                LEAD(p) OVER (PARTITION BY o ORDER BY ln, p) AS dst
         FROM seq),
@@ -2960,7 +3004,7 @@ SELECT n.n_edges, r.n_reciprocal,
 FROM n, r
 """,
     "edge_jaccard": """
-WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
 e AS (SELECT DISTINCT a.p AS u, b.p AS v
       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
 adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
@@ -2986,7 +3030,8 @@ JOIN deg dv ON dv.node = e.v
 """,
     "wl_relabel": """
 WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
-           WHERE l_quantity IS NOT NULL),
+           WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+             AND l_quantity IS NOT NULL),
 nbr AS (
   SELECT src AS node, dst AS nbr FROM e
   UNION ALL

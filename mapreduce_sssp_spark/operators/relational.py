@@ -1191,9 +1191,16 @@ def q_nested_order_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers CONTENT AND ORDER of the nested array, not just summary
     stats. Exact ints end to end.
     """
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep, r12 NULL-node-id wave: ALL
+    # four read columns — a NULL partkey made concat_ws emit a
+    # two-field 'lineno:cents' token while the twin's || chain nulled
+    # the whole element; NULL orderkey/lineno hit the group-key and
+    # array-sort NULL-placement traps). Twin mirrors the WHERE.
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull()
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+        & F.col("l_partkey").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
     )
     items = li.select(
         "l_orderkey",
@@ -2391,10 +2398,15 @@ def q_percent_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group sort is the textbook use of range partitioning inside a
     window exchange, and AQE splits any skewed group's sort spill.
     """
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep; r12 added the two ORDER BY
+    # tiebreak keys — a NULL linenumber sorts NULLS FIRST in Spark
+    # windows but NULLS LAST in DuckDB, shifting every later rank in
+    # the group). Twin mirrors the WHERE.
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isNotNull()
         & F.col("l_extendedprice").isNotNull()
+        & F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
     )
     w = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
@@ -2415,6 +2427,7 @@ SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
                                      l_linenumber) AS pr
 FROM lineitem
 WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+  AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
 """
 
 
@@ -3304,7 +3317,8 @@ WITH items AS (
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
            AS cents
   FROM lineitem
-  WHERE l_extendedprice IS NOT NULL
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
 ),
 nested AS (
   SELECT l_orderkey,
@@ -3351,7 +3365,9 @@ FROM stats
     "corr_measures": """
 WITH d AS (
   SELECT l_returnflag,
-         CAST(l_quantity AS BIGINT) AS x,
+         -- TRUNC: Spark/Java double->int casts truncate toward zero;
+         -- DuckDB CAST rounds half-even (r12 fractional-qty finding)
+         CAST(TRUNC(l_quantity) AS BIGINT) AS x,
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
            AS y
   FROM lineitem

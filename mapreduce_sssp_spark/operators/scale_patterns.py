@@ -2039,9 +2039,12 @@ FROM documents
 """,
     "degree_distribution": """
 WITH deg AS (
+  -- B1 edge contract mirror (io.sources.EDGES_SQL): endpoints and
+  -- weight non-null (r12 extended the contract to endpoints).
   SELECT l_suppkey AS src, count(*) AS degree
   FROM lineitem
-  WHERE l_quantity IS NOT NULL
+  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+    AND l_quantity IS NOT NULL
   GROUP BY l_suppkey
 )
 SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree

@@ -986,7 +986,8 @@ FROM agg
     "ols_multifeature": f"""
 WITH li AS (
   SELECT l_returnflag,
-         CAST(l_quantity AS BIGINT)::HUGEINT AS x1,
+         -- TRUNC mirrors Spark's truncating double->int cast (r12)
+         CAST(TRUNC(l_quantity) AS BIGINT)::HUGEINT AS x1,
          ({BP_DISC})::HUGEINT AS x2,
          ({CENTS_EP})::HUGEINT AS y
   FROM lineitem
@@ -1035,7 +1036,8 @@ FROM d
     "weighted_median": f"""
 WITH h AS (
   SELECT l_returnflag, {CENTS_EP} AS cents,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tw
+         -- TRUNC mirrors Spark's truncating double->int cast (r12)
+         CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS BIGINT) AS tw
   FROM lineitem GROUP BY 1, 2
 ),
 c AS (

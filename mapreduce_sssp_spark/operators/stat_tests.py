@@ -882,7 +882,8 @@ FROM agg
 """,
     "spearman_corr": """
 WITH li AS (
-  SELECT CAST(l_quantity AS BIGINT) AS x,
+  -- TRUNC mirrors Spark's truncating double->int cast (r12)
+  SELECT CAST(TRUNC(l_quantity) AS BIGINT) AS x,
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
   FROM lineitem
 ),

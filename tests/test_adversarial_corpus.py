@@ -375,3 +375,71 @@ def test_b1_edge_contract_drops_null_weights(spark):
         assert all(
             e.weight is not None for entries in adj.values() for e in entries
         )
+
+
+def test_b1_edge_contract_drops_null_endpoints(spark):
+    """r12 extension of the B1 contract: a NULL src or dst is a
+    malformed edge endpoint (the engine analogue of the reference's
+    Character.isDigit line guard) and never reaches the graph family —
+    unguarded, NULL endpoints corrupted adjacency/compat grammar lines,
+    shifted pagerank's node count N, and crashed the TSV roundtrip
+    read-back (r12 NULL-node-id sweep)."""
+    import pathlib
+    import tempfile
+
+    from mapreduce_sssp_spark.io.sources import edges_from_lineitem
+
+    li = spark.createDataFrame(
+        [
+            (1, 10, 1, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", None),
+            (1, None, 2, 2, 3.0, 1.0, 0.0, 0.0, "N", "O", None),
+            (2, 12, None, 1, 7.0, 1.0, 0.0, 0.0, "N", "O", None),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.mode("overwrite").parquet(
+            str(pathlib.Path(d) / "lineitem.parquet")
+        )
+        rows = edges_from_lineitem(spark, d).collect()
+        assert len(rows) == 1  # both NULL-endpoint edges are dropped
+        assert rows[0].src == 1 and rows[0].dst == 10
+
+
+def test_cooccurrence_contract_drops_null_orderkey_basket(spark):
+    """r12 NULL-node-id sweep: Spark's groupBy KEEPS a NULL order-key
+    group, lumping every orphan part into one pseudo-basket that mints
+    spurious co-occurrence pairs — while the DuckDB twins' a.o = b.o
+    equi-join drops NULL keys. The incidence contract (o and p
+    non-null) must make the engine drop them too."""
+    import pathlib
+    import tempfile
+
+    from mapreduce_sssp_spark.operators import graph_queries as G
+
+    li = spark.createDataFrame(
+        [
+            (1, 10, 1, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", None),
+            (1, 11, 1, 2, 5.0, 1.0, 0.0, 0.0, "N", "O", None),
+            # two NULL-orderkey rows with distinct parts: an unguarded
+            # groupBy would emit the spurious pair (20, 21)
+            (None, 20, 1, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", None),
+            (None, 21, 1, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", None),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.mode("overwrite").parquet(
+            str(pathlib.Path(d) / "lineitem.parquet")
+        )
+        edges = {
+            (r.u, r.v)
+            for r in G._part_cooccurrence_edges_plan(spark, d).collect()
+        }
+        assert edges == {(10, 11)}  # no (20, 21) pseudo-basket pair

@@ -137,6 +137,12 @@ def adversarial_events(spark):
     add(T0 + dt.timedelta(minutes=801), 11, None, 2.0)
     add(T0 + dt.timedelta(minutes=802), None, "view", 3.0)
     add(None, 12, "view", 4.0)
+    # NOTE (r12): the >=1000-near-limit-groups ANOVA battery (ADVICE
+    # r11) lives in tests/test_anova_limits.py, NOT here — 1100 extra
+    # event types turns every |types|^2 pair query (ks_test, welch,
+    # mann-whitney) into a ~620k-pair run and stalls the full-registry
+    # sweep for hours. The dedicated referee exercises the same
+    # 2^63-sum rail engine-vs-DuckDB on its own corpus.
     return spark.createDataFrame(
         rows,
         "event_id long, ts timestamp_ntz, user_id long, event_type string,"
@@ -387,7 +393,46 @@ COPY (
       (20000005, 4, 4, 1, 5.0, 700.00, 0.03, 0.02,
        CAST(NULL AS VARCHAR), 'O', TIMESTAMP '1997-06-04 00:00:00'),
       (20000006, 5, 5, 1, 6.0, 800.00, 0.04, 0.02,
-       'N', 'O', CAST(NULL AS TIMESTAMP))
+       'N', 'O', CAST(NULL AS TIMESTAMP)),
+      -- r12: PAIR-FORMING NULL-quantity rows. Row 20000002's NULL
+      -- quantity sits in a singleton order, so it can never change a
+      -- co-occurrence pair or a bipartite pair count — which is how
+      -- the r11 ktruss/random_walks twin WHERE (absent from the
+      -- engine's weight-free incidence) stayed green. These rows make
+      -- the NULL-quantity cell LOAD-BEARING: dropping it kills the
+      -- part pair (9101,9102) and drops bipartite (9101,9102)'s
+      -- n_shared from 2 to 1.
+      (20000007, 9101, 9101, 1, CAST(NULL AS DOUBLE), 100.00, 0.01,
+       0.02, 'N', 'O', TIMESTAMP '1997-06-05 00:00:00'),
+      (20000007, 9102, 9102, 2, 1.0, 100.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-06-05 00:00:00'),
+      (20000008, 9101, 9102, 1, 1.0, 100.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-06-06 00:00:00'),
+      (20000008, 9103, 9101, 2, 1.0, 100.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-06-06 00:00:00'),
+      (20000008, 9103, 9102, 3, 1.0, 100.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-06-06 00:00:00'),
+      -- r12 NULL-node-id wave (VERDICT #6): the graph family's analogue
+      -- of the reference's Character.isDigit guard — a NULL suppkey or
+      -- partkey is a malformed edge endpoint, a NULL orderkey is a
+      -- malformed co-occurrence basket, a NULL linenumber is a
+      -- malformed DAG position (and a NULLS FIRST/LAST ordering trap:
+      -- Spark windows default NULLS FIRST, DuckDB NULLS LAST).
+      (20000009, CAST(NULL AS BIGINT), 6, 1, 1.0, 100.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-06-07 00:00:00'),
+      (20000010, 7, CAST(NULL AS BIGINT), 1, 2.0, 100.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-06-07 00:00:00'),
+      (20000011, 8, 8, CAST(NULL AS INT), 3.0, 100.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-06-07 00:00:00'),
+      (20000011, 9, 8, 2, 3.5, 100.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-06-07 00:00:00'),
+      -- Two NULL-orderkey rows with DISTINCT parts: a group-by-order
+      -- engine that keeps the NULL group would mint a spurious
+      -- co-occurrence pair (9104,9105) that an equi-join twin drops.
+      (CAST(NULL AS BIGINT), 9104, 9104, 1, 1.0, 100.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-06-08 00:00:00'),
+      (CAST(NULL AS BIGINT), 9105, 9105, 1, 1.0, 100.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-06-08 00:00:00')
     ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
         l_shipdate)
