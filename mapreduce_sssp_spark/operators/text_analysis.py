@@ -1115,19 +1115,51 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowing-style near-dup prefilter: one edit disturbs at most K
     windows, so the min survives with high probability).
 
-    Higher-order functions (``transform``/``aggregate`` over
-    ``sequence``) keep the whole computation inside whole-stage codegen:
-    no UDF, no Python, no shuffle — a pure map stage that streams at
-    scan speed at 100 TB.
+    Higher-order functions (``aggregate`` over ``sequence``) keep the
+    whole computation inside whole-stage codegen: no UDF, no Python, no
+    shuffle — a pure map stage that streams at scan speed at 100 TB.
+
+    The window minimum is a TRUE rolling hash (r12 claw-back): one
+    O(len) aggregate carrying ``struct<h, m>`` state — h rolls out the
+    leaving char via ``h*B - c_out*B^K + c_in (mod M)`` and m tracks the
+    running min — replacing the r8 ``transform × aggregate`` form that
+    recomputed the full K-char polynomial per window (O(len·K), the
+    envelope's worst drift at 1.35× its pin even on a quiet host).
+    Value-identical: all algebra is mod-M with ``pmod`` guarding the
+    roll-out subtraction's negative intermediates (forward ``%`` only
+    ever sees non-negative operands), so the DuckDB twin is untouched.
+    The ``len == K`` branch is separate because Spark's ``sequence(a,b)``
+    DESCENDS when a > b — ``sequence(K+1, K)`` would be [K+1, K], not
+    empty.
     """
     docs = load_parallel(spark, sf_dir, "documents")
+    # First-window hash: the same forward fold both branches seed from.
+    h0 = (
+        f"aggregate(sequence(1, {RH_K}), 0L,"
+        f" (a, j) -> (a * {RH_B}"
+        f" + ascii(substring(text, j, 1))) % {RH_M})"
+    )
+    # B^(K-1) mod M: the roll-out coefficient of the leaving char.
+    bk1 = pow(RH_B, RH_K - 1, RH_M)
+    # Magnitudes: s.h < M < 2^31; ascii() is a full codepoint (< 2^21
+    # for astral chars), so |h - c_out*B^(K-1)|*B + c_in < 2^60 — no
+    # int64 overflow even on non-ASCII text.
+    rolled_h = (
+        f"pmod((s.h - ascii(substring(text, j - {RH_K}, 1))"
+        f" * {bk1}L) * {RH_B}"
+        f" + ascii(substring(text, j, 1)), {RH_M})"
+    )
+    roll = (
+        f"aggregate(sequence({RH_K + 1}, length(text)),"
+        f" CAST(named_struct('h', {h0}, 'm', {h0})"
+        f" AS struct<h: BIGINT, m: BIGINT>),"
+        f" (s, j) -> named_struct('h', {rolled_h},"
+        f" 'm', least(s.m, {rolled_h})),"
+        f" s -> s.m)"
+    )
     win = F.expr(
-        f"""CASE WHEN length(text) >= {RH_K} THEN
-              array_min(transform(sequence(0, length(text) - {RH_K}),
-                i -> aggregate(sequence(1, {RH_K}), 0L,
-                     (a, j) -> (a * {RH_B}
-                                + ascii(substring(text, cast(i + j AS INT), 1)))
-                               % {RH_M})))
+        f"""CASE WHEN length(text) = {RH_K} THEN {h0}
+                 WHEN length(text) > {RH_K} THEN {roll}
             END"""
     )
     content = F.expr(
