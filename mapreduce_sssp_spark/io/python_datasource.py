@@ -288,7 +288,7 @@ _B1_SQL = (
     # contract to src/dst).
     "SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight"
     " FROM lineitem WHERE l_suppkey IS NOT NULL"
-    " AND l_partkey IS NOT NULL AND l_quantity IS NOT NULL"
+    " AND l_partkey IS NOT NULL AND isfinite(l_quantity)"
 )
 
 ORACLE = {

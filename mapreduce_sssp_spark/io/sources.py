@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..contracts import finite
+
 TABLES = (
     "region",
     "nation",
@@ -144,19 +146,24 @@ def edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     benign — SingleSourceSP.java:224-250).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # B1 contract (r11 weight, r12 endpoints): a NULL in ANY of
-    # src/dst/weight is a malformed edge and is DROPPED at the source —
+    # B1 contract (r11 weight, r12 endpoints + finite weight): a NULL
+    # in ANY of src/dst/weight — or a non-finite weight — is a
+    # malformed edge and is DROPPED at the source —
     # the engine analogue of the reference's Character.isDigit line
     # guard (a text line with a missing token never parses as an edge).
     # r11 found concat_ws silently skipping a NULL weight in the
     # dst:weight grammar; the r12 NULL-node-id sweep found NULL
     # endpoints corrupting adjacency/compat lines, shifting pagerank's
-    # node count N, and crashing the TSV roundtrip read-back.
+    # node count N, and crashing the TSV roundtrip read-back. The r12
+    # non-finite probe added the finite-weight leg: a NaN weight
+    # REACHES the dst:weight text grammar and renders 'NaN' in Spark
+    # but 'nan' in DuckDB's float formatting — byte-divergent compat
+    # lines — and Inf additions poison every distance downstream.
     # EDGES_SQL and every raw-lineitem graph twin carry the same WHERE.
     return li.filter(
         F.col("l_suppkey").isNotNull()
         & F.col("l_partkey").isNotNull()
-        & F.col("l_quantity").isNotNull()
+        & finite("l_quantity")
     ).select(
         F.col("l_suppkey").alias("src"),
         F.col("l_partkey").alias("dst"),
@@ -189,7 +196,7 @@ def edges_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").isNotNull()
         & F.col("l_linenumber").isNotNull()
         & F.col("l_partkey").isNotNull()
-        & F.col("l_quantity").isNotNull()
+        & finite("l_quantity")
     ).groupBy("l_orderkey", "l_linenumber").agg(
         F.min("l_partkey").alias("pk"), F.min("l_quantity").alias("qty")
     )
@@ -208,12 +215,14 @@ def edges_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # SQL twin of edges_from_lineitem, reused inside oracle queries.
-# EDGES_WHERE is the B1 edge contract (endpoints + weight non-null),
-# f-stringed into the raw-lineitem graph twins that can't compose
-# EDGES_SQL directly (unweighted incidence views, custom weight preds).
+# EDGES_WHERE is the B1 edge contract (endpoints non-null + finite
+# weight), f-stringed into the raw-lineitem graph twins that can't
+# compose EDGES_SQL directly (unweighted incidence views, custom
+# weight preds). isfinite(NULL) is NULL -> dropped, so the non-null
+# weight leg is implied.
 EDGES_WHERE = (
     "l_suppkey IS NOT NULL AND l_partkey IS NOT NULL"
-    " AND l_quantity IS NOT NULL"
+    " AND isfinite(l_quantity)"
 )
 EDGES_SQL = (
     "SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight"
@@ -233,7 +242,7 @@ FROM (
            min(l_partkey) AS pk, min(l_quantity) AS qty
     FROM lineitem
     WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
-      AND l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+      AND l_partkey IS NOT NULL AND isfinite(l_quantity)
     GROUP BY l_orderkey, l_linenumber
   )
 )

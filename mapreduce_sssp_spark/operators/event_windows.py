@@ -30,6 +30,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..contracts import finite
 from ..io.sources import load_table, normalize_event_ts
 from ..streaming.source import bounded_state_partitions
 
@@ -38,7 +39,8 @@ GAP = "30 minutes"
 
 
 def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(finite("value"))
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -55,7 +57,8 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(finite("value"))
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
@@ -72,7 +75,8 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(finite("value"))
     return (
         ev.groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
         .agg(
@@ -103,7 +107,8 @@ def q_window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(finite("value"))
     us = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
@@ -382,7 +387,9 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _events_stream_source(spark, sf_dir)
     # Watermarks require TIMESTAMP (not NTZ); convert back to NTZ on
     # output so the result schema matches the batch/oracle shape.
-    ev = normalize_event_ts(raw, as_ntz=False)
+    # Finite-measure contract at the streaming ingest (r12 non-finite
+    # probe: the DEC cents cast crashes on NaN/Inf). Twin mirrors.
+    ev = normalize_event_ts(raw, as_ntz=False).filter(finite("value"))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -430,7 +437,9 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     store shuffles on user_id exactly like the batch session window.
     """
     raw = _events_stream_source(spark, sf_dir)
-    ev = normalize_event_ts(raw, as_ntz=False)
+    # Finite-measure contract at the streaming ingest (r12 non-finite
+    # probe: the DEC cents cast crashes on NaN/Inf). Twin mirrors.
+    ev = normalize_event_ts(raw, as_ntz=False).filter(finite("value"))
     agg = (
         ev.withWatermark("ts", GAP)
         .groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
@@ -469,7 +478,9 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark / memory-sink harness as ``q_streaming_tumbling``; the
     oracle is the batch ``window_sliding`` twin."""
     raw = _events_stream_source(spark, sf_dir)
-    ev = normalize_event_ts(raw, as_ntz=False)
+    # Finite-measure contract at the streaming ingest (r12 non-finite
+    # probe: the DEC cents cast crashes on NaN/Inf). Twin mirrors.
+    ev = normalize_event_ts(raw, as_ntz=False).filter(finite("value"))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
@@ -530,7 +541,9 @@ def q_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(src)
     )
-    ev = normalize_event_ts(raw, as_ntz=False)
+    # Finite-measure contract at the streaming ingest (r12 non-finite
+    # probe: the DEC cents cast crashes on NaN/Inf). Twin mirrors.
+    ev = normalize_event_ts(raw, as_ntz=False).filter(finite("value"))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -639,7 +652,9 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(src)
     )
-    ev = normalize_event_ts(raw, as_ntz=False)
+    # Finite-measure contract at the streaming ingest (r12 non-finite
+    # probe: the DEC cents cast crashes on NaN/Inf). Twin mirrors.
+    ev = normalize_event_ts(raw, as_ntz=False).filter(finite("value"))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -899,7 +914,8 @@ def q_streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_split(1)
     schema = ev.schema
     agg_of = lambda raw: (  # noqa: E731 - tiny local plan builder
-        raw.groupBy("event_type").agg(
+        # Finite-measure contract (r12 non-finite probe); twin mirrors.
+        raw.filter(finite("value")).groupBy("event_type").agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
@@ -942,7 +958,7 @@ SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
-WHERE ts IS NOT NULL
+WHERE ts IS NOT NULL AND isfinite(value)
 GROUP BY 1, 2
 """
 
@@ -1834,8 +1850,10 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = (
         load_table(spark, sf_dir, "events")
-        # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
-        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        # Required-column rail (r11 NULL sweep) extended to the finite-
+        # measure contract (r12 non-finite probe: the cents carrier
+        # crashes on NaN/Inf). Twin mirrors the WHERE.
+        .filter(F.col("event_type").isNotNull() & finite("value"))
         .select(
             "event_type",
             F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
@@ -1936,8 +1954,11 @@ def q_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # Finite-measure contract (r12 non-finite probe: the cents carrier
+    # crashes on NaN/Inf). Twin mirrors the WHERE.
     daily = (
         load_table(spark, sf_dir, "events")
+        .filter(finite("value"))
         .select(
             "event_type",
             F.col("ts").cast("date").alias("day"),
@@ -2227,8 +2248,11 @@ def q_autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # Finite-measure contract (r12 non-finite probe: the cents carrier
+    # crashes on NaN/Inf). Twin mirrors the WHERE.
     daily = (
         load_table(spark, sf_dir, "events")
+        .filter(finite("value"))
         .select(
             "event_type",
             F.col("ts").cast("date").alias("day"),
@@ -2317,7 +2341,13 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter; output is the anomalies only (~5% of rows at this
     threshold).
     """
-    return anomaly_zscore(load_table(spark, sf_dir, "events"))
+    # Finite-measure contract (r12 non-finite probe: the cents carrier
+    # crashes on NaN/Inf). Applied here, not in the anomaly_zscore
+    # helper, so streaming callers keep control of their own domain
+    # rails. Twin mirrors the WHERE.
+    return anomaly_zscore(
+        load_table(spark, sf_dir, "events").filter(finite("value"))
+    )
 
 
 def anomaly_zscore(ev: DataFrame) -> DataFrame:
@@ -3029,11 +3059,12 @@ def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep) extended to the finite-
+    # measure contract (r12 non-finite probe). Twin mirrors the WHERE.
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
         & F.col("event_type").isNotNull()
-        & F.col("value").isNotNull()
+        & finite("value")
     )
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
@@ -3162,11 +3193,12 @@ def q_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep) extended to the finite-
+    # measure contract (r12 non-finite probe). Twin mirrors the WHERE.
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
         & F.col("event_type").isNotNull()
-        & F.col("value").isNotNull()
+        & finite("value")
     )
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum(
@@ -3350,13 +3382,13 @@ WITH assigned AS (
   SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
          event_type, value
   FROM events
-  WHERE ts IS NOT NULL
+  WHERE ts IS NOT NULL AND isfinite(value)
   UNION ALL
   SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
            - INTERVAL '30 minutes' AS window_start,
          event_type, value
   FROM events
-  WHERE ts IS NOT NULL
+  WHERE ts IS NOT NULL AND isfinite(value)
 )
 SELECT window_start, event_type, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -3371,8 +3403,9 @@ WITH ordered AS (
   FROM events
   -- ts IS NOT NULL mirrors Spark's session_window(): a NULL timestamp
   -- is in no session (r11 NULL sweep). NULL user_id is KEPT — groupBy
-  -- keeps NULL group keys in both engines.
-  WHERE ts IS NOT NULL
+  -- keeps NULL group keys in both engines. isfinite: the r12
+  -- finite-measure contract.
+  WHERE ts IS NOT NULL AND isfinite(value)
 ),
 flagged AS (
   SELECT user_id, ts, value,
@@ -3399,7 +3432,7 @@ _ACF_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE isfinite(value) GROUP BY 1, 2),
 span AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
          FROM daily GROUP BY 1),
 grid AS (
@@ -3490,7 +3523,7 @@ WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
   FROM events
-  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND isfinite(value)
   GROUP BY 1, 2
 ),
 pts AS (
@@ -3957,7 +3990,7 @@ WITH hist AS (
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
          COUNT(*) AS n
   FROM events
-  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  WHERE event_type IS NOT NULL AND isfinite(value)
   GROUP BY 1, 2),
 types AS (SELECT DISTINCT event_type FROM hist),
 pairs AS (
@@ -4401,24 +4434,27 @@ FROM probes p LEFT JOIN LATERAL (
     "streaming_restart_recovery": """
 SELECT event_type, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM events GROUP BY event_type
+FROM events WHERE isfinite(value) GROUP BY event_type
 """,
     # Replays the empirically-decoded micro-batch watermark rules (see
     # q_streaming_late_data): batch 2's rows drop when their window end
     # <= max(batch-0 ts) - 1h; the final batch emits windows with end
     # <= max(all ts) - 1h.
     "streaming_late_data": """
-WITH wm2 AS (
+-- ing mirrors the engine's ingest-side finite-measure rail (r12):
+-- filtered rows advance NO watermark and join NO window.
+WITH ing AS (SELECT * FROM events WHERE isfinite(value)),
+wm2 AS (
   SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS wm
-  FROM events WHERE event_id % 3 = 0
+  FROM ing WHERE event_id % 3 = 0
 ),
 wmf AS (
-  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS wm FROM events
+  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS wm FROM ing
 ),
 kept AS (
-  SELECT * FROM events WHERE event_id % 3 IN (0, 1)
+  SELECT * FROM ing WHERE event_id % 3 IN (0, 1)
   UNION ALL
-  SELECT e.* FROM events e, wm2
+  SELECT e.* FROM ing e, wm2
   WHERE e.event_id % 3 = 2
     AND time_bucket(INTERVAL '1 hour', CAST(e.ts AS TIMESTAMP))
           + INTERVAL 1 HOUR > wm2.wm
@@ -4442,6 +4478,7 @@ SELECT user_id, event_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
          AS sum_trailing_1h
 FROM events
+WHERE isfinite(value)
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
@@ -4667,6 +4704,7 @@ WITH base AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events
+  WHERE isfinite(value)
 ),
 scored AS (
   SELECT user_id, event_id, cents,

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..contracts import finite
 from ..io.sources import load_table, register_tables
 
 DEC = "decimal(18,2)"
@@ -49,7 +50,10 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation (25 rows) is explicitly broadcast; customer⋈orders is a shuffle
     equi-join AQE may itself turn into broadcast at small sf.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
@@ -65,7 +69,10 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order stats via left outer join (null-preserving)."""
-    orders = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     customer = load_table(spark, sf_dir, "customer")
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
@@ -127,7 +134,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (finer than rollup/cube: an arbitrary
     subset lattice) — (status, priority), (status), and grand total in
     one pass; Catalyst expands then aggregates partially map-side."""
-    orders = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     return orders.groupingSets(
         [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
         "o_orderstatus",
@@ -166,7 +176,11 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (multi-measure hash aggregate)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite("l_quantity") & finite("l_extendedprice")
+        & finite("l_discount") & finite("l_tax")
+    )
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
     return (
@@ -235,7 +249,10 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x / width) — a map-side expression, so the whole histogram is
     one partial-aggregating groupBy regardless of data size (contrast
     with percentile, which must sort or sketch)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite("l_extendedprice")
+    )
     return (
         li.select(
             F.floor(F.col("l_extendedprice") / HIST_BIN_WIDTH).alias("bin")
@@ -375,7 +392,10 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Benford term log10(1 + 1/0) is Infinity — Spark's cast clamps
         # to Long.MAX while DuckDB's round(inf)::BIGINT errors, a latent
         # cross-engine divergence even though TPC-H prices never hit it.
-        o.filter(F.col("o_totalprice") >= 1)
+        # finite(): the r12 finite-measure contract — NaN >= 1 is TRUE
+        # in BOTH engines' float orderings, then the DECIMAL render
+        # crashes; twin mirrors.
+        o.filter(finite("o_totalprice") & (F.col("o_totalprice") >= 1))
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").alias("n"))
@@ -421,9 +441,10 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     readable NOT EXISTS spelling so the hash check proves the
     decomposition equivalent.
     """
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep) extended to the finite-
+    # measure contract (r12 non-finite probe). Twin mirrors the WHERE.
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+        finite("o_totalprice") & F.col("o_orderdate").isNotNull()
     ).select(
         "o_orderkey",
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
@@ -573,20 +594,40 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     size(filter(...)) expression, and the count/min/max aggregate is
     partial. Binning is by strict boundary comparison (not ntile), so
     no global sort or single-partition window exists anywhere.
-    Exactness: both engines interpolate percentiles identically on
-    doubles; bin assignment compares identical doubles; lo/hi are
-    pass-through.
+
+    Exactness (r12 revision): the r8 form compared raw interpolated
+    DOUBLES, and the non-finite probe corpus caught the two engines'
+    linear interpolations differing in the LAST ULP (Spark's
+    lo + (hi-lo)*frac vs DuckDB's ordering: 123.455 vs
+    123.45499999999998 at p10), flipping every row that sat exactly on
+    the boundary. The percentile now runs on exact int64 CENTS and the
+    boundary quantizes to DECI-CENTS: frac is always k/10 here, so the
+    true boundary in deci-cents IS an integer; both engines' doubles
+    sit within one ulp of it and round() recovers the identical BIGINT
+    (the quantize-transcendentals device). Bin compare is then exact
+    integer vs integer. Domain: |cents| * 10 < 2^53.
     """
     ps = ", ".join(
         f"{i / EQUIDEPTH_BINS}D" for i in range(1, EQUIDEPTH_BINS)
     )
-    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite("l_extendedprice")
+    ).select(
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("c"),
+        F.col("l_extendedprice").alias("x"),
+    )
     bounds = li.agg(
-        F.expr(f"percentile(l_extendedprice, array({ps}))").alias("bs")
+        F.expr(
+            f"transform(percentile(c, array({ps})),"
+            " b -> CAST(round(b * 10) AS BIGINT))"
+        ).alias("bs")
     )
     binned = li.crossJoin(F.broadcast(bounds)).select(
-        F.expr("size(filter(bs, b -> l_extendedprice > b))").alias("bin"),
-        F.col("l_extendedprice").alias("x"),
+        F.expr("size(filter(bs, b -> c * 10 > b))").alias("bin"),
+        "x",
     )
     return binned.groupBy("bin").agg(
         F.count("*").alias("n"),
@@ -608,7 +649,12 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregation exec); the array form buffers once and probes
     three ranks.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # Finite-measure contract (r12 non-finite probe: NaN interpolates
+    # as a huge value in DuckDB quantile_cont but Spark percentile
+    # NaN-poisons the whole group — silent divergence). Twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite("l_extendedprice")
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -711,9 +757,8 @@ def gini_value(ev: DataFrame) -> DataFrame:
     # Required-column rail (r11 NULL sweep; twin mirrors the WHERE):
     # a NULL cents would sit at OPPOSITE ends of the two engines' rank
     # windows (Spark NULLS FIRST asc, DuckDB LAST) and shift every rank.
-    ev = ev.filter(
-        F.col("event_type").isNotNull() & F.col("value").isNotNull()
-    )
+    # r12: extended to the finite-measure contract (cents cast crash).
+    ev = ev.filter(F.col("event_type").isNotNull() & finite("value"))
     base = ev.select(
         "event_type",
         "event_id",
@@ -769,7 +814,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the group_percentiles precedent), and int-vs-double
     comparisons are exact.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    o = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     cust = o.groupBy("o_custkey").agg(
         F.datediff(
             F.lit(RFM_ANCHOR).cast("date"),
@@ -829,7 +877,11 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     written with the same literal arithmetic shape in both engines so
     boundary doubles agree bit-for-bit.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # Finite-measure contract (r12 non-finite probe: the two engines'
+    # medians disagree once a NaN enters the sort). Twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite("l_extendedprice")
+    ).select(
         "l_returnflag", "l_extendedprice"
     )
     med = li.groupBy("l_returnflag").agg(
@@ -868,7 +920,10 @@ def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     goes through integer cents (regression_trend precedent) so no
     float accumulation order can drift.
     """
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(
+        finite("value")
+    ).select("event_type", "value")
     pct = (
         ev.groupBy("event_type")
         .agg(F.expr("percentile(value, array(0.05D, 0.95D))").alias("ps"))
@@ -923,11 +978,12 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~sf10 here); beyond that, bucket the day index or re-origin the
     epoch per partition before summing.
     """
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep) extended to the finite-
+    # measure contract (r12 non-finite probe). Twin mirrors the WHERE.
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isNotNull()
         & F.col("o_orderdate").isNotNull()
-        & F.col("o_totalprice").isNotNull()
+        & finite("o_totalprice")
     )
     d = o.select(
         "o_orderpriority",
@@ -977,7 +1033,10 @@ def q_corr_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-rounding DECIMAL -> DOUBLE — the regression_trend lesson).
     x is the integral-valued l_quantity cast to BIGINT (exact).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite("l_quantity") & finite("l_extendedprice")
+    )
     d = li.select(
         "l_returnflag",
         F.expr("CAST(l_quantity AS BIGINT)").alias("x"),
@@ -1075,7 +1134,8 @@ def q_moments_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     |d| <= 3.1e7 dollars); past it Spark decimal overflow and DuckDB's
     HUGEINT->DECIMAL cast fail at different points.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(finite("value"))
     d = ev.select(
         "event_type",
         F.expr("CAST(CAST(floor(value) AS BIGINT) AS DECIMAL(9,0))").alias(
@@ -1120,9 +1180,10 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands. At 100 TB: two scans + one decile aggregate + one
     20-row rollup; the snapshots never join row-to-row.
     """
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep) extended to the finite-
+    # measure contract (r12 non-finite probe). Twin mirrors the WHERE.
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull()
+        finite("o_totalprice")
     ).select(
         (F.col("o_orderkey") % 2 == 0).alias("is_base"),
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
@@ -1200,7 +1261,8 @@ def q_nested_order_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").isNotNull()
         & F.col("l_linenumber").isNotNull()
         & F.col("l_partkey").isNotNull()
-        & F.col("l_extendedprice").isNotNull()
+        # r12: finite, not just non-null (non-finite measure contract)
+        & finite("l_extendedprice")
     )
     items = li.select(
         "l_orderkey",
@@ -1238,7 +1300,8 @@ def q_nested_order_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals: rollup(returnflag, linestatus)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(finite("l_quantity"))
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -1250,7 +1313,10 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All grouping-set combinations: cube(status, priority)."""
-    orders = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
@@ -1269,7 +1335,10 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures (exactly the oracle's FILTER clauses), no shuffle beyond
     the groupBy.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     return (
         orders.withColumn("yr", F.year("o_orderdate").cast("int"))
         .groupBy("yr")
@@ -1292,7 +1361,10 @@ def q_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The average is decimal-sum / count (identical operands in both
     engines), so the > comparison is bit-deterministic cross-engine.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     avgs = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
         (F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("cust_avg")
     )
@@ -1328,11 +1400,12 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order-over-order price delta via lag/lead."""
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep) extended to the finite-
+    # measure contract (r12 non-finite probe). Twin mirrors the WHERE.
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull()
         & F.col("o_orderdate").isNotNull()
-        & F.col("o_totalprice").isNotNull()
+        & finite("o_totalprice")
     )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
@@ -1347,11 +1420,12 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving 3-order sum/avg per customer (ROWS 2 PRECEDING frame)."""
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep) extended to the finite-
+    # measure contract (r12 non-finite probe). Twin mirrors the WHERE.
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull()
         & F.col("o_orderdate").isNotNull()
-        & F.col("o_totalprice").isNotNull()
+        & finite("o_totalprice")
     )
     w = (
         Window.partitionBy("o_custkey")
@@ -1449,11 +1523,12 @@ def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one window sort per customer, frame state bounded at 5 —
     the same shape as every trailing window here.
     """
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep) extended to the finite-
+    # measure contract (r12 non-finite probe). Twin mirrors the WHERE.
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull()
         & F.col("o_orderdate").isNotNull()
-        & F.col("o_totalprice").isNotNull()
+        & finite("o_totalprice")
     )
     w = (
         Window.partitionBy("o_custkey")
@@ -1590,7 +1665,8 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object runs JVM-side (Jayway JsonPath) — no UDF. The value
     sum goes through DECIMAL for cross-engine bit-exactness.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(finite("value"))
     return (
         ev.select(
             "event_type",
@@ -1671,8 +1747,12 @@ SELECT c_name, c_custkey, o_orderkey,
 FROM customer
 JOIN orders ON o_custkey = c_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
-WHERE o_orderkey IN (
-  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+WHERE (l_quantity IS NOT NULL AND NOT isnan(l_quantity) AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE))
+  -- r12 finite-measure contract (portable spelling, both reads)
+  AND o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity) AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE)
+  GROUP BY l_orderkey
   HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey
@@ -1777,6 +1857,13 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  -- r12 finite-measure contract, portable spelling (shared string
+  -- runs verbatim on Spark AND DuckDB; isnan(NULL) differs, hence
+  -- the explicit IS NOT NULL legs)
+  AND l_quantity IS NOT NULL AND NOT isnan(l_quantity) AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE)
+  AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE)
+  AND l_discount IS NOT NULL AND NOT isnan(l_discount) AND abs(l_discount) <> CAST('Infinity' AS DOUBLE)
+  AND l_tax IS NOT NULL AND NOT isnan(l_tax) AND abs(l_tax) <> CAST('Infinity' AS DOUBLE)
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -2456,7 +2543,10 @@ def q_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders").select(
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    o = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    ).select(
         "o_custkey",
         F.expr(
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -2613,7 +2703,8 @@ def q_agg_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isNotNull()
-        & F.col("o_totalprice").isNotNull()
+        # r12: finite, not just non-null (non-finite measure contract)
+        & finite("o_totalprice")
         # a row without a date falls through the state/delta cut split
         & F.col("o_orderdate").isNotNull()
     ).select(
@@ -2681,7 +2772,13 @@ def q_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the exchange. The share is one closing division against a
     broadcast 1-row total.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # Finite-measure contract (r12 non-finite probe: the basis-point
+    # casts crash on NaN/Inf before the rule masks even apply — a
+    # quarantine query that crashes on dirty data defeats itself).
+    # Twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite("l_discount") & finite("l_quantity") & finite("l_tax")
+    )
     bp = "CAST(CAST({c} AS DECIMAL(18,4)) * 10000 AS BIGINT)"
     mask = (
         F.when(F.expr(bp.format(c="l_discount")) > 600, 1).otherwise(0)
@@ -2809,7 +2906,10 @@ WITH census AS (
         + CASE WHEN l_linestatus = 'O' AND l_returnflag <> 'N'
                THEN 8 ELSE 0 END) AS bitmask,
          COUNT(*) AS n_rows
-  FROM lineitem GROUP BY 1
+  FROM lineitem
+  WHERE isfinite(l_discount) AND isfinite(l_quantity)
+    AND isfinite(l_tax)
+  GROUP BY 1
 ),
 total AS (SELECT SUM(n_rows) AS n_total FROM census)
 SELECT CAST(bitmask AS INT) AS bitmask,
@@ -2831,7 +2931,7 @@ SELECT o_orderpriority,
        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cents
 FROM orders
-WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+WHERE o_orderpriority IS NOT NULL AND isfinite(o_totalprice)
   AND o_orderdate IS NOT NULL
 GROUP BY o_orderpriority
 """,
@@ -2842,6 +2942,7 @@ WITH classes AS (
          COUNT(*) AS n,
          COUNT(DISTINCT o.o_orderstatus) AS n_status
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE isfinite(o.o_totalprice)
   GROUP BY 1, 2, 3
 ),
 ks AS (SELECT UNNEST([{", ".join(str(k) for k in K_ANON_LEVELS)}]) AS k)
@@ -2863,6 +2964,7 @@ WITH per_cust AS (
          CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
               AS BIGINT) AS rev
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE isfinite(o.o_totalprice)
   GROUP BY 1, 2
 ),
 flagged AS (
@@ -2919,7 +3021,7 @@ WITH base AS (
   SELECT event_type, event_id,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events
-  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  WHERE event_type IS NOT NULL AND isfinite(value)
 ),
 r AS (
   SELECT event_type, cents,
@@ -2944,7 +3046,7 @@ WITH cust AS (
          count(*) AS frequency,
          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
               AS BIGINT) AS monetary_cents
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE isfinite(o_totalprice) GROUP BY o_custkey
 ),
 thr AS (
   SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rt,
@@ -3020,6 +3122,7 @@ SELECT n_name,
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
+WHERE isfinite(o_totalprice)
 GROUP BY n_name
 """,
     "join_left": """
@@ -3027,7 +3130,9 @@ SELECT c_custkey, c_mktsegment,
        count(o_orderkey) AS n_orders,
        coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
          AS total_price
-FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE isfinite(o_totalprice)) orders
+       ON c_custkey = o_custkey
 GROUP BY c_custkey, c_mktsegment
 """,
     "join_semi": """
@@ -3057,6 +3162,7 @@ SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
+WHERE isfinite(o_totalprice)
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """,
     "window_ntile": """
@@ -3083,13 +3189,20 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  -- r12 finite-measure contract, portable spelling (shared string
+  -- runs verbatim on Spark AND DuckDB; isnan(NULL) differs, hence
+  -- the explicit IS NOT NULL legs)
+  AND l_quantity IS NOT NULL AND NOT isnan(l_quantity) AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE)
+  AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE)
+  AND l_discount IS NOT NULL AND NOT isnan(l_discount) AND abs(l_discount) <> CAST('Infinity' AS DOUBLE)
+  AND l_tax IS NOT NULL AND NOT isnan(l_tax) AND abs(l_tax) <> CAST('Infinity' AS DOUBLE)
 GROUP BY l_returnflag, l_linestatus
 """,
     "distinct_pairs": "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem",
     "price_histogram": f"""
 SELECT bin, CAST(bin * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo, count(*) AS n
 FROM (SELECT CAST(floor(l_extendedprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin
-      FROM lineitem)
+      FROM lineitem WHERE isfinite(l_extendedprice))
 GROUP BY bin
 """,
     "map_literal_decode": """
@@ -3144,7 +3257,7 @@ FROM (SELECT o_custkey, o_orderkey, o_orderdate,
                AS cents
       FROM orders
       WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
-        AND o_totalprice IS NOT NULL)
+        AND isfinite(o_totalprice))
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN {MOVMED_FRAME - 1} PRECEDING AND CURRENT ROW)
 """,
@@ -3155,7 +3268,7 @@ WITH o AS (
            AS price_cents,
          CAST(o_orderdate AS DATE) AS odate
   FROM orders
-  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)
+  WHERE isfinite(o_totalprice) AND o_orderdate IS NOT NULL)
 SELECT o_orderkey, price_cents, odate
 FROM o p
 WHERE NOT EXISTS (
@@ -3187,7 +3300,7 @@ WITH counts AS (
   SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
                    1, 1) AS digit,
          count(*) AS n
-  FROM orders WHERE o_totalprice >= 1
+  FROM orders WHERE isfinite(o_totalprice) AND o_totalprice >= 1
   GROUP BY 1),
 t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
 SELECT digit, n,
@@ -3245,13 +3358,23 @@ SELECT 'lineitem.l_quantity > 0', (SELECT n FROM scan),
        (SELECT v_domain FROM scan)
 """,
     "histogram_equidepth": """
-WITH bs AS (
-  SELECT quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b FROM lineitem),
+WITH li AS (
+  -- r12: exact int64 cents + deci-cent boundary quantization (the
+  -- engines' linear interpolations differ in the last ulp — see the
+  -- engine docstring)
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         l_extendedprice AS x
+  FROM lineitem WHERE isfinite(l_extendedprice)),
+bs AS (
+  SELECT list_transform(
+           quantile_cont(c, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           b -> CAST(round(b * 10) AS BIGINT)) AS b
+  FROM li),
 binned AS (
   SELECT CAST(len(list_filter((SELECT b FROM bs),
-                              x -> l_extendedprice > x)) AS INTEGER) AS bin,
-         l_extendedprice AS x
-  FROM lineitem)
+                              bq -> c * 10 > bq)) AS INTEGER) AS bin,
+         x
+  FROM li)
 SELECT bin, count(*) AS n, min(x) AS lo, max(x) AS hi
 FROM binned GROUP BY bin
 """,
@@ -3261,14 +3384,14 @@ SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.5) AS median,
        quantile_cont(l_extendedprice, 0.75) AS q3,
        count(*) AS n
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem WHERE isfinite(l_extendedprice) GROUP BY l_returnflag
 """,
     "distribution_drift": """
 WITH o AS (
   SELECT (o_orderkey % 2 = 0) AS is_base,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM orders
-  WHERE o_totalprice IS NOT NULL
+  WHERE isfinite(o_totalprice)
 ),
 edges AS (
   SELECT [quantile_cont(CAST(cents AS DOUBLE), 0.1),
@@ -3318,7 +3441,7 @@ WITH items AS (
            AS cents
   FROM lineitem
   WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
-    AND l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_partkey IS NOT NULL AND isfinite(l_extendedprice)
 ),
 nested AS (
   SELECT l_orderkey,
@@ -3343,6 +3466,7 @@ WITH d AS (
   SELECT event_type,
          CAST(CAST(floor(value) AS BIGINT) AS HUGEINT) AS d
   FROM events
+  WHERE isfinite(value)
 ),
 stats AS (
   SELECT event_type,
@@ -3371,6 +3495,7 @@ WITH d AS (
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
            AS y
   FROM lineitem
+  WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
 ),
 stats AS (
   SELECT l_returnflag,
@@ -3402,12 +3527,13 @@ WITH pct AS (
   SELECT event_type,
          quantile_cont(value, 0.05) AS lo,
          quantile_cont(value, 0.95) AS hi
-  FROM events GROUP BY event_type
+  FROM events WHERE isfinite(value) GROUP BY event_type
 ),
 j AS (
   SELECT e.event_type, e.value, p.lo, p.hi,
          least(greatest(e.value, p.lo), p.hi) AS clipped
   FROM events e JOIN pct p USING (event_type)
+  WHERE isfinite(e.value)
 )
 SELECT event_type,
        count(*) AS n,
@@ -3418,14 +3544,18 @@ SELECT event_type,
 FROM j GROUP BY event_type
 """,
     "outliers_mad": """
-WITH med AS (
+WITH li AS (
+  -- r12 finite-measure contract (engine filters the shared scan)
+  SELECT * FROM lineitem WHERE isfinite(l_extendedprice)
+),
+med AS (
   SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
-  FROM lineitem GROUP BY l_returnflag
+  FROM li GROUP BY l_returnflag
 ),
 dev AS (
   SELECT l.l_returnflag, m.med,
          abs(l.l_extendedprice - m.med) AS adev
-  FROM lineitem l JOIN med m USING (l_returnflag)
+  FROM li l JOIN med m USING (l_returnflag)
 ),
 mad AS (
   SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
@@ -3449,7 +3579,7 @@ WITH d AS (
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
   FROM orders
   WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
-    AND o_totalprice IS NOT NULL
+    AND isfinite(o_totalprice)
 ),
 stats AS (
   SELECT o_orderpriority,
@@ -3480,12 +3610,14 @@ FROM stats
 SELECT l_returnflag, l_linestatus, count(*) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
+WHERE isfinite(l_quantity)
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     "cube_agg": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
+WHERE isfinite(o_totalprice)
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     "pivot_status": """
@@ -3497,6 +3629,7 @@ SELECT CAST(year(o_orderdate) AS INT) AS yr,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
             FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS total_p
 FROM orders
+WHERE isfinite(o_totalprice)
 GROUP BY 1
 """,
     "above_cust_avg": """
@@ -3504,11 +3637,11 @@ WITH avgs AS (
   SELECT o_custkey AS ck,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
            AS cust_avg
-  FROM orders GROUP BY 1
+  FROM orders WHERE isfinite(o_totalprice) GROUP BY 1
 )
 SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
 FROM orders JOIN avgs ON o_custkey = ck
-WHERE o_totalprice > cust_avg
+WHERE isfinite(o_totalprice) AND o_totalprice > cust_avg
 """,
     "window_rank": """
 SELECT o_custkey, o_orderkey, o_totalprice,
@@ -3530,7 +3663,7 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        lead(o_orderkey) OVER w AS next_orderkey
 FROM orders
 WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
-  AND o_totalprice IS NOT NULL
+  AND isfinite(o_totalprice)
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
     "window_moving": """
@@ -3540,7 +3673,7 @@ SELECT o_custkey, o_orderkey,
          / count(*) OVER w AS moving_avg
 FROM orders
 WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
-  AND o_totalprice IS NOT NULL
+  AND isfinite(o_totalprice)
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
@@ -3602,6 +3735,7 @@ SELECT event_type,
        count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
+WHERE isfinite(value)
 GROUP BY 1, 2
 """,
 }

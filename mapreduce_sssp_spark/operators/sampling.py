@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..contracts import finite
 from ..io.sources import load_table
 
 # Salted per use-case so the split assignment and the sample are
@@ -451,7 +452,9 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg over B=32 groups); nothing data-proportional shuffles —
     the exchange carries B rows per task.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe: the cents cast
+    # crashes on NaN/Inf in both engines). Twin mirrors the WHERE.
+    o = load_table(spark, sf_dir, "orders").filter(finite("o_totalprice"))
     cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
     u = (
         "(CAST(conv(substring(md5(concat("
@@ -719,7 +722,8 @@ WITH expanded AS (
   SELECT CAST(b AS INT) AS b,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
          {_poisson_weight_case(_BOOT_U_DUCK)} AS w
-  FROM orders, (SELECT UNNEST(range(1, {BOOTSTRAP_B + 1})) AS b))
+  FROM orders, (SELECT UNNEST(range(1, {BOOTSTRAP_B + 1})) AS b)
+  WHERE isfinite(o_totalprice))
 SELECT b, CAST(SUM(w) AS BIGINT) AS sum_w,
        CAST(SUM(w * cents) AS BIGINT) AS sum_wx,
        CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_cents

@@ -57,6 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..contracts import finite
 from ..io.sources import load_parallel, load_table
 from .similarity import AUC_N_FEATURES
 
@@ -255,14 +256,14 @@ def q_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side linear algebra, no collect. Adding features grows the
     aggregate quadratically (k^2 sums) but never adds a pass.
     """
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE):
-    # one NULL feature makes a whole normal-equation column NULL and
-    # the closing Cramer division 0/0.
+    # Required-column rail (r11 NULL sweep) extended to the finite-
+    # measure contract (r12 non-finite probe: the bigint/decimal
+    # feature carriers crash on NaN/Inf). Twin mirrors the WHERE.
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isNotNull()
-        & F.col("l_quantity").isNotNull()
-        & F.col("l_discount").isNotNull()
-        & F.col("l_extendedprice").isNotNull()
+        & finite("l_quantity")
+        & finite("l_discount")
+        & finite("l_extendedprice")
     ).select(
         "l_returnflag",
         F.col("l_quantity").cast("bigint").alias("x1"),
@@ -338,7 +339,10 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs per group over histogram rows (distinct prices, not
     data rows). One shuffle, keyed by the group.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # Finite-measure contract (r12 non-finite probe; twin mirrors).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite("l_quantity") & finite("l_extendedprice")
+    ).select(
         "l_returnflag",
         F.expr(CENTS_EP).alias("cents"),
         F.col("l_quantity").cast("bigint").alias("w"),
@@ -596,7 +600,9 @@ def q_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: one map-side-combined groupBy(type) to |types| rows;
     the pair fan-out (|types| choose 2) is driver-trivial.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    # Finite-measure contract (r12 non-finite probe: the cents carrier
+    # crashes on NaN/Inf in both engines). Twin mirrors the WHERE.
+    ev = load_table(spark, sf_dir, "events").filter(finite("value")).select(
         "event_type", F.expr(CENTS_VAL).alias("cents")
     )
     dec = "decimal(19,0)"
@@ -691,7 +697,9 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: one map-side-combined pass to |types| rows of exact
     sufficient statistics; everything else is |types|-row algebra.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    # Finite-measure contract (r12 non-finite probe: the cents carrier
+    # crashes on NaN/Inf in both engines). Twin mirrors the WHERE.
+    ev = load_table(spark, sf_dir, "events").filter(finite("value")).select(
         "event_type", F.expr(CENTS_VAL).alias("cents")
     )
     dec = "decimal(19,0)"
@@ -991,8 +999,9 @@ WITH li AS (
          ({BP_DISC})::HUGEINT AS x2,
          ({CENTS_EP})::HUGEINT AS y
   FROM lineitem
-  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
-    AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+  -- isfinite: the r12 finite-measure contract (engine mirrors)
+  WHERE l_returnflag IS NOT NULL AND isfinite(l_quantity)
+    AND isfinite(l_discount) AND isfinite(l_extendedprice)
 ),
 agg AS (
   SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1038,7 +1047,9 @@ WITH h AS (
   SELECT l_returnflag, {CENTS_EP} AS cents,
          -- TRUNC mirrors Spark's truncating double->int cast (r12)
          CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS BIGINT) AS tw
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem
+  WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
+  GROUP BY 1, 2
 ),
 c AS (
   SELECT l_returnflag, cents,
@@ -1152,7 +1163,8 @@ SELECT stratum, n_treated, n_control,
 FROM cells
 """,
     "t_test_welch": f"""
-WITH ev AS (SELECT event_type, {CENTS_VAL} AS cents FROM events),
+WITH ev AS (SELECT event_type, {CENTS_VAL} AS cents FROM events
+         WHERE isfinite(value)),
 g AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          SUM(cents::HUGEINT) AS sx,
@@ -1195,7 +1207,8 @@ SELECT type_a, type_b, n_a, n_b,
 FROM d
 """,
     "anova_oneway": f"""
-WITH ev AS (SELECT event_type, {CENTS_VAL} AS cents FROM events),
+WITH ev AS (SELECT event_type, {CENTS_VAL} AS cents FROM events
+         WHERE isfinite(value)),
 g AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
          SUM(cents::HUGEINT) AS sx_g,

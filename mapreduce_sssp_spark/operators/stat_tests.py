@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..contracts import finite
 from ..io.sources import EDGES_SQL, load_table
 from .graph_queries import LANDMARKS_K, _landmark_state
 from .text_common import DUCK_TOKENS, TOKENS_EXPR
@@ -66,8 +67,10 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = (
         load_table(spark, sf_dir, "events")
-        # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
-        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        # Required-column rail (r11 NULL sweep) extended to the finite-
+        # measure contract (r12 non-finite probe: CAST(NaN AS BIGINT)
+        # ANSI-crashes the cents carrier). Twin mirrors the WHERE.
+        .filter(F.col("event_type").isNotNull() & finite("value"))
         .select("event_type", F.expr(CENTS).alias("cents"))
         .groupBy("event_type", "cents")
         .agg(F.count("*").alias("n"))
@@ -147,11 +150,17 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined 6-way aggregate. No global sort, no
     single-partition window.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("bigint").alias("x"),
-        F.expr(
-            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
-        ).alias("y"),
+    # Finite-measure contract (r12 non-finite probe: the bigint/decimal
+    # carriers crash on NaN/Inf in both engines). Twin mirrors.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(finite("l_quantity") & finite("l_extendedprice"))
+        .select(
+            F.col("l_quantity").cast("bigint").alias("x"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("y"),
+        )
     )
 
     def doubled_ranks(col: str) -> DataFrame:
@@ -751,7 +760,7 @@ _HIST = f"""
 hist AS (
   SELECT event_type, {CENTS} AS cents, COUNT(*) AS n
   FROM events
-  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  WHERE event_type IS NOT NULL AND isfinite(value)
   GROUP BY 1, 2
 ),
 pairs AS (
@@ -882,10 +891,12 @@ FROM agg
 """,
     "spearman_corr": """
 WITH li AS (
-  -- TRUNC mirrors Spark's truncating double->int cast (r12)
+  -- TRUNC mirrors Spark's truncating double->int cast (r12);
+  -- isfinite is the finite-measure contract (r12 non-finite probe)
   SELECT CAST(TRUNC(l_quantity) AS BIGINT) AS x,
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
   FROM lineitem
+  WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
 ),
 hx AS (
   SELECT x, 2 * (SUM(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - t)
