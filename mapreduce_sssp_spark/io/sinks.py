@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .sources import load_table
+from ..contracts import finite
 
 DEC = "decimal(18,2)"
 
@@ -52,8 +53,12 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the directory names): an empty source writes zero part files,
     # which leaves nothing to infer from.
     back = spark.read.schema(orders.schema).parquet(path)
+    # The sink itself stays byte-lossless (NaN/Inf rows are written and
+    # read back); only the VERIFICATION aggregate rails non-finite
+    # measures (r12 contract — the DECIMAL checksum cast crashes on
+    # them). Twin mirrors.
     return (
-        back.groupBy("o_orderstatus")
+        back.filter(finite("o_totalprice")).groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
@@ -170,7 +175,8 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("bkt_orders")
     c = spark.table("bkt_customer")
     joined = o.join(c, o["o_custkey"] == c["c_custkey"])
-    return joined.groupBy("c_mktsegment").agg(
+    # Verification-aggregate finite rail (see q_sink_roundtrip).
+    return joined.filter(finite("o_totalprice")).groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
         F.min("o_orderkey").alias("min_key"),
@@ -308,7 +314,8 @@ def q_sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(after),
     )
     back = spark.read.parquet(compact)
-    return back.groupBy("l_returnflag").agg(
+    # Verification-aggregate finite rail (see q_sink_roundtrip).
+    return back.filter(finite("l_extendedprice")).groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias(
             "total_price"
@@ -394,6 +401,7 @@ SELECT o_orderstatus,
        min(o_orderkey) AS min_key,
        max(o_orderkey) AS max_key
 FROM orders
+WHERE isfinite(o_totalprice)
 GROUP BY o_orderstatus
 """,
     "sink_clustered_write": """
@@ -408,6 +416,7 @@ SELECT l_returnflag,
        min(l_orderkey) AS min_key,
        max(l_orderkey) AS max_key
 FROM lineitem
+WHERE isfinite(l_extendedprice)
 GROUP BY l_returnflag
 """,
     "sink_csv_roundtrip": """
@@ -426,6 +435,7 @@ SELECT c_mktsegment,
        min(o_orderkey) AS min_key,
        max(o_orderkey) AS max_key
 FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE isfinite(o_totalprice)
 GROUP BY c_mktsegment
 """,
 }

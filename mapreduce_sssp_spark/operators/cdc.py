@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..contracts import finite
 from ..io.sources import load_table
 
 _CENTS = "CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -44,7 +45,10 @@ def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values travel as exact int64 cents so the merged payload
     hash-checks; the action column makes every branch observable.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite("l_extendedprice")
+    )
     log = li.select(
         F.col("l_orderkey").alias("key"),
         F.col("l_linenumber").alias("seq"),
@@ -55,7 +59,8 @@ def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 4 != 0)
+        # r12 finite-measure contract on the snapshot side too.
+        .filter((F.col("o_orderkey") % 4 != 0) & finite("o_totalprice"))
         .select(
             F.col("o_orderkey").alias("key"),
             F.expr(_CENTS.format(col="o_totalprice")).alias("base_cents"),
@@ -142,7 +147,10 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute deltas. This aggregate REPORT is the production shape —
     the per-row diff stays distributed and never reaches the driver.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     base = orders.select(
         F.col("o_orderkey").alias("key"),
         F.expr(_CENTS.format(col="o_totalprice")).alias("cents"),
@@ -270,7 +278,10 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition fingerprints (same plan, groupBy(bucket)) to
     bisect.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     base = orders.select(
         F.col("o_orderkey").alias("key"),
         F.expr(_CENTS.format(col="o_totalprice")).alias("cents"),
@@ -309,7 +320,7 @@ ORACLE = {
 WITH base AS (
   SELECT o_orderkey AS key,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM orders
+  FROM orders WHERE isfinite(o_totalprice)
 ),
 mutated AS (
   SELECT key,
@@ -370,7 +381,7 @@ WITH log AS (
   SELECT l_orderkey AS key, l_linenumber AS seq,
          CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM lineitem
+  FROM lineitem WHERE isfinite(l_extendedprice)
 ),
 latest AS (
   -- ORDER BY mirrors Spark's max(struct(seq, op, cents)) FIELD BY FIELD:
@@ -387,7 +398,7 @@ snap AS (
   SELECT o_orderkey AS key,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
            AS base_cents
-  FROM orders WHERE o_orderkey % 4 <> 0
+  FROM orders WHERE o_orderkey % 4 <> 0 AND isfinite(o_totalprice)
 )
 SELECT key,
        COALESCE(new_cents, base_cents) AS cents,
@@ -401,7 +412,7 @@ WHERE op IS NULL OR op <> 'D'
 WITH base AS (
   SELECT o_orderkey AS key,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM orders
+  FROM orders WHERE isfinite(o_totalprice)
 ),
 v2 AS (
   SELECT key,

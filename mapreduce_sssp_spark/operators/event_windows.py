@@ -979,7 +979,8 @@ def q_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose events all share one timestamp have zero span and are
     filtered identically by both engines.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(finite("value"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1099,7 +1100,10 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary is inclusive (touch_ts >= purchase_ts - 7 days), pure NTZ
     arithmetic on both sides; (ts, event_id) totally orders ties.
     """
-    return attribution_last_touch(load_table(spark, sf_dir, "events"))
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    return attribution_last_touch(
+        load_table(spark, sf_dir, "events").filter(finite("value"))
+    )
 
 
 def attribution_last_touch(ev: DataFrame, lookback_days: int = 7) -> DataFrame:
@@ -1159,7 +1163,10 @@ def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     operand sequences in both engines. Horizon 20 bounds per-row state,
     so a hyperactive user costs the same as a quiet one downstream.
     """
-    return ewma_value(load_table(spark, sf_dir, "events"))
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    return ewma_value(
+        load_table(spark, sf_dir, "events").filter(finite("value"))
+    )
 
 
 def ewma_value(ev: DataFrame, horizon: int = 20) -> DataFrame:
@@ -1442,8 +1449,10 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
     daily = (
         load_table(spark, sf_dir, "events")
+        .filter(finite("value"))
         .select(
             "event_type",
             F.datediff(
@@ -1512,7 +1521,8 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("ts").isNotNull()
             & F.col("event_type").isNotNull()
-            & F.col("value").isNotNull()
+            # r12: finite, not just non-null (non-finite contract)
+            & finite("value")
         )
         .select(
             "event_type",
@@ -1608,8 +1618,10 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
     daily = (
         load_table(spark, sf_dir, "events")
+        .filter(finite("value"))
         .select(
             "event_type",
             F.col("ts").cast("date").alias("day"),
@@ -1670,8 +1682,10 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
     daily = (
         load_table(spark, sf_dir, "events")
+        .filter(finite("value"))
         .select(
             "event_type",
             F.col("ts").cast("date").alias("day"),
@@ -1766,7 +1780,10 @@ def q_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(
+        finite("value")
+    ).select(
         "event_type",
         (F.dayofmonth("ts") >= PSI_SPLIT_DAY).cast("int").alias("is_cur"),
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
@@ -2408,10 +2425,11 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
     ev = (
         load_table(spark, sf_dir, "events")
+        # r12: value leg extended to the finite-measure contract.
         .filter(
             F.col("ts").isNotNull()
             & F.col("event_type").isNotNull()
-            & F.col("value").isNotNull()
+            & finite("value")
         )
         .select(
             "event_type",
@@ -2553,7 +2571,10 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(
+        finite("value")
+    ).select(
         "event_type",
         "ts",
         "event_id",
@@ -2984,11 +3005,12 @@ def q_holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitudes: daily cents * 1e4 ~ 1e12 at sf0.1 — DECIMAL(38) would
     take over near 2^53, noted, not needed at any tested sf.
     """
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep) extended to the finite-
+    # measure contract (r12 non-finite probe). Twin mirrors the WHERE.
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
         & F.col("event_type").isNotNull()
-        & F.col("value").isNotNull()
+        & finite("value")
     )
     daily = (
         ev.groupBy(
@@ -3262,7 +3284,10 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders").select(
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    o = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    ).select(
         "o_custkey",
         F.expr(
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -3633,7 +3658,7 @@ WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
   FROM events
-  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND isfinite(value)
   GROUP BY 1, 2
 ),
 flagged AS (
@@ -3673,6 +3698,7 @@ WITH cells AS (
          CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
               AS BIGINT) AS cents
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE isfinite(o.o_totalprice)
   GROUP BY 1, 2
 )
 SELECT c_nationkey, c_mktsegment, cents AS revenue_cents,
@@ -3804,7 +3830,7 @@ WITH RECURSIVE daily AS (
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) * 10000
            AS x_e6
   FROM events
-  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND isfinite(value)
   GROUP BY 1, 2
 ),
 idx AS (
@@ -3834,7 +3860,7 @@ FROM rec WHERE rn = n_days
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE isfinite(value) GROUP BY 1, 2),
 scored AS (
   SELECT event_type, day,
          CAST(ABS(y - LAG(y, {SEASONAL_LAG_DAYS})
@@ -3873,7 +3899,7 @@ WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
   FROM events
-  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND isfinite(value)
   GROUP BY 1, 2),
 curve AS (
   SELECT event_type, day,
@@ -3910,7 +3936,7 @@ WITH daily AS (
   SELECT event_type,
          datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE isfinite(value) GROUP BY 1, 2),
 slopes AS (
   SELECT a.event_type,
          CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
@@ -3931,7 +3957,7 @@ GROUP BY event_type, n_pairs
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE isfinite(value) GROUP BY 1, 2),
 scored AS (
   SELECT event_type, day, y,
          LAG(y, {SEASONAL_LAG_DAYS}) OVER (PARTITION BY event_type
@@ -3953,7 +3979,7 @@ WITH ev AS (
          CAST(CAST(datepart('day', ts) >= {PSI_SPLIT_DAY} AS INT) AS INT)
            AS is_cur,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM events),
+  FROM events WHERE isfinite(value)),
 rng AS (SELECT event_type, MIN(cents) AS mn, MAX(cents) AS mx
         FROM ev GROUP BY 1),
 binned AS (
@@ -4074,7 +4100,7 @@ WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
               AS BIGINT) AS x
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE isfinite(value) GROUP BY 1, 2),
 span AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
          FROM daily GROUP BY 1),
 grid AS (
@@ -4151,7 +4177,7 @@ WITH base AS (
   SELECT event_type, ts, event_id, value,
          date_trunc('hour', ts) AS bar_ts,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM events),
+  FROM events WHERE isfinite(value)),
 marked AS (
   SELECT event_type, bar_ts, value, cents,
          ROW_NUMBER() OVER (PARTITION BY event_type, bar_ts
@@ -4229,7 +4255,7 @@ WITH base AS (
   SELECT event_type, ts, event_id,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events
-  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND isfinite(value)),
 cum AS (
   SELECT event_type, ts, event_id,
          CAST(SUM(cents) OVER (
@@ -4262,7 +4288,7 @@ WITH r AS (
          row_number() OVER (PARTITION BY user_id
                             ORDER BY CAST(ts AS TIMESTAMP) DESC,
                                      event_id DESC) AS rn
-  FROM events
+  FROM events WHERE isfinite(value)
 )
 SELECT user_id, count(*) AS n_used,
        (CAST(SUM(cents * (CAST(1 AS BIGINT) << (20 - rn))) AS DOUBLE)
@@ -4315,7 +4341,7 @@ WITH touched AS (
          last_value(CASE WHEN event_type <> 'purchase'
                          THEN CAST(ts AS TIMESTAMP) END
                     IGNORE NULLS) OVER w AS touch_ts
-  FROM events
+  FROM events WHERE isfinite(value)
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
@@ -4335,7 +4361,7 @@ WITH seg AS (
          date_diff('microsecond', CAST(ts AS TIMESTAMP),
                    lead(CAST(ts AS TIMESTAMP)) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id)) AS dt_us
-  FROM events
+  FROM events WHERE isfinite(value)
 )
 SELECT user_id,
        count(*) AS n_segments,

@@ -2281,7 +2281,7 @@ WITH RECURSIVE edges AS (
   SELECT src, dst, min(weight) AS weight FROM
     (SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight
      FROM lineitem WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
-       AND l_quantity IS NOT NULL) GROUP BY src, dst
+       AND isfinite(l_quantity)) GROUP BY src, dst
 ),
 lms AS (SELECT DISTINCT src AS landmark FROM edges
         ORDER BY src LIMIT {LANDMARKS_K}),
@@ -2304,11 +2304,11 @@ WITH RECURSIVE und AS (
   SELECT DISTINCT src, dst FROM (
     SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
     WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
-      AND l_quantity IS NOT NULL
+      AND isfinite(l_quantity)
     UNION ALL
     SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem
     WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
-      AND l_quantity IS NOT NULL)
+      AND isfinite(l_quantity))
 ),
 s0 AS (SELECT min(src) AS n FROM und),
 walk1(r, node, dist) AS (
@@ -2341,7 +2341,7 @@ WITH RECURSIVE edges AS (
   SELECT src, dst, min(weight) AS weight FROM
     (SELECT l_suppkey AS src, l_partkey AS dst, l_quantity AS weight
      FROM lineitem WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
-       AND l_quantity IS NOT NULL) GROUP BY src, dst
+       AND isfinite(l_quantity)) GROUP BY src, dst
 ),
 lms AS (SELECT DISTINCT src AS landmark FROM edges
         ORDER BY src LIMIT {LANDMARKS_K}),
@@ -3031,7 +3031,7 @@ JOIN deg dv ON dv.node = e.v
     "wl_relabel": """
 WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
            WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
-             AND l_quantity IS NOT NULL),
+             AND isfinite(l_quantity)),
 nbr AS (
   SELECT src AS node, dst AS nbr FROM e
   UNION ALL

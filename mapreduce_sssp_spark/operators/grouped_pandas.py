@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..contracts import finite
 from ..io.sources import load_table
 
 GAPS_SCHEMA = T.StructType(
@@ -209,15 +210,17 @@ def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL keys are not users: dropped BEFORE the cogroup (the handler
     # materializes int(key), which a NULL group would NaN-crash), with
     # the same WHERE in the oracle's group-bys.
+    # r12: the measure legs carry the finite contract (Decimal(NaN)
+    # ops crash inside the pandas handler). Twin mirrors.
     orders = (
         load_table(spark, sf_dir, "orders")
         .select(F.col("o_custkey").alias("user_id"), "o_totalprice")
-        .filter(F.col("user_id").isNotNull())
+        .filter(F.col("user_id").isNotNull() & finite("o_totalprice"))
     )
     events = (
         load_table(spark, sf_dir, "events")
         .select("user_id", "value")
-        .filter(F.col("user_id").isNotNull())
+        .filter(F.col("user_id").isNotNull() & finite("value"))
     )
     # Pre-hash-partition both sides on the key (the bounded-fleet pattern
     # used by every applyInPandas entry here): the cogroup exchange is
@@ -268,12 +271,12 @@ WITH o AS (
   -- the shared-operand device (see _merge_user).
   SELECT o_custkey AS user_id, count(*) AS n_orders,
          SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS o_sum
-  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+  FROM orders WHERE o_custkey IS NOT NULL AND isfinite(o_totalprice) GROUP BY o_custkey
 ),
 e AS (
   SELECT user_id, count(*) AS n_events,
          SUM(CAST(round(value * 100) AS BIGINT)) AS e_sum
-  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL AND isfinite(value) GROUP BY user_id
 )
 SELECT coalesce(o.user_id, e.user_id) AS user_id,
        CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
+from ..contracts import finite
 from ..io.sources import load_table, register_tables
 
 
@@ -82,7 +83,10 @@ def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_items(v: pd.Series) -> int:
         return len(v)
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite("l_quantity")
+    )
     return li.groupBy("l_suppkey").agg(
         median_x2("l_quantity").alias("median2_qty"),
         n_items("l_quantity").alias("n_items"),
@@ -156,8 +160,11 @@ def q_lateral_topk_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     group" pattern (ReverseGraph.java grouped emission), expressed
     declaratively.
     """
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     segs = cust.select(F.col("c_mktsegment").alias("segment")).distinct()
     co = orders.join(
         cust, orders.o_custkey == cust.c_custkey
@@ -199,7 +206,11 @@ def q_observed_load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Observation
 
-    orders = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe: the sum_cents
+    # metric's cast crashes on NaN/Inf). Twin mirrors.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     obs = Observation("load_metrics")
     observed = orders.observe(
         obs,
@@ -251,7 +262,8 @@ FROM segs s, LATERAL (
   SELECT o_orderkey,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM orders JOIN customer ON o_custkey = c_custkey
-  WHERE c_mktsegment = s.segment
+  WHERE isfinite(o_totalprice)
+    AND c_mktsegment = s.segment
   ORDER BY cents DESC, o_orderkey
   LIMIT {LATERAL_TOPK}
 ) t
@@ -268,7 +280,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
          AS max_date_days,
        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
             AS BIGINT) AS sum_cents
-FROM orders
+FROM orders WHERE isfinite(o_totalprice)
 """,
     "map_in_arrow": """
 SELECT doc_id,
@@ -287,7 +299,7 @@ WHERE trim(s, ' ') <> ''
 SELECT l_suppkey,
        CAST(round(2 * median(l_quantity)) AS BIGINT) AS median2_qty,
        count(*) AS n_items
-FROM lineitem GROUP BY l_suppkey
+FROM lineitem WHERE isfinite(l_quantity) GROUP BY l_suppkey
 """,
     "arrow_udf_slug": """
 SELECT p_partkey,

@@ -2942,7 +2942,6 @@ WITH classes AS (
          COUNT(*) AS n,
          COUNT(DISTINCT o.o_orderstatus) AS n_status
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-  WHERE isfinite(o.o_totalprice)
   GROUP BY 1, 2, 3
 ),
 ks AS (SELECT UNNEST([{", ".join(str(k) for k in K_ANON_LEVELS)}]) AS k)

@@ -507,7 +507,10 @@ def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     + driver merge of tasks x k rows, never a global sort, the same
     scale shape as topk_orders.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    o = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
     h = (
         "CAST(conv(substring(md5(concat("
@@ -546,7 +549,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast row; the filter itself is map-side on the scan, zero
     shuffle at any scale.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    o = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
     mx = o.agg(F.expr(f"max({cents})").alias("max_cents"))
     bucket = F.expr(
@@ -738,7 +744,7 @@ FROM (
          CAST(CAST(('0x' || substr(md5('{_PSAMPLE_KEY}'
                     || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) + 1
               AS DOUBLE) / {_PSAMPLE_DENOM} AS u
-  FROM orders)
+  FROM orders WHERE isfinite(o_totalprice))
 ORDER BY priority DESC, o_orderkey
 LIMIT {PSAMPLE_K}
 """,
@@ -756,11 +762,12 @@ GROUP BY 1
 WITH mx AS (
   SELECT max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
            AS max_cents
-  FROM orders
+  FROM orders WHERE isfinite(o_totalprice)
 )
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders CROSS JOIN mx
-WHERE CAST(('0x' || substr(md5('{_WSAMPLE_KEY}' || CAST(o_orderkey AS VARCHAR)),
+WHERE isfinite(o_totalprice)
+  AND CAST(('0x' || substr(md5('{_WSAMPLE_KEY}' || CAST(o_orderkey AS VARCHAR)),
                            1, 4)) AS BIGINT) * max_cents
       < CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 65536
 """,

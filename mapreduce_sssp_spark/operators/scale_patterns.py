@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..contracts import finite
 from ..io.sources import load_table
 
 N_SALT = 16
@@ -45,7 +46,8 @@ def salted_agg(
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type totals via explicit salting (5 hot keys x 10k rows
     would otherwise funnel 5 reducers; salting spreads each key 16-way)."""
-    ev = load_table(spark, sf_dir, "events")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(finite("value"))
     return salted_agg(
         ev,
         "event_type",
@@ -145,7 +147,10 @@ def q_join_null_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (one join under a Union) is pinned in test_plans. Output
     rolls up per brand with the null branch surfacing as 'UNMATCHED'.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite("l_extendedprice")
+    )
     fact = li.select(
         F.when(F.col("l_partkey") % 3 == 0, F.lit(None))
         .otherwise(F.col("l_partkey"))
@@ -1094,7 +1099,10 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     the statistics' meaning (documented trade, the zone_map_pruning
     companion).
     """
-    o = load_table(spark, sf_dir, "orders")
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    o = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    )
     cols = [
         ("o_orderkey", F.col("o_orderkey").cast("long"), True),
         ("o_custkey", F.col("o_custkey").cast("long"), True),
@@ -1471,7 +1479,10 @@ def q_selectivity_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the histogram is |buckets| rows refreshed by ANALYZE
     cadence; per-probe estimation is arithmetic on that aggregate.
     """
-    o = load_table(spark, sf_dir, "orders").select(
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    o = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    ).select(
         F.expr(
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         ).alias("cents")
@@ -1607,7 +1618,9 @@ SELECT '{name}' AS "column", COUNT(*) AS n,
        {delta} AS max_delta
 FROM (
   SELECT value, lag(value) OVER (ORDER BY o_orderkey) AS prev
-  FROM (SELECT o_orderkey, {expr} AS value FROM orders)
+  -- isfinite: the r12 finite-measure contract (engine filters the scan)
+  FROM (SELECT o_orderkey, {expr} AS value FROM orders
+        WHERE isfinite(o_totalprice))
 )
 """
 
@@ -1692,7 +1705,7 @@ ORACLE = {
     "selectivity_estimator": f"""
 WITH o AS (
   SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM orders
+  FROM orders WHERE isfinite(o_totalprice)
 ),
 rng AS (
   SELECT CAST(MIN(cents) AS BIGINT) AS lo, CAST(MAX(cents) AS BIGINT) AS hi,
@@ -1949,7 +1962,7 @@ FROM top CROSS JOIN tot
     "skew_salted_agg": """
 SELECT event_type, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM events GROUP BY event_type
+FROM events WHERE isfinite(value) GROUP BY event_type
 """,
     "interval_self_join_banded": f"""
 WITH o AS (
@@ -1973,7 +1986,7 @@ WITH fact AS (
   SELECT CASE WHEN l_partkey % 3 = 0 THEN NULL ELSE l_partkey END AS key,
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
            AS cents
-  FROM lineitem
+  FROM lineitem WHERE isfinite(l_extendedprice)
 )
 SELECT COALESCE(p.p_brand, 'UNMATCHED') AS brand,
        count(*) AS n,
@@ -2044,7 +2057,7 @@ WITH deg AS (
   SELECT l_suppkey AS src, count(*) AS degree
   FROM lineitem
   WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
-    AND l_quantity IS NOT NULL
+    AND isfinite(l_quantity)
   GROUP BY l_suppkey
 )
 SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree

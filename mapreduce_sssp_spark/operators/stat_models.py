@@ -177,7 +177,10 @@ def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself contributes one map-side-combined groupBy(day). The
     daily frame broadcasts, so the pair join never shuffles.
     """
-    o = load_table(spark, sf_dir, "orders").select(
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    o = load_table(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    ).select(
         F.col("o_orderdate").alias("day"),
         F.expr(
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -517,7 +520,10 @@ def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram pass (bounded by distinct activity counts), a broadcast
     join of stratum boundaries, one {ATE_STRATA}-row aggregate.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    # Finite-measure contract (r12 non-finite probe); twin mirrors.
+    ev = load_table(spark, sf_dir, "events").filter(
+        finite("value")
+    ).select(
         "user_id",
         "event_type",
         F.expr(CENTS_VAL).alias("cents"),
@@ -807,10 +813,11 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combined pass; the cumulative window runs per group
     over histogram rows. One shuffle, keyed by the group.
     """
-    # Required-column rail (r11 NULL sweep; twin mirrors the WHERE).
+    # Required-column rail (r11 NULL sweep) extended to the finite-
+    # measure contract (r12 non-finite probe). Twin mirrors the WHERE.
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isNotNull()
-        & F.col("l_extendedprice").isNotNull()
+        & finite("l_extendedprice")
     ).select("l_returnflag", F.expr(CENTS_EP).alias("cents"))
     h = li.groupBy("l_returnflag", "cents").agg(F.count("*").alias("c"))
     wcum = (
@@ -969,7 +976,7 @@ FROM agg
 WITH d AS (
   SELECT o_orderdate AS day, COUNT(*) AS x,
          SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
-  FROM orders GROUP BY o_orderdate
+  FROM orders WHERE isfinite(o_totalprice) GROUP BY o_orderdate
 ),
 pairs AS (
   SELECT a.x - b.x AS dx, a.y - b.y AS dy
@@ -1123,7 +1130,7 @@ FROM terms GROUP BY 1, 2
 """,
     "stratified_ate": f"""
 WITH ev AS (
-  SELECT user_id, event_type, {CENTS_VAL} AS cents FROM events
+  SELECT user_id, event_type, {CENTS_VAL} AS cents FROM events WHERE isfinite(value)
 ),
 per_user AS (
   SELECT user_id, COUNT(*) AS activity,
@@ -1273,7 +1280,7 @@ FROM ss
 WITH h AS (
   SELECT l_returnflag, {CENTS_EP} AS cents, COUNT(*) AS c
   FROM lineitem
-  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+  WHERE l_returnflag IS NOT NULL AND isfinite(l_extendedprice)
   GROUP BY 1, 2
 ),
 c AS (

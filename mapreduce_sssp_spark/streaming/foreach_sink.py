@@ -29,6 +29,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..contracts import finite
+
 from .source import bounded_state_partitions
 
 DEC = "decimal(18,2)"
@@ -41,7 +43,8 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 
 
 def q_streaming_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = _events_stream(spark, sf_dir)
+    # Finite-measure contract at the ingest (r12); twin mirrors.
+    raw = _events_stream(spark, sf_dir).filter(finite("value"))
 
     scratch = os.path.join(
         tempfile.gettempdir(),
@@ -148,6 +151,7 @@ SELECT event_type,
        count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
+WHERE isfinite(value)
 GROUP BY event_type
 """,
 }

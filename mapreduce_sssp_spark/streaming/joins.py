@@ -21,6 +21,8 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..contracts import finite
+
 from ..io.sources import load_table
 from .source import bounded_state_partitions
 
@@ -137,7 +139,8 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream join. Aggregate in DECIMAL; oracle is the equivalent
     batch join.
     """
-    ev = _events_stream(spark, sf_dir)
+    # Finite-measure contract at the ingest (r12); twin mirrors.
+    ev = _events_stream(spark, sf_dir).filter(finite("value"))
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -273,6 +276,7 @@ SELECT c_mktsegment, event_type,
        count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
+WHERE isfinite(value)
 GROUP BY c_mktsegment, event_type
 """,
     "streaming_dedup": """

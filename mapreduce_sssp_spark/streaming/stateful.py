@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..contracts import finite
+
 from .source import bounded_state_partitions
 
 GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
@@ -118,7 +120,13 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and a NULL user is no state key — int(key[0]) / int(ts_us) in
         # the handler would crash the whole stream on one bad row.
         # Mirrored in the oracle's WHERE.
-        ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        # r12: the value leg carries the finite contract (Decimal(NaN)
+        # accumulation crashes the pandas handler). Twin mirrors.
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & finite("value")
+        )
         .select("user_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -151,8 +159,9 @@ WITH ordered AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
          lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
   FROM events
-  -- engine mirror: NULL ts is in no session; NULL user is no state key
-  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  -- engine mirror: NULL ts is in no session; NULL user is no state
+  -- key; non-finite value is a malformed measure (r12 contract)
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND isfinite(value)
 ),
 flagged AS (
   SELECT user_id, ts, value,

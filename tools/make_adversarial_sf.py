@@ -137,6 +137,14 @@ def adversarial_events(spark):
     add(T0 + dt.timedelta(minutes=801), 11, None, 2.0)
     add(T0 + dt.timedelta(minutes=802), None, "view", 3.0)
     add(None, 12, "view", 4.0)
+    # Non-finite rows (r12 wave 2): each sits in a group with finite
+    # members, so drop-vs-poison-vs-crash are three distinguishable
+    # outcomes (see tools docstring / SCALE.md non-finite campaign).
+    add(T0 + dt.timedelta(minutes=810), 13, "view", float("nan"))
+    add(T0 + dt.timedelta(minutes=811), 13, "view", 7.0)
+    add(T0 + dt.timedelta(minutes=812), 14, "purchase", float("inf"))
+    add(T0 + dt.timedelta(minutes=813), 14, "purchase", 9.0)
+    add(T0 + dt.timedelta(minutes=814), 15, "click", float("-inf"))
     # NOTE (r12): the >=1000-near-limit-groups ANOVA battery (ADVICE
     # r11) lives in tests/test_anova_limits.py, NOT here — 1100 extra
     # event types turns every |types|^2 pair query (ks_test, welch,
@@ -193,6 +201,9 @@ def adversarial_orders(spark):
     add(oid + 401, 7, "O", 55.55, None, "2-HIGH")
     add(oid + 402, None, "F", 66.66, T(1997, 11, 3), "3-MEDIUM")
     add(oid + 403, 8, "P", 77.77, T(1997, 11, 4), None)
+    # Non-finite prices (r12 wave 2): the cents-cast outage class.
+    add(oid + 404, 9, "O", float("nan"), T(1997, 11, 5), "1-URGENT")
+    add(oid + 405, 9, "O", float("inf"), T(1997, 11, 6), "2-HIGH")
     crafted = spark.createDataFrame(
         rows,
         "o_orderkey long, o_custkey long, o_orderstatus string,"
@@ -432,7 +443,22 @@ COPY (
       (CAST(NULL AS BIGINT), 9104, 9104, 1, 1.0, 100.00, 0.01, 0.02,
        'N', 'O', TIMESTAMP '1997-06-08 00:00:00'),
       (CAST(NULL AS BIGINT), 9105, 9105, 1, 1.0, 100.00, 0.01, 0.02,
-       'N', 'O', TIMESTAMP '1997-06-08 00:00:00')
+       'N', 'O', TIMESTAMP '1997-06-08 00:00:00'),
+      -- r12 wave 2: non-finite measures, each load-bearing next to a
+      -- finite sibling in the same order/group (drop vs poison vs
+      -- crash are distinguishable). NaN B1 weight also probes the
+      -- dst:weight text grammar ('NaN' vs 'nan' float formatting).
+      (30000001, 9201, 9201, 1, CAST('NaN' AS DOUBLE), 100.00, 0.01,
+       0.02, 'N', 'O', TIMESTAMP '1997-07-01 00:00:00'),
+      (30000001, 9202, 9202, 2, 2.0, 100.00, 0.01, 0.02,
+       'N', 'O', TIMESTAMP '1997-07-01 00:00:00'),
+      (30000002, 9203, 9203, 1, 1.0, CAST('Infinity' AS DOUBLE), 0.01,
+       0.02, 'N', 'O', TIMESTAMP '1997-07-02 00:00:00'),
+      (30000003, 9204, 9204, 1, 1.0, CAST('NaN' AS DOUBLE), 0.01, 0.02,
+       'R', 'F', TIMESTAMP '1997-07-03 00:00:00'),
+      (30000004, 9205, 9205, 1, CAST('-Infinity' AS DOUBLE), 100.00,
+       CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE),
+       'A', 'F', TIMESTAMP '1997-07-04 00:00:00')
     ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
         l_shipdate)
