@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..contracts import finite
+from ..runstate import RunCounter
 from ..io.sources import load_table, normalize_event_ts
 from ..streaming.source import bounded_state_partitions
 
@@ -362,8 +363,10 @@ def resample_ffill(ev: DataFrame) -> DataFrame:
     )
 
 
-_stream_seq = threading.Lock()
-_stream_n = [0]
+# Run counter for memory-sink names: RunCounter, NOT a [0] list — a
+# mutable list constant folds into the semantic fingerprints and made
+# the referee flaky under a full pytest run (see runstate.py).
+_stream_n = RunCounter()
 
 
 def _events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,9 +407,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    with _stream_seq:
-        _stream_n[0] += 1
-        sink = f"streaming_tumbling_sink_{_stream_n[0]}"
+    sink = f"streaming_tumbling_sink_{_stream_n.next()}"
     with bounded_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
@@ -455,9 +456,7 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    with _stream_seq:
-        _stream_n[0] += 1
-        sink = f"streaming_session_sink_{_stream_n[0]}"
+    sink = f"streaming_session_sink_{_stream_n.next()}"
     with bounded_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
@@ -495,9 +494,7 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    with _stream_seq:
-        _stream_n[0] += 1
-        sink = f"streaming_sliding_sink_{_stream_n[0]}"
+    sink = f"streaming_sliding_sink_{_stream_n.next()}"
     with bounded_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
@@ -558,9 +555,7 @@ def q_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    with _stream_seq:
-        _stream_n[0] += 1
-        sink = f"streaming_incremental_sink_{_stream_n[0]}"
+    sink = f"streaming_incremental_sink_{_stream_n.next()}"
     with bounded_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
@@ -669,9 +664,7 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    with _stream_seq:
-        _stream_n[0] += 1
-        sink = f"streaming_late_sink_{_stream_n[0]}"
+    sink = f"streaming_late_sink_{_stream_n.next()}"
     with bounded_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
@@ -934,10 +927,9 @@ def q_streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         return q
-    with _stream_seq:
-        _stream_n[0] += 1
-        s1 = f"streaming_restart_run1_{_stream_n[0]}"
-        s2 = f"streaming_restart_run2_{_stream_n[0]}"
+    run_id = _stream_n.next()
+    s1 = f"streaming_restart_run1_{run_id}"
+    s2 = f"streaming_restart_run2_{run_id}"
     with bounded_state_partitions(spark):
         run(s1)
         n_new = write_split(2)  # lands AFTER run 1 committed

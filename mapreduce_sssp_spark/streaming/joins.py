@@ -22,12 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..contracts import finite
+from ..runstate import RunCounter
 
 from ..io.sources import load_table
 from .source import bounded_state_partitions
 
-_seq_lock = threading.Lock()
-_seq_n = [0]
+# RunCounter, not a [0] list (fingerprint-stable; see runstate.py).
+_seq_n = RunCounter()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,9 +75,7 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     )
-    with _seq_lock:
-        _seq_n[0] += 1
-        sink = f"streaming_join_sink_{_seq_n[0]}"
+    sink = f"streaming_join_sink_{_seq_n.next()}"
     with bounded_state_partitions(spark):
         q = (
             joined.writeStream.format("memory")
@@ -113,9 +112,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    with _seq_lock:
-        _seq_n[0] += 1
-        sink = f"streaming_dedup_sink_{_seq_n[0]}"
+    sink = f"streaming_dedup_sink_{_seq_n.next()}"
     with bounded_state_partitions(spark):
         q = (
             deduped.writeStream.format("memory")
@@ -154,9 +151,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
-    with _seq_lock:
-        _seq_n[0] += 1
-        sink = f"streaming_enrich_sink_{_seq_n[0]}"
+    sink = f"streaming_enrich_sink_{_seq_n.next()}"
     with bounded_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
@@ -226,9 +221,7 @@ def streaming_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("total_n") * RATE_ALERT_NUM
         ).alias("alert"),
     )
-    with _seq_lock:
-        _seq_n[0] += 1
-        sink = f"streaming_rate_alert_sink_{_seq_n[0]}"
+    sink = f"streaming_rate_alert_sink_{_seq_n.next()}"
     with bounded_state_partitions(spark):
         q = (
             flagged.writeStream.format("memory")
