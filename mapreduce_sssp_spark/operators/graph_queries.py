@@ -29,6 +29,7 @@ from ..graph.compat import (
 )
 from ..graph.reverse import adjacency_list, reverse_graph, reverse_graph_exploded
 from ..graph.sssp import sssp
+from ..runstate import RunCache
 from ..io.sources import (
     EDGES_DAG_SQL,
     EDGES_SQL,
@@ -91,7 +92,9 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # second convergence). Keyed by (applicationId, sf_dir) so a new session
 # or scale never sees a stale frame; the result is reliably checkpointed
 # so it survives a harness's spark.catalog.clearCache() between queries.
-_DAG_STATE_MEMO: dict[tuple[str, str], DataFrame] = {}
+# RunCache, not a dict: a populated dict constant folds its contents
+# into the semantic fingerprints (runstate.py; r12 referee flake).
+_DAG_STATE_MEMO = RunCache()
 
 
 def clear_convergence_memo() -> None:
@@ -111,9 +114,7 @@ def _sssp_dag_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = edges_order_chain(spark, sf_dir)
         source = _min_source(edges)
         df = sssp(edges, source).checkpoint()
-        if len(_DAG_STATE_MEMO) > 8:  # bound growth across many sessions
-            _DAG_STATE_MEMO.clear()
-        _DAG_STATE_MEMO[key] = df
+        _DAG_STATE_MEMO.put(key, df)
     return df
 
 
@@ -1139,7 +1140,7 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the condensation is a projection over the SAME converged labels, so it
 # must not re-run the nested fixpoint (the _LANDMARK_MEMO device;
 # cleared per bench pass by clear_convergence_memo).
-_SCC_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SCC_MEMO = RunCache()
 
 
 def _scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,9 +1151,7 @@ def _scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         edges = edges_from_lineitem(spark, sf_dir)
         df = scc(edges.select("src", "dst")).checkpoint()
-        if len(_SCC_MEMO) > 8:
-            _SCC_MEMO.clear()
-        _SCC_MEMO[key] = df
+        _SCC_MEMO.put(key, df)
     return df
 
 
@@ -1334,7 +1333,7 @@ def q_wcc_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # harness's clearCache() between queries, cleared per bench pass so
 # timings stay honest (the first of the three queries per pass pays the
 # pair generation; bench.py pins that order across reversed passes).
-_COOC_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+_COOC_EDGES_MEMO = RunCache()
 
 
 def _part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,9 +1344,7 @@ def _part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         _ensure_checkpoint_dir(spark)
         df = _part_cooccurrence_edges_plan(spark, sf_dir).checkpoint()
-        if len(_COOC_EDGES_MEMO) > 8:  # bound growth across many sessions
-            _COOC_EDGES_MEMO.clear()
-        _COOC_EDGES_MEMO[key] = df
+        _COOC_EDGES_MEMO.put(key, df)
     return df
 
 
@@ -1982,7 +1979,7 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it must not re-run the k-source fixpoint (same device and cadence as
 # _DAG_STATE_MEMO above; cleared per bench pass by
 # clear_convergence_memo so timings stay honest).
-_LANDMARK_MEMO: dict[tuple[str, str], DataFrame] = {}
+_LANDMARK_MEMO = RunCache()
 
 
 def _landmark_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1990,9 +1987,7 @@ def _landmark_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _LANDMARK_MEMO.get(key)
     if df is None:
         df = landmark_distances(edges_from_lineitem(spark, sf_dir)).checkpoint()
-        if len(_LANDMARK_MEMO) > 8:  # bound growth across many sessions
-            _LANDMARK_MEMO.clear()
-        _LANDMARK_MEMO[key] = df
+        _LANDMARK_MEMO.put(key, df)
     return df
 
 

@@ -29,3 +29,26 @@ class RunCounter:
         with self._lock:
             self._n += 1
             return self._n
+
+
+class RunCache:
+    """Bounded per-process memo (converged-DataFrame reuse). A plain
+    dict constant would fold its CONTENTS into the semantic
+    fingerprints once populated — same referee flake as the counters,
+    found on the DAG-state memo. Deliberately NOT a dict subclass
+    (isinstance(dict) would put it back on the folder's whitelist)."""
+
+    def __init__(self, cap: int = 8) -> None:
+        self._d: dict = {}
+        self._cap = cap
+
+    def get(self, key):
+        return self._d.get(key)
+
+    def put(self, key, value) -> None:
+        if len(self._d) > self._cap:  # bound growth across sessions
+            self._d.clear()
+        self._d[key] = value
+
+    def clear(self) -> None:
+        self._d.clear()
