@@ -56,6 +56,25 @@ def _const_repr(v) -> str:
     return repr(v)
 
 
+def _is_pure_const(v) -> bool:
+    """True when v is a primitive or a container of primitives all the
+    way down. Containers holding complex objects (checkpointed
+    DataFrames in a memo, session handles) are RUNTIME STATE, not
+    semantics: their reprs carry object ids and mutate as queries run,
+    which made the snapshot referee flaky under a full pytest run while
+    standalone runs stayed green (r12; see runstate.py). Skipping them
+    here is defense-in-depth behind RunCounter/RunCache."""
+    if isinstance(v, (str, bytes, int, float, bool, type(None))):
+        return True
+    if isinstance(v, (tuple, list, set, frozenset)):
+        return all(_is_pure_const(x) for x in v)
+    if isinstance(v, dict):
+        return all(
+            _is_pure_const(k) and _is_pure_const(x) for k, x in v.items()
+        )
+    return False
+
+
 def _iter_code_names(code):
     """All global/free names referenced by a code object, including
     nested code objects (comprehensions, inner defs, lambdas)."""
@@ -120,10 +139,7 @@ def _closure_sources(fn, visited, parts):
             _closure_sources(val, visited, parts)
         elif isinstance(val, types.ModuleType):
             continue
-        elif isinstance(
-            val, (str, bytes, int, float, bool, tuple, list, dict, set,
-                  frozenset, type(None))
-        ):
+        elif _is_pure_const(val):
             parts.append(f"{name}={_const_repr(val)}")
 
 

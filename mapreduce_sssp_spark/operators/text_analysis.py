@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..runstate import RunCache
 from ..io.sources import load_parallel, load_table
 from .text_common import (
     DUCK_SHINGLES_REL,
@@ -1504,9 +1505,9 @@ def _merges_df(
 # (applicationId, sf_dir, n_merges) so a new session or scale never
 # sees stale state; the post-merge vocab is reliably checkpointed so it
 # survives a harness's spark.catalog.clearCache() between queries.
-_BPE_STATE_MEMO: dict[
-    tuple[str, str, int], tuple[list[tuple[int, str, str, int]], DataFrame]
-] = {}
+# RunCache, not a dict: a populated dict constant folds its contents
+# into the semantic fingerprints (runstate.py; r12 referee flake).
+_BPE_STATE_MEMO = RunCache()
 
 
 def clear_bpe_memo() -> None:
@@ -1528,10 +1529,8 @@ def _bpe_state(
         merges, words = _learn_bpe(docs, n_merges)
         ck = words.checkpoint()  # eager: materialized before unpersist
         words.unpersist()
-        if len(_BPE_STATE_MEMO) > 8:  # bound growth across many sessions
-            _BPE_STATE_MEMO.clear()
         st = (merges, ck)
-        _BPE_STATE_MEMO[key] = st
+        _BPE_STATE_MEMO.put(key, st)
     return st
 
 
