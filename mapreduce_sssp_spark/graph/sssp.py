@@ -5,7 +5,9 @@ Re-expresses the reference's chain of MapReduce jobs
 job) as one driver-side loop over DataFrames:
 
 * the tagged A/O/U shuffle union (SingleSourceSP.java:157-192) becomes a
-  full-outer equi-join between the node-state DataFrame and the per-round
+  LEFT-outer equi-join between the node-state DataFrame (pre-seeded with
+  every node that could ever receive a message, so the state side is
+  always a superset of the message targets) and the per-round
   min-aggregated message DataFrame;
 * the frontier gate (``dist != 65535 && adj nonempty && flag == 'Y'``,
   SingleSourceSP.java:179) becomes a filter on the ``updated`` column —
@@ -19,11 +21,25 @@ job) as one driver-side loop over DataFrames:
 
 Scale notes (100 TB / 1000 executors):
 
-* ``edges`` is hash-partitioned by ``src`` once and persisted; every
-  round's relax join then reuses that layout, so only the (small)
-  frontier side shuffles each round.
+* ``edges`` is hash-partitioned by ``src`` once, sorted within
+  partitions and persisted; every round's relax join then reuses that
+  layout, so only the (small) frontier side shuffles each round.
 * Parallel edges are pre-reduced to min weight per (src, dst) — identical
   semantics under min-relaxation, strictly fewer shuffle bytes.
+* The state side NEVER re-shuffles or re-sorts (r12): state is seeded
+  with every node (src ∪ dst, flagged ``has_out``) so the per-round
+  state ⟕ messages join is LEFT outer — left-outer sort-merge preserves
+  the left side's partitioning AND sort order, and ``checkpoint()``
+  preserves both through lineage truncation, so after the one seeding
+  shuffle the only per-round exchange is the aggregated message table.
+  The r11 full-outer formulation reported UnknownPartitioning and
+  silently re-shuffled + re-sorted the whole state every round
+  (measured: plan had Exchange+Sort on the state side each round). The
+  join is pinned to sort-merge (``hint("merge")``): Catalyst's size
+  estimate would otherwise broadcast the per-round message table at
+  test scale, which replaces the in-job exchange with a per-round
+  driver-blocking broadcast-collect job (measured 2x slower end-to-end)
+  and would OOM outright on a wide frontier at cluster scale.
 * State is persisted per round and the previous round unpersisted; a
   reliable checkpoint every ``checkpoint_every`` rounds bounds both
   lineage depth and DAG-scheduler overhead.
@@ -93,8 +109,94 @@ def loop_partitions(spark: SparkSession, df: DataFrame) -> int:
     return int(max(4, min(spark.sparkContext.defaultParallelism, data_parts)))
 
 
+class RoundState:
+    """Per-round state materialization for fixpoint loops, with
+    deployment-adaptive lineage truncation (r12).
+
+    The problem it solves: a BSP loop's round-N DataFrame references the
+    round-(N-1) state TWICE (once as the frontier/message source, once
+    as the join's state side), so the un-truncated logical plan doubles
+    every round. Caching does not truncate logical plans, and cache
+    substitution does not reliably stop the physical recompilation of
+    the nested copies — measured on the r12 probes as per-round action
+    time growing 0.5s -> 4s between reliable checkpoints (stage count
+    doubling per round) while the data stayed constant.
+
+    Local mode: ``localCheckpoint(eager=False)`` — the round's plan
+    becomes a flat LogicalRDD immediately (partitioning AND ordering
+    preserved), the convergence count materializes it as the round's
+    single job, and blocks are MEMORY_AND_DISK like the old persist.
+    Reliable checkpoints are skipped outright: in one local JVM the
+    executors die with the driver, so a reliable checkpoint to a local
+    tempdir adds recovery for exactly nothing — this is a mechanism
+    choice with identical guarantees per deployment, not a bench tune.
+    Old rounds' blocks are dropped by the ContextCleaner as the loop
+    rebinds ``state`` (they are node-table-sized).
+
+    Cluster mode (any non-local master): the pre-r12 behavior,
+    unchanged — persist per round, reliable checkpoint every
+    ``checkpoint_every`` rounds, explicit unpersist of the parent after
+    the child materializes — because there localCheckpoint would trade
+    away executor-loss recovery, which IS worth per-round driver
+    overhead at 100 TB.
+    """
+
+    def __init__(self, spark: SparkSession, checkpoint_every: int = 5):
+        self.local = spark.sparkContext.master.startswith("local")
+        self.every = max(int(checkpoint_every), 1)
+        self._pending: DataFrame | None = None
+
+    def init(self, df: DataFrame) -> DataFrame:
+        """Pre-loop state: same truncation device, never checkpointed
+        (round 1's action materializes it)."""
+        if self.local:
+            return df.localCheckpoint(eager=False)
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def truncate(self, df: DataFrame) -> DataFrame:
+        """Plain lineage cut for intra-loop intermediates that the old
+        code reliable-checkpointed unconditionally: EAGER localCheckpoint
+        in local mode (one materialization into block storage while the
+        parent caches are still warm, no write-twice), reliable
+        checkpoint on a cluster."""
+        if self.local:
+            return df.localCheckpoint(eager=True)
+        return df.checkpoint()
+
+    def advance(self, df: DataFrame, rnd: int) -> DataFrame:
+        """Register round ``rnd``'s state for materialization. Call
+        BEFORE the round's materializing action; pair with release()
+        AFTER it."""
+        if self.local:
+            return df.localCheckpoint(eager=False)
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if rnd % self.every == 0:
+            # checkpoint() materializes from the cache, then the cached
+            # pre-checkpoint copy is dropped so it cannot leak rounds.
+            # Dataset.checkpoint preserves outputPartitioning and
+            # outputOrdering into the LogicalRDD, so a loop's layout
+            # invariants survive truncation.
+            out = cached.checkpoint()
+            cached.unpersist()
+            return out
+        return cached
+
+    def release(self, old: DataFrame | None) -> None:
+        """Drop the PREVIOUS round's state once the new round is
+        materialized. For localCheckpoint-backed states this is a
+        catalog no-op (their blocks are ContextCleaner-managed); for
+        persisted ones (cluster rounds, catalog-cached preludes) it is
+        the old explicit unpersist."""
+        if old is not None:
+            old.unpersist()
+
+
 @contextmanager
-def static_rounds(spark: SparkSession, parts: int | None = None):
+def static_rounds(
+    spark: SparkSession,
+    parts: int | None = None,
+    no_broadcast: bool = False,
+):
     """Disable AQE for the duration of a fixpoint loop, restoring the
     session's prior setting afterwards.
 
@@ -117,11 +219,23 @@ def static_rounds(spark: SparkSession, parts: int | None = None):
     full, but per-round task-scheduling overhead stops scaling with a
     conf that was tuned for one-shot queries.
 
+    ``no_broadcast=True`` additionally disables implicit broadcast
+    joins (autoBroadcastJoinThreshold=-1) for the loop's duration —
+    for loops whose joins are all co-partitioned by construction, a
+    size-estimate-triggered broadcast REPLACES an in-job, exchange-free
+    sort-merge join with a per-round driver-blocking broadcast-collect
+    job (and at cluster scale would try to collect a frontier).
+    Explicit ``F.broadcast(...)`` hints are unaffected by the
+    threshold, so loops that deliberately broadcast keep working.
+
     The conf flips are session-visible for the loop's duration; queries
     are executed sequentially by every harness this engine targets.
     """
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    prev_bcast = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    )
     n = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -132,11 +246,17 @@ def static_rounds(spark: SparkSession, parts: int | None = None):
         clamp = parts
     if clamp is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(clamp))
+    if no_broadcast:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if no_broadcast:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", prev_bcast
+            )
 
 
 def _ensure_checkpoint_dir(spark: SparkSession) -> None:
@@ -199,48 +319,60 @@ def sssp(
     # persist() time and are exempt from AQE coalescing, so on a stock
     # 200-partition session the pre-loop caches would otherwise
     # materialize through 200-task stages in round 1.
-    with static_rounds(spark, parts=n_part):
+    rounds_state = RoundState(spark, checkpoint_every)
+    with static_rounds(spark, parts=n_part, no_broadcast=True):
         # Min-combine parallel edges, then fix the partitioning on src
-        # so the per-round relax join never re-shuffles the edge side.
+        # (sorted within partitions, so per-round sort-merge relax joins
+        # never re-sort the edge side) — the per-round relax join reuses
+        # this layout and only the frontier side moves. With broadcasts
+        # off in-loop, the frontier x edges relax join is a
+        # co-partitioned, co-sorted SMJ: no exchange, no sort, no
+        # per-round broadcast-build job on EITHER side.
         e = (
             e.groupBy("src", "dst")
             .agg(F.min("weight").alias("weight"))
             .repartition(n_part, "src")
+            .sortWithinPartitions("src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
-        # Format job (SingleSourceSP.java:56-129): a state record per
-        # node with out-edges; source seeded to 0.0, everything else
-        # "infinity" (represented natively as NULL, not a sentinel
-        # string) — then pre-relaxed one hop: the source's out-edges are
-        # folded in at init (a filter + tiny join on the already
-        # src-partitioned edge cache, no extra shuffle), which is
-        # exactly round 1's relaxation, so the loop starts one round
+        # Format job (SingleSourceSP.java:56-129): one state record per
+        # node — every src AND every dst (r12: dst nodes are pre-seeded
+        # with has_out=false instead of being discovered by the
+        # full-outer join mid-loop, which is what lets every round's
+        # state join be LEFT outer and the state side keep its
+        # partitioning + sort order for the whole loop). Source seeded
+        # to 0.0, everything else "infinity" (NULL) — then pre-relaxed
+        # one hop: the source's out-edges are folded in at init, which
+        # is exactly round 1's relaxation, so the loop starts one round
         # ahead. Non-negative weights mean the source itself can never
-        # improve, so only its neighbors start "updated".
-        base = (
-            e.select("src")
-            .distinct()
-            .select(
-                F.col("src").alias("node"),
-                F.when(F.col("src") == source, F.lit(0.0)).alias("dist"),
+        # improve, so only its neighbors start "updated". Reference
+        # output semantics (B3: unreachable pure sinks absent) are
+        # restored by the final has_out/dist filter.
+        nodes = (
+            e.select(F.col("src").alias("node"), F.lit(True).alias("has_out"))
+            .unionByName(
+                e.select(
+                    F.col("dst").alias("node"), F.lit(False).alias("has_out")
+                )
             )
+            .groupBy("node")
+            .agg(F.max("has_out").alias("has_out"))
         )
         hop1 = e.filter(F.col("src") == source).select(
             F.col("dst").alias("node"), F.col("weight").alias("cand")
         )
-        state = (
-            base.join(hop1, "node", "full_outer")
-            .select(
+        state = rounds_state.init(
+            nodes.join(hop1, "node", "left").select(
                 "node",
-                F.least("dist", "cand").alias("dist"),
-                (
-                    (F.col("node") != source)
-                    & F.col("cand").isNotNull()
-                    & F.least("dist", "cand").eqNullSafe(F.col("cand"))
-                ).alias("updated"),
+                "has_out",
+                F.least(
+                    F.when(F.col("node") == source, F.lit(0.0)), "cand"
+                ).alias("dist"),
+                ((F.col("node") != source) & F.col("cand").isNotNull()).alias(
+                    "updated"
+                ),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
         for rnd in range(1, max_rounds + 1):
@@ -257,34 +389,23 @@ def sssp(
             # (SingleSourceSP.java:214-250).
             cand = msgs.groupBy("node").agg(F.min("cand").alias("cand"))
 
-            # Tagged-union reduce-side join (SingleSourceSP.java:205-293):
-            # full-outer because messages can reach nodes with no state
-            # record yet, and state nodes may receive no messages.
-            new_state = (
-                state.join(cand, "node", "full_outer")
-                .select(
-                    F.col("node"),
-                    F.least("dist", "cand").alias("new_dist"),
-                    F.col("dist").alias("old_dist"),
-                )
-                .select(
-                    "node",
-                    F.col("new_dist").alias("dist"),
-                    # NULL-safe inequality: newly-discovered nodes (old
-                    # NULL) count as updated, SingleSourceSP.java:273-281.
-                    (~F.col("new_dist").eqNullSafe(F.col("old_dist"))).alias(
-                        "updated"
-                    ),
-                )
+            # Tagged-union reduce-side join (SingleSourceSP.java:205-293),
+            # LEFT outer: state is a superset of the message targets by
+            # construction, so nothing is discovered join-side, and the
+            # state side's partitioning + sort order survive the round
+            # (see module docstring; broadcasts are off in-loop so the
+            # message side is never broadcast-collected per round).
+            new_state = state.join(cand, "node", "left").select(
+                "node",
+                "has_out",
+                F.least("dist", "cand").alias("dist"),
+                # NULL-safe inequality: newly-discovered nodes (old
+                # NULL) count as updated, SingleSourceSP.java:273-281.
+                (~F.least("dist", "cand").eqNullSafe(F.col("dist"))).alias(
+                    "updated"
+                ),
             )
-            cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-            if rnd % checkpoint_every == 0:
-                # checkpoint() materializes from the cache, then the cached
-                # pre-checkpoint copy is dropped so it cannot leak rounds.
-                new_state = cached.checkpoint()  # truncate lineage
-                cached.unpersist()
-            else:
-                new_state = cached
+            new_state = rounds_state.advance(new_state, rnd)
 
             # One count() per round is deliberate: it both decides
             # convergence AND materializes the round. Letting rounds chain
@@ -293,7 +414,7 @@ def sssp(
             # planning over the unmaterialized multi-round lineage loses
             # its size bounds.
             changed = new_state.filter("updated").count()
-            state.unpersist()
+            rounds_state.release(state)
             state = new_state
             if changed == 0:
                 break
@@ -310,10 +431,13 @@ def sssp(
 
     # Final job (SingleSourceSP.java:285-288,484-508): project
     # (source, node, dist); sentinel for unreachable in compat mode.
+    # Pre-seeded pure-sink nodes that never received a message carry
+    # dist NULL and has_out false — exactly the rows the reference never
+    # creates (B3), dropped here.
     dist_col = (
         F.col("dist") if native_nulls else F.coalesce("dist", F.lit(SENTINEL))
     )
-    out = state.select(
+    out = state.filter(F.col("has_out") | F.col("dist").isNotNull()).select(
         F.lit(int(source)).cast("long").alias("source"),
         "node",
         dist_col.alias("dist"),

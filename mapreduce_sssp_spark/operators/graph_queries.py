@@ -1652,6 +1652,13 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("start")
             .agg(F.min("hv").alias("best"))
             .select("start", F.col("best.node").alias("cur"))
+            # r12: persist each step frontier (|nodes| rows). Without
+            # it, the final union's branch for step t recomputes the
+            # whole join chain 1..t (the consumer, walk_pmi_pairs,
+            # additionally references the corpus four times), turning
+            # WALK_STEPS joins into O(WALK_STEPS^2) executed joins —
+            # guide §1.2 "don't compute things you throw away".
+            .persist()
         )
         out = out.unionByName(
             nxt.select(
@@ -1720,7 +1727,10 @@ def q_walk_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks a broadcast at runtime when it actually fits). Only the two
     1-row scalar totals carry broadcast hints.
     """
-    walks = q_random_walks(spark, sf_dir)
+    # r12: the corpus is referenced four times below (both self-join
+    # sides, the occurrence table, the total) — persist it once instead
+    # of replaying the 5-step walk induction per reference.
+    walks = q_random_walks(spark, sf_dir).persist()
     a = walks.select("start", F.col("step").alias("sa"), F.col("node").alias("na"))
     b = walks.select("start", F.col("step").alias("sb"), F.col("node").alias("nb"))
     pairs = (
@@ -1737,6 +1747,9 @@ def q_walk_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node_a", "node_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= WALK_PMI_MIN_N)
+        # referenced twice (the t_tot scalar and the PMI join) — one
+        # band-join pass, not two.
+        .persist()
     )
     occ = walks.groupBy(F.col("node")).agg(F.count("*").alias("n_occ"))
     n_tot = walks.agg(

@@ -157,31 +157,34 @@ COGROUP_SCHEMA = T.StructType(
 
 
 def _merge_user(key: tuple, orders: pd.DataFrame, events: pd.DataFrame) -> pd.DataFrame:
-    from decimal import ROUND_HALF_UP, Decimal
-
-    # Exact integer-cents accumulation via scale-0 rounding of the SAME
-    # IEEE product v*100 the oracle rounds (the r10 price_round device):
-    # DuckDB's CAST(double AS DECIMAL(18,2)) rounds the SHORTEST DECIMAL
-    # repr half-up (100.005 -> 100.01) while Decimal(float).quantize
-    # rounds the true binary value (100.00499... -> 100.00) — probed
-    # r11 on half-cent orders. Decimal(v*100) is the exact binary
-    # product and ROUND_HALF_UP == round-half-away == DuckDB round(),
-    # so both engines round identical operands identically.
-    # .dropna(): SQL SUM skips NULLs, so the pandas fold must too (a
-    # NULL value arrives as NaN, and Decimal(NaN) ops crash).
+    # Exact integer-cents accumulation via scale-0 HALF-UP rounding of
+    # the SAME IEEE product v*100 the oracle rounds (the r10
+    # price_round device): DuckDB's CAST(double AS DECIMAL(18,2)) rounds
+    # the SHORTEST DECIMAL repr half-up (100.005 -> 100.01) while
+    # rounding the true binary value gives 100.00499... -> 100.00 —
+    # probed r11 on half-cent orders. round(x*100) in the oracle and
+    # the fold below both round the exact binary product half-away, so
+    # both engines round identical operands identically.
+    #
+    # r12 (guide §4.2): the fold is VECTORIZED — the old per-value
+    # Python Decimal(v*100).quantize loop cost ~1.5us/row inside every
+    # group handler and dominated the query (6.7s). numpy half-away on
+    # the binary double is bit-identical to Decimal ROUND_HALF_UP:
+    # |x| - floor(|x|) is exact for doubles, the >= 0.5 test decides
+    # half-away, copysign restores the sign, and int64 accumulation of
+    # the cents matches the oracle's SUM(BIGINT) domain exactly.
+    #
+    # .dropna(): SQL SUM skips NULLs, so the fold must too (NULL values
+    # arrive as NaN and would poison the rounding).
     # Row counts below stay len() — count(*) includes NULL-value rows.
-    one = Decimal(1)
-
-    def cents_sum(col: pd.Series) -> Decimal:
-        return sum(
-            (
-                Decimal(float(v) * 100.0).quantize(
-                    one, rounding=ROUND_HALF_UP
-                )
-                for v in col.dropna()
-            ),
-            Decimal(0),
-        )
+    def cents_sum(col: pd.Series) -> int:
+        v = col.dropna().to_numpy(np.float64) * 100.0
+        if v.size == 0:
+            return 0
+        a = np.abs(v)
+        f = np.floor(a)
+        c = np.where(a - f >= 0.5, f + 1.0, f)
+        return int(np.copysign(c, v).astype(np.int64).sum())
 
     o_sum = cents_sum(orders["o_totalprice"])
     e_sum = cents_sum(events["value"])
@@ -190,8 +193,8 @@ def _merge_user(key: tuple, orders: pd.DataFrame, events: pd.DataFrame) -> pd.Da
             "user_id": [int(key[0])],
             "n_orders": [len(orders)],
             "n_events": [len(events)],
-            "sum_order_value": [float(o_sum / 100)],
-            "sum_event_value": [float(e_sum / 100)],
+            "sum_order_value": [o_sum / 100],
+            "sum_event_value": [e_sum / 100],
         }
     )
 

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..contracts import finite
-from ..io.sources import load_table
+from ..io.sources import load_parallel, load_table
 
 # Salted per use-case so the split assignment and the sample are
 # independent draws (same key never correlates across operators).
@@ -454,7 +454,13 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Finite-measure contract (r12 non-finite probe: the cents cast
     # crashes on NaN/Inf in both engines). Twin mirrors the WHERE.
-    o = load_table(spark, sf_dir, "orders").filter(finite("o_totalprice"))
+    # load_parallel (r12): the B=32 explode and its 32 md5 draws per
+    # order run BETWEEN the scan and the first partial aggregate, so on
+    # a single-split input the whole 32x expansion ran on one core
+    # (measured 6.6s -> this is the per-task-work fix of guide §1.2/#2,
+    # not a shuffle change — the groupBy("b") exchange still carries
+    # only B rows per task).
+    o = load_parallel(spark, sf_dir, "orders").filter(finite("o_totalprice"))
     cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
     u = (
         "(CAST(conv(substring(md5(concat("
