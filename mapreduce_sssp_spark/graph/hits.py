@@ -41,7 +41,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
+from .sssp import (
+    RoundState,
+    _ensure_checkpoint_dir,
+    loop_partitions,
+    static_rounds,
+)
 
 
 def hits(
@@ -90,6 +95,11 @@ def hits(
             "node", F.lit(1.0 / n_nodes).alias("hub")
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
+        # r12: RoundState — per-round lineage truncation (local) / the
+        # old persist+periodic-checkpoint (cluster); see sssp.py. Both
+        # per-round vectors (auths half-update, joined scores) get it:
+        # each is referenced twice downstream, the doubling class.
+        rounds_state = RoundState(spark, checkpoint_every)
         scores = None
         prev_auths = None
         for it in range(1, iterations + 1):
@@ -98,10 +108,9 @@ def hits(
                 .groupBy("dst")
                 .agg(F.sum("hub").alias("a_raw"))
             )
-            auths = (
+            auths = rounds_state.init(
                 nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
                 .select("node", F.coalesce("a_raw", F.lit(0.0)).alias("auth"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
             )
             auths.count()
             h_raw = (
@@ -118,18 +127,11 @@ def hits(
                 .join(auths, "node")
                 .select("node", "hub", "auth")
             )
-            cached = joined.persist(StorageLevel.MEMORY_AND_DISK)
-            if it % checkpoint_every == 0:
-                joined = cached.checkpoint()
-                cached.unpersist()
-            else:
-                joined = cached
+            joined = rounds_state.advance(joined, it)
             joined.count()
-            hubs.unpersist()
-            if prev_auths is not None:
-                prev_auths.unpersist()
-            if scores is not None:
-                scores.unpersist()
+            rounds_state.release(hubs)
+            rounds_state.release(prev_auths)
+            rounds_state.release(scores)
             scores = joined
             prev_auths = auths
             hubs = scores.select("node", "hub")

@@ -49,7 +49,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
+from .sssp import (
+    RoundState,
+    _ensure_checkpoint_dir,
+    loop_partitions,
+    static_rounds,
+)
 
 
 def kcore(
@@ -80,11 +85,13 @@ def kcore(
             .repartition(n_part, "u")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        state = (
+        # r12: RoundState — per-round lineage truncation (local) / the
+        # old persist+periodic-checkpoint (cluster); see sssp.py.
+        rounds_state = RoundState(spark, checkpoint_every)
+        state = rounds_state.init(
             und.groupBy("u")
             .agg(F.count("*").alias("deg"))
             .select(F.col("u").alias("node"), "deg", F.lit(True).alias("alive"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
         prev_state = None  # parent cache pending unpersist (mis.py's device)
@@ -99,7 +106,7 @@ def kcore(
             # unpersist lesson from mis.py, measured ~2x on its loop).
             n_doomed = doomed.count()
             if prev_state is not None:
-                prev_state.unpersist()
+                rounds_state.release(prev_state)
                 prev_state = None
             if n_doomed == 0:
                 break
@@ -116,14 +123,11 @@ def kcore(
                 # survivors carry the decremented degree into next round.
                 (F.col("alive") & (F.col("deg") >= k)).alias("alive"),
             )
-            cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-            if rnd % checkpoint_every == 0:
-                # eager checkpoint: child durable, parent can drop now
-                new_state = cached.checkpoint()
-                cached.unpersist()
-                state.unpersist()
+            new_state = rounds_state.advance(new_state, rnd)
+            if rnd % checkpoint_every == 0 and not rounds_state.local:
+                # eager checkpoint already materialized: parent drops now
+                rounds_state.release(state)
             else:
-                new_state = cached
                 prev_state = state  # drop only after the child's fill
             state = new_state
         else:

@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
+from .sssp import (
+    RoundState,
+    _ensure_checkpoint_dir,
+    loop_partitions,
+    static_rounds,
+)
 
 
 def ktruss(
@@ -62,6 +67,11 @@ def ktruss(
 
     n_doomed = -1
     sup = None
+    # r12: RoundState — per-round lineage truncation (local) / the old
+    # persist+periodic-checkpoint (cluster); see sssp.py. Both per-round
+    # tables get it: cur is referenced three times per round (und's two
+    # branches + the support join), sup twice (count + survivor filter).
+    rounds_state = RoundState(spark, checkpoint_every)
     with static_rounds(spark, parts=n_part):
         cur = edges.select("u", "v").persist(StorageLevel.MEMORY_AND_DISK)
         pending = []  # parent caches pending unpersist (mis.py's device)
@@ -90,8 +100,8 @@ def ktruss(
                         "support"
                     ),
                 )
-                .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            sup = rounds_state.init(sup)
             # The one action per round: convergence test + barrier —
             # it fills THIS round's sup cache, so only now can the
             # previous round's caches drop (unpersisting them earlier
@@ -99,21 +109,18 @@ def ktruss(
             # checkpoint — the deferred-unpersist lesson from mis.py).
             n_doomed = sup.filter(F.col("support") < k - 2).count()
             for df in pending:
-                df.unpersist()
+                rounds_state.release(df)
             pending = []
             if n_doomed == 0:
-                cur.unpersist()
+                rounds_state.release(cur)
                 break
             new_cur = sup.filter(F.col("support") >= k - 2).select("u", "v")
-            cached = new_cur.persist(StorageLevel.MEMORY_AND_DISK)
-            if rnd % checkpoint_every == 0:
+            new_cur = rounds_state.advance(new_cur, rnd)
+            if rnd % checkpoint_every == 0 and not rounds_state.local:
                 # eager checkpoint: child durable, parents can drop now
-                new_cur = cached.checkpoint()
-                cached.unpersist()
-                cur.unpersist()
-                sup.unpersist()
+                rounds_state.release(cur)
+                rounds_state.release(sup)
             else:
-                new_cur = cached
                 pending = [cur, sup]
             cur = new_cur
         else:

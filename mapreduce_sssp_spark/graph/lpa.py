@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
+from .sssp import (
+    RoundState,
+    _ensure_checkpoint_dir,
+    loop_partitions,
+    static_rounds,
+)
 
 
 def label_propagation(edges: DataFrame, *, rounds: int = 4) -> DataFrame:
@@ -72,6 +77,7 @@ def label_propagation(edges: DataFrame, *, rounds: int = 4) -> DataFrame:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
+    rounds_state = RoundState(spark)
     with static_rounds(spark, parts=n_part):
         for _ in range(rounds):
             # und row (src=m, dst=n): neighbor m votes its label for n.
@@ -87,10 +93,12 @@ def label_propagation(edges: DataFrame, *, rounds: int = 4) -> DataFrame:
             new_labels = votes.groupBy("node").agg(
                 F.expr("mode(label, true)").alias("label")
             )
-            cached = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.count()  # materialize before dropping the parent
-            labels.unpersist()
-            labels = cached
+            # r12: RoundState — lineage truncation (local) / persist
+            # (cluster); see sssp.py.
+            new_labels = rounds_state.init(new_labels)
+            new_labels.count()  # materialize before dropping the parent
+            rounds_state.release(labels)
+            labels = new_labels
 
     und.unpersist()
     return labels.select("node", F.col("label").alias("community"))

@@ -52,7 +52,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
+from .sssp import (
+    RoundState,
+    _ensure_checkpoint_dir,
+    loop_partitions,
+    static_rounds,
+)
 
 #: Knuth multiplicative-hash constants, shared verbatim by the DuckDB
 #: twin (both engines evaluate the identical exact-integer expression).
@@ -173,7 +178,10 @@ def mis_greedy(
             .repartition(n_part, "u")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        state = (
+        # r12: RoundState — per-round lineage truncation (local) / the
+        # old persist+periodic-checkpoint (cluster); see sssp.py.
+        rounds_state = RoundState(spark, checkpoint_every)
+        state = rounds_state.init(
             und.select(F.col("u").alias("node"))
             .distinct()
             .select(
@@ -182,7 +190,6 @@ def mis_greedy(
                 F.lit(None).cast("boolean").alias("in_mis"),
                 F.lit(None).cast("int").alias("decided_round"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
         prev_state = None  # parent cache pending unpersist (see below)
@@ -200,7 +207,7 @@ def mis_greedy(
             # sf0.1 loop ~2x; the eager variant re-ran up to
             # checkpoint_every rounds of joins inside every count).
             if prev_state is not None:
-                prev_state.unpersist()
+                rounds_state.release(prev_state)
                 prev_state = None
             if n_undec == 0:
                 break
@@ -291,15 +298,12 @@ def mis_greedy(
                     F.when(F.col("new_mis").isNotNull(), F.lit(rnd)),
                 ).alias("decided_round"),
             )
-            cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-            if rnd % checkpoint_every == 0:
+            new_state = rounds_state.advance(new_state, rnd)
+            if rnd % checkpoint_every == 0 and not rounds_state.local:
                 # checkpoint() is eager: the child is durable before the
-                # parent cache drops, so the immediate unpersist is safe.
-                new_state = cached.checkpoint()
-                cached.unpersist()
-                state.unpersist()
+                # parent cache drops, so the immediate release is safe.
+                rounds_state.release(state)
             else:
-                new_state = cached
                 prev_state = state  # drop only after the child's fill
             state = new_state
         else:

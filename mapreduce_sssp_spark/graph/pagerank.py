@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
+from .sssp import (
+    RoundState,
+    _ensure_checkpoint_dir,
+    loop_partitions,
+    static_rounds,
+)
 
 
 def pagerank(
@@ -105,9 +110,8 @@ def pagerank(
             init_rank = ind
             base_col = F.lit(1.0 - damping) * ind
             dangling_share = F.col("dangling") * ind
-        ranks = nodes.select("node", init_rank.alias("rank")).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        rounds_state = RoundState(spark, checkpoint_every)
+        ranks = rounds_state.init(nodes.select("node", init_rank.alias("rank")))
 
         has_out = deg.select(F.col("src").alias("node")).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -144,14 +148,11 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-            cached = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
-            if it % checkpoint_every == 0:
-                new_ranks = cached.checkpoint()
-                cached.unpersist()
-            else:
-                new_ranks = cached
+            # r12: RoundState — per-round lineage truncation (local) /
+            # the old persist+periodic-checkpoint (cluster); see sssp.py.
+            new_ranks = rounds_state.advance(new_ranks, it)
             new_ranks.count()
-            ranks.unpersist()
+            rounds_state.release(ranks)
             ranks = new_ranks
 
     links.unpersist()

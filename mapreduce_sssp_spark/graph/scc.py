@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
+from .sssp import (
+    RoundState,
+    _ensure_checkpoint_dir,
+    loop_partitions,
+    static_rounds,
+)
 
 
 def scc(edges: DataFrame, *, max_outer: int = 50) -> DataFrame:
@@ -53,6 +58,12 @@ def scc(edges: DataFrame, *, max_outer: int = 50) -> DataFrame:
     _ensure_checkpoint_dir(spark)
     n_part = loop_partitions(spark, edges)
 
+    # r12: RoundState.truncate — the lineage cuts below were eager
+    # reliable checkpoints (each one computes the frame, then the
+    # checkpoint machinery re-runs it to write files). In local mode a
+    # lazy localCheckpoint is the same cut at one materialization and
+    # no write-twice; cluster mode keeps the reliable checkpoints.
+    rounds_state = RoundState(spark)
     with static_rounds(spark, parts=n_part):
         e = (
             edges.select(
@@ -92,7 +103,7 @@ def scc(edges: DataFrame, *, max_outer: int = 50) -> DataFrame:
                 trimmed = active.join(keep, "node", "left_anti").select(
                     "node", F.col("node").alias("scc")
                 )
-                done_parts.append(trimmed.checkpoint())
+                done_parts.append(rounds_state.truncate(trimmed))
                 # checkpoint, not persist: the peel/confirm chain
                 # otherwise accumulates a join-tree whose replan cost
                 # dominates (measured minutes on a 5-edge graph).
@@ -103,17 +114,17 @@ def scc(edges: DataFrame, *, max_outer: int = 50) -> DataFrame:
                     .join(keep.select(F.col("node").alias("dst")), "dst")
                     .select("src", "dst")
                     .repartition(n_part, "src")
-                    .checkpoint()
                 )
-                active = keep.checkpoint()
+                live = rounds_state.truncate(live)
+                active = rounds_state.truncate(keep)
                 keep.unpersist()
             if active.count() == 0:
                 break
 
             # --- B: min-coloring to fixpoint ----------------------------
-            color = active.select(
-                "node", F.col("node").alias("color")
-            ).checkpoint()
+            color = rounds_state.truncate(
+                active.select("node", F.col("node").alias("color"))
+            )
             while True:
                 msgs = (
                     color.join(live, color["node"] == live["src"])
@@ -124,8 +135,8 @@ def scc(edges: DataFrame, *, max_outer: int = 50) -> DataFrame:
                     .unionByName(msgs)
                     .groupBy("node")
                     .agg(F.min("color").alias("color"))
-                    .checkpoint()
                 )
+                new_color = rounds_state.truncate(new_color)
                 changed = (
                     new_color.join(
                         color.withColumnRenamed("color", "old"), "node"
@@ -163,10 +174,9 @@ def scc(edges: DataFrame, *, max_outer: int = 50) -> DataFrame:
                 .repartition(n_part, "from")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            members = (
+            members = rounds_state.truncate(
                 color.filter(F.col("node") == F.col("color"))
                 .select("node", F.col("color").alias("root"))
-                .checkpoint()
             )
             frontier = members
             while True:
@@ -179,12 +189,12 @@ def scc(edges: DataFrame, *, max_outer: int = 50) -> DataFrame:
                     .select(F.col("to").alias("node"), "root")
                     .distinct()
                 )
-                fresh = step.join(
-                    members, ["node", "root"], "left_anti"
-                ).checkpoint()
+                fresh = rounds_state.truncate(
+                    step.join(members, ["node", "root"], "left_anti")
+                )
                 if fresh.count() == 0:
                     break
-                members = members.unionByName(fresh).checkpoint()
+                members = rounds_state.truncate(members.unionByName(fresh))
                 frontier = fresh
 
             scc_labels = (
@@ -193,17 +203,16 @@ def scc(edges: DataFrame, *, max_outer: int = 50) -> DataFrame:
                 .join(members, "root")
                 .select("node", "scc")
             )
-            done_parts.append(scc_labels.checkpoint())
+            done_parts.append(rounds_state.truncate(scc_labels))
             confirmed = members.select("node").distinct()
-            active = active.join(
-                confirmed, "node", "left_anti"
-            ).checkpoint()
-            live = (
+            active = rounds_state.truncate(
+                active.join(confirmed, "node", "left_anti")
+            )
+            live = rounds_state.truncate(
                 live.join(active.select(F.col("node").alias("src")), "src")
                 .join(active.select(F.col("node").alias("dst")), "dst")
                 .select("src", "dst")
                 .repartition(n_part, "src")
-                .checkpoint()
             )
             rev_in_class.unpersist()
             if active.count() == 0:

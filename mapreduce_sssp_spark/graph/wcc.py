@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sssp import _ensure_checkpoint_dir, loop_partitions, static_rounds
+from .sssp import (
+    RoundState,
+    _ensure_checkpoint_dir,
+    loop_partitions,
+    static_rounds,
+)
 
 
 def wcc(
@@ -73,7 +78,8 @@ def wcc(
         # loop starts one round ahead (~1 round of 4-6 saved; every
         # label is still a node id inside its own component, so pointer
         # jumping's label lookup and the min-lattice argument hold).
-        state = (
+        rounds_state = RoundState(spark, checkpoint_every)
+        state = rounds_state.init(
             und.groupBy("src")
             .agg(F.min("dst").alias("min_nbr"))
             .select(
@@ -81,7 +87,6 @@ def wcc(
                 F.least("src", "min_nbr").alias("component"),
             )
             .withColumn("updated", F.lit(True))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # No eager action: the clamp's effect is the partitioning
         # compiled into the cached plan at persist() time; round 1's
@@ -124,14 +129,11 @@ def wcc(
                     (F.col("new_comp") < F.col("old_comp")).alias("updated"),
                 )
             )
-            cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-            if rnd % checkpoint_every == 0:
-                new_state = cached.checkpoint()
-                cached.unpersist()
-            else:
-                new_state = cached
+            # r12: RoundState — per-round lineage truncation (local) /
+            # the old persist+periodic-checkpoint (cluster); see sssp.py.
+            new_state = rounds_state.advance(new_state, rnd)
             changed = new_state.filter("updated").count()
-            state.unpersist()
+            rounds_state.release(state)
             state = new_state
             if changed == 0:
                 break

@@ -14,6 +14,7 @@ prunes columns into the file scan for free.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,12 +62,40 @@ def load_parallel(
     every downstream expression pipeline on a single core. One cheap
     round-robin (or hash, when ``by`` is given) repartition buys full
     parallelism for compute-heavy per-row work (shingling, hashing,
-    vector math). At 100 TB inputs are many-splits anyway and the
-    repartition collapses to a no-op-sized cost relative to the work.
+    vector math).
+
+    r12: the round-robin spread is SKIPPED when the scan already
+    splits into at least a cluster's worth of tasks — at 100 TB the
+    repartition was a full-table shuffle that bought nothing (the scan
+    is thousands of splits), so the no-op case now costs zero instead
+    of one pass over the table. The ``by`` form still repartitions
+    unconditionally: callers ask for that KEYED layout, not just for
+    parallelism.
     """
     df = load_table(spark, sf_dir, name)
     n = spark.sparkContext.defaultParallelism
-    return df.repartition(n, by) if by else df.repartition(n)
+    if by:
+        return df.repartition(n, by)
+    try:
+        files = [
+            f.removeprefix("file:")
+            for f in df.inputFiles()
+            if f.startswith("file:")
+        ]
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .lower().removesuffix("b").removesuffix("m") or 134217728
+        )
+        # conf may carry a unit suffix ("128m"); normalize to bytes.
+        if max_split < 1 << 20:
+            max_split <<= 20
+        total = sum(os.path.getsize(f) for f in files)
+        est_splits = max(len(files), total // max_split)
+        if est_splits >= n:
+            return df
+    except Exception:  # noqa: BLE001 — sizing heuristic, never fatal
+        pass
+    return df.repartition(n)
 
 
 def normalize_event_ts(df: DataFrame, as_ntz: bool = True) -> DataFrame:

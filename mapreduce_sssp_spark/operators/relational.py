@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..contracts import finite
-from ..io.sources import load_table, register_tables
+from ..io.sources import load_parallel, load_table, register_tables
 
 DEC = "decimal(18,2)"
 
@@ -611,7 +611,11 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{i / EQUIDEPTH_BINS}D" for i in range(1, EQUIDEPTH_BINS)
     )
     # Finite-measure contract (r12 non-finite probe); twin mirrors.
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    # load_parallel (r12): the decimal-cents cast, the exact-percentile
+    # buffering and the binning pass otherwise all run on a single scan
+    # task for a one-split input; every aggregate here is exact and
+    # order-independent, so the spread changes nothing but parallelism.
+    li = load_parallel(spark, sf_dir, "lineitem").filter(
         finite("l_extendedprice")
     ).select(
         F.expr(

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..contracts import finite
-from ..io.sources import EDGES_SQL, load_table
+from ..io.sources import EDGES_SQL, load_parallel, load_table
 from .graph_queries import LANDMARKS_K, _landmark_state
 from .text_common import DUCK_TOKENS, TOKENS_EXPR
 
@@ -152,8 +152,11 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Finite-measure contract (r12 non-finite probe: the bigint/decimal
     # carriers crash on NaN/Inf in both engines). Twin mirrors.
+    # load_parallel (r12): the cents cast + the 6-way decimal-product
+    # aggregate otherwise run on one scan task (exact sums — spread is
+    # order-independent).
     li = (
-        load_table(spark, sf_dir, "lineitem")
+        load_parallel(spark, sf_dir, "lineitem")
         .filter(finite("l_quantity") & finite("l_extendedprice"))
         .select(
             F.col("l_quantity").cast("bigint").alias("x"),

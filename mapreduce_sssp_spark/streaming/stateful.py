@@ -14,7 +14,7 @@ Determinism notes:
   (``unix_micros`` after the shared dtype-branching normalization, UTC
   session TZ) before entering the handler; gap math is exact integer
   arithmetic with no float or TZ dependence.
-* Values are summed as 2-dp Decimals (mirroring the oracle's
+* Values are summed as exact int64 cents (mirroring the oracle's
   CAST(value AS DECIMAL(18,2)) exact accumulation) and converted to
   float once at the end — no float-accumulation-order sensitivity.
 
@@ -27,8 +27,6 @@ operator, identical to the built-in session_window plan.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from decimal import Decimal
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,54 +52,75 @@ OUTPUT_SCHEMA = T.StructType(
 
 STATE_SCHEMA = T.StructType([T.StructField("n_sessions", T.LongType())])
 
-_CENT = Decimal("0.01")
-
 
 def _sessionize(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    """Vectorized per-user sessionizer (r12, guide §4.2): the old
+    per-event Python loop (one Decimal construction + quantize per
+    value) is replaced by numpy — sort, gap-boundary diff, cumulative
+    session ids, and ``np.add.reduceat`` per-session folds.
+
+    Rounding equivalence: Decimal(v).quantize(0.01) decided against the
+    true half-cent boundary of the exact binary v; an exact x.xx5
+    boundary value is NOT representable as a double (1/200 is not
+    dyadic), so the tie mode never fired and the decision is just
+    "which side of the boundary" — which np.round(v, 2)'s scaled
+    comparison reproduces for every value whose float product v*100 is
+    not within an ulp of the boundary. Cents accumulate as exact int64
+    (the corpus is pinned by the hash oracle; the knife-edge ulp class
+    would already diverge DuckDB's shortest-repr DECIMAL cast from the
+    old binary-exact Decimal path, so it cannot be in a green corpus).
+    """
+    import numpy as np
+
     rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values("ts", kind="mergesort")
     user_id = int(key[0])
 
-    out: list[tuple] = []
-    start_us = prev_us = None
-    n = n_vals = 0
-    total = Decimal(0)
+    ts_raw = rows["ts"].to_numpy(np.int64)
+    order = np.argsort(ts_raw, kind="stable")
+    ts = ts_raw[order]
+    vals = rows["value"].to_numpy(np.float64)[order]
 
-    def flush() -> None:
-        out.append(
-            (
-                user_id,
-                pd.to_datetime(start_us, unit="us"),
-                pd.to_datetime(prev_us + GAP_US, unit="us"),
-                n,
-                # SQL SUM over zero non-NULL values is NULL, not 0.
-                float(total) if n_vals else None,
-            )
+    n_rows = len(ts)
+    if n_rows == 0:
+        state.update(((state.get[0] if state.exists else 0),))
+        yield pd.DataFrame(
+            [],
+            columns=[
+                "user_id", "session_start", "session_end",
+                "n_events", "sum_value",
+            ],
         )
+        return
 
-    for ts_us, val in zip(rows["ts"], rows["value"]):
-        ts_us = int(ts_us)
-        if prev_us is not None and ts_us - prev_us > GAP_US:
-            flush()
-            start_us, n, n_vals, total = None, 0, 0, Decimal(0)
-        if start_us is None:
-            start_us = ts_us
-        prev_us = ts_us
-        n += 1
-        # SQL SUM skips NULLs (NaN here); count(*) still counts the row.
-        if not pd.isna(val):
-            n_vals += 1
-            total += Decimal(float(val)).quantize(_CENT)
-    if prev_us is not None:
-        flush()
+    new = np.empty(n_rows, dtype=bool)
+    new[0] = True
+    if n_rows > 1:
+        new[1:] = np.diff(ts) > GAP_US
+    starts_idx = np.flatnonzero(new)
+    ends_idx = np.append(starts_idx[1:], n_rows) - 1
+    n_per = np.diff(np.append(starts_idx, n_rows))
 
+    valid = ~np.isnan(vals)
+    cents = np.rint(np.where(valid, vals, 0.0) * 100.0).astype(np.int64)
+    sum_cents = np.add.reduceat(np.where(valid, cents, 0), starts_idx)
+    n_vals = np.add.reduceat(valid.astype(np.int64), starts_idx)
+
+    # SQL SUM over zero non-NULL values is NULL, not 0.
+    sum_value = np.where(n_vals > 0, sum_cents / 100.0, np.nan)
+    out = pd.DataFrame(
+        {
+            "user_id": np.full(len(starts_idx), user_id, dtype=np.int64),
+            "session_start": pd.to_datetime(ts[starts_idx], unit="us"),
+            "session_end": pd.to_datetime(ts[ends_idx] + GAP_US, unit="us"),
+            "n_events": n_per.astype(np.int64),
+            "sum_value": sum_value,
+        }
+    )
     prior = state.get[0] if state.exists else 0
     state.update((prior + len(out),))
-    yield pd.DataFrame(
-        out, columns=["user_id", "session_start", "session_end", "n_events", "sum_value"]
-    )
+    yield out
 
 
 def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
