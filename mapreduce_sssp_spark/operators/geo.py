@@ -233,11 +233,22 @@ def q_geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.wcc import wcc
 
     pairs = blocked_pairs(geo_points(spark, sf_dir)).select("a_id", "b_id")
-    sym = pairs.union(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).select(F.col("a_id").alias("pid"), F.col("b_id").alias("nbr"))
+    # r12 (guide §1.2 — don't recompute): the blocked radius join (the
+    # expensive haversine stage) fed every downstream branch by lineage
+    # — sym is referenced by the degree pass, the core-core edges AND
+    # the border attach, and each sym reference replays pairs twice.
+    # One persist each for the radius pairs and the core set.
+    sym = (
+        pairs.union(
+            pairs.select(
+                F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
+            )
+        )
+        .select(F.col("a_id").alias("pid"), F.col("b_id").alias("nbr"))
+        .persist()
+    )
     deg = sym.groupBy("pid").agg(F.count("*").alias("n_nbr"))
-    core = deg.filter(F.col("n_nbr") >= DBSCAN_MINPTS).select("pid")
+    core = deg.filter(F.col("n_nbr") >= DBSCAN_MINPTS).select("pid").persist()
     core_edges = (
         sym.join(core, "pid")
         .join(core.select(F.col("pid").alias("nbr")), "nbr")
@@ -249,7 +260,9 @@ def q_geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons = core.join(
         comp.select(F.col("node").alias("pid")), "pid", "left_anti"
     ).select(F.col("pid").alias("node"), F.col("pid").alias("component"))
-    comp = comp.unionByName(singletons)
+    # comp feeds both the border attach and the core counts (two
+    # consumers of the union over the converged labels).
+    comp = comp.unionByName(singletons).persist()
     border = (
         sym.join(core.select(F.col("pid").alias("nbr")), "nbr")
         .join(core, "pid", "left_anti")

@@ -1095,7 +1095,10 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct()
+    # r12 (guide §1.2): e feeds four references (both node branches,
+    # the md5 candidate derivation, the rejection anti-join) — cache the
+    # distinct edge set once instead of replaying scan+distinct per use.
+    e = _cache(edges_from_lineitem(spark, sf_dir).select("src", "dst").distinct())
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -1652,13 +1655,13 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("start")
             .agg(F.min("hv").alias("best"))
             .select("start", F.col("best.node").alias("cur"))
-            # r12: persist each step frontier (|nodes| rows). Without
-            # it, the final union's branch for step t recomputes the
-            # whole join chain 1..t (the consumer, walk_pmi_pairs,
-            # additionally references the corpus four times), turning
-            # WALK_STEPS joins into O(WALK_STEPS^2) executed joins —
-            # guide §1.2 "don't compute things you throw away".
-            .persist()
+            # r12 NOTE (measured, then reverted): persisting each step
+            # frontier looked like the textbook fix for the union's
+            # per-branch recomputation, but ReuseExchange already
+            # dedups the identical per-step exchanges inside the one
+            # plan — the persists broke that sharing and measured 7.4s
+            # -> 10.7s on walk_pmi_pairs (in-process alternating A/B,
+            # min of 3). Left unpersisted on purpose.
         )
         out = out.unionByName(
             nxt.select(
@@ -1727,10 +1730,11 @@ def q_walk_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks a broadcast at runtime when it actually fits). Only the two
     1-row scalar totals carry broadcast hints.
     """
-    # r12: the corpus is referenced four times below (both self-join
-    # sides, the occurrence table, the total) — persist it once instead
-    # of replaying the 5-step walk induction per reference.
-    walks = q_random_walks(spark, sf_dir).persist()
+    # The corpus is referenced four times below, but persisting it (and
+    # the pairs table) measured SLOWER than letting ReuseExchange share
+    # the identical subtrees inside one plan (see q_random_walks' r12
+    # note) — both persists were tried and reverted.
+    walks = q_random_walks(spark, sf_dir)
     a = walks.select("start", F.col("step").alias("sa"), F.col("node").alias("na"))
     b = walks.select("start", F.col("step").alias("sb"), F.col("node").alias("nb"))
     pairs = (
@@ -1747,9 +1751,6 @@ def q_walk_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node_a", "node_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= WALK_PMI_MIN_N)
-        # referenced twice (the t_tot scalar and the PMI join) — one
-        # band-join pass, not two.
-        .persist()
     )
     occ = walks.groupBy(F.col("node")).agg(F.count("*").alias("n_occ"))
     n_tot = walks.agg(

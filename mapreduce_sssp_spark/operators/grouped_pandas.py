@@ -84,12 +84,13 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").isNotNull()
     ).select("o_custkey", "o_orderdate")
     seg = orders.join(F.broadcast(cust), "o_custkey", "left_semi")
-    # Pre-partition BY THE GROUPING KEY into a bounded partition count:
-    # the groupBy's required distribution is already satisfied, so no
-    # second exchange is added, and the Python-worker fleet is 8, not
-    # spark.sql.shuffle.partitions (32 idle-ish workers cost more to
-    # spin up than the group work itself on this slice).
-    return seg.repartition(8, "o_custkey").groupBy("o_custkey").applyInPandas(
+    # Pre-partition BY THE GROUPING KEY (the groupBy's required
+    # distribution is already satisfied, so no second exchange). r12:
+    # one worker per core instead of the old fixed 8 — the per-group
+    # pandas conversion dominates and parallelizes linearly (see
+    # q_cogroup_user_activity's measured A/B).
+    n = spark.sparkContext.defaultParallelism
+    return seg.repartition(n, "o_custkey").groupBy("o_custkey").applyInPandas(
         _gaps, GAPS_SCHEMA
     )
 
@@ -225,14 +226,18 @@ def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "value")
         .filter(F.col("user_id").isNotNull() & finite("value"))
     )
-    # Pre-hash-partition both sides on the key (the bounded-fleet pattern
-    # used by every applyInPandas entry here): the cogroup exchange is
-    # satisfied by the existing layout, so the Python worker fleet is 8
-    # processes instead of one per shuffle partition.
+    # Pre-hash-partition both sides on the key so the cogroup exchange
+    # is satisfied by the existing layout. r12: the fleet is ONE WORKER
+    # PER CORE, not the old fixed 8 — the per-group Python/pandas
+    # conversion overhead across ~10k tiny groups is CPU-bound and
+    # parallelizes linearly (measured in-process A/B: 8.5s at 8
+    # partitions vs 3.0s at 32 on local[32]; a trivial handler at 8
+    # still cost 7.1s, so the machinery, not the fold, dominates).
+    n = spark.sparkContext.defaultParallelism
     return (
-        orders.repartition(8, "user_id")
+        orders.repartition(n, "user_id")
         .groupBy("user_id")
-        .cogroup(events.repartition(8, "user_id").groupBy("user_id"))
+        .cogroup(events.repartition(n, "user_id").groupBy("user_id"))
         .applyInPandas(_merge_user, COGROUP_SCHEMA)
     )
 

@@ -883,11 +883,15 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Finite-measure contract (r12 non-finite probe: the two engines'
     # medians disagree once a NaN enters the sort). Twin mirrors.
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    # r12: load_parallel + persist — the three sequential median passes
+    # each re-scanned the 2-column projection on one task; the cached
+    # projection is ~16 bytes/row (the same posture as the graph edge
+    # caches, which persist the identical lineitem slice).
+    li = load_parallel(spark, sf_dir, "lineitem").filter(
         finite("l_extendedprice")
     ).select(
         "l_returnflag", "l_extendedprice"
-    )
+    ).persist()
     med = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("med")
     )

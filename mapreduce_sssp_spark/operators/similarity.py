@@ -837,7 +837,9 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..graph.sssp import static_rounds
 
-    vec = _vectors(spark, sf_dir)
+    # r12: persist — every Lloyd round re-scanned and re-cast the
+    # embeddings otherwise (plus the seed filter).
+    vec = _vectors(spark, sf_dir).persist()
     cents = vec.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("seed_id"), F.col("v").alias("cv")
     )
@@ -993,7 +995,9 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds plus the Rayleigh-quotient improvement power iteration
     guarantees unconditionally.
     """
-    vec = _vectors(spark, sf_dir)
+    # r12: persist — the driver probe + PCA_ROUNDS aggregation jobs each
+    # re-scanned and re-cast the embeddings otherwise.
+    vec = _vectors(spark, sf_dir).persist()
     first = vec.select("v").first()  # 1-row driver probe for the dim
     if first is None:  # empty embeddings: typed empty result, no crash
         return spark.createDataFrame([], "j int, w_q long, loading double")
