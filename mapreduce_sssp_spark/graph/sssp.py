@@ -191,6 +191,21 @@ class RoundState:
             old.unpersist()
 
 
+def memo_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager lineage cut for the cross-query convergence memos
+    (_DAG_STATE_MEMO / _LANDMARK_MEMO / _SCC_MEMO / cooc / BPE): the
+    memoized frame must be materialized (consumers after
+    spark.catalog.clearCache() must not replay the fixpoint) with a
+    flat plan. r12: in local mode that's an eager localCheckpoint —
+    RDD blocks survive clearCache exactly like checkpoint files, minus
+    the reliable checkpoint's materialize-then-rewrite second pass; on
+    a cluster the reliable checkpoint stays (memo blocks should
+    survive executor loss there)."""
+    if df.sparkSession.sparkContext.master.startswith("local"):
+        return df.localCheckpoint(eager=True)
+    return df.checkpoint()
+
+
 @contextmanager
 def static_rounds(
     spark: SparkSession,

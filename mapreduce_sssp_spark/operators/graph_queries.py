@@ -28,7 +28,7 @@ from ..graph.compat import (
     format_state_line,
 )
 from ..graph.reverse import adjacency_list, reverse_graph, reverse_graph_exploded
-from ..graph.sssp import sssp
+from ..graph.sssp import memo_checkpoint, sssp
 from ..runstate import RunCache
 from ..io.sources import (
     EDGES_DAG_SQL,
@@ -113,7 +113,7 @@ def _sssp_dag_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         edges = edges_order_chain(spark, sf_dir)
         source = _min_source(edges)
-        df = sssp(edges, source).checkpoint()
+        df = memo_checkpoint(sssp(edges, source))
         _DAG_STATE_MEMO.put(key, df)
     return df
 
@@ -1153,7 +1153,7 @@ def _scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..graph.scc import scc
 
         edges = edges_from_lineitem(spark, sf_dir)
-        df = scc(edges.select("src", "dst")).checkpoint()
+        df = memo_checkpoint(scc(edges.select("src", "dst")))
         _SCC_MEMO.put(key, df)
     return df
 
@@ -1346,7 +1346,7 @@ def _part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..graph.sssp import _ensure_checkpoint_dir
 
         _ensure_checkpoint_dir(spark)
-        df = _part_cooccurrence_edges_plan(spark, sf_dir).checkpoint()
+        df = memo_checkpoint(_part_cooccurrence_edges_plan(spark, sf_dir))
         _COOC_EDGES_MEMO.put(key, df)
     return df
 
@@ -2000,7 +2000,9 @@ def _landmark_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _LANDMARK_MEMO.get(key)
     if df is None:
-        df = landmark_distances(edges_from_lineitem(spark, sf_dir)).checkpoint()
+        df = memo_checkpoint(
+            landmark_distances(edges_from_lineitem(spark, sf_dir))
+        )
         _LANDMARK_MEMO.put(key, df)
     return df
 

@@ -755,14 +755,26 @@ def test_mann_whitney_runs_on_histogram_not_rows(spark):
 def test_bootstrap_exchange_carries_replicates_not_rows(spark):
     """The xB explode must sit UPSTREAM of a partial hash aggregate in
     the same stage: the exchange after it carries B=32 groups per task,
-    never the expanded corpus."""
+    never the expanded corpus. r12 adds ONE RoundRobinPartitioning
+    spread BEFORE the explode (load_parallel: the 32x md5 expansion
+    otherwise runs on a single scan task) — that exchange carries the
+    UN-expanded orders, so the invariant stands: no exchange anywhere
+    carries the exploded corpus."""
     from mapreduce_sssp_spark.operators import sampling as S
 
     plan = plan_of(S.q_bootstrap_ci_mean(spark, SF))
     assert "Generate explode" in plan or "explode" in plan
     low = plan.lower()
     assert "partial" in low  # partial_sum(w), partial_sum(w*cents)
-    assert plan.count("Exchange") <= 2  # one for the 32-group final agg
+    # distinct Exchange operators (formatted mode mentions each twice:
+    # tree header + detail block — count the detail headers): the
+    # spread (if the scan was single-split) + the 32-group final agg.
+    assert plan.count(") Exchange") <= 2
+    # the explode's output must flow into the partial agg WITHOUT an
+    # exchange in between: after the explode's detail block the only
+    # exchange detail left is the 32-group final-agg one.
+    expl = plan.index("explode")
+    assert plan[expl:].count(") Exchange") <= 1
 
 
 def test_skyline_fact_window_is_bucket_partitioned(spark):
