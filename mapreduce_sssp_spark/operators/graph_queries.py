@@ -438,57 +438,79 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     with static_rounds(spark):
         tight.count()
 
-    sigma = reach.select(
-        "node",
-        F.when(F.col("node") == source, F.lit(1).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        .alias("sigma"),
-    )
-    for _ in range(BETWEENNESS_ROUNDS):
-        inflow = (
-            tight.join(sigma, tight["u"] == sigma["node"])
-            .groupBy("v")
-            .agg(F.sum("sigma").alias("s_in"))
-        )
-        sigma = reach.join(inflow, reach["node"] == inflow["v"], "left").select(
+    # r12: each sweep round is TRUNCATED (RoundState.truncate — eager
+    # localCheckpoint locally, reliable checkpoint on a cluster) instead
+    # of chaining 7 rounds lazily. The lazy chain regressed 5.6 -> 36+
+    # norm-s after wave 1: the converged-state memo now carries known
+    # partitioning+ordering (the new sssp's loop invariant), so the
+    # whole 7-round x 3-join delta recurrence fused into one exchange-
+    # free mega-stage whose planning/codegen dominated. Bounded cost:
+    # 14 node-table-sized cuts.
+    from ..graph.sssp import RoundState
+
+    rounds_state = RoundState(spark)
+    with static_rounds(spark):
+        sigma = reach.select(
             "node",
             F.when(F.col("node") == source, F.lit(1).cast("long"))
-            .otherwise(F.coalesce("s_in", F.lit(0)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
             .alias("sigma"),
         )
-    sigma = sigma.persist()
-    with static_rounds(spark):
+        for _ in range(BETWEENNESS_ROUNDS):
+            inflow = (
+                tight.join(sigma, tight["u"] == sigma["node"])
+                .groupBy("v")
+                .agg(F.sum("sigma").alias("s_in"))
+            )
+            sigma = rounds_state.truncate(
+                reach.join(inflow, reach["node"] == inflow["v"], "left").select(
+                    "node",
+                    F.when(F.col("node") == source, F.lit(1).cast("long"))
+                    .otherwise(F.coalesce("s_in", F.lit(0)).cast("long"))
+                    .alias("sigma"),
+                )
+            )
+        sigma = sigma.persist()
         sigma.count()
 
-    delta = reach.select("node", F.lit(0).cast("long").alias("delta_e6"))
-    s_u = sigma.select(F.col("node").alias("u"), F.col("sigma").alias("sig_u"))
-    s_v = sigma.select(F.col("node").alias("v"), F.col("sigma").alias("sig_v"))
-    for _ in range(BETWEENNESS_ROUNDS):
-        d_w = delta.select(
-            F.col("node").alias("v"), F.col("delta_e6").alias("d_v")
+        delta = reach.select("node", F.lit(0).cast("long").alias("delta_e6"))
+        s_u = sigma.select(
+            F.col("node").alias("u"), F.col("sigma").alias("sig_u")
         )
-        contribs = (
-            tight.join(s_u, "u")
-            .join(s_v, "v")
-            .join(d_w, "v")
-            .select(
-                "u",
-                F.round(
-                    F.col("sig_u").cast("double")
-                    * (F.lit(1000000) + F.col("d_v")).cast("double")
-                    / F.col("sig_v").cast("double")
-                )
-                .cast("long")
-                .alias("c"),
+        s_v = sigma.select(
+            F.col("node").alias("v"), F.col("sigma").alias("sig_v")
+        )
+        for _ in range(BETWEENNESS_ROUNDS):
+            d_w = delta.select(
+                F.col("node").alias("v"), F.col("delta_e6").alias("d_v")
             )
-            .groupBy("u")
-            .agg(F.sum("c").alias("d_new"))
-        )
-        delta = reach.join(
-            contribs, reach["node"] == contribs["u"], "left"
-        ).select(
-            "node", F.coalesce("d_new", F.lit(0)).cast("long").alias("delta_e6")
-        )
+            contribs = (
+                tight.join(s_u, "u")
+                .join(s_v, "v")
+                .join(d_w, "v")
+                .select(
+                    "u",
+                    F.round(
+                        F.col("sig_u").cast("double")
+                        * (F.lit(1000000) + F.col("d_v")).cast("double")
+                        / F.col("sig_v").cast("double")
+                    )
+                    .cast("long")
+                    .alias("c"),
+                )
+                .groupBy("u")
+                .agg(F.sum("c").alias("d_new"))
+            )
+            delta = rounds_state.truncate(
+                reach.join(
+                    contribs, reach["node"] == contribs["u"], "left"
+                ).select(
+                    "node",
+                    F.coalesce("d_new", F.lit(0)).cast("long").alias(
+                        "delta_e6"
+                    ),
+                )
+            )
 
     out = (
         reach.join(sigma, "node")
