@@ -372,6 +372,12 @@ COOC_CONSUMERS = {
 # and a contention false positive can never clear).
 MEMO_FAMILIES = (
     ("sssp_dag", "compat_final_lines"),
+    # r12: betweenness consumes the SAME converged-state memo
+    # (_sssp_dag_converged) as compat_final_lines and was missing from
+    # this list — in a reversed pass it ran before sssp_dag, paid the
+    # full fixpoint, and its "marginal" record was unreachable by
+    # construction. Same rationale as every pair here.
+    ("sssp_dag", "betweenness_source_dag"),
     ("bpe_merges", "bpe_encode"),
     ("triangle_counts", "kcore"),
     ("triangle_counts", "label_propagation"),

@@ -419,11 +419,15 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy over node-sized tables, the same physics as every fixpoint
     here; 14 bounded rounds total.
     """
-    from ..graph.sssp import static_rounds
+    from ..graph.sssp import loop_partitions, static_rounds
 
     st = _sssp_dag_converged(spark, sf_dir)
     edges = edges_order_chain(spark, sf_dir)
     source = _min_source(edges)
+    # r12: the sweep state is node-table-sized — clamp the rounds to the
+    # data-proportional partition count like every other fixpoint here
+    # (32-task stages per tiny round measured ~1.4s/round vs ~0.4s).
+    n_part = loop_partitions(spark, edges)
     ec = edges.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
     reach = st.filter(F.col("dist") < 65535.0).select("node", "dist")
     du = reach.select(F.col("node").alias("u"), F.col("dist").alias("d_u"))
@@ -435,21 +439,24 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .persist()
     )
-    with static_rounds(spark):
+    with static_rounds(spark, parts=n_part):
         tight.count()
 
-    # r12: each sweep round is TRUNCATED (RoundState.truncate — eager
-    # localCheckpoint locally, reliable checkpoint on a cluster) instead
-    # of chaining 7 rounds lazily. The lazy chain regressed 5.6 -> 36+
-    # norm-s after wave 1: the converged-state memo now carries known
-    # partitioning+ordering (the new sssp's loop invariant), so the
-    # whole 7-round x 3-join delta recurrence fused into one exchange-
-    # free mega-stage whose planning/codegen dominated. Bounded cost:
-    # 14 node-table-sized cuts.
+    # r12: the DELTA sweep rounds are TRUNCATED (RoundState.truncate —
+    # eager localCheckpoint locally, reliable checkpoint on a cluster)
+    # instead of chaining 7 rounds lazily. The lazy chain regressed
+    # 5.6 -> 36+ norm-s after wave 1: the converged-state memo now
+    # carries known partitioning+ordering (the new sssp's loop
+    # invariant), so the 7-round x 3-JOIN delta recurrence fused into
+    # one exchange-free mega-stage whose planning/codegen dominated.
+    # Both recurrences get the cut (isolated probes suggested the sigma
+    # chain could stay lazy, but the full composition measured 46s lazy
+    # vs 28s truncated under identical load — the cuts stay on both).
+    # Bounded cost: 14 node-table-sized cuts.
     from ..graph.sssp import RoundState
 
     rounds_state = RoundState(spark)
-    with static_rounds(spark):
+    with static_rounds(spark, parts=n_part):
         sigma = reach.select(
             "node",
             F.when(F.col("node") == source, F.lit(1).cast("long"))
@@ -527,7 +534,7 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at the CALLER's action with the session's stock 200 shuffle
     # partitions — 200-task stages per tiny round on a vanilla driver
     # session (measured 25s -> ~8s).
-    with static_rounds(spark):
+    with static_rounds(spark, parts=n_part):
         out = out.persist()
         out.count()
     sigma.unpersist()
