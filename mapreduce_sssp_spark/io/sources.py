@@ -46,10 +46,44 @@ EDGE_SCHEMA = T.StructType(
 )
 
 
+# Scan-plan memo (r13, VERDICT r12 item 8 — the fixed per-query tail):
+# every ``spark.read.parquet`` call pays a driver-side footer/schema
+# inference (~80 ms measured at sf0.1), and a full bench pass issues
+# ~870 of them — pure per-query overhead that scales with query count,
+# not data. The memo reuses the lazily-planned DataFrame per
+# (application, sf_dir, table, file mtime): NO data or results are
+# cached — a DataFrame is an unexecuted scan plan, and every action
+# still reads the parquet files (the mtime in the key drops the entry
+# if the file is replaced in-place, e.g. by test fixtures). This is
+# the same reuse register_tables' temp views already provide to the
+# SQL surface, extended to the DataFrame callers.
+_SCAN_MEMO = None
+
+
+def _scan_memo():
+    global _SCAN_MEMO
+    if _SCAN_MEMO is None:
+        from ..runstate import RunCache
+
+        _SCAN_MEMO = RunCache(cap=64)
+    return _SCAN_MEMO
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    try:
+        mtime = os.stat(f"{sf_dir}/{name}.parquet").st_mtime_ns
+    except OSError:
+        mtime = None  # non-local path (or missing: read fails as before)
+    key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
+    memo = _scan_memo()
+    df = memo.get(key)
+    if df is None:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        memo.put(key, df)
+    return df
 
 
 def load_parallel(

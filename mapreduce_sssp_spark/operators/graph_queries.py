@@ -418,45 +418,66 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     one join; each sweep round is one small join + partial-aggregated
     groupBy over node-sized tables, the same physics as every fixpoint
     here; 14 bounded rounds total.
+
+    r13 restructure (guide §2.4/§3.1, VERDICT r12 item 2): the r12
+    shape paid 14 eager per-round lineage cuts plus, per delta round,
+    3 joins re-attaching the STATIC sigma tables. Now (a) the sweep
+    inputs are laid out once — ``tight`` hash-partitioned+sorted on u
+    (the sigma probe key), the sigma-annotated ``tsig`` on v (the
+    delta probe key), ``reach`` on node — so every per-round join is a
+    co-partitioned, co-sorted SMJ with ZERO exchange and the only
+    per-round exchange is the message groupBy (the BSP floor, same as
+    sssp); (b) the loops run under ``no_broadcast`` like every other
+    fixpoint here, so Catalyst's size estimates cannot replace those
+    in-job SMJs with per-round driver-blocking broadcast builds;
+    (c) with the statics pre-joined the per-round lineage is LINEAR
+    (each round references the previous state once), so each sweep
+    chains lazily and materializes as ONE job — two lineage cuts
+    total (sigma, out) instead of 14. The shared inputs are flat
+    LogicalRDD leaves (eager localCheckpoint via RoundState.truncate,
+    reliable checkpoint on a cluster), NOT persist()ed views: the
+    round's rebuild join has ``reach``-derived plans on BOTH sides, so
+    DeduplicateRelations re-ids one side and the re-id'd subtree no
+    longer hits the cache — measured as the whole tight build
+    re-planning inline every round (8 Exchanges/round); as leaves
+    there is nothing to substitute and the chain plans at exactly one
+    Exchange per round (plans/r13/betweenness_source_dag_after.txt:
+    7 Exchange + 14 SortMergeJoin per sweep).
+    Measured (bench methodology, sf0.1, marginal on the warm sssp_dag
+    memo): 14.4 s (r12 driver) -> ~4.2 s best / phase-sum 5.4 s.
     """
-    from ..graph.sssp import loop_partitions, static_rounds
+    from ..graph.sssp import RoundState, loop_partitions, static_rounds
 
     st = _sssp_dag_converged(spark, sf_dir)
     edges = edges_order_chain(spark, sf_dir)
     source = _min_source(edges)
-    # r12: the sweep state is node-table-sized — clamp the rounds to the
-    # data-proportional partition count like every other fixpoint here
-    # (32-task stages per tiny round measured ~1.4s/round vs ~0.4s).
+    # The sweep state is node-table-sized — clamp the rounds to the
+    # data-proportional partition count like every other fixpoint here.
     n_part = loop_partitions(spark, edges)
-    ec = edges.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
-    reach = st.filter(F.col("dist") < 65535.0).select("node", "dist")
-    du = reach.select(F.col("node").alias("u"), F.col("dist").alias("d_u"))
-    dv = reach.select(F.col("node").alias("v"), F.col("dist").alias("d_v"))
-    tight = (
-        ec.join(du, ec["src"] == du["u"])
-        .join(dv, ec["dst"] == dv["v"])
-        .filter(F.col("d_u") + F.col("weight") == F.col("d_v"))
-        .select("u", "v")
-        .persist()
-    )
-    with static_rounds(spark, parts=n_part):
-        tight.count()
-
-    # r12: the DELTA sweep rounds are TRUNCATED (RoundState.truncate —
-    # eager localCheckpoint locally, reliable checkpoint on a cluster)
-    # instead of chaining 7 rounds lazily. The lazy chain regressed
-    # 5.6 -> 36+ norm-s after wave 1: the converged-state memo now
-    # carries known partitioning+ordering (the new sssp's loop
-    # invariant), so the 7-round x 3-JOIN delta recurrence fused into
-    # one exchange-free mega-stage whose planning/codegen dominated.
-    # Both recurrences get the cut (isolated probes suggested the sigma
-    # chain could stay lazy, but the full composition measured 46s lazy
-    # vs 28s truncated under identical load — the cuts stay on both).
-    # Bounded cost: 14 node-table-sized cuts.
-    from ..graph.sssp import RoundState
-
     rounds_state = RoundState(spark)
-    with static_rounds(spark, parts=n_part):
+    with static_rounds(spark, parts=n_part, no_broadcast=True):
+        ec = edges.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+        # reach feeds every round's left-outer rebuild plus the tight
+        # build and the final join: fix its layout once (node-keyed,
+        # sorted) and cut it to a flat leaf (see docstring on why a
+        # persist() would be silently bypassed here).
+        reach = rounds_state.truncate(
+            st.filter(F.col("dist") < 65535.0)
+            .select("node", "dist")
+            .repartition(n_part, "node")
+            .sortWithinPartitions("node")
+        )
+        du = reach.select(F.col("node").alias("u"), F.col("dist").alias("d_u"))
+        dv = reach.select(F.col("node").alias("v"), F.col("dist").alias("d_v"))
+        tight = rounds_state.truncate(
+            ec.join(du, ec["src"] == du["u"])
+            .join(dv, ec["dst"] == dv["v"])
+            .filter(F.col("d_u") + F.col("weight") == F.col("d_v"))
+            .select("u", "v")
+            .repartition(n_part, "u")
+            .sortWithinPartitions("u")
+        )
+
         sigma = reach.select(
             "node",
             F.when(F.col("node") == source, F.lit(1).cast("long"))
@@ -464,37 +485,54 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sigma"),
         )
         for _ in range(BETWEENNESS_ROUNDS):
+            # tight(u-partitioned) ⋈ sigma(node-partitioned): no
+            # exchange; the groupBy(v) is the round's one shuffle.
             inflow = (
                 tight.join(sigma, tight["u"] == sigma["node"])
                 .groupBy("v")
                 .agg(F.sum("sigma").alias("s_in"))
             )
-            sigma = rounds_state.truncate(
-                reach.join(inflow, reach["node"] == inflow["v"], "left").select(
-                    "node",
-                    F.when(F.col("node") == source, F.lit(1).cast("long"))
-                    .otherwise(F.coalesce("s_in", F.lit(0)).cast("long"))
-                    .alias("sigma"),
-                )
+            sigma = reach.join(
+                inflow, reach["node"] == inflow["v"], "left"
+            ).select(
+                "node",
+                F.when(F.col("node") == source, F.lit(1).cast("long"))
+                .otherwise(F.coalesce("s_in", F.lit(0)).cast("long"))
+                .alias("sigma"),
             )
-        sigma = sigma.persist()
-        sigma.count()
+        # One cut for the whole sigma sweep: materializes the 7-round
+        # chain as a single job and gives the delta sweep (which reads
+        # sigma twice) a flat, layout-preserving input.
+        sigma = rounds_state.truncate(sigma)
+
+        # Delta's per-round recurrence only varies in d_w; the two
+        # sigma attachments are static across rounds, so join them ONCE
+        # and lay the result out on v — the per-round probe key.
+        tsig = rounds_state.truncate(
+            tight.join(
+                sigma.select(
+                    F.col("node").alias("u"), F.col("sigma").alias("sig_u")
+                ),
+                "u",
+            )
+            .join(
+                sigma.select(
+                    F.col("node").alias("v"), F.col("sigma").alias("sig_v")
+                ),
+                "v",
+            )
+            .select("u", "v", "sig_u", "sig_v")
+            .repartition(n_part, "v")
+            .sortWithinPartitions("v")
+        )
 
         delta = reach.select("node", F.lit(0).cast("long").alias("delta_e6"))
-        s_u = sigma.select(
-            F.col("node").alias("u"), F.col("sigma").alias("sig_u")
-        )
-        s_v = sigma.select(
-            F.col("node").alias("v"), F.col("sigma").alias("sig_v")
-        )
         for _ in range(BETWEENNESS_ROUNDS):
             d_w = delta.select(
                 F.col("node").alias("v"), F.col("delta_e6").alias("d_v")
             )
             contribs = (
-                tight.join(s_u, "u")
-                .join(s_v, "v")
-                .join(d_w, "v")
+                tsig.join(d_w, "v")
                 .select(
                     "u",
                     F.round(
@@ -508,37 +546,33 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("u")
                 .agg(F.sum("c").alias("d_new"))
             )
-            delta = rounds_state.truncate(
-                reach.join(
-                    contribs, reach["node"] == contribs["u"], "left"
-                ).select(
-                    "node",
-                    F.coalesce("d_new", F.lit(0)).cast("long").alias(
-                        "delta_e6"
-                    ),
-                )
+            delta = reach.join(
+                contribs, reach["node"] == contribs["u"], "left"
+            ).select(
+                "node",
+                F.coalesce("d_new", F.lit(0)).cast("long").alias("delta_e6"),
             )
 
-    out = (
-        reach.join(sigma, "node")
-        .join(delta, "node")
-        .select(
-            F.lit(source).cast("long").alias("source"),
-            "node",
-            "dist",
-            "sigma",
-            "delta_e6",
+        out = (
+            reach.join(sigma, "node")
+            .join(delta, "node")
+            .select(
+                F.lit(source).cast("long").alias("source"),
+                "node",
+                "dist",
+                "sigma",
+                "delta_e6",
+            )
         )
-    )
-    # Materialize under the clamp: the 14-round chain otherwise executes
-    # at the CALLER's action with the session's stock 200 shuffle
-    # partitions — 200-task stages per tiny round on a vanilla driver
-    # session (measured 25s -> ~8s).
-    with static_rounds(spark, parts=n_part):
+        # Materialize under the clamp: the lazy delta chain otherwise
+        # executes at the CALLER's action with the session's stock 200
+        # shuffle partitions (200-task stages per tiny round on a
+        # vanilla driver session).
         out = out.persist()
         out.count()
-    sigma.unpersist()
-    tight.unpersist()
+    # reach/tight/tsig are localCheckpoint leaves — their blocks are
+    # dropped by the ContextCleaner when the frames go out of scope, so
+    # there is nothing to unpersist.
     return out
 
 
@@ -713,12 +747,22 @@ def q_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.dst").alias("end"),
     )
     direct = e.select("src", F.col("dst").alias("end"), F.lit(1).alias("is_direct"))
+    # r13 (guide §2.3 "aggregate before you shuffle"): collapse the
+    # path multiset to (src, end, n2) BEFORE the direct-edge join — the
+    # (src, end) exchange was already in the plan (the left join's
+    # key), but now the partial aggregation combines map-side so the
+    # shuffle carries one row per distinct pair instead of one per
+    # path, and the final per-src aggregate needs a plain count where
+    # the row-level form needed an expensive count_distinct. Exact
+    # same counts: n_paths2 = sum of per-pair multiplicities, n_fof =
+    # count over now-unique (src, end) rows.
+    agg_pairs = paths.groupBy("src", "end").agg(F.count("*").alias("n2"))
     return (
-        paths.join(direct, ["src", "end"], "left")
+        agg_pairs.join(direct, ["src", "end"], "left")
         .groupBy("src")
         .agg(
-            F.count("*").alias("n_paths2"),
-            F.count_distinct(
+            F.sum("n2").alias("n_paths2"),
+            F.count(
                 F.when(
                     (F.col("end") != F.col("src"))
                     & F.col("is_direct").isNull(),
@@ -816,12 +860,16 @@ def q_two_hop_paths_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = e.select(
         "src", F.col("dst").alias("end"), F.lit(1).alias("is_direct")
     )
+    # r13: same pre-aggregation as q_two_hop_paths — collapse to
+    # (src, end, n2) before the direct-edge join (guide §2.3); counts
+    # identical by construction.
+    agg_pairs = paths.groupBy("src", "end").agg(F.count("*").alias("n2"))
     return (
-        paths.join(direct, ["src", "end"], "left")
+        agg_pairs.join(direct, ["src", "end"], "left")
         .groupBy("src")
         .agg(
-            F.count("*").alias("n_paths2"),
-            F.count_distinct(
+            F.sum("n2").alias("n_paths2"),
+            F.count(
                 F.when(
                     (F.col("end") != F.col("src"))
                     & F.col("is_direct").isNull(),
@@ -1759,31 +1807,56 @@ def q_walk_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks a broadcast at runtime when it actually fits). Only the two
     1-row scalar totals carry broadcast hints.
     """
-    # The corpus is referenced four times below, but persisting it (and
-    # the pairs table) measured SLOWER than letting ReuseExchange share
-    # the identical subtrees inside one plan (see q_random_walks' r12
-    # note) — both persists were tried and reverted.
+    # r13 (VERDICT r12 item 6): the corpus was referenced FOUR times
+    # (pair self-join legs, occ, n_tot), each reference replaying the
+    # whole 4-step walk generation modulo ReuseExchange's partial
+    # sharing — and the r12 A/B proved persisting the lazy corpus
+    # breaks that sharing and is a net loss. Restructure instead:
+    # collapse the corpus ONCE into per-walk sorted (step, node) arrays
+    # (one groupBy — walks are WALK_STEPS+1 rows each, so arrays are
+    # bounded), persist that walk-count-sized frame, and derive
+    # everything from it. The start-keyed band self-join becomes an
+    # in-array window enumeration (positions == steps: every node has
+    # degree >= 1 so no walk strands and steps are the consecutive
+    # 0..WALK_STEPS); occ and the scalar total become an explode /
+    # size-sum over the same arrays. Pair multiset, counts and the PMI
+    # expression are unchanged — oracle-identical. One corpus
+    # computation instead of four partially-shared ones.
+    # The collapsed corpus must be a flat LogicalRDD leaf, not a
+    # persist(): the PMI join references it on BOTH sides (pairs and
+    # the two occ legs), and DeduplicateRelations' re-id makes the
+    # re-id'd subtrees miss the cache — a plain persist here measured
+    # the corpus being recomputed per branch (the same bypass the
+    # betweenness restructure hit; also why the r12 persist A/B read
+    # "slower").
+    from ..graph.sssp import RoundState
+
     walks = q_random_walks(spark, sf_dir)
-    a = walks.select("start", F.col("step").alias("sa"), F.col("node").alias("na"))
-    b = walks.select("start", F.col("step").alias("sb"), F.col("node").alias("nb"))
+    grouped = RoundState(spark).truncate(
+        walks.groupBy("start").agg(
+            F.sort_array(F.collect_list(F.struct("step", "node"))).alias("w")
+        )
+    )
+    pair_expr = F.expr(
+        "flatten(transform(w, (x, i) -> "
+        "transform(filter(slice(w, i + 2, {win}), y -> y.node != x.node), "
+        "y -> struct(least(x.node, y.node) AS node_a, "
+        "greatest(x.node, y.node) AS node_b))))".format(win=WALK_PMI_WINDOW)
+    )
     pairs = (
-        a.join(b, "start")
-        .filter(
-            (F.col("sb") > F.col("sa"))
-            & (F.col("sb") <= F.col("sa") + WALK_PMI_WINDOW)
-            & (F.col("na") != F.col("nb"))
-        )
-        .select(
-            F.least("na", "nb").alias("node_a"),
-            F.greatest("na", "nb").alias("node_b"),
-        )
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.node_a", "p.node_b")
         .groupBy("node_a", "node_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= WALK_PMI_MIN_N)
     )
-    occ = walks.groupBy(F.col("node")).agg(F.count("*").alias("n_occ"))
-    n_tot = walks.agg(
-        F.count("*").alias("n_occ_tot")
+    occ = (
+        grouped.select(F.explode("w").alias("e"))
+        .groupBy(F.col("e.node").alias("node"))
+        .agg(F.count("*").alias("n_occ"))
+    )
+    n_tot = grouped.agg(
+        F.coalesce(F.sum(F.size("w")), F.lit(0)).alias("n_occ_tot")
     )
     t_tot = pairs.agg(F.sum("n_ab").alias("t_tot"))
     j = (
@@ -2212,20 +2285,53 @@ def q_wl_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = nbr.groupBy("node").agg(F.count("*").alias("degree"))
     lbl = deg.select("node", "degree", F.col("degree").cast("string").alias("lbl"))
+    # r13: each round used to reference the previous ``lbl`` TWICE
+    # (the neighbor-label join AND the own-label join onto the ns
+    # signature), so the lazy plan DOUBLED per round — 4 copies of the
+    # pair-generation base after the 2 rounds. A marked self-row union
+    # makes every round reference lbl exactly once: the self row picks
+    # up the node's own label/degree through the same join that fetches
+    # neighbor labels, and ONE aggregate separates them again
+    # (collect_list drops the NULL the self row maps to, so ns is the
+    # identical sorted neighbor-label list; own/degree come from the
+    # unique self row). Rounds now chain LINEARLY and the per-round
+    # nbrx exchange is plan-identical across rounds (ReuseExchange
+    # computes it once). Same labels, same hash, one fewer join and
+    # one fewer aggregate per round. Measured 4.1 -> ~2.5 s (sf0.1).
+    nbrx = nbr.select("node", "nbr", F.lit(False).alias("is_self")).unionAll(
+        deg.select(
+            "node", F.col("node").alias("nbr"), F.lit(True).alias("is_self")
+        )
+    )
     for _ in range(WL_ROUNDS):
-        nl = nbr.join(
-            lbl.select(F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")),
+        nl = nbrx.join(
+            lbl.select(
+                F.col("node").alias("nbr"),
+                F.col("lbl").alias("nlbl"),
+                F.col("degree").alias("ndeg"),
+            ),
             "nbr",
         )
-        sig = nl.groupBy("node").agg(
-            F.concat_ws(",", F.sort_array(F.collect_list("nlbl"))).alias("ns")
-        )
         lbl = (
-            lbl.join(sig, "node")
+            nl.groupBy("node")
+            .agg(
+                F.max(F.when(F.col("is_self"), F.col("ndeg"))).alias(
+                    "degree"
+                ),
+                F.max(F.when(F.col("is_self"), F.col("nlbl"))).alias("own"),
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.when(~F.col("is_self"), F.col("nlbl")))
+                    ),
+                ).alias("ns"),
+            )
             .select(
                 "node",
                 "degree",
-                F.md5(F.concat_ws("|", F.col("lbl"), F.col("ns"))).alias("lbl"),
+                F.md5(F.concat_ws("|", F.col("own"), F.col("ns"))).alias(
+                    "lbl"
+                ),
             )
         )
     return lbl.select("node", "degree", F.col("lbl").alias("wl_label"))
