@@ -66,7 +66,11 @@ def hits(
     _ensure_checkpoint_dir(spark)
     n_part = loop_partitions(spark, edges)
 
-    with static_rounds(spark, parts=n_part):
+    # r13 A/B (min-of-3 alternating, sf0.1): broadcasts off in-loop
+    # like sssp — Catalyst's size estimate was replacing in-job
+    # co-partitioned joins with per-round driver-blocking broadcast
+    # builds. Explicit F.broadcast hints are unaffected.
+    with static_rounds(spark, parts=n_part, no_broadcast=True):
         e = (
             edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
             .distinct()

@@ -72,7 +72,11 @@ def ktruss(
     # tables get it: cur is referenced three times per round (und's two
     # branches + the support join), sup twice (count + survivor filter).
     rounds_state = RoundState(spark, checkpoint_every)
-    with static_rounds(spark, parts=n_part):
+    # r13 A/B (min-of-3 alternating, sf0.1): broadcasts off in-loop
+    # like sssp — Catalyst's size estimate was replacing in-job
+    # co-partitioned joins with per-round driver-blocking broadcast
+    # builds. Explicit F.broadcast hints are unaffected.
+    with static_rounds(spark, parts=n_part, no_broadcast=True):
         cur = edges.select("u", "v").persist(StorageLevel.MEMORY_AND_DISK)
         pending = []  # parent caches pending unpersist (mis.py's device)
         for rnd in range(1, max_rounds + 1):

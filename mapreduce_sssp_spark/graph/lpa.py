@@ -84,8 +84,8 @@ def label_propagation(edges: DataFrame, *, rounds: int = 4) -> DataFrame:
     # one shuffle. no_broadcast keeps Catalyst's size estimate from
     # replacing that in-job SMJ with a per-round driver-blocking
     # broadcast build of the label table (and at 100 TB the label table
-    # is |V|-sized — never broadcastable). A/B vs the r12 cadence:
-    # 6.6 -> 3.9 s (ab_probe min-of-3, sf0.1).
+    # is |V|-sized — never broadcastable). Measured vs the r12 cadence
+    # (bench methodology, min-of-3, sf0.1): 5.9-6.1 s -> 3.9 s.
     rounds_state = RoundState(spark)
     with static_rounds(spark, parts=n_part, no_broadcast=True):
         # Round-0 labels land at n_part (inside the loop clamp), so the

@@ -169,7 +169,11 @@ def mis_greedy(
     n_part = loop_partitions(spark, edges)
 
     n_undec = -1
-    with static_rounds(spark, parts=n_part):
+    # r13 A/B (min-of-3 alternating, sf0.1): broadcasts off in-loop
+    # like sssp — Catalyst's size estimate was replacing in-job
+    # co-partitioned joins with per-round driver-blocking broadcast
+    # builds. Explicit F.broadcast hints are unaffected.
+    with static_rounds(spark, parts=n_part, no_broadcast=True):
         # Both directions so each endpoint sees the edge; partitioned
         # once on u (the message-send key), never re-shuffled.
         und = (

@@ -67,7 +67,11 @@ def pagerank(
     # Clamp opens before the caches are registered: cached plans compile
     # their exchanges with the conf at persist() time and AQE cannot
     # coalesce them (full note in sssp.py).
-    with static_rounds(spark, parts=n_part):
+    # r13 A/B (min-of-3 alternating, sf0.1): broadcasts off in-loop
+    # like sssp — Catalyst's size estimate was replacing in-job
+    # co-partitioned joins with per-round driver-blocking broadcast
+    # builds. Explicit F.broadcast hints are unaffected.
+    with static_rounds(spark, parts=n_part, no_broadcast=True):
         e = (
             edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
             .distinct()

@@ -92,7 +92,11 @@ def wcc(
         # compiled into the cached plan at persist() time; round 1's
         # count materializes both caches in one job.
 
-    with static_rounds(spark, parts=n_part):
+    # r13 A/B (min-of-3 alternating, sf0.1): broadcasts off in-loop
+    # like sssp — Catalyst's size estimate was replacing in-job
+    # co-partitioned joins with per-round driver-blocking broadcast
+    # builds. Explicit F.broadcast hints are unaffected.
+    with static_rounds(spark, parts=n_part, no_broadcast=True):
         for rnd in range(1, max_rounds + 1):
             frontier = state.filter("updated").select(
                 F.col("node").alias("f_node"), F.col("component").alias("f_comp")

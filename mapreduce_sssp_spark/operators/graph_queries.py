@@ -444,7 +444,8 @@ def q_betweenness_source_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange per round (plans/r13/betweenness_source_dag_after.txt:
     7 Exchange + 14 SortMergeJoin per sweep).
     Measured (bench methodology, sf0.1, marginal on the warm sssp_dag
-    memo): 14.4 s (r12 driver) -> ~4.2 s best / phase-sum 5.4 s.
+    memo): 14.4 s (r12 driver) -> 4.6 s min-of-3 (phase split: tight
+    1.6, sigma sweep 1.5, tsig 0.2, delta+out 2.0).
     """
     from ..graph.sssp import RoundState, loop_partitions, static_rounds
 
