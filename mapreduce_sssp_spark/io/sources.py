@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..contracts import finite
+from ..runstate import RunCache
 
 TABLES = (
     "region",
@@ -56,17 +57,12 @@ EDGE_SCHEMA = T.StructType(
 # still reads the parquet files (the mtime in the key drops the entry
 # if the file is replaced in-place, e.g. by test fixtures). This is
 # the same reuse register_tables' temp views already provide to the
-# SQL surface, extended to the DataFrame callers.
-_SCAN_MEMO = None
-
-
-def _scan_memo():
-    global _SCAN_MEMO
-    if _SCAN_MEMO is None:
-        from ..runstate import RunCache
-
-        _SCAN_MEMO = RunCache(cap=64)
-    return _SCAN_MEMO
+# SQL surface, extended to the DataFrame callers. RunCache (not a dict,
+# not None-then-rebound): the fingerprint folder skips non-whitelisted
+# types, so runtime state never leaks into semantic fingerprints
+# (runstate.py has the full story — a None initial value folded as
+# None and flipped the fingerprints once the memo populated mid-suite).
+_SCAN_MEMO = RunCache(cap=64)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,7 +71,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         mtime = None  # non-local path (or missing: read fails as before)
     key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
-    memo = _scan_memo()
+    memo = _SCAN_MEMO
     df = memo.get(key)
     if df is None:
         if name == "events":

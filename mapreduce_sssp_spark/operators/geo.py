@@ -249,8 +249,13 @@ def q_geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = sym.groupBy("pid").agg(F.count("*").alias("n_nbr"))
     core = deg.filter(F.col("n_nbr") >= DBSCAN_MINPTS).select("pid").persist()
+    # r13: wcc symmetrizes + distincts its input internally, and sym
+    # already carries BOTH directions — feeding it the canonical half
+    # (pid < nbr) halves the union+distinct volume of wcc's prelude
+    # (its heaviest shuffle) with an identical undirected closure.
     core_edges = (
-        sym.join(core, "pid")
+        sym.filter(F.col("pid") < F.col("nbr"))
+        .join(core, "pid")
         .join(core.select(F.col("pid").alias("nbr")), "nbr")
         .select(F.col("pid").alias("src"), F.col("nbr").alias("dst"))
     )

@@ -257,6 +257,8 @@ def q_sssp_paths_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-proportional work. The oracle rebuilds the identical tree and
     walks it DOWN from the source with a bounded recursive CTE.
     """
+    from ..graph.sssp import RoundState, loop_partitions, static_rounds
+
     st = _sssp_dag_converged(spark, sf_dir)
     edges = edges_order_chain(spark, sf_dir)
     ec = edges.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
@@ -269,13 +271,19 @@ def q_sssp_paths_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = reach.select(
         F.col("node").alias("p_dst"), F.col("dist").alias("d_dst")
     )
-    parents = (
-        ec.join(du, ec["src"] == du["p_src"])
-        .join(dv, ec["dst"] == dv["p_dst"])
-        .filter(F.col("d_src") + F.col("weight") == F.col("d_dst"))
-        .groupBy(F.col("p_dst").alias("child"))
-        .agg(F.min("src").alias("parent"))
-    )
+    # r13: the 7-round walk probes `parents` once per round; left
+    # lazy, every probe re-planned the whole tight-edge derivation (and
+    # reach sits on BOTH sides of the chain, the dedup-bypass pattern —
+    # see q_betweenness_source_dag). One flat leaf, probed 7 times.
+    rounds_state = RoundState(spark)
+    with static_rounds(spark, parts=loop_partitions(spark, edges)):
+        parents = rounds_state.truncate(
+            ec.join(du, ec["src"] == du["p_src"])
+            .join(dv, ec["dst"] == dv["p_dst"])
+            .filter(F.col("d_src") + F.col("weight") == F.col("d_dst"))
+            .groupBy(F.col("p_dst").alias("child"))
+            .agg(F.min("src").alias("parent"))
+        )
     walk = reach.select(
         "source",
         "node",
@@ -310,8 +318,6 @@ def q_sssp_paths_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the 7-join reconstruction chain under the loop clamp:
     # on a stock 200-partition session the caller's action would run
     # every tiny join as a 200-task stage (the betweenness lesson).
-    from ..graph.sssp import static_rounds
-
     with static_rounds(spark):
         out = out.persist()
         out.count()
